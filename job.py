@@ -1,0 +1,86 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage:
+    spark-submit --py-files ocr_spark.zip job.py \
+        --input /path/transcripts.parquet --output /path/out \
+        [--num-parts 256] [--turn-bucket 64] \
+        [--start-turn N] [--end-turn M] [--resume] [--only-parts 0,1,2]
+
+Prints one JSON summary line on success: rows extracted, parts completed,
+error count, wall seconds, turns/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", required=True, help="output table root")
+    p.add_argument("--num-parts", type=int, default=None)
+    p.add_argument("--turn-bucket", type=int, default=None)
+    p.add_argument("--start-turn", type=int, default=None)
+    p.add_argument("--end-turn", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--only-parts",
+        default=None,
+        help="comma-separated logical part ids (testing: simulate partial run)",
+    )
+    args = p.parse_args(argv)
+
+    # Late imports so --py-files distribution is what resolves the package.
+    from ocr_spark.pipeline import (
+        DEFAULT_NUM_PARTS,
+        DEFAULT_TURN_BUCKET,
+        read_lineage,
+        run_pipeline,
+    )
+
+    spark = SparkSession.builder.appName("ocr_spark.job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.monotonic()
+    extracted = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        num_parts=args.num_parts or DEFAULT_NUM_PARTS,
+        turn_bucket=args.turn_bucket or DEFAULT_TURN_BUCKET,
+        start_turn=args.start_turn,
+        end_turn=args.end_turn,
+        resume=args.resume,
+        only_parts=(
+            [int(x) for x in args.only_parts.split(",")] if args.only_parts else None
+        ),
+    )
+    n_rows = extracted.count()
+    wall = time.monotonic() - t0
+    lin = read_lineage(spark, args.output).agg(
+        F.count("*").alias("parts"),
+        F.coalesce(F.sum("error_count"), F.lit(0)).alias("errors"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "parts_done": lin["parts"],
+                "errors": int(lin["errors"]),
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,228 @@
+"""Grid-image table extraction — pure NumPy (no OpenCV/PIL in sandbox).
+
+The reference rasterizes PDF pages and has a vision model read the table
+(scripts/ExtractX_OCR.py:240-288, 314-376). This rebuild replaces that
+network hop with a deterministic layout-analysis kernel in the classic
+OpenCV recipe, expressed in NumPy:
+
+1. morphological OPEN with a 1×k horizontal kernel and a k×1 vertical
+   kernel (erosion∘dilation via sliding-window min/max) → rule-line masks
+2. line positions → grid coordinates → cell bounding boxes
+3. per-cell glyph recognition against a fixed synthetic bitmap font
+4. row/column reconstruction: first grid row = header, remaining rows
+   become records keyed by header text (the shape the reference's prompt
+   demands, scripts/ExtractX_OCR.py:332-343).
+
+Rotation semantics match the reference: user rotation r ∈ {0,90,180,270}
+is applied CLOCKWISE (PIL ``img.rotate(-r, expand=True)``,
+scripts/ExtractX_OCR.py:271-272), with the r==0 no-op short-circuit
+(scripts/ExtractX_OCR.py:294-295).
+
+Payload wire format (the ``text`` column of a ``tool='grid'`` turn):
+``GRIDv1|{json header h,w,rot}|{base64(np.packbits(img))}`` — img is a
+uint8 0/1 ink mask, stored pre-rotated by ``rot`` degrees counterclockwise
+so the extractor must rotate clockwise by ``rot`` to restore upright.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+
+#: Synthetic bitmap font: glyph = 3 wide × 5 tall; rows 0-3 encode the
+#: 12-bit charset index (MSB first, row-major), row 4 is all-ink (anchors
+#: positional segmentation). All glyphs distinct by construction.
+CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789 .,-_:/%+()"
+_CHAR_IDX = {c: i for i, c in enumerate(CHARSET)}
+
+GLYPH_W, GLYPH_H, GLYPH_PITCH = 3, 5, 4  # 1px inter-glyph gap
+_CELL_PAD = 2
+_LINE_FRACTION = 0.5  # a detected line must span ≥50% of the image
+
+
+def _glyph(ch: str) -> np.ndarray:
+    idx = _CHAR_IDX.get(ch)
+    if idx is None:
+        idx = _CHAR_IDX["?"] if "?" in _CHAR_IDX else 0
+    g = np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
+    for bit in range(12):
+        if (idx >> (11 - bit)) & 1:
+            g[bit // 3, bit % 3] = 1
+    g[GLYPH_H - 1, :] = 1
+    return g
+
+
+def _render_text(text: str) -> np.ndarray:
+    if not text:
+        return np.zeros((GLYPH_H, 0), dtype=np.uint8)
+    w = GLYPH_PITCH * len(text) - 1
+    out = np.zeros((GLYPH_H, w), dtype=np.uint8)
+    for i, ch in enumerate(text):
+        out[:, i * GLYPH_PITCH : i * GLYPH_PITCH + GLYPH_W] = _glyph(ch)
+    return out
+
+
+def render_grid(cells: list[list[str]]) -> np.ndarray:
+    """Render an R×C grid of cell texts into a 0/1 ink mask with rule lines."""
+    nrows = len(cells)
+    ncols = max(len(r) for r in cells)
+    maxlen = max(1, max(len(c) for row in cells for c in row))
+    cell_h = GLYPH_H + 2 * _CELL_PAD
+    cell_w = GLYPH_PITCH * maxlen - 1 + 2 * _CELL_PAD
+    height = nrows * (cell_h + 1) + 1
+    width = ncols * (cell_w + 1) + 1
+    img = np.zeros((height, width), dtype=np.uint8)
+    img[:: cell_h + 1, :] = 1  # horizontal rules
+    img[:, :: cell_w + 1] = 1  # vertical rules
+    for r, row in enumerate(cells):
+        for c, text in enumerate(row):
+            glyphs = _render_text(text)
+            y = 1 + r * (cell_h + 1) + _CELL_PAD
+            x = 1 + c * (cell_w + 1) + _CELL_PAD
+            img[y : y + GLYPH_H, x : x + glyphs.shape[1]] = glyphs
+    return img
+
+
+def rot90_payload(img: np.ndarray, rotation: int) -> np.ndarray:
+    """Apply the user rotation CLOCKWISE (reference semantics); 0 is a no-op."""
+    if rotation % 360 == 0:
+        return img  # short-circuit, scripts/ExtractX_OCR.py:294-295
+    return np.rot90(img, k=-(rotation // 90))
+
+
+def encode_grid_payload(img: np.ndarray, rot: int = 0) -> str:
+    """Serialize an ink mask into the GRIDv1 text payload.
+
+    ``rot`` > 0 stores the image rotated ``rot`` degrees counterclockwise;
+    the extractor restores it with a clockwise rotation.
+    """
+    if rot % 360:
+        img = np.rot90(img, k=rot // 90)
+    h, w = img.shape
+    header = json.dumps({"h": int(h), "w": int(w), "rot": int(rot % 360)})
+    body = base64.b64encode(np.packbits(img)).decode("ascii")
+    return f"GRIDv1|{header}|{body}"
+
+
+def decode_grid_payload(payload: str) -> tuple[np.ndarray, int]:
+    """Parse a GRIDv1 payload → (ink mask as stored, rotation to undo)."""
+    magic, header_s, body = payload.split("|", 2)
+    if magic != "GRIDv1":
+        raise ValueError("not a GRIDv1 payload")
+    header = json.loads(header_s)
+    h, w = int(header["h"]), int(header["w"])
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(body), dtype=np.uint8), count=h * w
+    )
+    return bits.reshape(h, w).astype(np.uint8), int(header.get("rot", 0))
+
+
+def _open_1d(img: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Morphological opening with a 1D kernel of length k along ``axis``.
+
+    erosion = sliding-window min, dilation = sliding-window max — the same
+    operation cv2.morphologyEx(MORPH_OPEN, 1×k / k×1 kernel) performs.
+    """
+    if img.shape[axis] < k:
+        return np.zeros_like(img)
+    win = np.lib.stride_tricks.sliding_window_view(img, k, axis=axis)
+    eroded_core = win.min(axis=-1)
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (k - 1, k - 1)
+    eroded = np.pad(eroded_core, pad, constant_values=0)
+    win2 = np.lib.stride_tricks.sliding_window_view(eroded, k, axis=axis)
+    return win2.max(axis=-1).astype(np.uint8)
+
+
+def _line_positions(mask_1d: np.ndarray) -> list[int]:
+    """Centers of consecutive runs of True in a 1D boolean array."""
+    idx = np.flatnonzero(mask_1d)
+    if idx.size == 0:
+        return []
+    splits = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
+    return [int(run[0]) for run in splits]
+
+
+def detect_grid(img: np.ndarray) -> tuple[list[int], list[int]]:
+    """Rule-line detection → (horizontal line rows, vertical line cols)."""
+    h, w = img.shape
+    kh = max(8, w // 16)
+    kv = max(8, h // 16)
+    h_open = _open_1d(img, min(kh, w), axis=1)
+    v_open = _open_1d(img, min(kv, h), axis=0)
+    h_rows = _line_positions(h_open.sum(axis=1) >= _LINE_FRACTION * w)
+    v_cols = _line_positions(v_open.sum(axis=0) >= _LINE_FRACTION * h)
+    return h_rows, v_cols
+
+
+def _decode_cell(cell: np.ndarray) -> str:
+    ys, xs = np.nonzero(cell)
+    if ys.size == 0:
+        return ""
+    # Every glyph's bottom row is all-ink, so the LAST inked row anchors the
+    # glyph baseline (the index rows above it may be empty, e.g. charset[0]).
+    y0 = ys.max() - (GLYPH_H - 1)
+    if y0 < 0:
+        return "?"
+    x0, x1 = xs.min(), xs.max()
+    n = (x1 - x0 + 2) // GLYPH_PITCH
+    chars = []
+    for i in range(n):
+        block = cell[y0 : y0 + GLYPH_H, x0 + i * GLYPH_PITCH : x0 + i * GLYPH_PITCH + GLYPH_W]
+        if block.shape != (GLYPH_H, GLYPH_W):
+            chars.append("?")
+            continue
+        idx = 0
+        for bit in range(12):
+            idx = (idx << 1) | int(block[bit // 3, bit % 3])
+        chars.append(CHARSET[idx] if idx < len(CHARSET) else "?")
+    return "".join(chars)
+
+
+def read_grid_cells(img: np.ndarray) -> list[list[str]]:
+    """Full layout parse: lines → cell bboxes → glyph recognition."""
+    h_rows, v_cols = detect_grid(img)
+    if len(h_rows) < 2 or len(v_cols) < 2:
+        return []
+    out: list[list[str]] = []
+    for r in range(len(h_rows) - 1):
+        row: list[str] = []
+        for c in range(len(v_cols) - 1):
+            cell = img[h_rows[r] + 1 : h_rows[r + 1], v_cols[c] + 1 : v_cols[c + 1]]
+            row.append(_decode_cell(cell))
+        out.append(row)
+    return out
+
+
+def extract_grid_table(payload: str) -> dict:
+    """GRIDv1 payload → reference-shaped extraction result.
+
+    First grid row is the header; remaining rows become ``table_data``
+    records keyed by header text in column order. Any failure degrades to
+    the empty sentinel — a bad page never fails the job
+    (scripts/ExtractX_OCR.py:282-284, 397).
+    """
+    from ocr_spark.kernels.salvage import _sentinel
+
+    try:
+        img, rot = decode_grid_payload(payload)
+        img = rot90_payload(img, rot)
+        cells = read_grid_cells(img)
+    except Exception:
+        return _sentinel()
+    if len(cells) < 2:
+        return _sentinel()
+    header = cells[0]
+    records = [
+        {header[c]: row[c] for c in range(len(header))} for row in cells[1:]
+    ]
+    return {
+        "table_data": records,
+        "summary": {
+            "total_rows": len(records),
+            "total_columns": len(header),
+            "confidence": "high",
+        },
+    }

@@ -1,0 +1,209 @@
+"""Unit tests for the pure extraction kernels (no Spark)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import (
+    EMPTY_SENTINEL,
+    align_pages,
+    clean_null_tokens,
+    encode_grid_payload,
+    extract_grid_table,
+    page_table_from_records,
+    render_grid,
+    salvage_json,
+    serialize_table,
+    strip_html,
+)
+from ocr_spark.kernels.extract import extract_turn
+from ocr_spark.kernels.grid import CHARSET, read_grid_cells, rot90_payload
+
+
+class TestSalvage:
+    # reference: scripts/ExtractX_OCR.py:384-404
+    def test_clean_json(self):
+        assert salvage_json('{"table_data": [{"a": "1"}]}') == {
+            "table_data": [{"a": "1"}]
+        }
+
+    def test_prose_wrapped(self):
+        assert salvage_json('Sure! {"a": 1} hope that helps') == {"a": 1}
+
+    def test_code_fenced(self):
+        assert salvage_json('```json\n{"a": 1}\n```') == {"a": 1}
+
+    def test_first_brace_to_last_brace(self):
+        # the slice is outermost-greedy: first { to LAST }
+        assert salvage_json('{"a": {"b": 2}} trailing }') == EMPTY_SENTINEL
+
+    def test_no_braces(self):
+        assert salvage_json("no table found") == EMPTY_SENTINEL
+
+    def test_truncated(self):
+        assert salvage_json('{"table_data": [{"a": ') == EMPTY_SENTINEL
+
+    def test_empty_and_none(self):
+        assert salvage_json("") == EMPTY_SENTINEL
+        assert salvage_json(None) == EMPTY_SENTINEL
+
+    def test_non_dict_top_level(self):
+        assert salvage_json("{}") == {}
+
+
+class TestCleanAlign:
+    def test_null_tokens(self):
+        # reference: scripts/ExtractX_OCR.py:446
+        for tok in ("", "nan", "NaN", "null", "NULL"):
+            assert clean_null_tokens(tok) is None
+        assert clean_null_tokens("Nan") == "Nan"  # not in the token list
+        assert clean_null_tokens(0) == 0
+
+    def test_first_seen_column_order(self):
+        cols, rows = page_table_from_records([{"b": "1"}, {"a": "2", "b": "3"}])
+        assert cols == ["b", "a"]
+        assert rows == [["1", None], ["3", "2"]]
+
+    def test_missing_key_is_na_not_fill(self):
+        cols, rows = page_table_from_records([{"a": "x", "b": "y"}, {"a": "z"}])
+        assert rows[1] == ["z", None]
+
+    def test_align_fill_is_empty_string(self):
+        # reference: '' fill happens AFTER cleaning → asymmetry observable
+        p1 = page_table_from_records([{"a": "1", "b": ""}])
+        p2 = page_table_from_records([{"b": "x", "c": "y"}])
+        cols, rows = align_pages([p1, p2])
+        assert cols == ["a", "b", "c"]
+        assert rows == [["1", None, ""], ["", "x", "y"]]
+
+    def test_single_page_fast_path(self):
+        p1 = page_table_from_records([{"a": "1"}])
+        assert align_pages([p1]) == p1
+        assert align_pages([p1, ([], [])]) == p1  # empty pages dropped
+
+    def test_all_empty(self):
+        assert align_pages([([], []), ([], [])]) == ([], [])
+
+    def test_serialize_distinguishes_na_from_fill(self):
+        s = serialize_table((["a"], [[None], [""]]))
+        assert json.loads(s) == {"columns": ["a"], "rows": [[None], [""]]}
+
+    def test_non_string_scalars_preserved(self):
+        cols, rows = page_table_from_records([{"a": 7, "b": 1.5}])
+        assert rows == [[7, 1.5]]
+
+
+class TestHtmlStrip:
+    def test_keeps_main_drops_boilerplate(self):
+        doc = (
+            "<html><body><nav><a href='/'>home</a><a href='/x'>about</a></nav>"
+            "<p>This is the main article content of the page.</p>"
+            "<footer><a href='#'>terms</a> <a href='#'>privacy</a></footer>"
+            "</body></html>"
+        )
+        assert strip_html(doc) == "This is the main article content of the page."
+
+    def test_multiple_paragraphs_joined_by_newline(self):
+        doc = "<div><p>first paragraph with enough text</p><p>second paragraph with enough text</p></div>"
+        assert (
+            strip_html(doc)
+            == "first paragraph with enough text\nsecond paragraph with enough text"
+        )
+
+    def test_entities_unescaped(self):
+        doc = "<p>fish &amp; chips &lt;for&gt; two people tonight</p>"
+        assert strip_html(doc) == "fish & chips <for> two people tonight"
+
+    def test_script_style_dropped(self):
+        doc = "<style>p {c: 1}</style><script>var x = 'hello world text';</script><p>real content that is long enough</p>"
+        assert strip_html(doc) == "real content that is long enough"
+
+    def test_link_farm_dropped(self):
+        doc = "<ul><li><a href='#'>one two</a></li><li><a href='#'>three four</a></li></ul>"
+        assert strip_html(doc) == ""
+
+    def test_plain_text_passthrough(self):
+        assert strip_html("just  some   text") == "just some text"
+        assert strip_html("") == ""
+        assert strip_html(None) == ""
+
+    def test_whitespace_normalized(self):
+        doc = "<p>spread\n  across \t lines of this paragraph</p>"
+        assert strip_html(doc) == "spread across lines of this paragraph"
+
+
+class TestGrid:
+    CELLS = [
+        ["name", "qty", "note"],
+        ["alpha", "12", "ok"],
+        ["bravo", "7", "x y"],
+    ]
+
+    def test_render_read_roundtrip(self):
+        img = render_grid(self.CELLS)
+        assert read_grid_cells(img) == self.CELLS
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    def test_payload_roundtrip_rotations(self, rot):
+        payload = encode_grid_payload(render_grid(self.CELLS), rot=rot)
+        res = extract_grid_table(payload)
+        assert res["table_data"] == [
+            {"name": "alpha", "qty": "12", "note": "ok"},
+            {"name": "bravo", "qty": "7", "note": "x y"},
+        ]
+
+    def test_rot90_clockwise_semantics(self):
+        # reference applies PIL rotate(-r) = clockwise for user r
+        img = np.array([[1, 0], [0, 0]], dtype=np.uint8)
+        cw = rot90_payload(img, 90)
+        assert cw[0, 1] == 1  # top-left → top-right under clockwise 90
+        assert rot90_payload(img, 0) is img  # no-op short-circuit
+
+    def test_empty_cell(self):
+        cells = [["a", "b"], ["", "zz"]]
+        img = render_grid(cells)
+        assert read_grid_cells(img) == cells
+
+    def test_header_only_is_sentinel(self):
+        payload = encode_grid_payload(render_grid([["a", "b"]]))
+        assert extract_grid_table(payload) == EMPTY_SENTINEL
+
+    def test_garbage_payload_is_sentinel(self):
+        assert extract_grid_table("GRIDv1|{bad") == EMPTY_SENTINEL
+        assert extract_grid_table("not a grid at all") == EMPTY_SENTINEL
+
+    def test_charset_roundtrip(self):
+        text = CHARSET.replace(" ", "")  # no trailing-space ambiguity
+        img = render_grid([["h"], [text]])
+        assert read_grid_cells(img) == [["h"], [text]]
+
+
+class TestExtractTurn:
+    def test_html(self):
+        r = extract_turn("<p>long enough main content here</p>", "html")
+        assert r["extracted_text"] == "long enough main content here"
+        assert r["status"] == "ok"
+
+    def test_json_tool(self):
+        r = extract_turn('x {"table_data": [{"a": "1", "b": "nan"}]} y', "json")
+        assert json.loads(r["extracted_text"]) == {
+            "columns": ["a", "b"],
+            "rows": [["1", None]],
+        }
+        assert (r["n_rows"], r["n_cols"]) == (1, 2)
+
+    def test_passthrough(self):
+        r = extract_turn("hello", None)
+        assert r["extracted_text"] == "hello"
+
+    def test_empty_sentinel_path(self):
+        r = extract_turn("no json here", "json")
+        assert json.loads(r["extracted_text"]) == {"columns": [], "rows": []}
+        assert r["status"] == "empty"
+
+    def test_never_raises(self):
+        r = extract_turn(None, "grid")
+        assert r["status"] in ("empty", "error")
