@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synthesize transcript turns from the sf0.001
+``documents`` table (HTML-wrapped payloads), run the full salted
+mapInArrow extraction pipeline stage, return the extracted turns.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data operators (dedup, similarity search,
+text analysis, multimodal plumbing). Keys without an oracle entry are
+genuinely non-SQL-expressible (approximate LSH ANN, SimHash) and get the
+driver's rows-only check; everything else is replayed in DuckDB.
 """
 
 from __future__ import annotations
@@ -12,27 +16,390 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → transcript turns → salted repartition → fused
+    mapInArrow extraction (HTML boilerplate strip) → extracted turns."""
+    from ocr_spark.operators.extraction_queries import _HTML_POST, _HTML_PRE
+    from ocr_spark.pipeline import extract_stage
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    n_convs = 40
+    transcripts = docs.select(
+        F.format_string("conv_%06d", (F.col("doc_id") % n_convs)).alias("conv_id"),
+        (F.col("doc_id") / n_convs).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias("text"),
+        F.lit("html").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    extracted = extract_stage(transcripts, num_parts=32, turn_bucket=64)
+    return extracted.filter(F.col("rec") == "data").select(
+        "conv_id", "turn_idx", "extracted_text", "n_rows", "n_cols", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_spark.operators import dedup, relational, similarity, textops
+    from ocr_spark.operators import extraction_queries as xq
+    from ocr_spark.operators import multimodal
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_html(spark, sf):
+        return xq.extract_html_query(_docs(spark, sf))
+
+    def extract_json_salvage(spark, sf):
+        return xq.extract_json_query(_docs(spark, sf))
+
+    def extract_grid(spark, sf):
+        return xq.extract_grid_query(_docs(spark, sf))
+
+    def null_token_clean(spark, sf):
+        return xq.null_clean_query(_docs(spark, sf))
+
+    def page_range_filter(spark, sf):
+        return relational.range_filter(
+            _tbl(spark, sf, "lineitem"), "l_linenumber", 2, 5
+        ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+    def limit_first_n_pages(spark, sf):
+        return relational.prefix_limit(
+            _tbl(spark, sf, "lineitem"), "l_linenumber", 3
+        ).select("l_orderkey", "l_linenumber")
+
+    def schema_align_union(spark, sf):
+        d = _docs(spark, sf)
+        a = d.select("doc_id", F.col("lang").alias("a"))
+        b = d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), F.col("source").alias("b")
+        )
+        return relational.align_union([a, b])
+
+    def row_order_reconstruct(spark, sf):
+        return relational.row_order(
+            _tbl(spark, sf, "orders"), "o_custkey", ["o_orderdate", "o_orderkey"]
+        ).select("o_orderkey", "o_custkey", "row_num")
+
+    def max_len_per_col(spark, sf):
+        return relational.excel_widths(_docs(spark, sf), ["text", "lang", "source"])
+
+    def page_count_scan(spark, sf):
+        return relational.group_count(
+            _tbl(spark, sf, "orders"), "o_custkey", out_col="n_pages"
+        )
+
+    def checkpoint_resume_anti_join(spark, sf):
+        orders = _tbl(spark, sf, "orders")
+        finished = (
+            orders.filter(F.col("o_custkey") % 10 < 4)
+            .select("o_custkey")
+            .distinct()
+        )
+        return relational.anti_join_unfinished(orders, finished, "o_custkey").select(
+            "o_orderkey", "o_custkey"
+        )
+
+    def empty_result_filter(spark, sf):
+        return relational.nonempty_filter(_tbl(spark, sf, "events"), "props").select(
+            "event_id", "event_type"
+        )
+
+    def extension_predicate(spark, sf):
+        return relational.suffix_filter(_docs(spark, sf), "source", "1").select(
+            "doc_id", "source"
+        )
+
+    # ---- training-data operators ----
+
+    def dedup_exact(spark, sf):
+        return dedup.exact_dedup(_docs(spark, sf))
+
+    def token_count(spark, sf):
+        return textops.token_count(_docs(spark, sf))
+
+    def quality_score(spark, sf):
+        return textops.quality_score(_docs(spark, sf))
+
+    def lang_id(spark, sf):
+        return textops.lang_id(_docs(spark, sf))
+
+    def doc_fingerprint(spark, sf):
+        return textops.doc_fingerprint(_docs(spark, sf))
+
+    def minhash_signature(spark, sf):
+        sigs = dedup.minhash_signatures(_docs(spark, sf))
+        return sigs.select(
+            "doc_id",
+            *[F.col("sig").getItem(i).alias(f"h{i}") for i in range(4)],
+        )
+
+    def dedup_minhash_lsh(spark, sf):
+        return dedup.lsh_candidate_groups(_docs(spark, sf))
+
+    def dedup_ngram_jaccard(spark, sf):
+        d = _docs(spark, sf)
+        a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
+        b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+        pairs = a.join(
+            b, F.col("doc_id_b") == F.col("doc_id_a") + 1, "inner"
+        )
+        return dedup.ngram_jaccard(pairs).select("doc_id_a", "doc_id_b", "jaccard")
+
+    def dedup_simhash(spark, sf):
+        return dedup.simhash(_docs(spark, sf))  # rows-only: int128-bit math
+
+    def ann_cosine_topk(spark, sf):
+        emb = _tbl(spark, sf, "embeddings")
+        return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+    def ann_lsh_bucketed(spark, sf):
+        emb = _tbl(spark, sf, "embeddings")
+        return similarity.lsh_bucketed_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3
+        )  # rows-only: approximate by construction
+
+    def multimodal_meta(spark, sf):
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id", "label")
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "payload": [
+                            multimodal.encode_fake_image(
+                                int(v), int(l) % 16 + 1, int(v) % 8 + 1
+                            )
+                            for v, l in zip(pdf["vec_id"], pdf["label"])
+                        ],
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        payloads = emb.mapInPandas(enc, schema)
+        return multimodal.extract_metadata(payloads)
+
+    return {
+        "extract_html": extract_html,
+        "extract_json_salvage": extract_json_salvage,
+        "extract_grid": extract_grid,
+        "null_token_clean": null_token_clean,
+        "page_range_filter": page_range_filter,
+        "limit_first_n_pages": limit_first_n_pages,
+        "schema_align_union": schema_align_union,
+        "row_order_reconstruct": row_order_reconstruct,
+        "max_len_per_col": max_len_per_col,
+        "page_count_scan": page_count_scan,
+        "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
+        "empty_result_filter": empty_result_filter,
+        "extension_predicate": extension_predicate,
+        "dedup_exact": dedup_exact,
+        "token_count": token_count,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_signature": minhash_signature,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_bucketed": ann_lsh_bucketed,
+        "multimodal_meta": multimodal_meta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_STOPLIST = "'the','a','of','and','to','in','is','it','for','on','with','as','at','by','an'"
+
+_MINHASH_COLS = ",\n    ".join(
+    f"cast(list_min(list_transform(string_split(text,' '), t -> md5_number('{i}:' || t))) as varchar) as h{i}"
+    for i in range(8)
+)
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    " range(1, greatest(len(string_split({col},' ')) - 3 + 1, 0) + 1),"
+    " i -> array_to_string(list_slice(string_split({col},' '), i, i+2), ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh_a = _SHINGLES.format(col="text_a")
+    sh_b = _SHINGLES.format(col="text_b")
+    return {
+        "extract_html": "SELECT doc_id, text AS main_text FROM documents",
+        "extract_json_salvage": (
+            "SELECT doc_id, string_split(text, ' ')[1] AS w,"
+            " CAST(n_chars AS VARCHAR) AS n FROM documents"
+        ),
+        "extract_grid": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
+            " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        "null_token_clean": (
+            "SELECT doc_id, CASE"
+            " WHEN n_chars % 6 IN (0,1,2,3,4) THEN NULL"
+            " ELSE string_split(text,' ')[1] END AS cleaned FROM documents"
+        ),
+        "page_range_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+            " WHERE l_linenumber BETWEEN 2 AND 5"
+        ),
+        "limit_first_n_pages": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber <= 3"
+        ),
+        "schema_align_union": (
+            "SELECT doc_id, lang AS a, '' AS b FROM documents"
+            " UNION ALL"
+            " SELECT doc_id + 1000000 AS doc_id, '' AS a, source AS b FROM documents"
+        ),
+        "row_order_reconstruct": (
+            "SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER"
+            " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS row_num"
+            " FROM orders"
+        ),
+        "max_len_per_col": (
+            "SELECT least(max(length(text))+2, 50) AS text_width,"
+            " least(max(length(lang))+2, 50) AS lang_width,"
+            " least(max(length(source))+2, 50) AS source_width FROM documents"
+        ),
+        "page_count_scan": (
+            "SELECT o_custkey, COUNT(*) AS n_pages FROM orders GROUP BY o_custkey"
+        ),
+        "checkpoint_resume_anti_join": (
+            "SELECT o_orderkey, o_custkey FROM orders"
+            " WHERE o_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_custkey % 10 < 4)"
+        ),
+        "empty_result_filter": (
+            "SELECT event_id, event_type FROM events"
+            " WHERE props IS NOT NULL AND length(props) > 0"
+        ),
+        "extension_predicate": (
+            "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1'"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups"
+            " FROM documents GROUP BY md5(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
+            " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, ROUND("
+            " least(length(text)/500.0, 1.0) * 0.5"
+            f" + (len(list_filter(string_split(text,' '), t -> t IN ({_STOPLIST})))"
+            "    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3"
+            " + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+            "    / CAST(length(text) AS DOUBLE)) * 0.2"
+            ", 4) AS quality FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, CASE WHEN"
+            f" (len(list_filter(string_split(text,' '), t -> t IN ({_STOPLIST})))"
+            "  / CAST(len(string_split(text,' ')) AS DOUBLE)) >= 0.05"
+            " THEN 'en' ELSE 'unk' END AS pred_lang FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(text) AS fp_exact,"
+            " md5(array_to_string(list_sort("
+            + _SHINGLES.format(col="text")
+            + "), '|')) AS fp_shingle FROM documents"
+        ),
+        "minhash_signature": (
+            "SELECT doc_id,"
+            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('0:' || t))) as varchar) as h0,"
+            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('1:' || t))) as varchar) as h1,"
+            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('2:' || t))) as varchar) as h2,"
+            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('3:' || t))) as varchar) as h3"
+            " FROM documents"
+        ),
+        "dedup_minhash_lsh": (
+            f"WITH sig AS (SELECT doc_id, {_MINHASH_COLS} FROM documents),"
+            " bands AS ("
+            "  SELECT 0 AS band_idx, md5(h0 || '_' || h1) AS band_key, doc_id FROM sig"
+            "  UNION ALL SELECT 1, md5(h2 || '_' || h3), doc_id FROM sig"
+            "  UNION ALL SELECT 2, md5(h4 || '_' || h5), doc_id FROM sig"
+            "  UNION ALL SELECT 3, md5(h6 || '_' || h7), doc_id FROM sig)"
+            " SELECT band_idx, band_key, COUNT(*) AS n_docs,"
+            "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
+            " FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1"
+        ),
+        "dedup_ngram_jaccard": (
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,"
+            " ROUND(CASE WHEN len(list_distinct(list_concat("
+            + sh_a.replace("text_a", "a.text")
+            + ", "
+            + sh_b.replace("text_b", "b.text")
+            + "))) > 0 THEN"
+            " len(list_intersect("
+            + sh_a.replace("text_a", "a.text")
+            + ", "
+            + sh_b.replace("text_b", "b.text")
+            + ")) / CAST(len(list_distinct(list_concat("
+            + sh_a.replace("text_a", "a.text")
+            + ", "
+            + sh_b.replace("text_b", "b.text")
+            + "))) AS DOUBLE) ELSE 0.0 END, 4) AS jaccard"
+            " FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv"
+            "  FROM embeddings WHERE vec_id < 5),"
+            " c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv"
+            "  FROM embeddings),"
+            " s AS (SELECT q_id, neighbor_id,"
+            "  ROUND(list_dot_product(qv, cv) /"
+            "   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+            "   AS cosine_r"
+            "  FROM q, c WHERE neighbor_id <> q_id),"
+            " r AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
+            "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank FROM s)"
+            " SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= 3"
+        ),
+        "multimodal_meta": (
+            "SELECT vec_id, 'IMG1' AS fmt,"
+            " CAST(label % 16 + 1 AS INTEGER) AS width,"
+            " CAST(vec_id % 8 + 1 AS INTEGER) AS height,"
+            " CAST(1 AS INTEGER) AS channels,"
+            " CAST(9 + (label % 16 + 1) * (vec_id % 8 + 1) AS BIGINT) AS n_bytes,"
+            " TRUE AS valid FROM embeddings"
+        ),
+        # dedup_simhash, ann_lsh_bucketed: no SQL oracle (int128 bit math /
+        # approximate-by-construction) → driver rows-only check.
+    }

@@ -1,0 +1,150 @@
+"""Extraction kernels exposed as relational queries over the `documents`
+testdata table, built to be DuckDB-oracle-checkable end to end.
+
+Each query deterministically WRAPS document text into the payload format a
+transcript turn would carry (HTML page / model-reply JSON / GRIDv1 image),
+runs the real extraction kernel, and unwraps — so the oracle SQL can state
+the expected output directly from the source columns. The wrap is done
+with built-in Spark functions (JVM-side); only the extraction kernel
+itself crosses into Python, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ocr_spark.kernels.grid import encode_grid_payload, extract_grid_table, render_grid
+from ocr_spark.kernels.htmlstrip import strip_html
+from ocr_spark.kernels.salvage import salvage_json
+
+# -- HTML ------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><title>t</title></head><body>'
+    '<nav><a href="/">home</a><a href="/about">about</a><a href="/x">more</a></nav>'
+    '<div class="main"><p>'
+)
+_HTML_POST = (
+    "</p></div>"
+    '<footer><a href="#">terms</a> <a href="#">privacy</a></footer>'
+    "</body></html>"
+)
+
+
+@pandas_udf(T.StringType())
+def _strip_html_udf(s: pd.Series) -> pd.Series:
+    return s.map(strip_html)
+
+
+def extract_html_query(df: DataFrame) -> DataFrame:
+    """documents → wrap each text in a boilerplated page → strip → the
+    stripped main text must equal the original text."""
+    wrapped = df.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias("page"),
+    )
+    return wrapped.select(
+        "doc_id", _strip_html_udf(F.col("page")).alias("main_text")
+    )
+
+
+# -- JSON salvage ----------------------------------------------------------
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _salvage_first_row_udf(s: pd.Series) -> pd.Series:
+    def fn(reply: str) -> list:
+        data = salvage_json(reply)
+        rows = data.get("table_data") or []
+        if not rows:
+            return [None, None]
+        first = rows[0]
+        return [first.get("w"), first.get("n")]
+
+    return s.map(fn)
+
+
+def extract_json_query(df: DataFrame) -> DataFrame:
+    """documents → prose-wrapped JSON model reply → salvage parse →
+    (doc_id, w = first word, n = n_chars as text)."""
+    reply = F.concat(
+        F.lit('Sure, here is the extracted table: {"table_data": [{"w": "'),
+        F.split(F.col("text"), " ").getItem(0),
+        F.lit('", "n": "'),
+        F.col("n_chars").cast("string"),
+        F.lit('"}], "summary": {"total_rows": 1}} hope that helps'),
+    )
+    parsed = df.select(
+        "doc_id", _salvage_first_row_udf(reply).alias("r")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("r").getItem(0).alias("w"),
+        F.col("r").getItem(1).alias("n"),
+    )
+
+
+# -- Grid ------------------------------------------------------------------
+
+GRID_WORDS = 6  # 2 rows (header + one data row) × 3 columns
+
+
+def _grid_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")[:GRID_WORDS]
+            # fixed literal header so record keys never collide even when
+            # document words repeat (dict keys must stay distinct)
+            cells = [["a", "b", "c"], words[:3], words[3:6]]
+            payload = encode_grid_payload(render_grid(cells), rot=int(doc_id) % 4 * 90)
+            res = extract_grid_table(payload)
+            got = []
+            for rec in res.get("table_data", []):
+                got.extend([f"{k}={v}" for k, v in rec.items()])
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def extract_grid_query(df: DataFrame) -> DataFrame:
+    """documents → render first 6 words under a literal a/b/c header as a
+    rotated 3×3 rule-line grid image → full layout parse (morph-open line
+    detect, cell bbox, glyph recognition) → 'key=value' pairs joined by
+    '|'; must round-trip the words exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(_grid_roundtrip, schema)
+
+
+# -- Null-token clean ------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def _clean_udf(s: pd.Series) -> pd.Series:
+    from ocr_spark.kernels.align import clean_null_tokens
+
+    return s.map(lambda v: clean_null_tokens(v), na_action="ignore")
+
+
+def null_clean_query(df: DataFrame) -> DataFrame:
+    """Route each doc to a null token or its first word by n_chars % 6,
+    then kernel-clean: tokens → NULL, words survive."""
+    token = (
+        F.when(F.col("n_chars") % 6 == 0, F.lit(""))
+        .when(F.col("n_chars") % 6 == 1, F.lit("nan"))
+        .when(F.col("n_chars") % 6 == 2, F.lit("NaN"))
+        .when(F.col("n_chars") % 6 == 3, F.lit("null"))
+        .when(F.col("n_chars") % 6 == 4, F.lit("NULL"))
+        .otherwise(F.split(F.col("text"), " ").getItem(0))
+    )
+    return df.select("doc_id", _clean_udf(token).alias("cleaned"))

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a small structured
+header; all Spark-side plumbing (schema, Arrow batch shape, partitioning)
+is real and tested. The actual media decode is STUBBED: the container has
+no image/audio libraries, so ``decode_image`` raises NotImplementedError
+unless a deterministic fake is requested — exactly the seam where a real
+decoder (PIL/ffmpeg via mapInPandas) plugs in on a production cluster.
+
+Payload wire format (deterministic, self-describing):
+``b"IMG1" + width:uint16be + height:uint16be + channels:uint8 + raw bytes``
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"IMG1"
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def encode_fake_image(vec_id: int, width: int, height: int, channels: int = 1) -> bytes:
+    """Deterministic fake payload: header + seeded pixel bytes."""
+    rng = np.random.default_rng([7, int(vec_id)])
+    body = rng.integers(0, 256, width * height * channels, dtype=np.uint8).tobytes()
+    return MAGIC + struct.pack(">HHB", width, height, channels) + body
+
+
+def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:
+    if not payload or len(payload) < 9 or payload[:4] != MAGIC:
+        return ("unknown", 0, 0, 0, False)
+    w, h, c = struct.unpack(">HHB", payload[4:9])
+    ok = len(payload) == 9 + w * h * c
+    return ("IMG1", w, h, c, ok)
+
+
+def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        metas = [parse_header(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "fmt": [m[0] for m in metas],
+                "width": np.array([m[1] for m in metas], dtype="int32"),
+                "height": np.array([m[2] for m in metas], dtype="int32"),
+                "channels": np.array([m[3] for m in metas], dtype="int32"),
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "valid": [m[4] for m in metas],
+            }
+        )
+
+
+def extract_metadata(df: DataFrame) -> DataFrame:
+    """(vec_id, payload binary) → typed metadata via one mapInPandas pass."""
+    return df.select("vec_id", "payload").mapInPandas(_meta_batches, META_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode a payload to an HxWxC array.
+
+    Real decode is NOT available in this sandbox (no PIL/cv2) —
+    ``fake=True`` returns the deterministic synthetic pixels the fake
+    encoder wrote, which exercises the full downstream path (resize,
+    feature extraction) with real array shapes.
+    """
+    fmt, w, h, c, ok = parse_header(payload)
+    if not ok:
+        raise ValueError("invalid IMG1 payload")
+    if fake:
+        return (
+            np.frombuffer(payload[9:], dtype=np.uint8).reshape(h, w, c).copy()
+        )
+    raise NotImplementedError(
+        "real image decode requires PIL/cv2; use fake=True for the "
+        "deterministic synthetic path"
+    )
+
+
+FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("resized_h", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+    ]
+)
+
+
+def _feature_batches(target: tuple[int, int]):
+    th, tw = target
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means, hs, ws = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    img = decode_image(p, fake=True)
+                    # nearest-neighbor resize in pure NumPy (stride sampling)
+                    ys = np.linspace(0, img.shape[0] - 1, th).astype(int)
+                    xs = np.linspace(0, img.shape[1] - 1, tw).astype(int)
+                    small = img[ys][:, xs]
+                    means.append(float(small.mean()))
+                    hs.append(th)
+                    ws.append(tw)
+                except Exception:
+                    means.append(float("nan"))
+                    hs.append(0)
+                    ws.append(0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "mean_px": means,
+                    "resized_h": np.array(hs, dtype="int32"),
+                    "resized_w": np.array(ws, dtype="int32"),
+                }
+            )
+
+    return fn
+
+
+def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode(fake) → resize → mean-pixel feature, Arrow-batched."""
+    return df.select("vec_id", "payload").mapInPandas(
+        _feature_batches(target), FEAT_SCHEMA
+    )

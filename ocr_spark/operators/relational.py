@@ -1,0 +1,111 @@
+"""Relational operators mirroring SURVEY.md §2 slugs.
+
+These are the SQL-expressible faces of the reference's dataflow stages
+(page-range pruning, first-N prefix, alignment union, ordering window,
+excel-width aggregate, resume anti-join), each kept declarative so Catalyst
+does pushdown/pruning/reordering for free.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_filter(df: DataFrame, col: str, start: int, end: int | None) -> DataFrame:
+    """1-based inclusive range selection (reference page_range_filter,
+    scripts/ExtractX_OCR.py:240-258); end=None → open-ended.
+
+    A plain conjunctive predicate → parquet rowgroup pruning + partition
+    pruning apply automatically.
+    """
+    cond = F.col(col) >= F.lit(start)
+    if end is not None:
+        cond = cond & (F.col(col) <= F.lit(end))
+    return df.filter(cond)
+
+
+def prefix_limit(df: DataFrame, col: str, n: int) -> DataFrame:
+    """First-N prefix on a dense ordinal column (reference 'first N pages',
+    scripts/ExtractX_OCR.py:163-171) — a range filter, NOT a global LIMIT,
+    so it needs no single-partition collect at scale."""
+    return df.filter(F.col(col) <= F.lit(n))
+
+
+def align_union(dfs: list[DataFrame], fill: str = "") -> DataFrame:
+    """Column-aligned union: union of column sets, missing columns filled
+    with ``fill`` (reference schema_align_union, scripts/ExtractX_OCR.py:
+    549-572 — the ""-fill after cleaning).
+
+    unionByName(allowMissingColumns=True) yields nulls for absent columns;
+    the coalesce afterwards realizes the reference's empty-string fill while
+    leaving genuine nulls produced *within* a source intact only if the
+    caller pre-marks them (the pipeline's NA-vs-fill asymmetry lives in the
+    extraction path; at the relational layer fill is uniform).
+    """
+    unioned = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+    fills = [
+        F.coalesce(F.col(c), F.lit(fill)).alias(c)
+        if t == "string"
+        else F.col(c)
+        for c, t in unioned.dtypes
+    ]
+    return unioned.select(*fills)
+
+
+def row_order(
+    df: DataFrame, part_col: str, order_cols: list[str], out_col: str = "row_num"
+) -> DataFrame:
+    """Explicit row identity: row_number over partition/order keys
+    (reference's implicit loop order, scripts/ExtractX_OCR.py:532,570,
+    made logical so it survives any physical ordering)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+
+
+def excel_widths(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Excel auto-width: least(max(length)+2, 50)
+    (reference save_to_excel, scripts/ExtractX_OCR.py:464-478).
+    One-row result; a pure aggregate with map-side partial combine."""
+    return df.agg(
+        *[
+            F.least(
+                F.max(F.length(F.col(c))).cast("long") + F.lit(2).cast("long"),
+                F.lit(50).cast("long"),
+            ).alias(f"{c}_width")
+            for c in cols
+        ]
+    )
+
+
+def anti_join_unfinished(
+    df: DataFrame, finished: DataFrame, key: str, broadcast: bool = True
+) -> DataFrame:
+    """Checkpoint-resume core: keep rows whose key is NOT in finished.
+    finished is small (one row per completed partition) → broadcast, no
+    shuffle of the big side."""
+    f = F.broadcast(finished) if broadcast else finished
+    return df.join(f, key, "left_anti")
+
+
+def group_count(df: DataFrame, key: str, out_col: str = "n") -> DataFrame:
+    """Metadata-style count per group (reference page_count_scan analogue)."""
+    return df.groupBy(key).agg(F.count("*").alias(out_col))
+
+
+def nonempty_filter(df: DataFrame, col: str) -> DataFrame:
+    """Drop empty extraction results (reference empty_result_filter,
+    scripts/ExtractX_OCR.py:538-542)."""
+    return df.filter(F.col(col).isNotNull() & (F.length(F.col(col)) > 0))
+
+
+def suffix_filter(df: DataFrame, col: str, suffix: str) -> DataFrame:
+    """Case-insensitive suffix routing predicate (reference extension
+    dispatch, scripts/ExtractX_OCR.py:514,520)."""
+    return df.filter(F.lower(F.col(col)).endswith(suffix.lower()))

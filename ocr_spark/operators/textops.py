@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four stay entirely JVM-side (built-in functions + higher-order lambda
+expressions) — no Python worker in the hot path, whole-stage codegen
+applies, and every formula is replicated verbatim in the DuckDB oracle SQL
+(__spark_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: English function words used by the n-gram/stopword heuristics. Fixed —
+#: changing this list changes lang_id/quality_score semantics.
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an",
+)
+
+#: lang_id threshold: fraction of tokens that are stopwords.
+LANG_EN_MIN_STOP_RATIO = 0.05
+
+
+def _tokens(col: str) -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _stop_ratio(col: str) -> Column:
+    toks = _tokens(col)
+    in_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({col}, ' '), t -> t in ({in_list})))")
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace tokens + a word-regex count (BPE-ish proxy: alphanumeric
+    runs), both as bigint."""
+    return df.select(
+        "doc_id",
+        F.size(_tokens(col)).cast("long").alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all({col}, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1 − non_text_char_ratio),
+    rounded to 4 decimals."""
+    length = F.length(F.col(col)).cast("double")
+    nontext = (
+        F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", "")).cast("double")
+        / length
+    )
+    score = (
+        F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5
+        + _stop_ratio(col) * 0.3
+        + (F.lit(1.0) - nontext) * 0.2
+    )
+    return df.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-density language guess: 'en' above threshold, else 'unk'."""
+    pred = F.when(
+        _stop_ratio(col) >= F.lit(LANG_EN_MIN_STOP_RATIO), F.lit("en")
+    ).otherwise(F.lit("unk"))
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def doc_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whole-document fingerprint (md5 hex) plus a shingle fingerprint:
+    md5 of the sorted distinct 3-word shingles — robust to shingle order,
+    equal documents ⇒ equal fingerprints."""
+    shingles = F.expr(
+        f"case when size(split({col},' ')) < 3 then array()"
+        f" else array_sort(array_distinct(transform("
+        f"  sequence(1, size(split({col},' ')) - 3 + 1),"
+        f"  i -> concat_ws(' ', slice(split({col},' '), i, 3))))) end"
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.col(col)).alias("fp_exact"),
+        F.md5(F.concat_ws("|", shingles)).alias("fp_shingle"),
+    )

@@ -1,0 +1,157 @@
+"""Operator semantics tests: dedup family, similarity search, text ops,
+multimodal plumbing — with planted duplicates/neighbors so the non-trivial
+paths are exercised (the testdata documents are all unique)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, multimodal, relational, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark and arrow batches here",
+        "the quick brown fox jumps over the lazy dog near the river bank",  # dup of 0
+        "the quick brown fox jumps over the lazy dog near the river bend",  # near-dup
+        "unrelated text with its own tokens entirely disjoint vocabulary set",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(5), "text": base})
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    dup_groups = out[out["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keeper"] == 0
+    assert dup_groups.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    sigs = dedup.minhash_signatures(docs).toPandas().set_index("doc_id")["sig"]
+    assert list(sigs[0]) == list(sigs[2])  # exact dups → identical signature
+    overlap_near = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    overlap_far = sum(a == b for a, b in zip(sigs[0], sigs[4]))
+    assert overlap_near > overlap_far  # near-dup shares more minima
+
+
+def test_lsh_finds_planted_dup(docs):
+    groups = dedup.lsh_candidate_groups(docs).toPandas()
+    assert ((groups["min_doc"] == 0) & (groups["max_doc"] >= 2)).any()
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    pairs = a.crossJoin(b).filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    out = dedup.ngram_jaccard(pairs).toPandas()
+    j = out.set_index(["doc_id_a", "doc_id_b"])["jaccard"]
+    assert j[(0, 2)] == 1.0  # identical docs
+    assert 0.0 < j[(0, 3)] < 1.0  # near-dup
+    assert j[(1, 4)] == 0.0  # disjoint
+    assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
+
+
+def test_simhash_near_dup_close(docs):
+    sh = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    def hamming(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+    assert hamming(sh[0], sh[2]) == 0
+    assert hamming(sh[0], sh[3]) < hamming(sh[0], sh[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16))
+    base[7] = base[0] + rng.normal(scale=0.01, size=16)  # planted neighbor
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [r.astype("float32").tolist() for r in base]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_finds_planted_neighbor(vectors):
+    out = similarity.cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=1
+    ).toPandas()
+    assert out.iloc[0]["neighbor_id"] == 7
+    assert out.iloc[0]["cosine_r"] > 0.99
+
+
+def test_lsh_bucketed_recall_vs_exact(vectors):
+    exact = similarity.cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=3
+    ).toPandas()
+    approx = similarity.lsh_bucketed_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=3, num_planes=4, dim=16
+    ).toPandas()
+    # approximate results must be a subset of scored pairs with sane ranks
+    assert (approx["rank"] >= 1).all() and (approx["rank"] <= 3).all()
+    # the planted near-identical neighbor lands in the same bucket
+    got0 = approx[approx["q_id"] == 0]
+    assert 7 in got0["neighbor_id"].tolist()
+    # recall of bucket method over the 5 queries is nonzero and reported
+    exact_pairs = set(map(tuple, exact[["q_id", "neighbor_id"]].values.tolist()))
+    approx_pairs = set(map(tuple, approx[["q_id", "neighbor_id"]].values.tolist()))
+    assert len(exact_pairs & approx_pairs) > 0
+
+
+def test_multimodal_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "payload": [
+                multimodal.encode_fake_image(1, 4, 6),
+                multimodal.encode_fake_image(2, 8, 2, channels=3),
+                b"garbage",
+            ],
+        }
+    )
+    out = (
+        multimodal.extract_metadata(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[1, ["width", "height", "channels", "valid"]].tolist() == [4, 6, 1, True]
+    assert out.loc[2, ["width", "height", "channels", "valid"]].tolist() == [8, 2, 3, True]
+    assert out.loc[3, "valid"] == False  # noqa: E712
+    assert out.loc[3, "fmt"] == "unknown"
+
+
+def test_image_features_deterministic(spark):
+    pdf = pd.DataFrame(
+        {"vec_id": [5], "payload": [multimodal.encode_fake_image(5, 16, 16)]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = multimodal.image_features(df).toPandas()
+    b = multimodal.image_features(df).toPandas()
+    assert a.loc[0, "resized_h"] == 8
+    assert a.loc[0, "mean_px"] == b.loc[0, "mean_px"]
+
+
+def test_decode_image_stub_raises():
+    payload = multimodal.encode_fake_image(1, 2, 2)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(payload, fake=False)
+    arr = multimodal.decode_image(payload, fake=True)
+    assert arr.shape == (2, 2, 1)
+
+
+def test_align_union_fill(spark):
+    a = spark.createDataFrame(pd.DataFrame({"id": [1], "x": ["p"]}))
+    b = spark.createDataFrame(pd.DataFrame({"id": [2], "y": ["q"]}))
+    out = (
+        relational.align_union([a, b])
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert out.loc[0, "y"] == ""  # fill
+    assert out.loc[1, "x"] == ""
+    assert set(out.columns) == {"id", "x", "y"}
