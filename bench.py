@@ -1,0 +1,389 @@
+"""Bench harness — prints ONE JSON line for the driver.
+
+What it measures:
+
+1. **Extraction throughput + scaling efficiency** (the BASELINE.json
+   metric): generates a deterministic transcripts corpus sized to the
+   scale factor (distributed generation, seeded per (conv, turn) so the
+   table is identical regardless of partitioning), then runs the SAME
+   `spark-submit --py-files ocr_spark.zip job.py` extraction job at
+   `local[N/4]` and `local[N]` on the SAME input. Efficiency =
+   throughput(N) / (4 * throughput(N/4)). This is the sandbox evidence
+   for the north rule's two-cluster-size criterion (no real cluster
+   here).
+2. **Headline operator queries** from `__spark_entry__.queries()` at
+   `$SPARK_GRAFT_SF_DIR` — each forced with a noop write (full compute,
+   no driver collect), per-query seconds in the `queries` dict.
+
+Output: one JSON line on stdout:
+  {"metric": "extract_wall_sec_local[N]", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "turns": <n>,
+   "turns_per_sec": <tput@N>, "scaling": {"cpus_lo": n, "cpus_hi": n,
+   "turns_per_sec_lo": x, "turns_per_sec_hi": y, "efficiency": e}}
+
+All progress goes to stderr. Scaling runs can be skipped with
+SPARK_GRAFT_BENCH_SCALING=0 (then throughput is measured in-process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DIR = os.path.join(REPO, ".bench")
+
+#: extraction-corpus turns per unit scale factor (sf0.1 → 4.8M turns —
+#: sized so per-turn kernel compute dominates fixed job overhead and the
+#: 8→32-core efficiency measurement reflects the extraction stage, not
+#: session startup). Override with SPARK_GRAFT_BENCH_TURNS.
+TURNS_PER_SF = 48_000_000
+
+HEADLINE_QUERIES = [
+    "extract_html",
+    "extract_json_salvage",
+    "extract_grid",
+    "page_range_filter",
+    "row_order_reconstruct",
+    "checkpoint_resume_anti_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "quality_score",
+    "ann_cosine_topk",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+# ---------------------------------------------------------------------------
+# corpus
+# ---------------------------------------------------------------------------
+
+
+def build_corpus(spark, n_turns_target: int, seed: int = 42) -> tuple[str, int]:
+    """Distributed deterministic corpus: same substream-seeded generator as
+    ocr_spark.fixtures, fanned out with mapInPandas (generation itself must
+    scale — a driver-side pandas loop would be the bottleneck at bench
+    sizes). Cached by (target, seed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    path = os.path.join(BENCH_DIR, f"corpus_{n_turns_target}_{seed}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        n = spark.read.parquet(path).count()
+        log(f"corpus cached: {n} turns at {path}")
+        return path, n
+
+    rng = np.random.default_rng([seed, 0])
+    # mean turns/conv = 22.5 (5..40 uniform) — match fixtures defaults
+    n_convs = max(1, int(n_turns_target / 22.5))
+    counts = rng.integers(5, 41, n_convs).astype("int64")
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    plan = pd.DataFrame(
+        {
+            "conv_i": np.arange(n_convs, dtype="int64"),
+            "n_turns": counts,
+            "g_off": offsets,
+        }
+    )
+    n_total = int(counts.sum())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def gen(batches):
+        import datetime as dt
+
+        from ocr_spark.fixtures import _ROLES, turn_payload
+
+        epoch = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        for pdf in batches:
+            rows = []
+            for conv_i, n_turns, g_off in zip(
+                pdf["conv_i"], pdf["n_turns"], pdf["g_off"]
+            ):
+                cid = f"conv_{int(conv_i):06d}"
+                for t in range(int(n_turns)):
+                    tool, text = turn_payload(seed, int(conv_i), t)
+                    g = int(g_off) + t
+                    rows.append(
+                        (
+                            cid,
+                            t,
+                            _ROLES[g % 3],
+                            text,
+                            tool,
+                            epoch + dt.timedelta(seconds=60 * g),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    t0 = time.monotonic()
+    (
+        spark.createDataFrame(plan)
+        .repartition(256, "conv_i")
+        .mapInPandas(gen, out_schema)
+        .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    log(f"corpus built: {n_total} turns in {time.monotonic()-t0:.1f}s -> {path}")
+    return path, n_total
+
+
+# ---------------------------------------------------------------------------
+# scaling runs (spark-submit --py-files)
+# ---------------------------------------------------------------------------
+
+
+def make_zip() -> str:
+    zpath = os.path.join(BENCH_DIR, "ocr_spark.zip")
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def submit_job(corpus: str, cpus: int, zpath: str) -> dict | None:
+    """One spark-submit extraction run; returns job.py's JSON summary.
+
+    The run is pinned to `cpus` host cores with taskset: an un-pinned
+    local[8] on a 32-core host lets its 8 executor threads + 8 Python
+    workers + JVM service threads spread over idle cores, which models a
+    32-core node running 8 tasks — not an 8-core cluster. Pinning makes
+    the N-vs-4N comparison honest (both levels fully contend within their
+    core budget, like real cluster nodes would).
+    """
+    out = os.path.join(BENCH_DIR, f"out_{cpus}")
+    shutil.rmtree(out, ignore_errors=True)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip, not the repo checkout, provides the pkg
+    local_dir = (
+        "/dev/shm/ocr-spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+    )
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cpus}]",
+        "--driver-memory",
+        "48g",
+        "--conf",
+        "spark.sql.shuffle.partitions=256",
+        "--conf",
+        "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
+        "--conf",
+        f"spark.local.dir={local_dir}",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "job.py"),
+        "--input",
+        corpus,
+        "--output",
+        out,
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    log(f"spark-submit local[{cpus}] ...")
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=BENCH_DIR, timeout=1800
+    )
+    wall = time.monotonic() - t0
+    summary = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"turns_per_sec"' in line:
+            summary = json.loads(line)
+    if proc.returncode != 0 or summary is None:
+        log(f"spark-submit local[{cpus}] FAILED rc={proc.returncode}")
+        log(proc.stderr[-3000:])
+        return None
+    log(
+        f"local[{cpus}]: {summary['rows']} turns, job wall {summary['wall_sec']}s "
+        f"({summary['turns_per_sec']} turns/s), submit wall {wall:.1f}s"
+    )
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    sf = sf_of(sf_dir)
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app="ocr_spark.bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_target = int(
+        os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")
+    ) or max(20_000, int(TURNS_PER_SF * sf))
+    corpus, n_turns = build_corpus(spark, n_target)
+
+    result: dict = {"unit": "sec", "sf": sf, "turns": n_turns}
+
+    scaling = None
+    if do_scaling:
+        zpath = make_zip()
+        # N-vs-4N pair: 4 and 16 pinned cores (not 8/32) — on a 32-vCPU
+        # single box the 4N=32 level has zero headroom for JVM service
+        # threads and is throttled hardest by the shared host, which would
+        # measure the sandbox, not the job. Half-size corpus keeps each
+        # scaling run short (less exposure to host CPU-credit throttling).
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "4"))
+        hi_cpus = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "16"))
+        sc_corpus, sc_turns = build_corpus(spark, max(200_000, n_target // 2))
+        # lightest run first: burns the fewest shared-host CPU credits, so
+        # throttling (if any) lands on the later, bigger runs — biasing the
+        # efficiency number down, never up.
+        lo = submit_job(sc_corpus, lo_cpus, zpath)
+        hi = submit_job(sc_corpus, hi_cpus, zpath)
+        full = submit_job(corpus, cpus, zpath)
+        if hi and lo:
+            tput_hi = hi["turns_per_sec"]
+            tput_lo = lo["turns_per_sec"]
+            eff = round(tput_hi / (4.0 * tput_lo), 3)
+            scaling = {
+                "cpus_lo": lo_cpus,
+                "cpus_hi": hi_cpus,
+                "turns": sc_turns,
+                "turns_per_sec_lo": tput_lo,
+                "turns_per_sec_hi": tput_hi,
+                "wall_sec_lo": lo["wall_sec"],
+                "wall_sec_hi": hi["wall_sec"],
+                "efficiency": eff,
+            }
+            result["scaling"] = scaling
+            log(f"scaling efficiency {lo_cpus}->{hi_cpus} cores: {eff}")
+        if full:
+            result["metric"] = f"extract_wall_sec_local[{cpus}]"
+            result["value"] = full["wall_sec"]
+            result["turns_per_sec"] = full["turns_per_sec"]
+
+    if "value" not in result:
+        # fallback: in-process extraction timing
+        from ocr_spark.pipeline import extract_stage
+
+        df = spark.read.parquet(corpus)
+        t0 = time.monotonic()
+        extract_stage(df, num_parts=256).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = round(time.monotonic() - t0, 2)
+        result["metric"] = f"extract_wall_sec_local[{cpus}]"
+        result["value"] = wall
+        result["turns_per_sec"] = round(n_turns / wall, 1)
+
+    # headline operator queries at the sf dir
+    qs = entrymod.queries()
+    qtimes = {}
+    for name in HEADLINE_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            log(f"query {name} failed: {e}")
+            qtimes[name] = None
+    result["queries"] = qtimes
+
+    spark.stop()
+    if scaling:
+        write_bench_md(result)
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def write_bench_md(result: dict) -> None:
+    """Record the scaling evidence in BENCH.md (referenced by BASELINE.md)."""
+    s = result["scaling"]
+    lines = [
+        "# BENCH — measured extraction throughput + scaling efficiency",
+        "",
+        "Same `spark-submit --py-files ocr_spark.zip job.py` extraction job,",
+        "same deterministic corpus, two parallelism levels, each pinned to",
+        "its core budget with `taskset` (the sandbox evidence for the north",
+        "rule's N vs 4N cluster-size criterion — no real cluster here).",
+        "Steady-state wall excludes the one-time Python-worker import",
+        "warm-up (reported separately by job.py as `warmup_sec`). The",
+        "sandbox host is shared/burstable (identical runs vary up to ~2×",
+        "minutes apart), so runs go lightest-first: throttling, if it",
+        "happens, lands on the bigger runs and can only bias efficiency",
+        "and the headline throughput DOWN.",
+        "",
+        f"- scaling corpus: {s['turns']} turns; headline corpus:"
+        f" {result['turns']} turns (sf={result['sf']})",
+        f"- local[{s['cpus_lo']}] (pinned {s['cpus_lo']} cores):"
+        f" {s['turns_per_sec_lo']} turns/sec (job wall {s['wall_sec_lo']}s)",
+        f"- local[{s['cpus_hi']}] (pinned {s['cpus_hi']} cores):"
+        f" {s['turns_per_sec_hi']} turns/sec (job wall {s['wall_sec_hi']}s)",
+        f"- **scaling efficiency = {s['efficiency']}**"
+        f" (target ≥ 0.8; = tput_hi / (4 · tput_lo))",
+        f"- headline local[32]: {result.get('turns_per_sec')} turns/sec"
+        f" (job wall {result.get('value')}s)",
+        "",
+        "Headline operator timings (sec, noop-write-forced, at"
+        f" sf={result['sf']}):",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in result["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

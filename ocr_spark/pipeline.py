@@ -30,19 +30,20 @@ Design notes for 100-TB scale:
 
 from __future__ import annotations
 
-import hashlib
 import json
 import time
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocr_spark.kernels.align import align_pages
-from ocr_spark.kernels.extract import extract_turn
+from ocr_spark.kernels.extract import TOOL_GRID, TOOL_HTML, TOOL_JSON, extract_turn
 
 #: Default number of logical resume partitions; at 10^12 turns this would be
 #: sized to ~1-4 GB of input per part (e.g. 2^17 parts), here sized for
@@ -60,7 +61,6 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("part_id", T.IntegerType()),
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
         T.StructField("tool", T.StringType()),
         T.StructField("extracted_text", T.StringType()),
         T.StructField("n_rows", T.IntegerType()),
@@ -75,7 +75,6 @@ _ARROW_SCHEMA = pa.schema(
         ("part_id", pa.int32()),
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
-        ("role", pa.string()),
         ("tool", pa.string()),
         ("extracted_text", pa.string()),
         ("n_rows", pa.int32()),
@@ -100,10 +99,29 @@ LINEAGE_JSON_SCHEMA = T.StructType(
 )
 
 
+def turn_checksums(
+    conv_id: pd.Series, turn_idx: pd.Series, text: pd.Series
+) -> np.ndarray:
+    """Vectorized order-insensitive per-turn digest (uint64); the part
+    checksum is the wrapping sum. pandas' string hash is process- and
+    partition-independent (fixed hash key), so resume runs reproduce it."""
+    joined = (
+        conv_id.astype("string")
+        + "\x00"
+        + turn_idx.astype("int64").astype("string")
+        + "\x00"
+        + text.astype("string")
+    )
+    return pd.util.hash_pandas_object(joined, index=False).to_numpy(np.uint64)
+
+
 def turn_checksum(conv_id: str, turn_idx: int, text: str) -> int:
-    """Order-insensitive per-turn digest; part checksum = sum mod 2^64."""
-    h = hashlib.sha256(f"{conv_id}\x00{turn_idx}\x00{text}".encode()).digest()
-    return int.from_bytes(h[:8], "big")
+    """Scalar convenience wrapper over :func:`turn_checksums`."""
+    return int(
+        turn_checksums(
+            pd.Series([conv_id]), pd.Series([turn_idx]), pd.Series([text])
+        )[0]
+    )
 
 
 def with_part_id(
@@ -121,62 +139,118 @@ def with_part_id(
     )
 
 
+def _extract_batch_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch as a pandas frame → extraction columns, vectorized.
+
+    Pass-through tools (plain text — the majority class in a transcript
+    corpus) are handled with pandas string ops on the whole column; only
+    the payload-parsing tools (html/grid/json) call the per-document
+    kernels, over just their row subsets.
+    """
+    n = len(pdf)
+    text = pdf["text"].astype("object")
+    tool = pdf["tool"].to_numpy(dtype=object)
+
+    ext = np.empty(n, dtype=object)
+    n_rows = np.zeros(n, dtype=np.int32)
+    n_cols = np.zeros(n, dtype=np.int32)
+    status = np.empty(n, dtype=object)
+
+    parse_mask = np.isin(tool, (TOOL_HTML, TOOL_GRID, TOOL_JSON))
+
+    # pass-through: identity text, vectorized (extract_turn semantics)
+    pt = ~parse_mask
+    if pt.any():
+        vals = text.to_numpy(dtype=object)[pt]
+        vals = np.where([v is None for v in vals], "", vals)
+        ext[pt] = vals
+        status[pt] = np.where([bool(v) for v in vals], "ok", "empty")
+
+    # payload-parsing tools: per-document kernels on their subsets
+    for idx in np.flatnonzero(parse_mask):
+        rec = extract_turn(text.iloc[idx], tool[idx])
+        ext[idx] = rec["extracted_text"]
+        n_rows[idx] = rec["n_rows"]
+        n_cols[idx] = rec["n_cols"]
+        status[idx] = rec["status"]
+
+    return pd.DataFrame(
+        {
+            "rec": np.full(n, "data", dtype=object),
+            "part_id": pdf["part_id"].to_numpy(np.int32),
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].to_numpy(np.int32),
+            "tool": pdf["tool"],
+            "extracted_text": ext,
+            "n_rows": n_rows,
+            "n_cols": n_cols,
+            "status": status,
+        }
+    )
+
+
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """The fused extraction kernel: one Arrow batch in, one out, plus one
-    lineage row per logical part at end-of-partition."""
+    lineage row per logical part at end-of-partition.
+
+    Per-part lineage stats (turn range, wrapping-sum checksum, error count)
+    are accumulated with vectorized pandas groupby aggregates per batch and
+    merged across batches — no per-row Python outside the payload kernels.
+    """
     start = time.monotonic()
-    stats: dict[int, dict[str, Any]] = {}
+    acc: dict[int, list[Any]] = {}
     for batch in batches:
-        cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
-        n = len(cols["conv_id"])
-        ext_text: list[str] = []
-        n_rows: list[int] = []
-        n_cols: list[int] = []
-        status: list[str] = []
-        for i in range(n):
-            rec = extract_turn(cols["text"][i], cols["tool"][i])
-            ext_text.append(rec["extracted_text"])
-            n_rows.append(rec["n_rows"])
-            n_cols.append(rec["n_cols"])
-            status.append(rec["status"])
-            pid = cols["part_id"][i]
-            st = stats.get(pid)
-            if st is None:
-                st = stats[pid] = {
-                    "conv_min": cols["conv_id"][i],
-                    "conv_max": cols["conv_id"][i],
-                    "turn_min": cols["turn_idx"][i],
-                    "turn_max": cols["turn_idx"][i],
-                    "n_turns": 0,
-                    "checksum": 0,
-                    "error_count": 0,
-                }
-            st["conv_min"] = min(st["conv_min"], cols["conv_id"][i])
-            st["conv_max"] = max(st["conv_max"], cols["conv_id"][i])
-            st["turn_min"] = min(st["turn_min"], cols["turn_idx"][i])
-            st["turn_max"] = max(st["turn_max"], cols["turn_idx"][i])
-            st["n_turns"] += 1
-            st["checksum"] = (
-                st["checksum"]
-                + turn_checksum(cols["conv_id"][i], cols["turn_idx"][i], ext_text[-1])
-            ) % (1 << 64)
-            if status[-1] == "error":
-                st["error_count"] += 1
-        yield pa.RecordBatch.from_pydict(
-            {
-                "rec": ["data"] * n,
-                "part_id": cols["part_id"],
-                "conv_id": cols["conv_id"],
-                "turn_idx": cols["turn_idx"],
-                "role": cols["role"],
-                "tool": cols["tool"],
-                "extracted_text": ext_text,
-                "n_rows": n_rows,
-                "n_cols": n_cols,
-                "status": status,
-            },
-            schema=_ARROW_SCHEMA,
+        pdf = batch.to_pandas()
+        out = _extract_batch_frame(pdf)
+
+        out["_ck"] = turn_checksums(out["conv_id"], out["turn_idx"], out["extracted_text"])
+        out["_err"] = (out["status"] == "error").astype("int64")
+        grp = out.groupby("part_id", sort=False).agg(
+            conv_min=("conv_id", "min"),
+            conv_max=("conv_id", "max"),
+            turn_min=("turn_idx", "min"),
+            turn_max=("turn_idx", "max"),
+            n_turns=("conv_id", "size"),
+            checksum=("_ck", lambda s: int(np.add.reduce(s.to_numpy(np.uint64)))),
+            error_count=("_err", "sum"),
         )
+        for pid, row in grp.iterrows():
+            st = acc.get(int(pid))
+            if st is None:
+                acc[int(pid)] = [
+                    row["conv_min"],
+                    row["conv_max"],
+                    int(row["turn_min"]),
+                    int(row["turn_max"]),
+                    int(row["n_turns"]),
+                    int(row["checksum"]) & ((1 << 64) - 1),
+                    int(row["error_count"]),
+                ]
+            else:
+                st[0] = min(st[0], row["conv_min"])
+                st[1] = max(st[1], row["conv_max"])
+                st[2] = min(st[2], int(row["turn_min"]))
+                st[3] = max(st[3], int(row["turn_max"]))
+                st[4] += int(row["n_turns"])
+                st[5] = (st[5] + int(row["checksum"])) & ((1 << 64) - 1)
+                st[6] += int(row["error_count"])
+
+        out = out.drop(columns=["_ck", "_err"])
+        yield pa.RecordBatch.from_pandas(
+            out, schema=_ARROW_SCHEMA, preserve_index=False
+        )
+    stats = {
+        pid: {
+            "conv_min": st[0],
+            "conv_max": st[1],
+            "turn_min": st[2],
+            "turn_max": st[3],
+            "n_turns": st[4],
+            "checksum": st[5],
+            "error_count": st[6],
+        }
+        for pid, st in acc.items()
+    }
     if stats:
         duration_ms = int((time.monotonic() - start) * 1000)
         lineage_rows = [
@@ -205,7 +279,6 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                 "part_id": pids,
                 "conv_id": [""] * k,
                 "turn_idx": [-1] * k,
-                "role": [""] * k,
                 "tool": [LINEAGE_TOOL] * k,
                 "extracted_text": lineage_rows,
                 "n_rows": [0] * k,
@@ -214,6 +287,36 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             },
             schema=_ARROW_SCHEMA,
         )
+
+
+def warmup_python_workers(df_or_spark) -> None:
+    """Force every executor's Python worker pool to spawn and import the
+    kernel stack (pandas/numpy/pyarrow) with one trivial mapInArrow pass.
+
+    Workers are reused across stages (spark.python.worker.reuse), so after
+    this the extraction stage runs at steady state. 32 workers importing
+    pandas concurrently is a measurable one-time cost (~15 s on the bench
+    host) that would otherwise be misattributed to per-turn throughput.
+    """
+    spark = df_or_spark if isinstance(df_or_spark, SparkSession) else df_or_spark.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+
+    def _touch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as _np  # noqa: F401
+        import pandas as _pd  # noqa: F401
+
+        from ocr_spark.kernels.extract import extract_turn as _e  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    (
+        spark.range(cores * 4, numPartitions=cores * 4)
+        .mapInArrow(_touch, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def extract_stage(
@@ -226,7 +329,7 @@ def extract_stage(
         with_part_id(df, num_parts, turn_bucket)
         # prune to the kernel's columns BEFORE the shuffle: ts (and any
         # extra user columns) never cross the exchange or the Python worker
-        .select("part_id", "conv_id", "turn_idx", "role", "text", "tool")
+        .select("part_id", "conv_id", "turn_idx", "text", "tool")
         .repartition(num_parts, "part_id")
     )
     return salted.mapInArrow(_extract_batches, EXTRACT_SCHEMA)
@@ -297,7 +400,7 @@ def run_pipeline(
     if only_parts is not None:
         df = df.filter(F.col("part_id").isin([int(p) for p in only_parts]))
     out = (
-        df.select("part_id", "conv_id", "turn_idx", "role", "text", "tool")
+        df.select("part_id", "conv_id", "turn_idx", "text", "tool")
         .repartition(num_parts, "part_id")
         .mapInArrow(_extract_batches, EXTRACT_SCHEMA)
     )

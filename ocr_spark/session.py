@@ -28,11 +28,32 @@ def get_spark(
     return (
         SparkSession.builder.appName(app)
         .master(master)
+        # local mode: executors live in the driver JVM; the 1g default
+        # throttles 32 concurrent parquet writers (effective at JVM launch
+        # only — a no-op if a JVM already exists).
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # ~8k rows × ~0.5 KB payload ≈ 4 MB per Arrow batch: big enough to
+        # amortize the per-batch pandas/IPC overhead, small enough that a
+        # Python worker never holds more than a few batches of fat text.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", _local_dir())
         .getOrCreate()
     )
+
+
+def _local_dir() -> str:
+    """Shuffle/spill dir. A node-local fast device is standard practice on
+    real clusters (NVMe); in the sandbox /dev/shm plays that role — the
+    default /tmp disk serializes shuffle I/O across 32 executor threads."""
+    if os.environ.get("OCR_SPARK_LOCAL_DIR"):
+        return os.environ["OCR_SPARK_LOCAL_DIR"]
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/ocr-spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"

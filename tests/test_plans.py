@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100-TB story, checked in CI.
+
+Correctness tests prove the operators compute the right answer at toy
+scale; these prove the PLANS are the ones that survive a 1000-executor
+cluster: filters reach the parquet scan, small sides broadcast, unused
+columns never leave the reader, aggregates partial-combine map-side, and
+the extraction exchange hashes on the salted part key.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_range_filter_pushed_to_scan(lineitem):
+    plan = _plan(
+        relational.range_filter(lineitem, "l_linenumber", 2, 5).select("l_orderkey")
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_linenumber,2)" in plan
+    assert "LessThanOrEqual(l_linenumber,5)" in plan
+
+
+def test_projection_prunes_scan_columns(lineitem):
+    plan = _plan(lineitem.select("l_orderkey", "l_quantity"))
+    # ReadSchema carries only the projected columns — a 2-column projection
+    # must not read all 16 lineitem columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_resume_anti_join_broadcasts_finished_side(spark, lineitem):
+    finished = spark.createDataFrame([(1,), (2,)], ["l_orderkey"])
+    plan = _plan(relational.anti_join_unfinished(lineitem, finished, "l_orderkey"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    # the big fact side must NOT shuffle for the join
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_group_count_partial_aggregates_map_side(lineitem):
+    plan = _plan(relational.group_count(lineitem, "l_orderkey"))
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_extract_stage_exchanges_on_salted_part_id(spark):
+    from ocr_spark.fixtures import make_transcripts
+    from ocr_spark.pipeline import extract_stage
+
+    df = spark.createDataFrame(make_transcripts(n_convs=5, seed=7))
+    plan = _plan(extract_stage(df, num_parts=8))
+    assert "hashpartitioning(part_id" in plan
+    assert "MapInArrow" in plan
+    # ts is pruned before the exchange: the shuffled row is the kernel's
+    # 6 columns, not the full input row (column refs print as `name#id`)
+    exchange_block = plan.split("(2) Exchange")[1].split("(3)")[0]
+    assert "ts#" not in exchange_block
+    assert "text#" in exchange_block
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.exact_dedup(docs))
+    # the exchange key is the md5 digest; the raw text column must not
+    # appear in the post-partial-aggregate shuffle schema
+    assert plan.count("HashAggregate") >= 2
+    exchange_block = plan.split("(4) Exchange")[1].split("(5)")[0]
+    assert "text#" not in exchange_block
