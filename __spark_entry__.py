@@ -128,6 +128,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         )
 
+    def pdf_page_explode(spark, sf):
+        from ocr_spark.operators import pages
+
+        return pages.explode_pages(_docs(spark, sf), sep=" ")
+
+    def b64_encode(spark, sf):
+        from ocr_spark.operators import pages
+
+        return pages.b64_transport(_docs(spark, sf))
+
+    def rotate_image(spark, sf):
+        from ocr_spark.operators import pages
+
+        return pages.rotate_roundtrip(_docs(spark, sf))
+
+    def count_rows_cols(spark, sf):
+        from ocr_spark.operators import pages
+
+        d = _docs(spark, sf)
+        pseudo = d.select(
+            F.format_string("conv_%02d", (F.col("doc_id") % 40)).alias("conv_id"),
+            (F.col("n_chars") % 7).cast("int").alias("n_rows"),
+            (F.col("n_chars") % 5).cast("int").alias("n_cols"),
+        )
+        return pages.count_rows_cols(pseudo)
+
     # ---- training-data operators ----
 
     def dedup_exact(spark, sf):
@@ -222,6 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "empty_result_filter": empty_result_filter,
         "extension_predicate": extension_predicate,
+        "pdf_page_explode": pdf_page_explode,
+        "b64_encode": b64_encode,
+        "rotate_image": rotate_image,
+        "count_rows_cols": count_rows_cols,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -311,6 +341,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extension_predicate": (
             "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1'"
+        ),
+        "pdf_page_explode": (
+            "SELECT doc_id, CAST(u.i AS INT) AS page_idx, s[CAST(u.i AS INT)] AS page"
+            " FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents) t,"
+            " LATERAL unnest(range(1, len(t.s)+1)) u(i)"
+            " WHERE length(s[CAST(u.i AS INT)]) > 0"
+        ),
+        "b64_encode": (
+            "SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents"
+        ),
+        "rotate_image": (
+            # render_grid geometry: 2×2 grid of [a,b]/[first,last] words;
+            # cell_h = 5+2·2 = 9 → h = 2·10+1 = 21; cell_w = 4·maxlen+3 →
+            # w = 2·(4m+4)+1 = 8m+9; restored mask must equal the original.
+            "SELECT doc_id, CAST(doc_id % 4 * 90 AS INT) AS rot,"
+            " CAST(21 AS INT) AS h,"
+            " CAST(8*greatest(length(string_split(text,' ')[1]),"
+            "   length(string_split(text,' ')[-1]), 1)+9 AS INT) AS w,"
+            " TRUE AS roundtrip_ok FROM documents"
+        ),
+        "count_rows_cols": (
+            "SELECT printf('conv_%02d', doc_id % 40) AS conv_id,"
+            " CAST(SUM(n_chars % 7) AS BIGINT) AS total_rows,"
+            " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
+            " COUNT(*) AS n_turns"
+            " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups"

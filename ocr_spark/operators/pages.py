@@ -1,0 +1,119 @@
+"""Page-level operators: explode, rotation, base64 transport, result stats.
+
+The reference explodes a PDF into 1-based pages and processes each
+independently (pdf_to_images, scripts/ExtractX_OCR.py:240-288); failed
+pages are skipped, not fatal (:282-284); payloads travel base64-encoded
+(:318-320); results are counted as rows×cols (:448,572). Spark mappings
+per SURVEY.md §2.3/§2.4 — all built-in except the rotation round-trip,
+which exercises the NumPy rot90 kernel (PIL-equivalent clockwise
+semantics, :271-272, :294-295).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Multi-page payload separator (ASCII record separator).
+PAGE_SEP = "\x1e"
+
+
+def explode_pages(
+    df: DataFrame, payload_col: str = "text", sep: str = PAGE_SEP
+) -> DataFrame:
+    """One row per page, 1-based page_idx preserving in-document order —
+    the reference's pdf→pages explode as a pure built-in posexplode (no
+    Python). Empty pages (render failures in the reference, :282-284) are
+    dropped, matching skip-and-continue."""
+    return (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(payload_col), sep)).alias("pos", "page"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("page_idx"),
+            "page",
+        )
+        .filter(F.length("page") > 0)
+    )
+
+
+def b64_transport(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Base64 payload encoding for transport (reference :318-320) — the
+    built-in JVM codec; with Arrow batches the engine normally skips the
+    transport encoding entirely (binary stays binary). Spark's base64
+    MIME-chunks at 76 chars; the reference's Python b64encode does not,
+    so the chunk breaks are stripped for parity."""
+    return df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.base64(F.col(payload_col).cast("binary")), "\r\n", ""
+        ).alias("payload_b64"),
+    )
+
+
+def count_rows_cols(extracted: DataFrame) -> DataFrame:
+    """Result stats per conversation: total extracted rows and max column
+    count (reference df.shape display, :448,572,659-660) — a partial-
+    aggregating groupBy, no data movement beyond the tiny stats."""
+    return extracted.groupBy("conv_id").agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.max("n_cols").cast("int").alias("max_cols"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+
+
+_ROT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rot", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def _rot_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocr_spark.kernels.grid import (
+        decode_grid_payload,
+        encode_grid_payload,
+        render_grid,
+        rot90_payload,
+    )
+
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")
+            cells = [["a", "b"], [words[0], words[-1]]]
+            img = render_grid(cells)
+            rot = int(doc_id) % 4 * 90
+            payload = encode_grid_payload(img, rot=rot)
+            stored, r = decode_grid_payload(payload)
+            restored = rot90_payload(stored, r)
+            out.append(
+                (
+                    int(doc_id),
+                    rot,
+                    int(restored.shape[0]),
+                    int(restored.shape[1]),
+                    bool(np.array_equal(restored, img)),
+                )
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "rot", "h", "w", "roundtrip_ok"])
+
+
+def rotate_roundtrip(df: DataFrame) -> DataFrame:
+    """rotate_image op coverage: render → store rotated by doc_id%4*90 CCW
+    → decode → clockwise rot90 restore must reproduce the original mask
+    (reference img.rotate(-r, expand=True) semantics incl. the rot==0
+    short-circuit). Vectorized NumPy inside mapInPandas."""
+    return df.select("doc_id", "text").mapInPandas(_rot_roundtrip, _ROT_SCHEMA)

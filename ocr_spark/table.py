@@ -1,0 +1,168 @@
+"""Iceberg-emulating table layer: snapshot metadata + atomic commit.
+
+The driver contract (BASELINE.json north_rule) targets Iceberg tables; the
+sandbox has no Iceberg runtime jars, so this module supplies the
+Iceberg-relevant *semantics* over plain parquet, with a surface small
+enough that swapping in real Iceberg is a config change:
+
+- **Snapshot isolation / atomic commit.** Data files are written to the
+  table's ``data/`` dir first; a snapshot JSON listing exactly the live
+  files is staged and then published with ``os.replace`` (atomic on
+  POSIX). Readers resolve ``metadata/VERSION`` → snapshot → file list; a
+  writer crash before publish leaves the previous snapshot intact and
+  fully readable (Iceberg's swap-the-pointer commit protocol).
+- **Append = new snapshot referencing parent files + new files** —
+  exactly what the resume path needs: each resumed run commits one new
+  snapshot, and a half-finished run is invisible.
+- **Manifest-level stats** (row count and logical-part range per file)
+  supporting file pruning by part_id without opening parquet footers —
+  the lineage anti-join's file-skipping analogue of Iceberg manifest
+  filtering.
+
+Layout:
+
+    <root>/data/<uuid>/part-*.parquet   immutable data files
+    <root>/metadata/snap-<n>.json       snapshot: files + stats + parent
+    <root>/metadata/VERSION             text: id of the current snapshot
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _version_file(root: str) -> str:
+    return os.path.join(_meta_dir(root), "VERSION")
+
+
+def current_snapshot_id(root: str) -> int | None:
+    try:
+        with open(_version_file(root)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_snapshot(root: str, snapshot_id: int | None = None) -> dict | None:
+    """Load a snapshot's metadata; None → the current one (or None if the
+    table is empty/uninitialized)."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(root)
+        if snapshot_id is None:
+            return None
+    with open(os.path.join(_meta_dir(root), f"snap-{snapshot_id}.json")) as f:
+        return json.load(f)
+
+
+def _file_stats(spark: SparkSession, files: list[str], part_col: str | None) -> list[dict]:
+    out = []
+    for path in sorted(files):
+        df = spark.read.parquet(path)
+        if part_col is not None and part_col in df.columns:
+            row = df.agg(
+                F.count("*").alias("rows"),
+                F.min(part_col).alias("lo"),
+                F.max(part_col).alias("hi"),
+            ).first()
+            out.append(
+                {
+                    "path": path,
+                    "rows": row["rows"],
+                    "part_min": row["lo"],
+                    "part_max": row["hi"],
+                }
+            )
+        else:
+            out.append({"path": path, "rows": df.count()})
+    return out
+
+
+def commit_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    part_col: str | None = "part_id",
+    overwrite: bool = False,
+) -> int:
+    """Write ``df`` as new data files and atomically publish a snapshot.
+
+    Returns the new snapshot id. Crash-safe: everything before the final
+    ``os.replace`` of VERSION is invisible to readers.
+    """
+    data_dir = os.path.join(root, "data", uuid.uuid4().hex[:12])
+    df.write.mode("errorifexists").parquet(data_dir)
+    new_files = [
+        p for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+        if os.path.basename(p).startswith("part-")
+    ]
+
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    parent = current_snapshot_id(root)
+    snap_id = 0 if parent is None else parent + 1
+    prev_files = [] if (overwrite or parent is None) else read_snapshot(root)["files"]
+    snapshot = {
+        "snapshot_id": snap_id,
+        "parent": parent,
+        "operation": "overwrite" if overwrite else "append",
+        "committed_ms": int(time.time() * 1000),
+        "part_col": part_col,
+        "files": prev_files + _file_stats(spark, new_files, part_col),
+    }
+    snap_path = os.path.join(_meta_dir(root), f"snap-{snap_id}.json")
+    tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(snapshot, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, snap_path)
+
+    vtmp = _version_file(root) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(vtmp, "w") as f:
+        f.write(str(snap_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(vtmp, _version_file(root))  # the atomic pointer swap
+    return snap_id
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    part_ids: list[int] | None = None,
+) -> DataFrame:
+    """Scan a snapshot (default: current). ``part_ids`` prunes whole files
+    via manifest stats before Spark ever lists them — the Iceberg
+    manifest-filtering analogue."""
+    snap = read_snapshot(root, snapshot_id)
+    if snap is None or not snap["files"]:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    files = snap["files"]
+    if part_ids is not None and snap.get("part_col"):
+        want = set(part_ids)
+        files = [
+            f
+            for f in files
+            if "part_min" not in f
+            or any(f["part_min"] <= p <= f["part_max"] for p in want)
+        ]
+    if not files:
+        return spark.read.parquet(snap["files"][0]["path"]).limit(0)
+    return spark.read.parquet(*[f["path"] for f in files])
+
+
+def table_rows(root: str, snapshot_id: int | None = None) -> int:
+    """Row count straight from manifest stats — no data files opened."""
+    snap = read_snapshot(root, snapshot_id)
+    return 0 if snap is None else sum(f["rows"] for f in snap["files"])

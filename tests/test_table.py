@@ -1,0 +1,80 @@
+"""Snapshot table layer: atomic commit, append lineage, manifest pruning."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import table
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, part):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(part).cast("int").alias("part_id")
+    )
+
+
+def test_commit_read_roundtrip(spark, root):
+    sid = table.commit_append(spark, root, _df(spark, 0, 100, 1))
+    assert sid == 0
+    got = table.read_table(spark, root)
+    assert got.count() == 100
+    assert table.table_rows(root) == 100  # manifest stats, no file reads
+
+
+def test_append_creates_new_snapshot_with_parent_files(spark, root):
+    table.commit_append(spark, root, _df(spark, 0, 100, 1))
+    sid = table.commit_append(spark, root, _df(spark, 100, 150, 2))
+    assert sid == 1
+    assert table.read_table(spark, root).count() == 150
+    # time travel: snapshot 0 still readable as-of
+    assert table.read_table(spark, root, snapshot_id=0).count() == 100
+
+
+def test_overwrite_drops_parent_files(spark, root):
+    table.commit_append(spark, root, _df(spark, 0, 100, 1))
+    table.commit_append(spark, root, _df(spark, 0, 10, 1), overwrite=True)
+    assert table.read_table(spark, root).count() == 10
+
+
+def test_uncommitted_write_is_invisible(spark, root):
+    """Crash between data write and VERSION swap leaves the old snapshot
+    intact — the Iceberg commit-protocol guarantee."""
+    table.commit_append(spark, root, _df(spark, 0, 100, 1))
+    # simulate a crashed writer: data files exist, snapshot never published
+    _df(spark, 500, 600, 9).write.parquet(os.path.join(root, "data", "orphan"))
+    assert table.read_table(spark, root).count() == 100
+    snap = table.read_snapshot(root)
+    assert all("orphan" not in f["path"] for f in snap["files"])
+
+
+def test_manifest_part_pruning(spark, root):
+    table.commit_append(spark, root, _df(spark, 0, 100, 1))
+    table.commit_append(spark, root, _df(spark, 100, 200, 2))
+    pruned = table.read_table(spark, root, part_ids=[2])
+    assert pruned.count() == 100
+    assert pruned.agg(F.min("id")).first()[0] == 100
+    # pruning happened at the manifest (file list), not just as a filter
+    snap = table.read_snapshot(root)
+    assert len(snap["files"]) > len(
+        [f for f in snap["files"] if f["part_min"] <= 2 <= f["part_max"]]
+    ) or all(f["part_min"] == 2 for f in snap["files"][1:])
+
+
+def test_snapshot_metadata_shape(spark, root):
+    table.commit_append(spark, root, _df(spark, 0, 10, 3))
+    files = glob.glob(os.path.join(root, "metadata", "snap-*.json"))
+    assert len(files) == 1
+    snap = json.load(open(files[0]))
+    assert snap["operation"] == "append"
+    assert snap["parent"] is None
+    assert all({"path", "rows", "part_min", "part_max"} <= set(f) for f in snap["files"])
