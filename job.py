@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument(
+        "--snapshot-table",
+        action="store_true",
+        help="write through the Iceberg-emulating snapshot table layer "
+        "(atomic commit; crash-safe resume) instead of plain partitioned "
+        "parquet",
+    )
+    p.add_argument(
         "--only-parts",
         default=None,
         help="comma-separated logical part ids (testing: simulate partial run)",
@@ -62,7 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     warmup_sec = time.monotonic() - t_warm
 
     t0 = time.monotonic()
-    extracted = run_pipeline(
+    runner = run_pipeline
+    lineage_reader = read_lineage
+    if args.snapshot_table:
+        from ocr_spark.pipeline import read_lineage_table, run_pipeline_snapshots
+
+        runner = run_pipeline_snapshots
+        lineage_reader = read_lineage_table
+    extracted = runner(
         spark,
         args.input,
         args.output,
@@ -77,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     # Row count comes from the lineage table (one row per logical part),
     # not a second scan over the freshly written data files.
-    lin = read_lineage(spark, args.output).agg(
+    lin = lineage_reader(spark, args.output).agg(
         F.count("*").alias("parts"),
         F.coalesce(F.sum("n_turns"), F.lit(0)).alias("rows"),
         F.coalesce(F.sum("error_count"), F.lit(0)).alias("errors"),

@@ -408,6 +408,77 @@ def run_pipeline(
     return read_extracted(spark, output_path)
 
 
+def run_pipeline_snapshots(
+    spark: SparkSession,
+    input_path: str,
+    table_root: str,
+    *,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    turn_bucket: int = DEFAULT_TURN_BUCKET,
+    start_turn: int | None = None,
+    end_turn: int | None = None,
+    resume: bool = False,
+    only_parts: list[int] | None = None,
+) -> DataFrame:
+    """run_pipeline over the snapshot table layer (ocr_spark.table).
+
+    Each (partial) run publishes ONE atomic snapshot: a run killed between
+    writing data files and committing leaves orphan files that no reader
+    ever sees, and resume re-processes exactly those parts — strictly
+    stronger crash semantics than the directory layout, and the Iceberg
+    behavior the north_rule names. Lineage rows ride the same commit, so
+    data and its completion record become visible together.
+    """
+    from ocr_spark import table as tbl
+
+    df = read_transcripts(spark, input_path)
+    if start_turn is not None:
+        df = df.filter(F.col("turn_idx") >= F.lit(int(start_turn)))
+    if end_turn is not None:
+        df = df.filter(F.col("turn_idx") <= F.lit(int(end_turn)))
+    df = with_part_id(df, num_parts, turn_bucket)
+    overwrite = True
+    if resume and tbl.current_snapshot_id(table_root) is not None:
+        finished = (
+            tbl.read_table(spark, table_root)
+            .filter((F.col("rec") == "lineage") & (F.col("status") == "ok"))
+            .select("part_id")
+            .distinct()
+        )
+        df = df.join(F.broadcast(finished), "part_id", "left_anti")
+        overwrite = False
+    if only_parts is not None:
+        df = df.filter(F.col("part_id").isin([int(p) for p in only_parts]))
+    out = (
+        df.select("part_id", "conv_id", "turn_idx", "text", "tool")
+        .repartition(num_parts, "part_id")
+        .mapInArrow(_extract_batches, EXTRACT_SCHEMA)
+    )
+    tbl.commit_append(spark, table_root, out, part_col="part_id", overwrite=overwrite)
+    return read_extracted_table(spark, table_root)
+
+
+def read_extracted_table(spark: SparkSession, table_root: str) -> DataFrame:
+    from ocr_spark import table as tbl
+
+    return (
+        tbl.read_table(spark, table_root)
+        .filter(F.col("rec") == "data")
+        .drop("rec")
+    )
+
+
+def read_lineage_table(spark: SparkSession, table_root: str) -> DataFrame:
+    from ocr_spark import table as tbl
+
+    return (
+        tbl.read_table(spark, table_root)
+        .filter(F.col("rec") == "lineage")
+        .select(F.from_json("extracted_text", LINEAGE_JSON_SCHEMA).alias("l"))
+        .select("l.*")
+    )
+
+
 ASSEMBLE_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
