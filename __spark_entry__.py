@@ -193,6 +193,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf))  # rows-only: int128-bit math
 
+    def dedup_embedding_cosine(spark, sf):
+        return dedup.embedding_cosine_pairs(_tbl(spark, sf, "embeddings"))
+
+    def multimodal_features(spark, sf):
+        emb = _tbl(spark, sf, "embeddings").select("vec_id", "label")
+
+        def enc(it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "payload": [
+                            multimodal.encode_fake_image(
+                                int(v), int(l) % 16 + 1, int(v) % 8 + 1
+                            )
+                            for v, l in zip(pdf["vec_id"], pdf["label"])
+                        ],
+                    }
+                )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.image_features(emb.mapInPandas(enc, schema), target=(4, 4))
+
     def ann_cosine_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -261,9 +293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,  # rows-only: seeded pixels
     }
 
 
@@ -433,6 +467,17 @@ def oracle_sql() -> dict[str, str]:
             + sh_b.replace("text_b", "b.text")
             + "))) AS DOUBLE) ELSE 0.0 END, 4) AS jaccard"
             " FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
+        ),
+        "dedup_embedding_cosine": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+            " SELECT a.vec_id AS keeper, b.vec_id AS dup_id,"
+            " ROUND(list_dot_product(a.v, b.v) /"
+            "  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+            "  AS cosine_r"
+            " FROM e a JOIN e b ON b.vec_id > a.vec_id"
+            " WHERE ROUND(list_dot_product(a.v, b.v) /"
+            "  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+            "  >= 0.35"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv"

@@ -159,6 +159,34 @@ def ngram_jaccard(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (keeper = lower id, dup_id,
+    cosine_r ≥ threshold), exact.
+
+    This is the VERIFY stage of near-dup-by-embedding: at 100 TB the
+    candidate pairs come from the hyperplane-bucket join
+    (similarity.lsh_bucketed_topk) so only bucket-collisions are scored;
+    the all-pairs form here is the exactness baseline the DuckDB oracle
+    replays, and what you run on a single bucket's contents. Dot products
+    are JVM-side (zip_with/aggregate) in double precision; only ids and
+    the rounded score leave the join."""
+    from ocr_spark.operators.similarity import with_cosine_expr
+
+    a = emb.select(F.col(id_col).alias("keeper"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("dup_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("dup_id") > F.col("keeper"), "inner")
+    return (
+        pairs.withColumn("cosine_r", F.round(with_cosine_expr("va", "vb"), 4))
+        .filter(F.col("cosine_r") >= threshold)
+        .select("keeper", "dup_id", "cosine_r")
+    )
+
+
 def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = []
