@@ -128,6 +128,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         )
 
+    def projection_table_data(spark, sf):
+        # reference: project table_data out of the response struct, summary
+        # dropped (scripts/ExtractX_OCR.py:435-439) — Catalyst prunes the
+        # unaccessed struct fields at the scan
+        d = _docs(spark, sf)
+        resp = F.struct(
+            F.split(F.col("text"), " ").alias("table_data"),
+            F.struct(
+                F.col("n_chars").alias("total_rows"),
+                F.lit("high").alias("confidence"),
+            ).alias("summary"),
+        )
+        return d.select("doc_id", resp.alias("resp")).select(
+            "doc_id", F.size("resp.table_data").alias("n_records")
+        )
+
+    def records_to_table(spark, sf):
+        # reference: table_data list-of-dicts → page table rows with intra-
+        # page order (scripts/ExtractX_OCR.py:432-453) — posexplode keeps
+        # the row index without any Python
+        d = _docs(spark, sf)
+        recs = d.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("row_idx", "cell")
+        )
+        return recs.select(
+            "doc_id", F.col("row_idx").cast("int").alias("row_idx"), "cell"
+        ).filter(F.length("cell") > 0)
+
     def pdf_page_explode(spark, sf):
         from ocr_spark.operators import pages
 
@@ -280,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "empty_result_filter": empty_result_filter,
         "extension_predicate": extension_predicate,
+        "projection_table_data": projection_table_data,
+        "records_to_table": records_to_table,
         "pdf_page_explode": pdf_page_explode,
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
@@ -375,6 +405,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extension_predicate": (
             "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1'"
+        ),
+        "projection_table_data": (
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_records"
+            " FROM documents"
+        ),
+        "records_to_table": (
+            "SELECT doc_id, CAST(u.i - 1 AS INT) AS row_idx, s[CAST(u.i AS INT)] AS cell"
+            " FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents) t,"
+            " LATERAL unnest(range(1, len(t.s)+1)) u(i)"
+            " WHERE length(s[CAST(u.i AS INT)]) > 0"
         ),
         "pdf_page_explode": (
             "SELECT doc_id, CAST(u.i AS INT) AS page_idx, s[CAST(u.i AS INT)] AS page"
