@@ -86,58 +86,86 @@ def _plane(plane_idx: int, dim: int) -> list[float]:
     return out
 
 
-def hyperplane_buckets(
-    df: DataFrame,
-    num_planes: int = 8,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, bucket:int) — bucket = sign-bit code over fixed hyperplanes.
-    The planes are literal arrays in the plan; dot products are JVM-side."""
+def _table_code(vec_col: str, table_idx: int, num_planes: int, dim: int):
+    """Sign-bit code of one hash table: num_planes fixed hyperplanes."""
     code = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = _plane(p, dim)
+        plane = _plane(table_idx * num_planes + p, dim)
         arr = "array(" + ",".join(f"cast({x!r} as double)" for x in plane) + ")"
         dot = F.expr(
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y),"
             f" cast(0.0 as double), (acc, v) -> acc + v)"
         )
         code = code + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return df.select(F.col(id_col).alias("vec_id"), code.alias("bucket"))
+    return code
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_idx, bucket) — one sign-bit code per hash table.
+
+    Multiple independent tables are what make hyperplane LSH usable: a
+    single b-plane table finds a cosine-c neighbor with probability
+    (1-θ/π)^b (≈2.5% for c≈0.4, b=8); L tables of b planes lift that to
+    1-(1-(1-θ/π)^b)^L (≈80% for b=4, L=8) — same banding trick as the
+    MinHash LSH in dedup.py. Planes are md5-derived literals in the plan;
+    all dot products JVM-side."""
+    codes = F.array(
+        *[_table_code(vec_col, t, num_planes, dim) for t in range(num_tables)]
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(codes).alias("table_idx", "bucket")
+    )
 
 
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    reranked exactly. Recall < 1 by construction; the exact baseline
-    (cosine_topk) is the oracle for quality measurement, not equality."""
-    cb = hyperplane_buckets(corpus, num_planes, dim, id_col, vec_col).join(
-        corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-        ),
-        "vec_id",
+    """Approximate top-k: candidates collide with the query in ANY hash
+    table, then exact rerank. Recall < 1 by construction; the exact scan
+    (cosine_topk) is the quality oracle, not an equality target.
+
+    Scale shape: the bucket join moves only (id, table_idx, bucket) —
+    never vectors; candidate ids are distinct-ed and vectors re-attached
+    by id afterwards, so the heavy columns cross the wire once per
+    SURVIVING candidate, not once per bucket collision."""
+    cb = hyperplane_buckets(corpus, num_planes, num_tables, dim, id_col, vec_col)
+    qb = hyperplane_buckets(queries, num_planes, num_tables, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("q_id"), "table_idx", "bucket"
     )
-    qb = hyperplane_buckets(queries, num_planes, dim, id_col, vec_col).join(
-        queries.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("q_vec")
-        ),
-        "vec_id",
-    ).select(
-        F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket"), "q_vec"
+    cand = (
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"], "inner")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
     )
-    cand = cb.join(
-        F.broadcast(qb), cb["bucket"] == qb["q_bucket"], "inner"
-    ).filter(F.col("vec_id") != F.col("q_id"))
-    scored = cand.withColumn(
-        "cosine_r", F.round(with_cosine_expr("q_vec", "c_vec"), 4)
+    scored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn("cosine_r", F.round(with_cosine_expr("q_vec", "c_vec"), 4))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_r").desc(), F.col("vec_id").asc()

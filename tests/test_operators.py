@@ -155,3 +155,26 @@ def test_align_union_fill(spark):
     assert out.loc[0, "y"] == ""  # fill
     assert out.loc[1, "x"] == ""
     assert set(out.columns) == {"id", "x", "y"}
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """The approximate LSH-bucketed path must find a meaningful fraction of
+    the exact top-k neighbors (quality floor, not equality — recall < 1 by
+    construction; the exact scan is the oracle)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.lsh_bucketed_topk(emb, qs, k=5).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall}"
