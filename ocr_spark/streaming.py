@@ -79,6 +79,93 @@ def stream_extract(
     return writer.start()
 
 
+def conversation_sessions(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time session windows per conversation: a session closes after
+    ``gap`` of turn silence (built-in session_window — the declarative
+    Spark-first form; no custom state code)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+_PROGRESS_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turns_total", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("batch_turns", T.LongType()),
+    ]
+)
+
+_PROGRESS_STATE = T.StructType(
+    [
+        T.StructField("turns_total", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+    ]
+)
+
+
+def _progress_fn(key, pdfs, state):
+    """Custom stateful kernel: running per-conversation turn totals that
+    survive across micro-batches AND stream restarts (state store)."""
+    import pandas as pd
+
+    total, max_idx = state.get if state.exists else (0, -1)
+    batch_rows = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    total += batch_rows
+    state.update((total, max_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "turns_total": [total],
+            "max_turn_idx": [max_idx],
+            "batch_turns": [batch_rows],
+        }
+    )
+
+
+def conversation_progress(stream: DataFrame):
+    """The custom-stateful-operator face (applyInPandasWithState): emits a
+    running (conv_id, turns_total, max_turn_idx) row per conversation per
+    micro-batch. Used where the built-in aggregates can't express the
+    semantics; state is Arrow-batched pandas, never per-row Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _progress_fn,
+            outputStructType=_PROGRESS_OUT,
+            stateStructType=_PROGRESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_turn_counts(
     stream: DataFrame,
     window: str = "1 minute",

@@ -96,3 +96,76 @@ def test_windowed_turn_counts(spark, dirs):
     assert got["n_turns"].sum() == len(pdf)
     # ts cadence is 60s per global turn → every 1-minute window holds 1 turn
     assert (got["n_turns"] == 1).all()
+
+
+def test_session_windows_batch_semantics(spark, dirs):
+    """session_window works identically over batch data — deterministic
+    check of gap-based sessionization."""
+    import pandas as pd
+    from ocr_spark.streaming import conversation_sessions
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")
+    # conv A: turns at 0s, 60s, 120s (one session), then 20min later (new session)
+    for i, off in enumerate([0, 60, 120, 1200]):
+        rows.append(("A", i, "user", "x", "null", base + pd.Timedelta(seconds=off)))
+    rows.append(("B", 0, "user", "y", "null", base))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+    got = (
+        conversation_sessions(spark.createDataFrame(pdf), gap="5 minutes")
+        .toPandas()
+        .sort_values(["conv_id", "sess_start"], ignore_index=True)
+    )
+    assert len(got) == 3  # A: two sessions, B: one
+    a = got[got["conv_id"] == "A"]
+    assert a["n_turns"].tolist() == [3, 1]
+    assert a["first_turn"].tolist() == [0, 3]
+
+
+def test_stateful_progress_survives_restart(spark, dirs):
+    """applyInPandasWithState: running totals persist in the state store
+    across a stream restart on the same checkpoint."""
+    inp, _root, ckpt = dirs
+    a = _drop(inp, "a.parquet", seed=60, n_convs=6)
+
+    from ocr_spark.streaming import conversation_progress, read_transcript_stream
+
+    def run_round(name):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        frames = []
+
+        def sink(batch_df, batch_id):
+            frames.append(batch_df.toPandas())
+
+        q = (
+            conversation_progress(read_transcript_stream(spark, inp))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        import pandas as pd
+
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["conv_id", "turns_total", "max_turn_idx", "batch_turns"]
+        )
+
+    r1 = run_round("prog1")
+    want1 = a.groupby("conv_id").size()
+    got1 = r1.groupby("conv_id")["turns_total"].max()
+    for cid, n in want1.items():
+        assert got1[cid] == n
+
+    # second drop, same conversations: totals must ACCUMULATE over restart
+    b = _drop(inp, "b.parquet", seed=61, n_convs=6)
+    r2 = run_round("prog2")
+    both = __import__("pandas").concat([a, b]).groupby("conv_id").size()
+    got2 = r2.groupby("conv_id")["turns_total"].max()
+    for cid, n in both.items():
+        assert got2[cid] == n, (cid, got2[cid], n)
