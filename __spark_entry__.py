@@ -128,6 +128,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         )
 
+    def source_file_scan(spark, sf):
+        # reference: validate + dispatch by extension whitelist
+        # (scripts/ExtractX_OCR.py:514-527); unsupported → skipped (empty)
+        d = _docs(spark, sf)
+        route = (
+            F.when(F.lower(F.col("source")).endswith("0"), F.lit("pdf"))
+            .when(F.lower(F.col("source")).endswith("1"), F.lit("image"))
+            .otherwise(F.lit("unsupported"))
+        )
+        return d.select("doc_id", "source", route.alias("route")).filter(
+            F.col("route") != "unsupported"
+        )
+
     def projection_table_data(spark, sf):
         # reference: project table_data out of the response struct, summary
         # dropped (scripts/ExtractX_OCR.py:435-439) — Catalyst prunes the
@@ -308,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "empty_result_filter": empty_result_filter,
         "extension_predicate": extension_predicate,
+        "source_file_scan": source_file_scan,
         "projection_table_data": projection_table_data,
         "records_to_table": records_to_table,
         "pdf_page_explode": pdf_page_explode,
@@ -405,6 +419,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extension_predicate": (
             "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1'"
+        ),
+        "source_file_scan": (
+            "SELECT doc_id, source, CASE"
+            " WHEN lower(source) LIKE '%0' THEN 'pdf'"
+            " WHEN lower(source) LIKE '%1' THEN 'image'"
+            " ELSE 'unsupported' END AS route"
+            " FROM documents WHERE lower(source) LIKE '%0' OR lower(source) LIKE '%1'"
         ),
         "projection_table_data": (
             "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_records"
