@@ -1,0 +1,108 @@
+"""Regenerate PLANS.md: formatted physical plans of the key dataflows with
+the properties each plan must exhibit (also asserted in tests/test_plans.py).
+
+Usage: python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ).strip()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from ocr_spark.fixtures import make_transcripts
+    from ocr_spark.operators import dedup, relational, similarity
+    from ocr_spark.pipeline import extract_stage
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app="dump-plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    transcripts = spark.createDataFrame(make_transcripts(n_convs=5, seed=7))
+
+    sections = [
+        (
+            "Extraction pipeline (`extract_stage`)",
+            "ONE exchange — the explicit salted repartition on `part_id` — then ONE "
+            "fused `MapInArrow` stage. The exchange input is exactly the kernel's "
+            "columns (`ts` and any user columns pruned before the shuffle); no "
+            "second shuffle, no sort, nothing per-row.",
+            extract_stage(transcripts, num_parts=8),
+        ),
+        (
+            "Turn-range filter (`page_range_filter`)",
+            "The conjunctive range predicate reaches the parquet scan as "
+            "`PushedFilters` (rowgroup pruning; partition pruning when `turn_idx` "
+            "partitions the table) and `ReadSchema` carries only projected columns.",
+            relational.range_filter(lineitem, "l_linenumber", 2, 5).select(
+                "l_orderkey", "l_linenumber"
+            ),
+        ),
+        (
+            "Checkpoint-resume anti-join",
+            "`finished` (one row per completed part) broadcasts; the big transcript "
+            "side is NOT shuffled — `BroadcastHashJoin ... LeftAnti`.",
+            relational.anti_join_unfinished(
+                lineitem, spark.createDataFrame([(1,), (2,)], ["l_orderkey"]), "l_orderkey"
+            ),
+        ),
+        (
+            "Exact dedup (`dedup_exact`)",
+            "Two `HashAggregate`s around one exchange: the partial aggregate "
+            "collapses duplicates map-side, and the shuffle key is the md5 digest — "
+            "raw text never crosses the exchange.",
+            dedup.exact_dedup(docs),
+        ),
+        (
+            "Brute-force ANN (`cosine_topk`)",
+            "The tiny query side broadcasts (`BroadcastNestedLoopJoin`); dot "
+            "products are JVM-side `zip_with`/`aggregate` expressions inside the "
+            "join projection — no Python in the scoring path.",
+            similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2),
+        ),
+        (
+            "Banded-LSH ANN candidates (`lsh_bucketed_topk`)",
+            "Bucket codes are literal-plane expressions; the bucket join moves only "
+            "`(id, table_idx, bucket)`, vectors re-attach by id AFTER the distinct — "
+            "the heavy columns cross the wire once per surviving candidate.",
+            similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 3), k=2),
+        ),
+    ]
+
+    lines = [
+        "# PLANS — physical plans of the key dataflows",
+        "",
+        "Regenerate with `python scripts/dump_plans.py`. The load-bearing plan",
+        "properties below are enforced by `tests/test_plans.py`; this file makes",
+        "them reviewable without running Spark.",
+        "",
+    ]
+    for title, why, df in sections:
+        lines += [f"## {title}", "", why, "", "```", plan_of(df), "```", ""]
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
