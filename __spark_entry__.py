@@ -195,6 +195,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pages.count_rows_cols(pseudo)
 
+    # ---- beyond-reference relational breadth ----
+
+    def rollup_doc_stats(spark, sf):
+        return relational.rollup_counts(_docs(spark, sf), ["lang", "source"], "n_chars")
+
+    def topk_longest_docs(spark, sf):
+        return relational.topk_by(
+            _docs(spark, sf).select("doc_id", "n_chars"), ["n_chars", "doc_id"], 10
+        )
+
+    def set_except(spark, sf):
+        d = _docs(spark, sf)
+        return relational.except_distinct(
+            d.select("doc_id"), d.filter(F.col("lang") == "en").select("doc_id")
+        )
+
     # ---- training-data operators ----
 
     def dedup_exact(spark, sf):
@@ -328,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
         "count_rows_cols": count_rows_cols,
+        "rollup_doc_stats": rollup_doc_stats,
+        "topk_longest_docs": topk_longest_docs,
+        "set_except": set_except,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -462,6 +481,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
             " COUNT(*) AS n_turns"
             " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
+        ),
+        "rollup_doc_stats": (
+            "SELECT lang, source, COUNT(*) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars"
+            " FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
+        "topk_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id DESC LIMIT 10"
+        ),
+        "set_except": (
+            "SELECT doc_id FROM documents"
+            " EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups"

@@ -109,3 +109,34 @@ def suffix_filter(df: DataFrame, col: str, suffix: str) -> DataFrame:
     """Case-insensitive suffix routing predicate (reference extension
     dispatch, scripts/ExtractX_OCR.py:514,520)."""
     return df.filter(F.lower(F.col(col)).endswith(suffix.lower()))
+
+
+# -- beyond-reference relational breadth (not in the reference; standard
+#    engine surface a corpus-analytics user expects) ------------------------
+
+
+def rollup_counts(df: DataFrame, dims: list[str], measure: str) -> DataFrame:
+    """Hierarchical rollup over ``dims``: count + sum(measure) at every
+    prefix level, grand total included. Pure built-in `rollup` — partial
+    aggregation applies per grouping set; no extra scan per level."""
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(measure).cast("long").alias(f"sum_{measure}"),
+        )
+    )
+
+
+def topk_by(df: DataFrame, order_cols: list[str], k: int) -> DataFrame:
+    """Deterministic global top-k: ORDER BY ... LIMIT k compiles to
+    TakeOrderedAndProject — per-partition heaps + one tiny driver merge,
+    never a global sort. order_cols must form a total order (break ties
+    with a unique id) or the selected set is nondeterministic."""
+    return df.orderBy(*[F.col(c).desc() for c in order_cols]).limit(k)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT) — compiles to a left-anti hash
+    join over distinct rows."""
+    return a.exceptAll(b.distinct()).distinct()

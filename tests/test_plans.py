@@ -95,3 +95,23 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert plan.count("HashAggregate") >= 2
     exchange_block = plan.split("(4) Exchange")[1].split("(5)")[0]
     assert "text#" not in exchange_block
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    from ocr_spark.operators import relational
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(relational.topk_by(docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_lsh_band_shuffle_carries_no_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.lsh_candidate_groups(docs))
+    # the band-key groupBy exchanges only (band_idx, band_key, doc_id)
+    for i, block in enumerate(plan.split("Exchange hashpartitioning")[1:], 1):
+        head = block.split("\n\n")[0]
+        assert "text#" not in head, f"exchange {i} carries raw text"
