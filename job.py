@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         F.count("*").alias("parts"),
         F.coalesce(F.sum("n_turns"), F.lit(0)).alias("rows"),
         F.coalesce(F.sum("error_count"), F.lit(0)).alias("errors"),
+        F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_part_ms"),
+        F.coalesce(
+            F.percentile_approx("duration_ms", F.lit(0.5)), F.lit(0)
+        ).alias("p50_part_ms"),
     ).first()
     n_rows = int(lin["rows"])
     wall = time.monotonic() - t0
@@ -106,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
                 "errors": int(lin["errors"]),
                 "wall_sec": round(wall, 2),
                 "warmup_sec": round(warmup_sec, 2),
+                "part_ms_p50": int(lin["p50_part_ms"]),
+                "part_ms_max": int(lin["max_part_ms"]),
                 "turns_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
                 "output": args.output,
             }
