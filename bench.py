@@ -40,11 +40,12 @@ sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, ".bench")
 
-#: extraction-corpus turns per unit scale factor (sf0.1 → 4.8M turns —
+#: extraction-corpus turns per unit scale factor (sf0.1 → 7.2M turns —
 #: sized so per-turn kernel compute dominates fixed job overhead and the
-#: 8→32-core efficiency measurement reflects the extraction stage, not
-#: session startup). Override with SPARK_GRAFT_BENCH_TURNS.
-TURNS_PER_SF = 48_000_000
+#: N→4N efficiency measurement reflects the extraction stage, not session
+#: startup; re-tuned 48M→72M when the grid kernel got 1.5× faster so the
+#: compute share stayed constant). Override with SPARK_GRAFT_BENCH_TURNS.
+TURNS_PER_SF = 72_000_000
 
 HEADLINE_QUERIES = [
     "extract_html",

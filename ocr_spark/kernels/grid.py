@@ -119,21 +119,31 @@ def decode_grid_payload(payload: str) -> tuple[np.ndarray, int]:
     return bits.reshape(h, w).astype(np.uint8), int(header.get("rot", 0))
 
 
+def _movsum_last(x: np.ndarray, k: int) -> np.ndarray:
+    """Moving window-sum of length k along the last axis (len n-k+1)."""
+    cs = np.cumsum(x, axis=-1, dtype=np.int32)
+    out = cs[..., k - 1 :].copy()
+    out[..., 1:] -= cs[..., :-k]
+    return out
+
+
 def _open_1d(img: np.ndarray, k: int, axis: int) -> np.ndarray:
     """Morphological opening with a 1D kernel of length k along ``axis``.
 
     erosion = sliding-window min, dilation = sliding-window max — the same
-    operation cv2.morphologyEx(MORPH_OPEN, 1×k / k×1 kernel) performs.
+    operation cv2.morphologyEx(MORPH_OPEN, 1×k / k×1 kernel) performs. For
+    a 0/1 mask both reduce to window sums (min=1 ⟺ sum==k; max=1 ⟺
+    sum>0), so the whole opening is two cumsum passes — no strided
+    window materialization.
     """
     if img.shape[axis] < k:
         return np.zeros_like(img)
-    win = np.lib.stride_tricks.sliding_window_view(img, k, axis=axis)
-    eroded_core = win.min(axis=-1)
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (k - 1, k - 1)
-    eroded = np.pad(eroded_core, pad, constant_values=0)
-    win2 = np.lib.stride_tricks.sliding_window_view(eroded, k, axis=axis)
-    return win2.max(axis=-1).astype(np.uint8)
+    x = np.moveaxis(img, axis, -1)
+    eroded_core = _movsum_last(x, k) == k  # window min over k
+    pad = [(0, 0)] * (x.ndim - 1) + [(k - 1, k - 1)]
+    eroded = np.pad(eroded_core, pad, constant_values=False)
+    dilated = _movsum_last(eroded, k) > 0  # window max over k
+    return np.moveaxis(dilated, -1, axis).astype(np.uint8)
 
 
 def _line_positions(mask_1d: np.ndarray) -> list[int]:
@@ -157,27 +167,45 @@ def detect_grid(img: np.ndarray) -> tuple[list[int], list[int]]:
     return h_rows, v_cols
 
 
+#: MSB-first weights for the 12-bit glyph index (bit position = row*3+col).
+_BIT_POW = (1 << np.arange(11, -1, -1)).astype(np.int32)
+
+_CHAR_LUT = np.array(list(CHARSET) + ["?"] * (4096 - len(CHARSET)))
+
+
 def _decode_cell(cell: np.ndarray) -> str:
+    """All glyphs of a cell decoded in one matrix product: slice the glyph
+    band, reshape to (n_glyphs, 12) index bits, dot with the bit weights,
+    look up the charset. A glyph whose 3-column block would run past the
+    cell edge decodes as '?' (the per-glyph loop's short-block behavior).
+    """
     ys, xs = np.nonzero(cell)
     if ys.size == 0:
         return ""
     # Every glyph's bottom row is all-ink, so the LAST inked row anchors the
     # glyph baseline (the index rows above it may be empty, e.g. charset[0]).
-    y0 = ys.max() - (GLYPH_H - 1)
+    y0 = int(ys.max()) - (GLYPH_H - 1)
     if y0 < 0:
         return "?"
-    x0, x1 = xs.min(), xs.max()
+    x0, x1 = int(xs.min()), int(xs.max())
     n = (x1 - x0 + 2) // GLYPH_PITCH
-    chars = []
-    for i in range(n):
-        block = cell[y0 : y0 + GLYPH_H, x0 + i * GLYPH_PITCH : x0 + i * GLYPH_PITCH + GLYPH_W]
-        if block.shape != (GLYPH_H, GLYPH_W):
-            chars.append("?")
-            continue
-        idx = 0
-        for bit in range(12):
-            idx = (idx << 1) | int(block[bit // 3, bit % 3])
-        chars.append(CHARSET[idx] if idx < len(CHARSET) else "?")
+    if n <= 0:
+        return ""
+    w = cell.shape[1]
+    band = cell[y0 : y0 + 4, x0 : x0 + n * GLYPH_PITCH]
+    if band.shape[1] < n * GLYPH_PITCH:
+        band = np.pad(band, ((0, 0), (0, n * GLYPH_PITCH - band.shape[1])))
+    bits = (
+        band.reshape(4, n, GLYPH_PITCH)[:, :, :GLYPH_W]
+        .transpose(1, 0, 2)
+        .reshape(n, 12)
+        .astype(np.int32)
+    )
+    idx = bits @ _BIT_POW
+    chars = _CHAR_LUT[idx]
+    # short last block (would have shape != (5,3) in the scalar loop) → '?'
+    starts = x0 + np.arange(n) * GLYPH_PITCH
+    chars[starts + GLYPH_W > w] = "?"
     return "".join(chars)
 
 
