@@ -292,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 5), k=3
         )  # rows-only: approximate by construction
 
+    def ann_ivf_topk(spark, sf):
+        emb = _tbl(spark, sf, "embeddings")
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3
+        )  # rows-only: approximate by construction (trained quantizer)
+
     def multimodal_meta(spark, sf):
         from collections.abc import Iterator
 
@@ -359,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,  # rows-only: seeded pixels
     }
@@ -594,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST(9 + (label % 16 + 1) * (vec_id % 8 + 1) AS BIGINT) AS n_bytes,"
             " TRUE AS valid FROM embeddings"
         ),
-        # dedup_simhash, ann_lsh_bucketed: no SQL oracle (int128 bit math /
-        # approximate-by-construction) → driver rows-only check.
+        # dedup_simhash, ann_lsh_bucketed, ann_ivf_topk: no SQL oracle
+        # (int128 bit math / approximate-by-construction / trained
+        # quantizer) → driver rows-only check.
     }

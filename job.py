@@ -21,6 +21,31 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def part_duration_hist(lineage, lo: int, hi: int, nbuckets: int = 8) -> dict:
+    """Equi-width histogram of per-part ``duration_ms`` over [lo, hi].
+
+    Skew at a glance: a straggler part shows up as isolated mass in the
+    last bucket. Lineage is one row per logical part, so this aggregate
+    scans a parts-count-sized table — never the data.
+    """
+    width = max(1, -(-(hi - lo + 1) // nbuckets))
+    buckets = {
+        r["b"]: r["count"]
+        for r in lineage.groupBy(
+            F.floor((F.col("duration_ms") - F.lit(lo)) / F.lit(width))
+            .cast("int")
+            .alias("b")
+        )
+        .count()
+        .collect()
+    }
+    return {
+        "min_ms": lo,
+        "width_ms": width,
+        "counts": [buckets.get(i, 0) for i in range(nbuckets)],
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="transcripts parquet path")
@@ -91,16 +116,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     # Row count comes from the lineage table (one row per logical part),
     # not a second scan over the freshly written data files.
-    lin = lineage_reader(spark, args.output).agg(
+    lineage = lineage_reader(spark, args.output)
+    lin = lineage.agg(
         F.count("*").alias("parts"),
         F.coalesce(F.sum("n_turns"), F.lit(0)).alias("rows"),
         F.coalesce(F.sum("error_count"), F.lit(0)).alias("errors"),
+        F.coalesce(F.min("duration_ms"), F.lit(0)).alias("min_part_ms"),
         F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_part_ms"),
         F.coalesce(
             F.percentile_approx("duration_ms", F.lit(0.5)), F.lit(0)
         ).alias("p50_part_ms"),
     ).first()
     n_rows = int(lin["rows"])
+    part_hist = None
+    if lin["parts"]:
+        part_hist = part_duration_hist(
+            lineage, int(lin["min_part_ms"]), int(lin["max_part_ms"])
+        )
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -112,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
                 "warmup_sec": round(warmup_sec, 2),
                 "part_ms_p50": int(lin["p50_part_ms"]),
                 "part_ms_max": int(lin["max_part_ms"]),
+                "part_ms_hist": part_hist,
                 "turns_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
                 "output": args.output,
             }

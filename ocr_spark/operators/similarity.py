@@ -10,14 +10,23 @@
   collisions only, then exact rerank. At 100 TB the bucket join replaces
   the all-pairs cross product; the bucket key is a short int, so the
   shuffle moves ids+keys, not vectors.
+- ``ivf_topk``: the trained scale path — IVF (inverted-file) with a
+  spherical k-means coarse quantizer, FAISS-style: train centroids on a
+  bounded deterministic sample, assign every corpus vector to its nearest
+  centroid cell, probe the ``nprobe`` nearest cells per query, exact
+  rerank inside the probed cells only.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -174,4 +183,137 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", "cosine_r")
+    )
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a bounded sample.
+
+    The sample is the ``sample_n`` vectors with the smallest
+    ``md5(cast(id))`` — deterministic under any partitioning, and bounded:
+    the driver collects ``sample_n`` rows regardless of corpus size, which
+    is exactly how FAISS trains IVF quantizers at scale (train on ~1e5-1e6
+    sampled vectors, never the full corpus). Init = first ``nlist`` sample
+    rows in md5 order; Lloyd iterations run in numpy (argmax of X @ C.T,
+    unit-renormalized means; an emptied cell keeps its previous centroid).
+    Returns a unit-row (nlist, dim) float64 matrix.
+    """
+    pdf = (
+        corpus.select(F.col(id_col).cast("string").alias("h_id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("h_id")))
+        .orderBy("h", "h_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    x = _normalize_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+    cents = x[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def _cell_assign_udf(centroids: np.ndarray):
+    """Series->Series pandas UDF: vector -> nearest-centroid cell id.
+
+    One Arrow batch becomes one (batch, dim) @ (dim, nlist) matrix product
+    — the Pandas-UDF matrix path beats per-element SQL expressions here
+    because nlist is thousands at real scale (a literal-expression argmax
+    like the LSH planes would blow up the plan). Cosine argmax needs only
+    the dot against unit centroids (the row norm is constant per row).
+    """
+    ct = centroids.T.copy()
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(x @ ct, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: (q_id, neighbor_id,
+    rank, cosine_r). Recall < 1 by construction (neighbors outside the
+    probed cells are missed) — ``cosine_topk`` is the quality oracle.
+
+    Scale shape: corpus-side cell assignment is map-side (one pandas-UDF
+    projection, no shuffle); the tiny (q_id, cell) probe list — nprobe
+    rows per query — is broadcast, so the candidate join never shuffles
+    the corpus. Only the surviving ~nprobe/nlist fraction of rows reaches
+    the per-query rerank window. Centroids ride to executors inside the
+    UDF closure (nlist*dim floats — KBs for thousands of cells).
+    """
+    cents = ivf_train_centroids(corpus, nlist, sample_n, iters, id_col, vec_col)
+    assign = _cell_assign_udf(cents)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", assign("c_vec"))
+
+    # query probe list: nprobe nearest cells per query, computed driver-side
+    # (queries are small by contract — same assumption as cosine_topk's
+    # broadcast) and re-broadcast as a literal frame.
+    qpdf = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    qx = _normalize_rows(np.array(qpdf["q_vec"].tolist(), dtype=np.float64))
+    order = np.argsort(-(qx @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    spark = corpus.sparkSession
+    probe = spark.createDataFrame(
+        [
+            (qid, int(cell))
+            for qid, cells in zip(qpdf["q_id"].tolist(), order)
+            for cell in cells
+        ],
+        schema=f"q_id {dict(queries.dtypes)[id_col]}, cell int",
+    )
+
+    scored = (
+        c.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "q_id",
+        )
+        .withColumn("cosine_r", F.round(with_cosine_expr("q_vec", "c_vec"), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_r")
     )

@@ -178,3 +178,56 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"LSH recall collapsed: {recall}"
+
+def test_ivf_topk_planted_neighbor_and_recall(vectors):
+    """IVF with a trained quantizer: the near-identical planted neighbor
+    must land in the probed cells; recall vs exact is a quality floor."""
+    exact = similarity.cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=3
+    ).toPandas()
+    approx = similarity.ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") < 5), k=3, nlist=4, nprobe=2
+    ).toPandas()
+    assert (approx["rank"] >= 1).all() and (approx["rank"] <= 3).all()
+    got0 = approx[approx["q_id"] == 0]
+    assert 7 in got0["neighbor_id"].tolist()  # ~identical vector, same cell
+    exact_pairs = set(map(tuple, exact[["q_id", "neighbor_id"]].values.tolist()))
+    approx_pairs = set(map(tuple, approx[["q_id", "neighbor_id"]].values.tolist()))
+    assert len(exact_pairs & approx_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_ivf_recall_vs_exact_testdata(spark):
+    """IVF recall on the sf0.001 embeddings table: above the floor at the
+    default nprobe, and monotone in nprobe (the quality/cost knob — more
+    probed cells, higher recall; measured 0.59 → 0.82 on this fixture)."""
+    from ocr_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, qs, k=5).collect()
+    }
+    assert exact
+
+    def recall(nprobe):
+        approx = {
+            (r["q_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(emb, qs, k=5, nlist=16, nprobe=nprobe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.45, f"IVF recall collapsed at nprobe=4: {r4}"
+    assert r8 >= r4 and r8 >= 0.7, f"nprobe knob broken: {r4} -> {r8}"
+
+
+def test_ivf_deterministic_under_repartition(vectors):
+    """Training sample, assignment, and probe order are md5/argmax-
+    deterministic — output must not depend on input partitioning."""
+    a = similarity.ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3), k=3, nlist=4, nprobe=2
+    ).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = similarity.ivf_topk(
+        vectors.repartition(7), vectors.filter(F.col("vec_id") < 3), k=3, nlist=4, nprobe=2
+    ).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

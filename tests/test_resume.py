@@ -83,3 +83,19 @@ def test_resume_processes_only_unfinished(spark, corpus, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def test_part_duration_hist_flags_straggler(spark):
+    """The job-summary histogram puts a straggler part in the last bucket
+    and conserves the part count."""
+    import job
+
+    lineage = spark.createDataFrame(
+        [(i, d) for i, d in enumerate([10, 12, 11, 13, 10, 95])],
+        "part_id int, duration_ms long",
+    )
+    h = job.part_duration_hist(lineage, 10, 95)
+    assert sum(h["counts"]) == 6
+    assert h["counts"][0] == 5  # the homogeneous fast parts
+    assert h["counts"][7] == 1  # the straggler
+    assert h["min_ms"] == 10 and h["width_ms"] == 11
