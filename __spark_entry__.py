@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_json_salvage(spark, sf):
         return xq.extract_json_query(_docs(spark, sf))
 
+    def conversation_assembly(spark, sf):
+        return xq.conversation_assembly_query(_docs(spark, sf))
+
     def extract_grid(spark, sf):
         return xq.extract_grid_query(_docs(spark, sf))
 
@@ -333,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": extract_html,
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
+        "conversation_assembly": conversation_assembly,
         "null_token_clean": null_token_clean,
         "page_range_filter": page_range_filter,
         "limit_first_n_pages": limit_first_n_pages,
@@ -397,6 +401,26 @@ def oracle_sql() -> dict[str, str]:
         "extract_json_salvage": (
             "SELECT doc_id, string_split(text, ' ')[1] AS w,"
             " CAST(n_chars AS VARCHAR) AS n FROM documents"
+        ),
+        "conversation_assembly": (
+            # one single-row json page per doc; odd docs lack column n →
+            # align ""-fills it wherever the conversation saw n on some
+            # other (even) page; null tokens in w clean to NULL before fill
+            "WITH d AS (SELECT CAST(doc_id // 8 AS VARCHAR) AS conv_id,"
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1"
+            "       AS INTEGER) AS row_seq,"
+            "  string_split(text, ' ')[1] AS w,"
+            "  doc_id % 2 = 0 AS has_n,"
+            "  CAST(n_chars AS VARCHAR) AS n_str,"
+            "  bool_or(doc_id % 2 = 0) OVER (PARTITION BY doc_id // 8) AS conv_has_n"
+            " FROM documents)"
+            " SELECT conv_id, row_seq, 0 AS col_idx, 'w' AS col_name,"
+            "  CASE WHEN w IN ('','nan','NaN','null','NULL') THEN NULL ELSE w END AS cell"
+            " FROM d"
+            " UNION ALL"
+            " SELECT conv_id, row_seq, 1, 'n',"
+            "  CASE WHEN has_n THEN n_str ELSE '' END"
+            " FROM d WHERE conv_has_n"
         ),
         "extract_grid": (
             "SELECT doc_id,"

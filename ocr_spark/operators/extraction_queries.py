@@ -148,3 +148,48 @@ def null_clean_query(df: DataFrame) -> DataFrame:
         .otherwise(F.split(F.col("text"), " ").getItem(0))
     )
     return df.select("doc_id", _clean_udf(token).alias("cleaned"))
+
+
+# -- Conversation assembly (applyInPandas grouped map) ----------------------
+
+
+@pandas_udf(T.StringType())
+def _extract_json_turn_udf(s: pd.Series) -> pd.Series:
+    from ocr_spark.kernels.extract import extract_turn
+
+    return s.map(lambda t: extract_turn(t, "json")["extracted_text"])
+
+
+def conversation_assembly_query(df: DataFrame) -> DataFrame:
+    """documents → synthetic conversations → the REAL applyInPandas
+    assembly (pipeline.assemble_conversations, the reference's
+    schema_align_union, scripts/ExtractX_OCR.py:549-572) → long spans.
+
+    Each doc becomes one single-row JSON "page" of conversation
+    ``doc_id // 8`` (conversation count scales with the corpus; blocks of
+    consecutive ids always mix parities); odd doc_ids omit the ``n``
+    column, so pages inside a conversation disagree on schema and the
+    align kernel must ""-fill — the §1.2 asymmetry, stated directly in
+    the DuckDB oracle. Column order is first-seen ([w] then n appended at
+    the first even page), row order is turn order; both deterministic, so
+    the whole grouped-map output is SQL-expressible.
+    """
+    from ocr_spark.pipeline import assemble_conversations
+
+    first_word = F.split(F.col("text"), " ").getItem(0)
+    reply = F.concat(
+        F.lit('{"table_data": [{"w": "'),
+        first_word,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('", "n": "'), F.col("n_chars").cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit('"}]}'),
+    )
+    turns = df.select(
+        F.floor(F.col("doc_id") / 8).cast("string").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("json").alias("tool"),
+        _extract_json_turn_udf(reply).alias("extracted_text"),
+    )
+    return assemble_conversations(turns)

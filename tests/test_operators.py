@@ -231,3 +231,32 @@ def test_ivf_deterministic_under_repartition(vectors):
         vectors.repartition(7), vectors.filter(F.col("vec_id") < 3), k=3, nlist=4, nprobe=2
     ).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_conversation_assembly_matches_duckdb_oracle(spark):
+    """The applyInPandas assembly exposed as a contract query must equal
+    its DuckDB oracle on sf0.001 (including the ""-fill rows for odd docs
+    that lack column n)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["conversation_assembly"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+    )
+    want = con.sql(entrymod.oracle_sql()["conversation_assembly"]).df()
+    key = ["conv_id", "row_seq", "col_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["conv_id", "row_seq", "col_idx", "col_name"]:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+    gq = got["cell"].map(lambda v: "∅" if v is None or v != v else v)
+    wq = want["cell"].map(lambda v: "∅" if v is None or v != v else v)
+    assert (gq.values == wq.values).all()
+    # the fill actually happened: some n cells are "" (odd docs in convs
+    # where another page carried n)
+    assert (got[(got["col_name"] == "n")]["cell"] == "").any()
