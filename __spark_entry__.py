@@ -203,6 +203,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rollup_doc_stats(spark, sf):
         return relational.rollup_counts(_docs(spark, sf), ["lang", "source"], "n_chars")
 
+    def asof_join_latest_click(spark, sf):
+        ev = _tbl(spark, sf, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click")
+        joined = relational.asof_join(
+            views,
+            clicks,
+            keys=["user_id"],
+            ts="ts",
+            payload={"event_id": "click_id", "value": "click_value"},
+        )
+        return joined.select(
+            "view_id",
+            "user_id",
+            F.coalesce(F.col("click_id"), F.lit(-1)).cast("long").alias("click_id"),
+            F.round(F.coalesce(F.col("click_value"), F.lit(-1.0)), 2).alias(
+                "click_value"
+            ),
+        )
+
     def topk_longest_docs(spark, sf):
         return relational.topk_by(
             _docs(spark, sf).select("doc_id", "n_chars"), ["n_chars", "doc_id"], 10
@@ -355,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_image": rotate_image,
         "count_rows_cols": count_rows_cols,
         "rollup_doc_stats": rollup_doc_stats,
+        "asof_join_latest_click": asof_join_latest_click,
         "topk_longest_docs": topk_longest_docs,
         "set_except": set_except,
         "dedup_exact": dedup_exact,
@@ -512,6 +535,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
             " COUNT(*) AS n_turns"
             " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
+        ),
+        "asof_join_latest_click": (
+            # as-of semantics stated as join+qualify (DuckDB also has native
+            # ASOF JOIN; the windowed form pins tie-breaks explicitly:
+            # latest ts, then greatest click_id)
+            "WITH v AS (SELECT event_id, user_id, ts FROM events"
+            "  WHERE event_type = 'view'),"
+            " c AS (SELECT event_id, user_id, ts, value FROM events"
+            "  WHERE event_type = 'click'),"
+            " j AS (SELECT v.event_id AS view_id, v.user_id AS user_id,"
+            "   c.event_id AS click_id, c.value AS click_value,"
+            "   ROW_NUMBER() OVER (PARTITION BY v.event_id"
+            "     ORDER BY c.ts DESC, c.event_id DESC) AS rn"
+            "  FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts <= v.ts)"
+            " SELECT view_id, user_id,"
+            "  CAST(COALESCE(click_id, -1) AS BIGINT) AS click_id,"
+            "  ROUND(COALESCE(click_value, -1.0), 2) AS click_value"
+            " FROM j WHERE rn = 1"
         ),
         "rollup_doc_stats": (
             "SELECT lang, source, COUNT(*) AS n_docs,"

@@ -140,3 +140,64 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """Set difference (EXCEPT DISTINCT) — compiles to a left-anti hash
     join over distinct rows."""
     return a.exceptAll(b.distinct()).distinct()
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Left as-of join: every left row gains the payload of the LATEST
+    right row with ``right.ts <= left.ts`` per key group (left rows with
+    no prior right row keep nulls). Spark has no ASOF JOIN operator
+    (DuckDB/kdb/Flink do); this is the sort-merge-as-of shape composed
+    from built-ins:
+
+        union both sides (right tagged 0, left 1)
+        → ONE hash exchange on keys + ONE sort (keys, ts, tag, tiebreak)
+        → last(payload, ignorenulls) over rows-unbounded-preceding window
+        → keep left rows.
+
+    At a tie ts, the right row sorts first (tag 0 < 1) ⇒ `<=` semantics;
+    ties among right rows resolve to the greatest first-payload value
+    (deterministic under any partitioning). No per-left-row probe, no
+    range cross join: cost is the same one exchange + sort a groupBy
+    would pay, so it scales like any keyed agg — skewed keys respond to
+    the same salting as the extraction path.
+    """
+    from pyspark.sql.window import Window
+
+    out_cols = list(payload.values())
+    lcols = left.columns
+    l = left
+    for rc, oc in payload.items():
+        l = l.withColumn(oc, F.lit(None).cast(dict(right.dtypes)[rc]))
+    l = l.withColumn("__r", F.lit(1))
+    r = right.select(
+        *keys,
+        F.col(ts).alias(ts),
+        *[F.col(rc).alias(oc) for rc, oc in payload.items()],
+    )
+    for c in lcols:
+        if c not in keys and c != ts:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.withColumn("__r", F.lit(0))
+    sel = [*lcols, *out_cols, "__r"]
+    u = l.select(*sel).unionByName(r.select(*sel))
+    order = [F.col(ts).asc(), F.col("__r").asc(), F.col(out_cols[0]).asc_nulls_first()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # all payloads in ONE select over the SAME window spec → a single
+    # Window node / single sort (sequential withColumn would overwrite
+    # the tiebreak column mid-way and split the sort)
+    u = u.select(
+        *lcols,
+        "__r",
+        *[F.last(oc, ignorenulls=True).over(w).alias(oc) for oc in out_cols],
+    )
+    return u.filter(F.col("__r") == 1).drop("__r")

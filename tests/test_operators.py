@@ -260,3 +260,48 @@ def test_conversation_assembly_matches_duckdb_oracle(spark):
     # the fill actually happened: some n cells are "" (odd docs in convs
     # where another page carried n)
     assert (got[(got["col_name"] == "n")]["cell"] == "").any()
+
+
+def test_asof_join_semantics(spark):
+    """Edge semantics of the composed as-of join: <= at equal ts, nulls
+    for rows with no prior match, greatest-payload tiebreak among right
+    rows sharing a ts, and invariance under input repartitioning."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    views = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(2)), (102, 2, t(1)), (103, 3, t(9))],
+        "view_id long, user_id long, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (7, 1, t(2), 1.5),   # ts == view 101's ts → included (<=)
+            (8, 1, t(4), 2.5),   # latest before view 100
+            (9, 2, t(3), 3.5),   # AFTER user 2's only view → excluded
+            (10, 3, t(6), 4.0),  # same ts as click 11
+            (11, 3, t(6), 5.0),  # tie → greatest event_id wins
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = (
+        relational.asof_join(
+            views, clicks, ["user_id"], "ts",
+            {"event_id": "click_id", "value": "click_value"},
+        )
+        .toPandas()
+        .set_index("view_id")
+    )
+    assert out.loc[100, "click_id"] == 8
+    assert out.loc[101, "click_id"] == 7  # equal-ts click included
+    assert pd.isna(out.loc[102, "click_id"])  # no prior click → null
+    assert out.loc[103, "click_id"] == 11 and out.loc[103, "click_value"] == 5.0
+    out2 = (
+        relational.asof_join(
+            views.repartition(5), clicks.repartition(3), ["user_id"], "ts",
+            {"event_id": "click_id", "value": "click_value"},
+        )
+        .toPandas()
+        .set_index("view_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out.sort_index(), out2)

@@ -115,3 +115,39 @@ def test_lsh_band_shuffle_carries_no_text(spark):
     for i, block in enumerate(plan.split("Exchange hashpartitioning")[1:], 1):
         head = block.split("\n\n")[0]
         assert "text#" not in head, f"exchange {i} carries raw text"
+
+
+def test_asof_join_single_exchange_single_sort(spark):
+    """The as-of join is ONE hash exchange on the key + ONE sort feeding
+    one Window — the same cost as a keyed agg, no range cross join."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    plan = _plan(
+        relational.asof_join(
+            views, clicks, ["user_id"], "ts",
+            {"event_id": "click_id", "value": "click_value"},
+        )
+    )
+    # exactly one exchange in the whole plan, and it hashes on the key
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(user_id" in plan
+    # tree section: one Sort, one Window, no join node at all
+    assert plan.count("+- Sort") == 1 and plan.count("+- Window") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_corpus_never_shuffles_before_rerank(spark):
+    """IVF candidate selection: cell assignment is map-side and the probe
+    list broadcasts — the only corpus shuffle is the final per-query
+    rerank window over surviving candidates."""
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange is the rerank window's, keyed on q_id
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(q_id" in plan
