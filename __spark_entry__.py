@@ -203,6 +203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rollup_doc_stats(spark, sf):
         return relational.rollup_counts(_docs(spark, sf), ["lang", "source"], "n_chars")
 
+    def range_join_click_window(spark, sf):
+        ev = _tbl(spark, sf, "events")
+        anchors = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("anchor_id"), "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click")
+        return relational.range_join_window_agg(
+            anchors, clicks, keys=["user_id"], ts="ts", window_sec=600,
+            value_col="value",
+        ).select("anchor_id", "user_id", "n_points", "sum_value")
+
     def asof_join_latest_click(spark, sf):
         ev = _tbl(spark, sf, "events")
         views = ev.filter(F.col("event_type") == "view").select(
@@ -378,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_rows_cols": count_rows_cols,
         "rollup_doc_stats": rollup_doc_stats,
         "asof_join_latest_click": asof_join_latest_click,
+        "range_join_click_window": range_join_click_window,
         "topk_longest_docs": topk_longest_docs,
         "set_except": set_except,
         "dedup_exact": dedup_exact,
@@ -535,6 +547,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
             " COUNT(*) AS n_turns"
             " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
+        ),
+        "range_join_click_window": (
+            # interval semantics stated as a plain inequality join; the
+            # Spark side bin-buckets it into an equi-join on (user, bin)
+            "SELECT a.event_id AS anchor_id, a.user_id AS user_id,"
+            "  CAST(COUNT(p.event_id) AS BIGINT) AS n_points,"
+            "  ROUND(COALESCE(SUM(p.value), 0.0), 2) AS sum_value"
+            " FROM events a LEFT JOIN events p"
+            "  ON p.user_id = a.user_id AND p.event_type = 'click'"
+            "  AND p.ts >= a.ts AND p.ts <= a.ts + INTERVAL 600 SECONDS"
+            " WHERE a.event_type = 'error'"
+            " GROUP BY 1, 2"
         ),
         "asof_join_latest_click": (
             # as-of semantics stated as join+qualify (DuckDB also has native

@@ -201,3 +201,59 @@ def asof_join(
         *[F.last(oc, ignorenulls=True).over(w).alias(oc) for oc in out_cols],
     )
     return u.filter(F.col("__r") == 1).drop("__r")
+
+
+def range_join_window_agg(
+    anchors: DataFrame,
+    points: DataFrame,
+    keys: list[str],
+    ts: str,
+    window_sec: int,
+    value_col: str,
+    bin_sec: int = 300,
+) -> DataFrame:
+    """Range (interval) join + aggregate: for each anchor row, count and
+    sum ``value_col`` over the points of the same key with
+    ``anchor.ts <= point.ts <= anchor.ts + window_sec`` (inclusive ends).
+    Anchors with no points keep n=0 / sum=0.
+
+    Spark has no range-join operator, and the naive formulation (equi-join
+    on key + ts inequality) degenerates to a per-key cross product. This
+    is the standard bin-bucketing shape instead: the anchor's interval
+    explodes into ceil(window/bin)+1 fixed-width epoch bins, each point
+    lands in exactly one bin, and the join is a plain equi-join on
+    (key, bin) — shuffle-partitionable, AQE-skew-splittable, never a
+    nested loop. A point matches at most one exploded bin row of a given
+    anchor, so no post-join dedup is needed; the exact inequality filter
+    runs inside the aggregate (conditional count/sum), which also keeps
+    empty-window anchors via the left join.
+    """
+    a_start = F.unix_timestamp(F.col(ts))
+    a = anchors.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(a_start / bin_sec),
+                F.floor((a_start + window_sec) / bin_sec),
+            )
+        ),
+    )
+    p_cols = [F.col(c).alias(f"__p_{c}") for c in [*keys, ts, value_col]]
+    p = points.select(*p_cols).withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(f"__p_{ts}")) / bin_sec)
+    )
+    cond = [a[k] == p[f"__p_{k}"] for k in keys] + [a["__bin"] == p["__bin"]]
+    j = a.join(p, cond, "left")
+    in_range = (F.col(f"__p_{ts}") >= F.col(ts)) & (
+        F.col(f"__p_{ts}") <= F.col(ts) + F.expr(f"INTERVAL {window_sec} SECONDS")
+    )
+    return (
+        j.groupBy(*[a[c] for c in anchors.columns])
+        .agg(
+            F.count(F.when(in_range, 1)).alias("n_points"),
+            F.round(
+                F.coalesce(F.sum(F.when(in_range, F.col(f"__p_{value_col}"))), F.lit(0.0)),
+                2,
+            ).alias("sum_value"),
+        )
+    )

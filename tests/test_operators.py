@@ -305,3 +305,36 @@ def test_asof_join_semantics(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(out.sort_index(), out2)
+
+
+def test_range_join_window_agg_semantics(spark):
+    """Bin-bucketed range join: inclusive window ends, empty-window anchors
+    kept at 0, points in a different epoch bin than the anchor still match
+    (the exploded bins cover the whole interval), no double counting."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    anchors = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 10, t(5000)), (3, 20, t(0))],
+        "anchor_id long, user_id long, ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (100, 10, t(0), 1.0),    # == window start, inclusive
+            (101, 10, t(600), 2.0),  # == window end (600s), inclusive
+            (102, 10, t(601), 4.0),  # 1s past the end → excluded
+            (103, 10, t(599), 8.0),  # in a later 300s bin than the anchor
+            (104, 20, t(9000), 16.0),# other user, outside anchor 3's window
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = (
+        relational.range_join_window_agg(
+            anchors, points, ["user_id"], "ts", 600, "value"
+        )
+        .toPandas()
+        .set_index("anchor_id")
+    )
+    assert out.loc[1, "n_points"] == 3 and out.loc[1, "sum_value"] == 11.0
+    assert out.loc[2, "n_points"] == 0 and out.loc[2, "sum_value"] == 0.0
+    assert out.loc[3, "n_points"] == 0

@@ -151,3 +151,21 @@ def test_ivf_corpus_never_shuffles_before_rerank(spark):
     # the only hash exchange is the rerank window's, keyed on q_id
     assert plan.count("hashpartitioning(") == 1
     assert "hashpartitioning(q_id" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The interval join must compile to an equi-join on (key, bin) —
+    never a per-key cross product / nested loop."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    plan = _plan(
+        relational.range_join_window_agg(
+            anchors, clicks, ["user_id"], "ts", 600, "value"
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "__bin" in plan  # the equi-join key includes the epoch bin
