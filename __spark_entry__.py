@@ -214,6 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             value_col="value",
         ).select("anchor_id", "user_id", "n_points", "sum_value")
 
+    def cube_doc_stats(spark, sf):
+        return relational.cube_counts(_docs(spark, sf), ["lang", "source"], "n_chars")
+
+    def doc_length_quantiles(spark, sf):
+        return relational.exact_quantiles(
+            _docs(spark, sf), "n_chars", [0.25, 0.5, 0.75, 0.9]
+        )
+
     def asof_join_latest_click(spark, sf):
         ev = _tbl(spark, sf, "events")
         views = ev.filter(F.col("event_type") == "view").select(
@@ -390,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_doc_stats": rollup_doc_stats,
         "asof_join_latest_click": asof_join_latest_click,
         "range_join_click_window": range_join_click_window,
+        "cube_doc_stats": cube_doc_stats,
+        "doc_length_quantiles": doc_length_quantiles,
         "topk_longest_docs": topk_longest_docs,
         "set_except": set_except,
         "dedup_exact": dedup_exact,
@@ -547,6 +557,20 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
             " COUNT(*) AS n_turns"
             " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
+        ),
+        "cube_doc_stats": (
+            "SELECT lang, source,"
+            " CAST(GROUPING(lang, source) AS BIGINT) AS gid,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars"
+            " FROM documents GROUP BY CUBE (lang, source)"
+        ),
+        "doc_length_quantiles": (
+            "WITH q AS (SELECT quantile_cont(n_chars,"
+            "  [0.25, 0.5, 0.75, 0.9]) AS qs FROM documents)"
+            " SELECT CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS p,"
+            "  ROUND(qs[i], 3) AS value"
+            " FROM q, LATERAL unnest(range(1, 5)) u(i)"
         ),
         "range_join_click_window": (
             # interval semantics stated as a plain inequality join; the

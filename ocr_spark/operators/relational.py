@@ -257,3 +257,33 @@ def range_join_window_agg(
             ).alias("sum_value"),
         )
     )
+
+
+def cube_counts(df: DataFrame, dims: list[str], measure: str) -> DataFrame:
+    """CUBE over ``dims``: count + sum(measure) for every dim subset, with
+    grouping_id disambiguating total rows from genuine-NULL dim values.
+    Same partial-aggregation-per-grouping-set execution as rollup."""
+    return df.cube(*dims).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(measure).cast("long").alias(f"sum_{measure}"),
+    )
+
+
+def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """Exact continuous quantiles (linear interpolation) as rows
+    (p, value). `percentile` is an exact aggregate — one pass + a
+    per-group sort of the collected values; for a single global group the
+    reduce side is one task, fine for stats-sized outputs (use
+    approx_percentile at data-proportional cardinalities)."""
+    arr = ", ".join(str(p) for p in probs)
+    q = df.agg(
+        F.expr(f"percentile({col}, array({arr}))").alias("qs")
+    )
+    probs_col = F.array(*[F.lit(p) for p in probs])
+    return q.select(
+        F.posexplode(F.arrays_zip(probs_col.alias("p"), F.col("qs")))
+    ).select(
+        F.col("col.p").alias("p"),
+        F.round(F.col("col.qs"), 3).alias("value"),
+    )

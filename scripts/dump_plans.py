@@ -34,6 +34,7 @@ def main() -> int:
     lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
     transcripts = spark.createDataFrame(make_transcripts(n_convs=5, seed=7))
 
     sections = [
@@ -82,6 +83,46 @@ def main() -> int:
             "`(id, table_idx, bucket)`, vectors re-attach by id AFTER the distinct — "
             "the heavy columns cross the wire once per surviving candidate.",
             similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 3), k=2),
+        ),
+        (
+            "IVF ANN (`ivf_topk`)",
+            "Cell assignment is a map-side pandas-UDF projection (centroids ride in "
+            "the closure); the nprobe-cells-per-query probe list broadcasts "
+            "(`BroadcastHashJoin`) so the corpus never shuffles before the rerank — "
+            "the plan's only hash exchange is the per-query rerank window on `q_id`.",
+            similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=2),
+        ),
+        (
+            "As-of join (`asof_join`)",
+            "Union of tagged sides → ONE hash exchange on the key → ONE sort → ONE "
+            "`Window` (`last(payload, ignorenulls)` over rows-unbounded-preceding) → "
+            "filter left rows. Keyed-agg cost; no join node exists in the plan at all.",
+            relational.asof_join(
+                events.filter(F.col("event_type") == "view").select(
+                    F.col("event_id").alias("view_id"), "user_id", "ts"
+                ),
+                events.filter(F.col("event_type") == "click"),
+                ["user_id"],
+                "ts",
+                {"event_id": "click_id", "value": "click_value"},
+            ),
+        ),
+        (
+            "Range join (`range_join_window_agg`)",
+            "The anchor interval explodes into fixed epoch bins; the join is a plain "
+            "equi-join on `(user_id, __bin)` — `SortMergeJoin`, never "
+            "`CartesianProduct`/`BroadcastNestedLoopJoin` — and the exact inequality "
+            "runs inside the aggregate.",
+            relational.range_join_window_agg(
+                events.filter(F.col("event_type") == "error").select(
+                    F.col("event_id").alias("anchor_id"), "user_id", "ts"
+                ),
+                events.filter(F.col("event_type") == "click"),
+                ["user_id"],
+                "ts",
+                600,
+                "value",
+            ),
         ),
     ]
 
