@@ -185,3 +185,27 @@ def windowed_turn_counts(
             "n_turns",
         )
     )
+
+
+def sliding_turn_rates(
+    stream: DataFrame,
+    window: str = "2 minutes",
+    slide: str = "30 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked sliding (hopping) window: each event lands in
+    window/slide overlapping windows, giving a smoothed per-tool turn
+    rate. State is bounded by watermark + window length; the overlap
+    factor multiplies state size, which is why slide defaults to 1/4 of
+    the window, not per-second."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "tool")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "tool",
+            "n_turns",
+        )
+    )

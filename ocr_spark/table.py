@@ -166,3 +166,28 @@ def table_rows(root: str, snapshot_id: int | None = None) -> int:
     """Row count straight from manifest stats — no data files opened."""
     snap = read_snapshot(root, snapshot_id)
     return 0 if snap is None else sum(f["rows"] for f in snap["files"])
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, buckets: int, path: str
+) -> None:
+    """Materialize a bucketed+sorted table layout for co-located joins.
+
+    Both sides of a repeated equi-join written with the SAME bucket count
+    and key join with ZERO exchanges (Spark reads bucket i of each side
+    into the same task) — at 100 TB this converts every recurring
+    dimension/fact join from a full shuffle into a local merge. Bucketing
+    metadata lives in the session catalog (saveAsTable), files at
+    ``path``; the Iceberg swap-in would carry the same layout as a
+    partition spec. Catalyst only uses bucketing when
+    spark.sql.sources.bucketing.enabled (default true).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )

@@ -169,3 +169,26 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "__bin" in plan  # the equi-join key includes the epoch bin
+
+
+def test_bucketed_join_runs_with_zero_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with NO exchange on either side — the co-located-join layout that
+    turns recurring joins into local merges at scale."""
+    from ocr_spark.table import write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    write_bucketed(docs, "b_left", "doc_id", 8, str(tmp_path / "l"))
+    write_bucketed(docs, "b_right", "doc_id", 8, str(tmp_path / "r"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_left").join(spark.table("b_right"), "doc_id")
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan

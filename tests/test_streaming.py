@@ -169,3 +169,35 @@ def test_stateful_progress_survives_restart(spark, dirs):
     got2 = r2.groupby("conv_id")["turns_total"].max()
     for cid, n in both.items():
         assert got2[cid] == n, (cid, got2[cid], n)
+
+
+def test_sliding_windows_overlap_semantics(spark):
+    """Sliding windows: an event lands in window/slide overlapping
+    windows; counts per window reflect every event whose ts falls inside
+    [start, end) — checked deterministically over batch data."""
+    import pandas as pd
+
+    from ocr_spark.streaming import sliding_turn_rates
+
+    base = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")
+    rows = [
+        ("A", i, "user", "x", "grid", base + pd.Timedelta(seconds=s))
+        for i, s in enumerate([0, 30, 60, 90])
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+    got = (
+        sliding_turn_rates(
+            spark.createDataFrame(pdf), window="2 minutes", slide="30 seconds"
+        )
+        .toPandas()
+        .sort_values("win_start", ignore_index=True)
+    )
+    # each event is in 4 windows (120s / 30s) → total count 16
+    assert got["n_turns"].sum() == 16
+    # the fully-covering window [0, 120) holds all 4 events
+    full = got[got["win_start"] == base.tz_localize(None)]
+    assert full["n_turns"].tolist() == [4]
