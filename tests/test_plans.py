@@ -192,3 +192,15 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_conversation_assembly_single_group_exchange(spark):
+    """The applyInPandas assembly is one exchange on conv_id feeding one
+    FlatMapGroupsInPandas — no extra shuffle, no sort beyond the group."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["conversation_assembly"](spark, SF)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(conv_id" in plan
