@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -67,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         "--only-parts",
         default=None,
         help="comma-separated logical part ids (testing: simulate partial run)",
+    )
+    p.add_argument(
+        "--assemble",
+        action="store_true",
+        help="after extraction, also write the per-conversation combined "
+        "tables (reference schema_align_union) as long spans to "
+        "<output>_assembled via the grouped-map assembly",
     )
     args = p.parse_args(argv)
 
@@ -133,6 +141,21 @@ def main(argv: list[str] | None = None) -> int:
         part_hist = part_duration_hist(
             lineage, int(lin["min_part_ms"]), int(lin["max_part_ms"])
         )
+    assembled_rows = None
+    if args.assemble:
+        from ocr_spark.pipeline import (
+            assemble_conversations,
+            read_extracted,
+            read_extracted_table,
+        )
+
+        reader = read_extracted_table if args.snapshot_table else read_extracted
+        assembled = assemble_conversations(reader(spark, args.output))
+        # sibling dir: the output root is a rec=...-partitioned dataset and
+        # must not grow foreign subdirectories
+        apath = args.output.rstrip("/") + "_assembled"
+        assembled.write.mode("overwrite").parquet(apath)
+        assembled_rows = spark.read.parquet(apath).count()
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -145,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
                 "part_ms_p50": int(lin["p50_part_ms"]),
                 "part_ms_max": int(lin["max_part_ms"]),
                 "part_ms_hist": part_hist,
+                "assembled_rows": assembled_rows,
                 "turns_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
                 "output": args.output,
             }

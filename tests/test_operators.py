@@ -338,3 +338,100 @@ def test_range_join_window_agg_semantics(spark):
     assert out.loc[1, "n_points"] == 3 and out.loc[1, "sum_value"] == 11.0
     assert out.loc[2, "n_points"] == 0 and out.loc[2, "sum_value"] == 0.0
     assert out.loc[3, "n_points"] == 0
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Dense seeded random events (few users, coarse timestamps → heavy
+    key and tie collisions) — the composed as-of join must equal the
+    brute-force per-row oracle: max-(ts, event_id) click at ts <= view
+    ts."""
+    import datetime as dt
+
+    rng = np.random.default_rng(99)
+    n = 300
+    base = dt.datetime(2026, 1, 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 6, n).astype("int64"),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 120, n)],
+            "value": np.round(rng.uniform(0, 10, n), 2),
+            "kind": rng.choice(["view", "click"], n),
+        }
+    )
+    views = ev[ev["kind"] == "view"]
+    clicks = ev[ev["kind"] == "click"]
+    got = (
+        relational.asof_join(
+            spark.createDataFrame(
+                views.rename(columns={"event_id": "view_id"})[
+                    ["view_id", "user_id", "ts"]
+                ]
+            ),
+            spark.createDataFrame(clicks[["event_id", "user_id", "ts", "value"]]),
+            ["user_id"],
+            "ts",
+            {"event_id": "click_id", "value": "click_value"},
+        )
+        .toPandas()
+        .set_index("view_id")["click_id"]
+        .sort_index()
+    )
+    want = {}
+    for _, v in views.iterrows():
+        c = clicks[(clicks["user_id"] == v["user_id"]) & (clicks["ts"] <= v["ts"])]
+        want[v["event_id"]] = (
+            None if c.empty else c.sort_values(["ts", "event_id"]).iloc[-1]["event_id"]
+        )
+    for vid, exp in want.items():
+        g = got.loc[vid]
+        assert (pd.isna(g) and exp is None) or g == exp, (vid, g, exp)
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    """Same dense random events: bin-bucketed range join counts must equal
+    the brute-force interval filter for every anchor, including windows
+    spanning many bins and empty windows."""
+    import datetime as dt
+
+    rng = np.random.default_rng(7)
+    n = 300
+    base = dt.datetime(2026, 1, 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 6, n).astype("int64"),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 2000, n)],
+            "value": np.round(rng.uniform(0, 10, n), 2),
+            "kind": rng.choice(["error", "click"], n),
+        }
+    )
+    anchors = ev[ev["kind"] == "error"]
+    points = ev[ev["kind"] == "click"]
+    got = (
+        relational.range_join_window_agg(
+            spark.createDataFrame(
+                anchors.rename(columns={"event_id": "anchor_id"})[
+                    ["anchor_id", "user_id", "ts"]
+                ]
+            ),
+            spark.createDataFrame(points[["event_id", "user_id", "ts", "value"]]),
+            ["user_id"],
+            "ts",
+            600,
+            "value",
+        )
+        .toPandas()
+        .set_index("anchor_id")["n_points"]
+        .sort_index()
+    )
+    for _, a in anchors.iterrows():
+        lo, hi = a["ts"], a["ts"] + dt.timedelta(seconds=600)
+        exp = len(
+            points[
+                (points["user_id"] == a["user_id"])
+                & (points["ts"] >= lo)
+                & (points["ts"] <= hi)
+            ]
+        )
+        assert got.loc[a["event_id"]] == exp, (a["event_id"], got.loc[a["event_id"]], exp)

@@ -99,3 +99,31 @@ def test_part_duration_hist_flags_straggler(spark):
     assert h["counts"][0] == 5  # the homogeneous fast parts
     assert h["counts"][7] == 1  # the straggler
     assert h["min_ms"] == 10 and h["width_ms"] == 11
+
+
+def test_assemble_over_written_output_matches_oracle(spark, corpus, tmp_path):
+    """The --assemble job path composes read_extracted → grouped-map
+    assembly over the WRITTEN parquet (not the in-memory frame) — its
+    spans must equal the pandas oracle's combined tables."""
+    import json as _json
+
+    from ocr_spark.oracle import oracle_assemble, oracle_extract
+    from ocr_spark.pipeline import assemble_conversations
+
+    path, pdf = corpus
+    out = str(tmp_path / "out")
+    run_pipeline(spark, path, out, num_parts=8)
+    got = (
+        assemble_conversations(read_extracted(spark, out))
+        .toPandas()
+        .sort_values(["conv_id", "row_seq", "col_idx"], ignore_index=True)
+    )
+    ext = oracle_extract(pdf)
+    want = oracle_assemble(ext, pdf.sort_values(["conv_id", "turn_idx"])["tool"])
+    want = want.sort_values(["conv_id", "row_seq", "col_idx"], ignore_index=True)
+    assert len(got) == len(want)
+    for c in ["conv_id", "row_seq", "col_idx", "col_name"]:
+        assert (got[c].values == want[c].values).all(), c
+    ga = got["cell"].map(lambda v: "∅" if v is None or v != v else v)
+    wa = want["cell"].map(lambda v: "∅" if v is None or v != v else v)
+    assert (ga.values == wa.values).all()
