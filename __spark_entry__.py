@@ -214,6 +214,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             value_col="value",
         ).select("anchor_id", "user_id", "n_points", "sum_value")
 
+    def pivot_lang_counts(spark, sf):
+        # explicit value list: one-pass pivot, no value-discovery scan and a
+        # deterministic column order (valueless pivot runs an extra distinct
+        # job and orders columns by the discovered values)
+        piv = (
+            _docs(spark, sf)
+            .groupBy("source")
+            .pivot("lang", ["de", "en", "es", "fr", "zh"])
+            .count()
+        )
+        return piv.select(
+            "source",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ["de", "en", "es", "fr", "zh"]
+            ],
+        )
+
     def cube_doc_stats(spark, sf):
         return relational.cube_counts(_docs(spark, sf), ["lang", "source"], "n_chars")
 
@@ -399,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_latest_click": asof_join_latest_click,
         "range_join_click_window": range_join_click_window,
         "cube_doc_stats": cube_doc_stats,
+        "pivot_lang_counts": pivot_lang_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "topk_longest_docs": topk_longest_docs,
         "set_except": set_except,
@@ -557,6 +576,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MAX(n_chars % 5) AS INT) AS max_cols,"
             " COUNT(*) AS n_turns"
             " FROM documents GROUP BY printf('conv_%02d', doc_id % 40)"
+        ),
+        "pivot_lang_counts": (
+            "SELECT source,"
+            " CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,"
+            " CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,"
+            " CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,"
+            " CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,"
+            " CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh"
+            " FROM documents GROUP BY source"
         ),
         "cube_doc_stats": (
             "SELECT lang, source,"
