@@ -60,6 +60,12 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "quality_score",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "asof_join_latest_click",
+    "range_join_click_window",
+    "cube_doc_stats",
+    "pivot_lang_counts",
+    "doc_length_quantiles",
 ]
 
 
