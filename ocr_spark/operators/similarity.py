@@ -261,6 +261,7 @@ def ivf_topk(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer: (q_id, neighbor_id,
     rank, cosine_r). Recall < 1 by construction (neighbors outside the
@@ -272,8 +273,18 @@ def ivf_topk(
     the corpus. Only the surviving ~nprobe/nlist fraction of rows reaches
     the per-query rerank window. Centroids ride to executors inside the
     UDF closure (nlist*dim floats — KBs for thousands of cells).
+
+    Pass ``centroids`` (from ``ivf_train_centroids``) to reuse a trained
+    quantizer across query batches — in production the quantizer is
+    trained once per corpus snapshot and its two driver-side collects
+    (sample + probe ranking) amortize to zero; the brute-force
+    ``cosine_topk`` stays cheaper only while corpus × queries is small.
     """
-    cents = ivf_train_centroids(corpus, nlist, sample_n, iters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(corpus, nlist, sample_n, iters, id_col, vec_col)
+    )
     assign = _cell_assign_udf(cents)
 
     c = corpus.select(

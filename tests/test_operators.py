@@ -435,3 +435,17 @@ def test_range_join_randomized_vs_bruteforce(spark):
             ]
         )
         assert got.loc[a["event_id"]] == exp, (a["event_id"], got.loc[a["event_id"]], exp)
+
+
+def test_ivf_pretrained_centroids_reused(vectors):
+    """A pre-trained quantizer passed in must produce the same result as
+    in-call training (train-once-per-snapshot production shape)."""
+    trained = similarity.ivf_train_centroids(vectors, nlist=4)
+    a = similarity.ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3), k=3, nlist=4, nprobe=2
+    ).toPandas().sort_values(["q_id", "rank"], ignore_index=True)
+    b = similarity.ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3), k=3, nlist=4, nprobe=2,
+        centroids=trained,
+    ).toPandas().sort_values(["q_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
