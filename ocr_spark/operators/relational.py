@@ -137,9 +137,12 @@ def topk_by(df: DataFrame, order_cols: list[str], k: int) -> DataFrame:
 
 
 def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Set difference (EXCEPT DISTINCT) — compiles to a left-anti hash
-    join over distinct rows."""
-    return a.exceptAll(b.distinct()).distinct()
+    """Set difference (SQL EXCEPT DISTINCT) — compiles to a left-anti hash
+    join over distinct rows. subtract() excludes a row ENTIRELY if it
+    appears in b, regardless of its multiplicity in a (the former
+    exceptAll(b.distinct()).distinct() form wrongly kept rows appearing
+    N>1 times in a and once in b)."""
+    return a.subtract(b)
 
 
 def asof_join(

@@ -99,18 +99,34 @@ LINEAGE_JSON_SCHEMA = T.StructType(
 )
 
 
+def _esc_nul(s: pd.Series) -> pd.Series:
+    """NUL-free injective encoding: \\x01 → \\x01\\x01, \\x00 → \\x01\\x02.
+
+    pandas' C string hasher truncates at embedded NUL bytes (the
+    factorization path treats values as C strings), which both collides
+    NUL-prefix pairs and makes the wrapping-sum checksum order-dependent.
+    After this escape no field contains \\x00, and \\x01 is always followed
+    by \\x01 or \\x02 — so the \\x01\\x03 field separator below can never
+    appear inside an escaped field (injective join)."""
+    return s.str.replace("\x01", "\x01\x01", regex=False).str.replace(
+        "\x00", "\x01\x02", regex=False
+    )
+
+
 def turn_checksums(
     conv_id: pd.Series, turn_idx: pd.Series, text: pd.Series
 ) -> np.ndarray:
     """Vectorized order-insensitive per-turn digest (uint64); the part
     checksum is the wrapping sum. pandas' string hash is process- and
-    partition-independent (fixed hash key), so resume runs reproduce it."""
+    partition-independent (fixed hash key), so resume runs reproduce it.
+    Fields are NUL-escaped first: the hasher is only byte-exact on
+    NUL-free strings (see _esc_nul)."""
     joined = (
-        conv_id.astype("string")
-        + "\x00"
+        _esc_nul(conv_id.astype("string"))
+        + "\x01\x03"
         + turn_idx.astype("int64").astype("string")
-        + "\x00"
-        + text.astype("string")
+        + "\x01\x03"
+        + _esc_nul(text.astype("string"))
     )
     return pd.util.hash_pandas_object(joined, index=False).to_numpy(np.uint64)
 

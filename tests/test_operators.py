@@ -449,3 +449,12 @@ def test_ivf_pretrained_centroids_reused(vectors):
         centroids=trained,
     ).toPandas().sort_values(["q_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_except_distinct_excludes_duplicated_rows(spark):
+    # SQL EXCEPT semantics: a row appearing 3x in a and 1x in b must be
+    # ABSENT (the old exceptAll(b.distinct()).distinct() kept it)
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(1,), (4,)], "x int")
+    out = sorted(r["x"] for r in relational.except_distinct(a, b).collect())
+    assert out == [2, 3]
