@@ -8,9 +8,11 @@ ingest at 10^12-turn scale), Structured Streaming's file source tracks
 what has been processed in its checkpoint, and every micro-batch runs
 the IDENTICAL fused extraction stage (ocr_spark.pipeline.extract_stage)
 and publishes one atomic snapshot (ocr_spark.table.commit_append) via
-foreachBatch. Restarting the stream re-processes nothing — file-source
-checkpointing gives exactly-once per file on top of the snapshot
-atomicity per micro-batch.
+foreachBatch. Restarting the stream re-processes nothing: file-source
+checkpointing tracks processed files, and because foreachBatch itself is
+only at-least-once, the committer records each micro-batch id in the
+snapshot metadata and skips replayed batches — idempotent foreachBatch,
+i.e. true exactly-once per file.
 
 Also provides the standard event-time surface: watermarked tumbling-
 window turn counts for monitoring (late data beyond the watermark is
@@ -47,6 +49,51 @@ def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def committed_stream_batch(table_root: str) -> int | None:
+    """Largest micro-batch id recorded in the table's snapshot chain
+    (walks parents so interleaved non-stream commits don't hide it)."""
+    from ocr_spark import table as tbl
+
+    snap = tbl.read_snapshot(table_root)
+    while snap is not None:
+        b = snap.get("stream_batch_id")
+        if b is not None:
+            return int(b)
+        parent = snap.get("parent")
+        snap = tbl.read_snapshot(table_root, parent) if parent is not None else None
+    return None
+
+
+def make_batch_committer(
+    table_root: str,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    turn_bucket: int = DEFAULT_TURN_BUCKET,
+):
+    """The foreachBatch sink: extract + atomic snapshot commit, IDEMPOTENT
+    per micro-batch. foreachBatch is at-least-once — a crash after the
+    snapshot commit but before the stream checkpoint's offset commit
+    replays the micro-batch on restart — so the commit records its
+    batch_id in the snapshot metadata and a replayed batch (id ≤ the last
+    committed one; Structured Streaming batch ids are monotonic) is
+    skipped, upgrading the sink to exactly-once."""
+    from ocr_spark import table as tbl
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = committed_stream_batch(table_root)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed after crash-between-commit-and-checkpoint
+        out = extract_stage(batch_df, num_parts=num_parts, turn_bucket=turn_bucket)
+        tbl.commit_append(
+            batch_df.sparkSession,
+            table_root,
+            out,
+            part_col="part_id",
+            extra_meta={"stream_batch_id": int(batch_id)},
+        )
+
+    return process_batch
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -60,17 +107,15 @@ def stream_extract(
 
     ``available_now=True`` drains everything currently in the directory
     and stops (the batch-catch-up trigger); False runs indefinitely.
+    Exactly-once: file-source checkpointing (each file processed in one
+    micro-batch) + the idempotent batch committer (replays skipped via the
+    batch id recorded in snapshot metadata).
     """
-    from ocr_spark import table as tbl
-
     stream = read_transcript_stream(spark, input_dir)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_stage(batch_df, num_parts=num_parts, turn_bucket=turn_bucket)
-        tbl.commit_append(batch_df.sparkSession, table_root, out, part_col="part_id")
-
     writer = (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(
+            make_batch_committer(table_root, num_parts, turn_bucket)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -66,25 +66,42 @@ def read_snapshot(root: str, snapshot_id: int | None = None) -> dict | None:
 
 
 def _file_stats(spark: SparkSession, files: list[str], part_col: str | None) -> list[dict]:
+    """Per-file manifest stats in ONE Spark job regardless of file count:
+    a single scan of all new files grouped by input_file_name(). The former
+    driver loop launched one job per file — thousands of sequential jobs
+    for a large commit."""
+    import urllib.parse
+
+    if not files:
+        return []
+    df = spark.read.parquet(*sorted(files))
+    aggs = [F.count("*").alias("rows")]
+    with_part = part_col is not None and part_col in df.columns
+    if with_part:
+        aggs += [F.min(part_col).alias("lo"), F.max(part_col).alias("hi")]
+    rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+    by_path = {
+        os.path.abspath(urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)): r
+        for r in rows
+    }
     out = []
     for path in sorted(files):
-        df = spark.read.parquet(path)
-        if part_col is not None and part_col in df.columns:
-            row = df.agg(
-                F.count("*").alias("rows"),
-                F.min(part_col).alias("lo"),
-                F.max(part_col).alias("hi"),
-            ).first()
+        r = by_path.get(os.path.abspath(path))
+        if r is None:
+            # a part file Spark wrote for an empty partition: zero rows,
+            # so it never appears in the grouped scan output
+            out.append({"path": path, "rows": 0})
+        elif with_part and r["lo"] is not None:
             out.append(
                 {
                     "path": path,
-                    "rows": row["rows"],
-                    "part_min": row["lo"],
-                    "part_max": row["hi"],
+                    "rows": r["rows"],
+                    "part_min": r["lo"],
+                    "part_max": r["hi"],
                 }
             )
         else:
-            out.append({"path": path, "rows": df.count()})
+            out.append({"path": path, "rows": r["rows"]})
     return out
 
 
@@ -94,11 +111,15 @@ def commit_append(
     df: DataFrame,
     part_col: str | None = "part_id",
     overwrite: bool = False,
+    extra_meta: dict | None = None,
 ) -> int:
     """Write ``df`` as new data files and atomically publish a snapshot.
 
     Returns the new snapshot id. Crash-safe: everything before the final
-    ``os.replace`` of VERSION is invisible to readers.
+    ``os.replace`` of VERSION is invisible to readers. ``extra_meta`` is
+    merged into the snapshot JSON (reserved keys are protected) — e.g. the
+    streaming layer records its micro-batch id there to make foreachBatch
+    commits idempotent under at-least-once replay.
     """
     data_dir = os.path.join(root, "data", uuid.uuid4().hex[:12])
     df.write.mode("errorifexists").parquet(data_dir)
@@ -119,6 +140,10 @@ def commit_append(
         "part_col": part_col,
         "files": prev_files + _file_stats(spark, new_files, part_col),
     }
+    if extra_meta:
+        for k, v in extra_meta.items():
+            if k not in snapshot:
+                snapshot[k] = v
     snap_path = os.path.join(_meta_dir(root), f"snap-{snap_id}.json")
     tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:

@@ -201,3 +201,29 @@ def test_sliding_windows_overlap_semantics(spark):
     # the fully-covering window [0, 120) holds all 4 events
     full = got[got["win_start"] == base.tz_localize(None)]
     assert full["n_turns"].tolist() == [4]
+
+def test_replayed_micro_batch_commits_nothing(spark, dirs):
+    # foreachBatch is at-least-once: a crash after the snapshot commit but
+    # before the checkpoint offset commit re-delivers the SAME batch_id on
+    # restart. The committer must skip it (idempotent), and accept the
+    # next unseen id.
+    from ocr_spark.streaming import committed_stream_batch, make_batch_committer
+
+    inp, root, ckpt = dirs
+    a = _drop(inp, "a.parquet", seed=60)
+    q = stream_extract(spark, inp, root, ckpt, num_parts=8)
+    q.awaitTermination(120)
+    n = read_extracted_table(spark, root).count()
+    assert n == len(a)
+    last = committed_stream_batch(root)
+    assert last is not None
+
+    commit = make_batch_committer(root, num_parts=8)
+    batch_df = spark.read.parquet(os.path.join(inp, "a.parquet"))
+    commit(batch_df, last)  # replay of an already-committed batch
+    assert read_extracted_table(spark, root).count() == n  # no duplicate rows
+    assert tbl.current_snapshot_id(root) is not None
+
+    commit(batch_df, last + 1)  # a genuinely new batch still commits
+    assert read_extracted_table(spark, root).count() > n
+    assert committed_stream_batch(root) == last + 1

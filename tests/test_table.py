@@ -78,3 +78,26 @@ def test_snapshot_metadata_shape(spark, root):
     assert snap["operation"] == "append"
     assert snap["parent"] is None
     assert all({"path", "rows", "part_min", "part_max"} <= set(f) for f in snap["files"])
+
+def _jobs_for(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+def test_commit_stats_is_one_job_regardless_of_file_count(spark, root):
+    # manifest stats must come from ONE grouped scan over all new files —
+    # a per-file driver loop means thousands of jobs for a big commit
+    few = spark.range(100).withColumn("part_id", (F.col("id") % 2).cast("int")).repartition(2, "part_id")
+    many = spark.range(100).withColumn("part_id", (F.col("id") % 16).cast("int")).repartition(16, "part_id")
+    n_few = _jobs_for(spark, "commit-few", lambda: table.commit_append(spark, root, few))
+    root2 = root + "_many"
+    n_many = _jobs_for(spark, "commit-many", lambda: table.commit_append(spark, root2, many))
+    assert n_many == n_few  # job count independent of file count
+    # stats themselves stay correct
+    snap = table.read_snapshot(root2)
+    assert sum(f["rows"] for f in snap["files"]) == 100
+    assert {f["part_min"] for f in snap["files"] if "part_min" in f} <= set(range(16))
