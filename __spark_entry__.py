@@ -310,7 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.ngram_jaccard(pairs).select("doc_id_a", "doc_id_b", "jaccard")
 
     def dedup_simhash(spark, sf):
-        return dedup.simhash(_docs(spark, sf))  # rows-only: int128-bit math
+        return dedup.simhash(_docs(spark, sf))
+
+    def dedup_simhash_candidates(spark, sf):
+        return dedup.simhash_candidate_groups(_docs(spark, sf))
 
     def dedup_embedding_cosine(spark, sf):
         return dedup.embedding_cosine_pairs(_tbl(spark, sf, "embeddings"))
@@ -430,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -454,6 +458,22 @@ _SHINGLES = (
     "list_distinct(list_transform("
     " range(1, greatest(len(string_split({col},' ')) - 3 + 1, 0) + 1),"
     " i -> array_to_string(list_slice(string_split({col},' '), i, i+2), ' ')))"
+)
+
+
+_SIMHASH_V = (
+    "WITH tok AS ("
+    " SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents"
+    " WHERE length(text) > 0),"
+    " th AS (SELECT doc_id,"
+    "  ((md5_number(t) % 18446744073709551616) + 18446744073709551616)"
+    "   % 18446744073709551616 AS h FROM tok),"
+    " bits AS (SELECT doc_id, u.b AS b,"
+    "  SUM(CASE WHEN (h >> CAST(u.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc"
+    "  FROM th, LATERAL unnest(range(0, 64)) u(b) GROUP BY doc_id, u.b),"
+    " v AS (SELECT doc_id, SUM(CASE WHEN acc > 0"
+    "  THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS vu"
+    "  FROM bits GROUP BY doc_id)"
 )
 
 
@@ -742,7 +762,28 @@ def oracle_sql() -> dict[str, str]:
             " CAST(9 + (label % 16 + 1) * (vec_id % 8 + 1) AS BIGINT) AS n_bytes,"
             " TRUE AS valid FROM embeddings"
         ),
-        # dedup_simhash, ann_lsh_bucketed, ann_ivf_topk: no SQL oracle
-        # (int128 bit math / approximate-by-construction / trained
-        # quantizer) → driver rows-only check.
+        # SimHash replay: DuckDB md5_number is the signed little-endian
+        # int128 of md5, so the token hash (first 8 digest bytes, little-
+        # endian) is its low 64 bits; bit votes and the sign-bit pack run
+        # in HUGEINT arithmetic. _SIMHASH_V reproduces the signed 64-bit
+        # signature for every doc (empty text → 0, matching the kernel).
+        "dedup_simhash": (
+            _SIMHASH_V
+            + " SELECT d.doc_id, CAST(CASE WHEN COALESCE(v.vu, 0::HUGEINT) >= (1::HUGEINT << 63)"
+            "  THEN v.vu - (1::HUGEINT << 64) ELSE COALESCE(v.vu, 0::HUGEINT) END AS BIGINT) AS simhash"
+            " FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id"
+        ),
+        "dedup_simhash_candidates": (
+            _SIMHASH_V
+            + ", sims AS (SELECT d.doc_id, COALESCE(v.vu, 0::HUGEINT) AS vu"
+            "   FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id),"
+            " bands AS (SELECT doc_id, CAST(j.j AS INT) AS band_idx,"
+            "   CAST((vu >> CAST(16*j.j AS INT)) & 65535 AS INT) AS band_val"
+            "  FROM sims, LATERAL unnest(range(0, 4)) j(j))"
+            " SELECT band_idx, band_val, COUNT(*) AS n_docs,"
+            "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
+            " FROM bands GROUP BY band_idx, band_val HAVING COUNT(*) > 1"
+        ),
+        # ann_lsh_bucketed, ann_ivf_topk: no SQL oracle yet (hyperplane /
+        # trained-quantizer replays land below) → driver rows-only check.
     }

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,20 +50,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _digest_matrix(tokens: list[bytes], ctx) -> "tuple[np.ndarray, np.ndarray]":
+    """md5 digests of ``prefix+token`` for every distinct token, as two
+    numpy columns: (hi: int64 signed upper half, lo: uint64 lower half) of
+    the little-endian int128 — md5_number's value is hi·2^64 + lo. The
+    seeded context is copy()d per token (C-speed), so each lane costs one
+    md5 update per DISTINCT token, not per occurrence."""
+    buf = bytearray(16 * len(tokens))
+    mv = memoryview(buf)
+    for ti, tb in enumerate(tokens):
+        c = ctx.copy()
+        c.update(tb)
+        mv[16 * ti : 16 * ti + 16] = c.digest()
+    arr = np.frombuffer(bytes(buf), dtype="<u8").reshape(-1, 2)
+    lo = arr[:, 0].copy()
+    hi = arr[:, 1].copy().view(np.int64)  # two's-complement upper half
+    return hi, lo
+
+
 def _minhash_batch(num_hashes: int):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # built here, not in the closure: hashlib contexts don't pickle
+        prefixes = [hashlib.md5(f"{i}:".encode()) for i in range(num_hashes)]
         for pdf in it:
-            sigs: list[list[str]] = []
-            for text in pdf["text"]:
+            texts = pdf["text"].tolist()
+            n_docs = len(texts)
+            # batch vocabulary + per-doc distinct-token membership pairs:
+            # the md5 work then scales with |vocab|·lanes, not with
+            # occurrences·lanes (the former per-row loop)
+            vocab: dict[str, int] = {}
+            pair_doc: list[int] = []
+            pair_tid: list[int] = []
+            for di, text in enumerate(texts):
                 toks = set(text.split(" ")) if text else {""}
-                sigs.append(
-                    [
-                        str(min(md5_number(f"{i}:{t}") for t in toks))
-                        for i in range(num_hashes)
-                    ]
-                )
-            out = pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
-            yield out
+                for t in toks:
+                    tid = vocab.setdefault(t, len(vocab))
+                    pair_doc.append(di)
+                    pair_tid.append(tid)
+            tokens_b = [t.encode() for t in vocab]
+            doc_arr = np.asarray(pair_doc, dtype=np.int64)
+            tid_arr = np.asarray(pair_tid, dtype=np.int64)
+            sigs: list[list[str]] = [[] for _ in range(n_docs)]
+            for ctx in prefixes:
+                hi, lo = _digest_matrix(tokens_b, ctx)
+                # per-doc min of the signed int128 = lexicographic min on
+                # (hi signed, lo unsigned): sort pairs by (doc, hi, lo),
+                # take the first row per doc — all numpy, no Python loop
+                order = np.lexsort((lo[tid_arr], hi[tid_arr], doc_arr))
+                first = np.unique(doc_arr[order], return_index=True)[1]
+                sel = tid_arr[order[first]]
+                min_hi, min_lo = hi[sel], lo[sel]
+                for d in range(n_docs):
+                    sigs[d].append(str((int(min_hi[d]) << 64) + int(min_lo[d])))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return fn
 
@@ -189,20 +229,37 @@ def embedding_cosine_pairs(
 
 def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        out = []
-        for text in pdf["text"]:
-            toks = text.split(" ") if text else []
-            acc = [0] * 64
-            for t in toks:
-                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                for b in range(64):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            v = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    v |= 1 << b
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+        texts = pdf["text"].tolist()
+        n_docs = len(texts)
+        # vocabulary + occurrence pairs (duplicates COUNT for simhash —
+        # the majority vote weighs every occurrence)
+        vocab: dict[str, int] = {}
+        occ_doc: list[int] = []
+        occ_tid: list[int] = []
+        for di, text in enumerate(texts):
+            for t in text.split(" ") if text else []:
+                occ_doc.append(di)
+                occ_tid.append(vocab.setdefault(t, len(vocab)))
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        if vocab:
+            # one md5 per DISTINCT token; all 64 bit contributions derived
+            # from the uint64 matrix in numpy (the former code ran a
+            # 64-iteration Python loop per occurrence)
+            buf = bytearray(8 * len(vocab))
+            mv = memoryview(buf)
+            for ti, t in enumerate(vocab):
+                mv[8 * ti : 8 * ti + 8] = hashlib.md5(t.encode()).digest()[:8]
+            h = np.frombuffer(bytes(buf), dtype="<u8")
+            bits = (
+                ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+                .astype(np.int64)
+                * 2
+                - 1
+            )
+            np.add.at(acc, np.asarray(occ_doc), bits[np.asarray(occ_tid)])
+        packed = np.packbits(acc > 0, axis=1, bitorder="little")
+        signed = np.ascontiguousarray(packed).view(np.int64).ravel()
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": signed})
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -215,3 +272,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ]
     )
     return src.mapInPandas(_simhash_batch, schema)
+
+
+def simhash_bands(sims: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Explode 64-bit simhashes into (band_idx, band_val, doc_id): band j =
+    bits [16j, 16j+16) of the UNSIGNED value (shiftrightunsigned reads the
+    signed long's bit pattern). Entirely JVM-side bit ops."""
+    mask = (1 << band_bits) - 1
+    parts = [
+        sims.select(
+            F.lit(j).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), band_bits * j)
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+            .alias("band_val"),
+            "doc_id",
+        )
+        for j in range(64 // band_bits)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def simhash_candidate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-duplicate candidate groups via banding — the hamming
+    analogue of MinHash LSH: with 4 bands of 16 bits, any pair within
+    hamming distance 3 differs in at most 3 bands, so (pigeonhole) shares
+    at least one band exactly → lands in the same bucket. The only shuffle
+    is on (band_idx, band_val) int keys; text never leaves the signature
+    stage. Output: buckets with >1 doc."""
+    sims = simhash(df, text_col, id_col)
+    return (
+        simhash_bands(sims, band_bits)
+        .groupBy("band_idx", "band_val")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -458,3 +458,44 @@ def test_except_distinct_excludes_duplicated_rows(spark):
     b = spark.createDataFrame([(1,), (4,)], "x int")
     out = sorted(r["x"] for r in relational.except_distinct(a, b).collect())
     assert out == [2, 3]
+
+
+def test_vectorized_kernels_match_per_row_spec():
+    # the batch kernels are pure numpy reformulations; this pins them to
+    # the straightforward per-token definition (incl. NUL/unicode/empty)
+    import hashlib
+
+    from ocr_spark.operators.dedup import _minhash_batch, _simhash_batch, md5_number
+
+    texts = ["the quick brown fox", "", "a a a b", "x", "\x00nul tok",
+             "unicode é ü 中文 here", "single"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    def spec_minhash(text, num_hashes=8):
+        toks = set(text.split(" ")) if text else {""}
+        return [str(min(md5_number(f"{i}:{t}") for t in toks)) for i in range(num_hashes)]
+
+    def spec_simhash(text):
+        acc = [0] * 64
+        for t in text.split(" ") if text else []:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = sum(1 << b for b in range(64) if acc[b] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    mh = next(_minhash_batch(8)(iter([pdf])))
+    sh = next(_simhash_batch(iter([pdf])))
+    for i, t in enumerate(texts):
+        assert list(mh["sig"][i]) == spec_minhash(t)
+        assert int(sh["simhash"][i]) == spec_simhash(t)
+
+
+def test_simhash_banding_groups_near_dups(docs):
+    # identical docs share every band; banding must bucket them together
+    groups = dedup.simhash_candidate_groups(docs).toPandas()
+    containing_dup = groups[(groups["min_doc"] == 0) & (groups["max_doc"] >= 2)]
+    assert len(containing_dup) >= 4  # docs 0 and 2 identical → all 4 bands collide
+    assert (groups["n_docs"] > 1).all()
+    assert groups["band_idx"].isin(range(4)).all()
+    assert groups["band_val"].between(0, 65535).all()
