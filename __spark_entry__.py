@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_candidate_groups(_docs(spark, sf))
 
     def dedup_embedding_cosine(spark, sf):
+        # corpus-level registered form: LSH bucket candidates → exact
+        # verify; never an all-pairs nested-loop join
+        return dedup.embedding_cosine_dedup_lsh(_tbl(spark, sf, "embeddings"))
+
+    def dedup_embedding_cosine_exact(spark, sf):
+        # toy-scale all-pairs exactness baseline (the verify-stage oracle)
         return dedup.embedding_cosine_pairs(_tbl(spark, sf, "embeddings"))
 
     def multimodal_features(spark, sf):
@@ -355,7 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return similarity.lsh_bucketed_topk(
             emb, emb.filter(F.col("vec_id") < 5), k=3
-        )  # rows-only: approximate by construction
+        )
 
     def ann_ivf_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
@@ -435,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_cosine_exact": dedup_embedding_cosine_exact,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
@@ -460,6 +467,26 @@ _SHINGLES = (
     " i -> array_to_string(list_slice(string_split({col},' '), i, i+2), ' ')))"
 )
 
+
+#: Hyperplane-LSH sign codes, replayed exactly: plane component p,d =
+#: low-64-bits(md5_number('plane:p:d')) / 2^63 - 1 — identical doubles to
+#: similarity._plane, so bucket codes (and therefore candidate sets) match
+#: the Spark plan bit-for-bit.
+_N64 = "18446744073709551616"
+_LSH_CODES = (
+    "WITH planes AS ("
+    " SELECT CAST(pi.p // 4 AS INT) AS table_idx, CAST(pi.p % 4 AS INT) AS pit,"
+    "  list_transform(range(0, 64), d -> CAST((("
+    "   md5_number('plane:' || CAST(pi.p AS VARCHAR) || ':' || CAST(d AS VARCHAR))"
+    f"   % {_N64}) + {_N64}) % {_N64} AS DOUBLE) / 9223372036854775808.0 - 1.0)"
+    "  AS plane"
+    " FROM range(0, 32) pi(p)),"
+    " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    " codes AS (SELECT e.vec_id, p.table_idx,"
+    "  CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) >= 0"
+    "   THEN (1::BIGINT << pit) ELSE 0 END) AS BIGINT) AS bucket"
+    "  FROM e, planes p GROUP BY e.vec_id, p.table_idx)"
+)
 
 _SIMHASH_V = (
     "WITH tok AS ("
@@ -730,6 +757,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
         ),
         "dedup_embedding_cosine": (
+            _LSH_CODES
+            + ", cand AS (SELECT DISTINCT a.vec_id AS keeper, b.vec_id AS dup_id"
+            "  FROM codes a JOIN codes b USING (table_idx, bucket)"
+            "  WHERE a.vec_id < b.vec_id)"
+            " SELECT cand.keeper, cand.dup_id,"
+            "  ROUND(list_dot_product(ea.v, eb.v) /"
+            "   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)"
+            "   AS cosine_r"
+            " FROM cand JOIN e ea ON ea.vec_id = cand.keeper"
+            "  JOIN e eb ON eb.vec_id = cand.dup_id"
+            " WHERE ROUND(list_dot_product(ea.v, eb.v) /"
+            "  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)"
+            "  >= 0.35"
+        ),
+        "dedup_embedding_cosine_exact": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
             " SELECT a.vec_id AS keeper, b.vec_id AS dup_id,"
             " ROUND(list_dot_product(a.v, b.v) /"
@@ -784,6 +826,22 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
             " FROM bands GROUP BY band_idx, band_val HAVING COUNT(*) > 1"
         ),
-        # ann_lsh_bucketed, ann_ivf_topk: no SQL oracle yet (hyperplane /
-        # trained-quantizer replays land below) → driver rows-only check.
+        "ann_lsh_bucketed": (
+            _LSH_CODES
+            + ", cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id"
+            "  FROM codes c JOIN codes q USING (table_idx, bucket)"
+            "  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),"
+            " scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,"
+            "  ROUND(list_dot_product(qe.v, ce.v) /"
+            "   (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4)"
+            "   AS cosine_r"
+            "  FROM cand JOIN e qe ON qe.vec_id = cand.q_id"
+            "   JOIN e ce ON ce.vec_id = cand.vec_id),"
+            " r AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
+            "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank"
+            "  FROM scored)"
+            " SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= 3"
+        ),
+        # ann_ivf_topk: no SQL oracle yet (trained-quantizer replay lands
+        # with the unrolled-k-means oracle) → driver rows-only check.
     }

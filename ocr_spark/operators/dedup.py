@@ -130,21 +130,22 @@ def lsh_bands(
     sigs: DataFrame, band_size: int = DEFAULT_BAND_SIZE
 ) -> DataFrame:
     """Explode signatures into (band_idx, band_key, doc_id); band_key =
-    md5 of the band's joined signature values (built-in, JVM-side)."""
+    md5 of the band's joined signature values (built-in, JVM-side).
+
+    ONE posexplode over an array of band keys — a union of per-band
+    selects would make Spark re-run the signature UDF (and re-scan the
+    input) once PER BAND, quadrupling the dominant kernel cost."""
     num_hashes = DEFAULT_NUM_HASHES  # length enforced by minhash_signatures
-    bands = []
     n = band_size
-    for b in range(num_hashes // n):
-        key = F.md5(F.concat_ws("_", *[F.col("sig")[b * n + j] for j in range(n)]))
-        bands.append(
-            sigs.select(
-                F.lit(b).alias("band_idx"), key.alias("band_key"), "doc_id"
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    keys = F.array(
+        *[
+            F.md5(F.concat_ws("_", *[F.col("sig")[b * n + j] for j in range(n)]))
+            for b in range(num_hashes // n)
+        ]
+    )
+    return sigs.select(
+        F.posexplode(keys).alias("band_idx", "band_key"), "doc_id"
+    ).select("band_idx", "band_key", "doc_id")
 
 
 def lsh_candidate_groups(
@@ -227,6 +228,47 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_dedup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH bucket candidates
+    → exact cosine verify (keeper = lower id, cosine_r ≥ threshold).
+
+    This is the CORPUS-LEVEL registered form: the bucket self-join moves
+    only (table_idx, bucket, id) — a shuffled equi-join on short int keys,
+    never a BroadcastNestedLoopJoin (plan-tested) — and the heavy vector
+    columns re-attach per SURVIVING candidate pair. The all-pairs
+    ``embedding_cosine_pairs`` is the toy-scale exactness baseline; its
+    output is a superset of this one (LSH recall < 1 by construction)."""
+    from ocr_spark.operators.similarity import hyperplane_buckets, with_cosine_expr
+
+    b = hyperplane_buckets(emb, num_planes, num_tables, dim, id_col, vec_col)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), ["table_idx", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("keeper"), F.col("b.vec_id").alias("dup_id")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("keeper"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("dup_id"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "keeper")
+        .join(vb, "dup_id")
+        .withColumn("cosine_r", F.round(with_cosine_expr("va", "vb"), 4))
+        .filter(F.col("cosine_r") >= threshold)
+        .select("keeper", "dup_id", "cosine_r")
+    )
+
+
 def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         texts = pdf["text"].tolist()
@@ -277,23 +319,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def simhash_bands(sims: DataFrame, band_bits: int = 16) -> DataFrame:
     """Explode 64-bit simhashes into (band_idx, band_val, doc_id): band j =
     bits [16j, 16j+16) of the UNSIGNED value (shiftrightunsigned reads the
-    signed long's bit pattern). Entirely JVM-side bit ops."""
+    signed long's bit pattern). Entirely JVM-side bit ops, ONE posexplode
+    pass so the signature kernel runs once, not once per band."""
     mask = (1 << band_bits) - 1
-    parts = [
-        sims.select(
-            F.lit(j).alias("band_idx"),
+    vals = F.array(
+        *[
             F.shiftrightunsigned(F.col("simhash"), band_bits * j)
             .bitwiseAND(F.lit(mask))
             .cast("int")
-            .alias("band_val"),
-            "doc_id",
-        )
-        for j in range(64 // band_bits)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for j in range(64 // band_bits)
+        ]
+    )
+    return sims.select(
+        F.posexplode(vals).alias("band_idx", "band_val"), "doc_id"
+    ).select("band_idx", "band_val", "doc_id")
 
 
 def simhash_candidate_groups(
