@@ -6,9 +6,9 @@ mapInArrow extraction pipeline stage, return the extracted turns.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data operators (dedup, similarity search,
-text analysis, multimodal plumbing). Keys without an oracle entry are
-genuinely non-SQL-expressible (approximate LSH ANN, SimHash) and get the
-driver's rows-only check; everything else is replayed in DuckDB.
+text analysis, multimodal plumbing). EVERY key has a DuckDB oracle: even
+the approximate operators are deterministic constructions (md5-derived
+hyperplanes, quantized k-means, HUGEINT simhash) that SQL replays exactly.
 """
 
 from __future__ import annotations
@@ -365,9 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_ivf_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
-        return similarity.ivf_topk(
-            emb, emb.filter(F.col("vec_id") < 5), k=3
-        )  # rows-only: approximate by construction (trained quantizer)
+        return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
     def multimodal_meta(spark, sf):
         from collections.abc import Iterator
@@ -446,7 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
-        "multimodal_features": multimodal_features,  # rows-only: seeded pixels
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -487,6 +485,76 @@ _LSH_CODES = (
     "   THEN (1::BIGINT << pit) ELSE 0 END) AS BIGINT) AS bucket"
     "  FROM e, planes p GROUP BY e.vec_id, p.table_idx)"
 )
+
+def _ivf_oracle_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    iters: int = 10,
+    sample_n: int = 2048,
+    dim: int = 64,
+    q_pred: str = "vec_id < 5",
+) -> str:
+    """SQL-unrolled replay of similarity.ivf_topk: md5-ordered sample →
+    ``iters`` Lloyd steps (centroids rounded to 6 decimals per iteration —
+    the same quantization the trainer applies, which pins the floats
+    across engines) → corpus cell assignment → per-query probe list →
+    exact rerank inside the probed cells. Every iteration CTE is
+    MATERIALIZED and argmax is a join+window: a correlated subquery would
+    make DuckDB inline (re-run) the whole training chain per row."""
+    parts = [
+        "WITH s AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        "  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),"
+        "   CAST(vec_id AS VARCHAR)) AS rn FROM embeddings),"
+        " sx AS MATERIALIZED (SELECT rn, list_transform(v, e -> e /"
+        "   (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0"
+        "    ELSE sqrt(list_dot_product(v, v)) END)) AS x"
+        f"  FROM s WHERE rn <= {sample_n}),"
+        f" c0 AS MATERIALIZED (SELECT rn - 1 AS cell,"
+        f"  list_transform(x, e -> round(e, 6)) AS c FROM sx WHERE rn <= {nlist})"
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f", a{i} AS MATERIALIZED (SELECT rn, x, cell FROM ("
+            f"  SELECT sx.rn, sx.x, c.cell, ROW_NUMBER() OVER (PARTITION BY sx.rn"
+            f"   ORDER BY list_dot_product(sx.x, c.c) DESC, c.cell) AS rnk"
+            f"  FROM sx, c{p} c) WHERE rnk = 1),"
+            f" m{i} AS (SELECT cell, u.j AS j,"
+            f"  SUM(x[CAST(u.j AS INT)]) / COUNT(*) AS mv"
+            f"  FROM a{i}, LATERAL unnest(range(1, {dim + 1})) u(j) GROUP BY cell, u.j),"
+            f" mm{i} AS (SELECT cell, list(mv ORDER BY j) AS m FROM m{i} GROUP BY cell),"
+            f" c{i} AS MATERIALIZED (SELECT cell, list_transform(m, e -> round(e /"
+            f"  (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6)) AS c FROM"
+            f"  (SELECT p.cell, COALESCE(mm.m, p.c) AS m,"
+            f"   sqrt(list_dot_product(COALESCE(mm.m, p.c), COALESCE(mm.m, p.c))) AS nrm"
+            f"   FROM c{p} p LEFT JOIN mm{i} mm USING (cell)))"
+        )
+    cf = f"c{iters}"
+    parts.append(
+        ", e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " corpus AS MATERIALIZED (SELECT neighbor_id, cv, cell FROM ("
+        "  SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cell,"
+        "   ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        "    ORDER BY list_dot_product(e.v, c.c) DESC, c.cell) AS rnk"
+        f"  FROM e, {cf} c) WHERE rnk = 1),"
+        f" q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE {q_pred}),"
+        " probe AS (SELECT q_id, cell FROM ("
+        "  SELECT q.q_id, c.cell, ROW_NUMBER() OVER (PARTITION BY q.q_id"
+        "   ORDER BY list_dot_product(q.qv, c.c) DESC, c.cell) AS prank"
+        f"  FROM q, {cf} c) WHERE prank <= {nprobe}),"
+        " scored AS (SELECT probe.q_id, corpus.neighbor_id,"
+        "  ROUND(list_dot_product(q.qv, corpus.cv) /"
+        "   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(corpus.cv, corpus.cv))), 4)"
+        "   AS cosine_r"
+        "  FROM corpus JOIN probe USING (cell) JOIN q ON q.q_id = probe.q_id"
+        "  WHERE corpus.neighbor_id <> probe.q_id),"
+        " r AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
+        "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank FROM scored)"
+        f" SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= {k}"
+    )
+    return "".join(parts)
+
 
 _SIMHASH_V = (
     "WITH tok AS ("
@@ -826,6 +894,29 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
             " FROM bands GROUP BY band_idx, band_val HAVING COUNT(*) > 1"
         ),
+        # Fake pixels are md5-derived (byte b of the image = digest byte
+        # b%16 of md5('img:<vec_id>:<b//16>')), so the 4x4 nearest-neighbor
+        # resample + mean replays exactly: sampled rows/cols are
+        # trunc(i*(dim-1)/3) (numpy linspace + astype(int)), and the mean
+        # of 16 small ints is exact in double as SUM/16.
+        "multimodal_features": (
+            "WITH m AS (SELECT vec_id, CAST(label % 16 + 1 AS INT) AS w,"
+            "  CAST(vec_id % 8 + 1 AS INT) AS h FROM embeddings),"
+            " idx AS (SELECT m.vec_id, m.w,"
+            "  CAST(floor(CAST(yi.i*(m.h-1) AS DOUBLE)/3.0) AS INT) AS y,"
+            "  CAST(floor(CAST(xi.i*(m.w-1) AS DOUBLE)/3.0) AS INT) AS x"
+            "  FROM m, LATERAL unnest(range(0,4)) yi(i),"
+            "   LATERAL unnest(range(0,4)) xi(i)),"
+            " px AS (SELECT vec_id,"
+            "  (strpos('0123456789abcdef', substr(md5('img:' || CAST(vec_id AS VARCHAR)"
+            "    || ':' || CAST((y*w+x)//16 AS VARCHAR)), 2*((y*w+x)%16)+1, 1))-1)*16"
+            "  + (strpos('0123456789abcdef', substr(md5('img:' || CAST(vec_id AS VARCHAR)"
+            "    || ':' || CAST((y*w+x)//16 AS VARCHAR)), 2*((y*w+x)%16)+2, 1))-1) AS b"
+            "  FROM idx)"
+            " SELECT vec_id, SUM(b)/16.0 AS mean_px,"
+            "  CAST(4 AS INT) AS resized_h, CAST(4 AS INT) AS resized_w"
+            " FROM px GROUP BY vec_id"
+        ),
         "ann_lsh_bucketed": (
             _LSH_CODES
             + ", cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id"
@@ -842,6 +933,6 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scored)"
             " SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= 3"
         ),
-        # ann_ivf_topk: no SQL oracle yet (trained-quantizer replay lands
-        # with the unrolled-k-means oracle) → driver rows-only check.
+        "ann_ivf_topk": _ivf_oracle_sql(),
+        # Every queries() key now has a full DuckDB oracle.
     }

@@ -38,10 +38,21 @@ META_SCHEMA = T.StructType(
 
 
 def encode_fake_image(vec_id: int, width: int, height: int, channels: int = 1) -> bytes:
-    """Deterministic fake payload: header + seeded pixel bytes."""
-    rng = np.random.default_rng([7, int(vec_id)])
-    body = rng.integers(0, 256, width * height * channels, dtype=np.uint8).tobytes()
-    return MAGIC + struct.pack(">HHB", width, height, channels) + body
+    """Deterministic fake payload: header + md5-derived pixel bytes.
+
+    Pixels are the concatenated digests of md5(f"img:{vec_id}:{block}")
+    truncated to the body length — chosen over an RNG stream because any
+    engine (in particular the DuckDB oracle, via its md5() hex) can replay
+    byte b as digest-byte b%16 of block b//16, making downstream features
+    (mean_px) exactly checkable."""
+    import hashlib
+
+    n = width * height * channels
+    blocks = b"".join(
+        hashlib.md5(f"img:{int(vec_id)}:{blk}".encode()).digest()
+        for blk in range((n + 15) // 16)
+    )
+    return MAGIC + struct.pack(">HHB", width, height, channels) + blocks[:n]
 
 
 def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:

@@ -209,7 +209,11 @@ def ivf_train_centroids(
     sampled vectors, never the full corpus). Init = first ``nlist`` sample
     rows in md5 order; Lloyd iterations run in numpy (argmax of X @ C.T,
     unit-renormalized means; an emptied cell keeps its previous centroid).
-    Returns a unit-row (nlist, dim) float64 matrix.
+    Returns a (nlist, dim) float64 matrix of unit rows ROUNDED to 6
+    decimals after every iteration: the quantization pins the trained
+    centroids to values any engine reproduces exactly (summation-order
+    float noise is ~1e-16, far below the 1e-6 grid), which is what lets
+    the DuckDB oracle replay the whole training loop in SQL.
     """
     pdf = (
         corpus.select(F.col(id_col).cast("string").alias("h_id"), F.col(vec_col).alias("v"))
@@ -219,14 +223,14 @@ def ivf_train_centroids(
         .toPandas()
     )
     x = _normalize_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
-    cents = x[:nlist].copy()
+    cents = np.round(x[:nlist], 6)
     for _ in range(iters):
         assign = np.argmax(x @ cents.T, axis=1)
         for c in range(nlist):
             members = x[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-        cents = _normalize_rows(cents)
+        cents = np.round(_normalize_rows(cents), 6)
     return cents
 
 
