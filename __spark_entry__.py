@@ -309,6 +309,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.ngram_jaccard(pairs).select("doc_id_a", "doc_id_b", "jaccard")
 
+    def retry_backoff(spark, sf):
+        # the reference's retry seam (scripts/ExtractX_OCR.py:366-430):
+        # ≤3 attempts, then degrade to sentinel. Deterministic fault
+        # injection: doc_id%4 transient failures per turn — %4==3 exhausts
+        # the budget (status error, empty text), the rest converge. Runs
+        # through the REAL salted mapInArrow extraction stage.
+        from ocr_spark.pipeline import extract_stage
+
+        docs = _docs(spark, sf)
+        transcripts = docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit("fail:"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(":"),
+                F.split(F.col("text"), " ").getItem(0),
+            ).alias("text"),
+            F.lit("flaky").alias("tool"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+        out = extract_stage(transcripts, num_parts=16, turn_bucket=64)
+        return (
+            out.filter(F.col("rec") == "data")
+            .select(
+                F.col("conv_id").cast("long").alias("doc_id"),
+                "extracted_text",
+                "status",
+            )
+        )
+
     def dedup_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf))
 
@@ -436,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": minhash_signature,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "retry_backoff": retry_backoff,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -757,6 +790,17 @@ def oracle_sql() -> dict[str, str]:
         "set_except": (
             "SELECT doc_id FROM documents"
             " EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'"
+        ),
+        "retry_backoff": (
+            # attempts budget is 3: n = doc_id%4 transient faults converge
+            # for n<=2 (payload = first word), exhaust for n==3 (sentinel)
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 4 = 3 THEN '' ELSE string_split(text, ' ')[1] END"
+            "  AS extracted_text,"
+            " CASE WHEN doc_id % 4 = 3 THEN 'error'"
+            "  WHEN length(string_split(text, ' ')[1]) > 0 THEN 'ok'"
+            "  ELSE 'empty' END AS status"
+            " FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups"

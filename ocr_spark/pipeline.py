@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocr_spark.kernels.align import align_pages
-from ocr_spark.kernels.extract import TOOL_GRID, TOOL_HTML, TOOL_JSON, extract_turn
+from ocr_spark.kernels.extract import (
+    TOOL_FLAKY,
+    TOOL_GRID,
+    TOOL_HTML,
+    TOOL_JSON,
+    extract_turn,
+)
 
 #: Default number of logical resume partitions; at 10^12 turns this would be
 #: sized to ~1-4 GB of input per part (e.g. 2^17 parts), here sized for
@@ -94,6 +100,7 @@ LINEAGE_JSON_SCHEMA = T.StructType(
         T.StructField("checksum", T.StringType()),
         T.StructField("duration_ms", T.LongType()),
         T.StructField("error_count", T.LongType()),
+        T.StructField("retry_count", T.LongType()),
         T.StructField("status", T.StringType()),
     ]
 )
@@ -171,8 +178,9 @@ def _extract_batch_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     n_rows = np.zeros(n, dtype=np.int32)
     n_cols = np.zeros(n, dtype=np.int32)
     status = np.empty(n, dtype=object)
+    retries = np.zeros(n, dtype=np.int64)
 
-    parse_mask = np.isin(tool, (TOOL_HTML, TOOL_GRID, TOOL_JSON))
+    parse_mask = np.isin(tool, (TOOL_HTML, TOOL_GRID, TOOL_JSON, TOOL_FLAKY))
 
     # pass-through: identity text, vectorized (extract_turn semantics)
     pt = ~parse_mask
@@ -189,6 +197,7 @@ def _extract_batch_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         n_rows[idx] = rec["n_rows"]
         n_cols[idx] = rec["n_cols"]
         status[idx] = rec["status"]
+        retries[idx] = rec.get("retries", 0)
 
     return pd.DataFrame(
         {
@@ -201,6 +210,7 @@ def _extract_batch_frame(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_rows": n_rows,
             "n_cols": n_cols,
             "status": status,
+            "_retries": retries,
         }
     )
 
@@ -229,6 +239,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             n_turns=("conv_id", "size"),
             checksum=("_ck", lambda s: int(np.add.reduce(s.to_numpy(np.uint64)))),
             error_count=("_err", "sum"),
+            retry_count=("_retries", "sum"),
         )
         for pid, row in grp.iterrows():
             st = acc.get(int(pid))
@@ -241,6 +252,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                     int(row["n_turns"]),
                     int(row["checksum"]) & ((1 << 64) - 1),
                     int(row["error_count"]),
+                    int(row["retry_count"]),
                 ]
             else:
                 st[0] = min(st[0], row["conv_min"])
@@ -250,8 +262,9 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                 st[4] += int(row["n_turns"])
                 st[5] = (st[5] + int(row["checksum"])) & ((1 << 64) - 1)
                 st[6] += int(row["error_count"])
+                st[7] += int(row["retry_count"])
 
-        out = out.drop(columns=["_ck", "_err"])
+        out = out.drop(columns=["_ck", "_err", "_retries"])
         yield pa.RecordBatch.from_pandas(
             out, schema=_ARROW_SCHEMA, preserve_index=False
         )
@@ -264,6 +277,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             "n_turns": st[4],
             "checksum": st[5],
             "error_count": st[6],
+            "retry_count": st[7],
         }
         for pid, st in acc.items()
     }
@@ -281,6 +295,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                     "checksum": f"{st['checksum']:016x}",
                     "duration_ms": duration_ms,
                     "error_count": st["error_count"],
+                    "retry_count": st["retry_count"],
                     "status": "ok",
                 },
                 sort_keys=True,

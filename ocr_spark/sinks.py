@@ -53,17 +53,25 @@ def compute_excel_widths(df: DataFrame) -> dict[str, int]:
 
 def sink_excel(df: DataFrame, path: str) -> str:
     """xlsx with the reference's sheet name and column widths. Collects to
-    the driver (toy scale only, like the reference's pandas write)."""
+    the driver (toy scale only, like the reference's pandas write). Uses
+    openpyxl when available; otherwise the stdlib-only minimal writer
+    (ocr_spark.xlsxmin) produces an equivalent inline-string workbook —
+    no environment leaves this sink unimplemented."""
+    widths = compute_excel_widths(df)
+    pdf = df.toPandas()
     try:
         import openpyxl
         from openpyxl.utils import get_column_letter
-    except ImportError as e:  # sandbox has no openpyxl
-        raise NotImplementedError(
-            "xlsx sink requires openpyxl (not in this environment); "
-            "widths/sheet semantics are covered by compute_excel_widths"
-        ) from e
-    widths = compute_excel_widths(df)
-    pdf = df.toPandas()
+    except ImportError:  # sandbox has no openpyxl → stdlib zip+XML writer
+        from ocr_spark.xlsxmin import write_xlsx
+
+        return write_xlsx(
+            path,
+            list(pdf.columns),
+            pdf.values.tolist(),
+            sheet_name=EXCEL_SHEET,
+            widths=widths,
+        )
     wb = openpyxl.Workbook()
     ws = wb.active
     ws.title = EXCEL_SHEET

@@ -39,12 +39,13 @@ def test_strip_html_never_raises(s):
 
 
 @settings(max_examples=100, deadline=None)
-@given(TEXT, st.sampled_from(["html", "grid", "json", "null", "", "weird"]))
+@given(TEXT, st.sampled_from(["html", "grid", "json", "flaky", "null", "", "weird"]))
 def test_extract_turn_total_function(s, tool):
     rec = extract_turn(s, tool)
-    assert set(rec) == {"extracted_text", "n_rows", "n_cols", "status"}
+    assert set(rec) == {"extracted_text", "n_rows", "n_cols", "status", "retries"}
     assert rec["status"] in ("ok", "empty", "error")
     assert isinstance(rec["extracted_text"], str)
+    assert 0 <= rec["retries"] <= 2  # bounded by the 3-attempt budget
 
 
 @settings(max_examples=100, deadline=None)
