@@ -273,6 +273,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.select("doc_id"), d.filter(F.col("lang") == "en").select("doc_id")
         )
 
+    def set_intersect(spark, sf):
+        d = _docs(spark, sf)
+        return relational.intersect_distinct(
+            d.filter(F.col("n_chars") > 200).select("doc_id"),
+            d.filter(F.col("lang") == "en").select("doc_id"),
+        )
+
+    def semi_join_users_with_errors(spark, sf):
+        # views by users who ALSO have an error event: EXISTS filter, no
+        # row duplication, error side broadcast (left_semi)
+        ev = _tbl(spark, sf, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id"
+        )
+        errors = ev.filter(F.col("event_type") == "error")
+        return relational.semi_join(views, errors, ["user_id"])
+
+    def window_lag_lead(spark, sf):
+        # per-user inter-event gap + next event peek — the lag/lead window
+        # family over a total order (ts, event_id). ts arrives as
+        # TIMESTAMP_NTZ (no direct long cast in Spark 4); the NTZ→LTZ hop
+        # is pinned to UTC so the epoch seconds match DuckDB's epoch()
+        from pyspark.sql.window import Window
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = _tbl(spark, sf, "events").select("event_id", "user_id", "ts")
+        sec = F.col("ts").cast("timestamp_ltz").cast("long")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.coalesce(sec - F.lag(sec).over(w), F.lit(-1))
+            .cast("long")
+            .alias("gap_sec"),
+            F.coalesce(F.lead("event_id").over(w), F.lit(-1)).cast("long").alias(
+                "next_event"
+            ),
+        )
+
+    def window_running_total(spark, sf):
+        # running per-user value sum over the (ts, event_id) total order —
+        # sequential within each partition of the window, deterministic
+        from pyspark.sql.window import Window
+
+        ev = _tbl(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # cents as integers: the running sum stays EXACT (a double running
+        # sum would expose engine summation-tree differences at the last
+        # ulp, which no rounding reliably absorbs)
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .over(w)
+            .alias("running_cents"),
+        )
+
+    def deterministic_sample(spark, sf):
+        return relational.deterministic_sample(
+            _docs(spark, sf), "doc_id", "2"
+        ).select("doc_id", "lang")
+
+    def stratified_sample(spark, sf):
+        return relational.stratified_sample_topk(
+            _docs(spark, sf).select("doc_id", "lang"), "lang", "doc_id", 5
+        )
+
+    def grouping_sets_lang_source(spark, sf):
+        # explicit GROUPING SETS through the SQL surface (the DataFrame API
+        # exposes only rollup/cube): per-lang and per-source totals in one
+        # scan with partial aggregation per set
+        d = _docs(spark, sf)
+        d.createOrReplaceTempView("documents_gs")
+        return spark.sql(
+            "SELECT lang, source, CAST(count(*) AS LONG) AS n_docs,"
+            " CAST(grouping(lang) AS LONG) AS g_lang,"
+            " CAST(grouping(source) AS LONG) AS g_source"
+            " FROM documents_gs GROUP BY GROUPING SETS ((lang), (source))"
+        )
+
     # ---- training-data operators ----
 
     def dedup_exact(spark, sf):
@@ -460,6 +544,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": doc_length_quantiles,
         "topk_longest_docs": topk_longest_docs,
         "set_except": set_except,
+        "set_intersect": set_intersect,
+        "semi_join_users_with_errors": semi_join_users_with_errors,
+        "window_lag_lead": window_lag_lead,
+        "window_running_total": window_running_total,
+        "deterministic_sample": deterministic_sample,
+        "stratified_sample": stratified_sample,
+        "grouping_sets_lang_source": grouping_sets_lang_source,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -790,6 +881,45 @@ def oracle_sql() -> dict[str, str]:
         "set_except": (
             "SELECT doc_id FROM documents"
             " EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'"
+        ),
+        "set_intersect": (
+            "SELECT doc_id FROM documents WHERE n_chars > 200"
+            " INTERSECT SELECT doc_id FROM documents WHERE lang = 'en'"
+        ),
+        "semi_join_users_with_errors": (
+            "SELECT event_id, user_id FROM events WHERE event_type = 'view'"
+            " AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error')"
+        ),
+        "window_lag_lead": (
+            # Spark cast(ts as long) truncates to seconds → floor(epoch())
+            "SELECT event_id, user_id,"
+            " CAST(COALESCE(CAST(floor(epoch(ts)) AS BIGINT) -"
+            "  LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w, -1) AS BIGINT) AS gap_sec,"
+            " CAST(COALESCE(LEAD(event_id) OVER w, -1) AS BIGINT) AS next_event"
+            " FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "window_running_total": (
+            "SELECT event_id, user_id,"
+            " CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER"
+            "  (PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
+            " FROM events"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE md5(CAST(doc_id AS VARCHAR)) < '2'"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY lang"
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
+        ),
+        "grouping_sets_lang_source": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(grouping(lang) AS BIGINT) AS g_lang,"
+            " CAST(grouping(source) AS BIGINT) AS g_source"
+            " FROM documents GROUP BY GROUPING SETS ((lang), (source))"
         ),
         "retry_backoff": (
             # attempts budget is 3: n = doc_id%4 transient faults converge

@@ -145,6 +145,57 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (SQL INTERSECT DISTINCT) — a left-semi hash join
+    over distinct rows; the complement of except_distinct."""
+    return a.intersect(b)
+
+
+def semi_join(
+    left: DataFrame, right: DataFrame, keys: list[str], broadcast: bool = True
+) -> DataFrame:
+    """EXISTS-style filter: left rows whose key appears in right, without
+    duplicating left rows for multiple right matches (left_semi — the join
+    never materializes right columns). ``broadcast=True`` hints the
+    distinct key set onto every executor so the big side never shuffles
+    (the distinct blocks the planner's own size estimate pre-AQE); pass
+    False when the key set is itself huge → shuffled semi join."""
+    key_set = right.select(*keys).distinct()
+    if broadcast:
+        key_set = F.broadcast(key_set)
+    return left.join(key_set, keys, "left_semi")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, hex_threshold: str
+) -> DataFrame:
+    """Hash-prefix sampling: keep rows with md5(cast(id)) < threshold.
+    Deterministic under any partitioning / cluster size — the property
+    that matters for reproducible training-data subsets at 100 TB (a
+    rand()-based sample changes between runs and between retries). A
+    1-hex-digit threshold '2' keeps ~2/16 of rows."""
+    return df.filter(F.md5(F.col(id_col).cast("string")) < F.lit(hex_threshold))
+
+
+def stratified_sample_topk(
+    df: DataFrame, stratum_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-stratum deterministic sample: the k rows with the smallest
+    md5(cast(id)) in each stratum — one exchange on the stratum key, a
+    per-group heap via row_number, no global sort. The md5 order is a
+    reproducible shuffle within each group."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

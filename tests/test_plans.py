@@ -241,3 +241,22 @@ def test_simhash_band_shuffle_carries_no_text(spark):
     assert plan.count("MapInPandas") == 2  # one kernel run, not one per band
     blocks = _exchange_blocks(plan)
     assert blocks and all("text#" not in b for b in blocks)
+
+
+def test_semi_join_broadcasts_and_never_duplicates(spark, lineitem):
+    keys = spark.createDataFrame([(1,), (2,)], ["l_orderkey"])
+    plan = _plan(relational.semi_join(lineitem, keys, ["l_orderkey"]))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the fact side must not shuffle for an EXISTS filter
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_stratified_sample_single_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        relational.stratified_sample_topk(
+            docs.select("doc_id", "lang"), "lang", "doc_id", 5
+        )
+    )
+    assert len(_exchange_blocks(plan)) == 1  # one shuffle on the stratum key
