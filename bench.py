@@ -61,11 +61,18 @@ HEADLINE_QUERIES = [
     "quality_score",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_bucketed",
     "asof_join_latest_click",
     "range_join_click_window",
     "cube_doc_stats",
     "pivot_lang_counts",
     "doc_length_quantiles",
+    # round-2 operators
+    "dedup_simhash_candidates",
+    "dedup_embedding_cosine",
+    "retry_backoff",
+    "window_running_total",
+    "stratified_sample",
 ]
 
 
