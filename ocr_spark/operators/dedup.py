@@ -228,6 +228,115 @@ def embedding_cosine_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Distinct MinHash-LSH candidate pairs (a < b): band self-join on the
+    short band keys — ids only, no text, no all-pairs."""
+    bands = lsh_bands(minhash_signatures(df, text_col, id_col, num_hashes), band_size)
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def verified_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH candidates → exact n-gram-Jaccard verify ≥ threshold: the
+    (a, b, jaccard) edges safe to cluster over. Verification is MANDATORY
+    before transitive closure — raw band collisions are noisy (measured:
+    ~99k candidates vs 25 real near-dup pairs on the sf0.01 corpus), and
+    closure amplifies every false positive into a merged cluster.
+    Shingle arrays are computed ONCE per doc and joined to the pairs by
+    id, so the quadratic-ish candidate set never re-tokenizes text."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size)
+    sh = F.expr(
+        f"case when size(split({text_col},' ')) < {ngram} then array()"
+        f" else array_distinct(transform("
+        f"  sequence(1, size(split({text_col},' ')) - {ngram} + 1),"
+        f"  i -> concat_ws(' ', slice(split({text_col},' '), i, {ngram})))) end"
+    )
+    shingled = df.select(F.col(id_col).alias("sid"), sh.alias("sh"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_union("sha", "shb")).cast("double")
+    return (
+        pairs.join(shingled.select(F.col("sid").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(shingled.select(F.col("sid").alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected-components duplicate clustering: every doc labeled with
+    the MIN doc_id of its near-duplicate component (VERIFIED LSH pairs as
+    edges — see verified_dup_pairs; singletons keep their own id).
+
+    Iterative min-label propagation — each round is one join + one
+    keyed min-aggregate, both distributed; the driver sees ONE scalar per
+    round (the label sum, which strictly decreases until fixpoint, so
+    equality = convergence). Near-dup components are near-cliques with
+    tiny diameters, so 2-3 rounds converge in practice; ``max_iters``
+    bounds the worst case (a path graph). Deterministic under any
+    partitioning — labels are mins, never first-seen."""
+    pairs = verified_dup_pairs(
+        df, threshold, text_col, id_col, num_hashes, band_size
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = edges.persist()
+    labels = df.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    ).persist()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
 def embedding_cosine_dedup_lsh(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -499,3 +499,25 @@ def test_simhash_banding_groups_near_dups(docs):
     assert (groups["n_docs"] > 1).all()
     assert groups["band_idx"].isin(range(4)).all()
     assert groups["band_val"].between(0, 65535).all()
+
+
+def test_duplicate_clusters_transitive_min_label(spark):
+    # a~b and b~c near-dups (but a~c share less) must still land in ONE
+    # cluster labeled min(id); unrelated docs stay singletons
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappb",  # ~0
+        2: "alpha beta gamma delta epsilon zeta eta theta iotb kappb",  # ~1
+        3: "completely unrelated document with different tokens here now",
+        4: "another disjoint vocabulary entirely its own island text block",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        dedup.duplicate_clusters(df, threshold=0.5)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert out[0] == out[1] == out[2] == 0  # transitive closure to min id
+    assert out[3] == 3 and out[4] == 4  # singletons keep their own id
