@@ -76,7 +76,23 @@ def main(argv: list[str] | None = None) -> int:
         "tables (reference schema_align_union) as long spans to "
         "<output>_assembled via the grouped-map assembly",
     )
+    p.add_argument(
+        "--export",
+        default=None,
+        help="comma-separated formats (csv,excel): toy-scale export of the "
+        "assembled tables pivoted wide, via the reference's timestamped "
+        "sinks (requires --assemble)",
+    )
+    p.add_argument(
+        "--stamp",
+        default=None,
+        help="shared export filename stamp (default: current UTC "
+        "%%Y%%m%%d_%%H%%M%%S — the CLI boundary is the only place "
+        "wall-clock may enter; stages themselves stay deterministic)",
+    )
     args = p.parse_args(argv)
+    if args.export and not args.assemble:
+        p.error("--export requires --assemble")
 
     # Late imports so --py-files distribution is what resolves the package.
     from ocr_spark.pipeline import (
@@ -156,6 +172,33 @@ def main(argv: list[str] | None = None) -> int:
         apath = args.output.rstrip("/") + "_assembled"
         assembled.write.mode("overwrite").parquet(apath)
         assembled_rows = spark.read.parquet(apath).count()
+        if args.export:
+            from ocr_spark import sinks
+
+            long_df = spark.read.parquet(apath)
+            # column order = first-seen order, carried by col_idx (the
+            # reference's deterministic realization of its set-union order)
+            cols = [
+                r["col_name"]
+                for r in long_df.groupBy("col_name")
+                .agg(F.min("col_idx").alias("ci"))
+                .orderBy("ci", "col_name")
+                .collect()
+            ]
+            wide = (
+                long_df.groupBy("conv_id", "row_seq")
+                .pivot("col_name", cols)
+                .agg(F.first("cell"))
+                .orderBy("conv_id", "row_seq")
+            )
+            stamp = args.stamp or time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+            sinks.save_outputs(
+                wide,
+                args.output.rstrip("/") + "_export",
+                "extracted",
+                stamp,
+                formats=[f.strip() for f in args.export.split(",") if f.strip()],
+            )
     wall = time.monotonic() - t0
     print(
         json.dumps(
