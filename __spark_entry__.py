@@ -357,6 +357,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " FROM documents_gs GROUP BY GROUPING SETS ((lang), (source))"
         )
 
+    def tumbling_window_counts(spark, sf):
+        return relational.tumbling_counts(
+            _tbl(spark, sf, "events"), "ts", ["event_type"], "1 hour"
+        )
+
+    def session_window_agg(spark, sf):
+        return relational.session_agg(
+            _tbl(spark, sf, "events"), "user_id", "ts", "10 minutes"
+        )
+
+    def udtf_sentence_split(spark, sf):
+        # the Python UDTF face: one input row → N typed rows, LATERAL-
+        # joined in SQL (API-surface demo; bulk expansion stays on
+        # posexplode — see pdf_page_explode)
+        from ocr_spark.operators import udtfs
+
+        udtfs.register(spark)
+        _docs(spark, sf).createOrReplaceTempView("docs_udtf")
+        return spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence"
+            " FROM docs_udtf d, LATERAL sentence_split(d.text) s"
+        )
+
+    def top_terms(spark, sf):
+        return textops.top_terms_df(_docs(spark, sf), k=20)
+
     # ---- training-data operators ----
 
     def dedup_exact(spark, sf):
@@ -554,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         "grouping_sets_lang_source": grouping_sets_lang_source,
+        "tumbling_window_counts": tumbling_window_counts,
+        "session_window_agg": session_window_agg,
+        "udtf_sentence_split": udtf_sentence_split,
+        "top_terms": top_terms,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -924,6 +954,42 @@ def oracle_sql() -> dict[str, str]:
             " CAST(grouping(lang) AS BIGINT) AS g_lang,"
             " CAST(grouping(source) AS BIGINT) AS g_source"
             " FROM documents GROUP BY GROUPING SETS ((lang), (source))"
+        ),
+        "tumbling_window_counts": (
+            # Spark's 1-hour windows are epoch-aligned = hour-truncation
+            "SELECT date_trunc('hour', ts) AS win_start,"
+            " date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,"
+            " event_type, CAST(COUNT(*) AS BIGINT) AS n_events"
+            " FROM events GROUP BY 1, 2, 3"
+        ),
+        "session_window_agg": (
+            # gaps-and-islands replay of session_window: a new session
+            # starts when the gap since the previous event reaches the
+            # 10-minute threshold (Spark merges only strictly-overlapping
+            # [ts, ts+gap) windows); end = last event + gap
+            "WITH o AS (SELECT user_id, ts,"
+            "  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events),"
+            " s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id"
+            "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o)"
+            " SELECT user_id, MIN(ts) AS sess_start,"
+            "  MAX(ts) + INTERVAL 10 MINUTE AS sess_end,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_events"
+            " FROM s GROUP BY user_id, sid"
+        ),
+        "udtf_sentence_split": (
+            # enumerate() keeps the ORIGINAL index of non-empty sentences
+            "SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx,"
+            " s[CAST(u.i AS INT)] AS sentence"
+            " FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents) t,"
+            " LATERAL unnest(range(1, len(t.s)+1)) u(i)"
+            " WHERE length(s[CAST(u.i AS INT)]) > 0"
+        ),
+        "top_terms": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM"
+            " (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS token"
+            "  FROM documents)"
+            " GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20"
         ),
         "retry_backoff": (
             # attempts budget is 3: n = doc_id%4 transient faults converge

@@ -196,6 +196,45 @@ def stratified_sample_topk(
     )
 
 
+def tumbling_counts(
+    df: DataFrame, ts: str, dims: list[str], window: str = "1 hour"
+) -> DataFrame:
+    """Batch tumbling-window aggregate: F.window buckets (epoch-aligned)
+    per dimension — the same declarative operator the streaming face uses
+    with a watermark, here over a static table. One scan + one partial-
+    aggregated exchange on (window, dims)."""
+    return (
+        df.groupBy(F.window(F.col(ts), window).alias("win"), *dims)
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *dims,
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame, key: str, ts: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """Batch session windows: per-key event groups separated by more than
+    ``gap`` of silence (built-in session_window — in batch it compiles to
+    a sort within each key partition plus gap-merge, no state store).
+    Output: (key, sess_start, sess_end, n_events); end = last event +
+    gap, the Spark session_window contract."""
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap).alias("sess"), key)
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            key,
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -84,3 +84,21 @@ def doc_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
         F.md5(F.col(col)).alias("fp_exact"),
         F.md5(F.concat_ws("|", shingles)).alias("fp_shingle"),
     )
+
+
+def top_terms_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 20
+) -> DataFrame:
+    """Corpus top-k terms by document frequency (the vocabulary-pruning
+    primitive of a training-data pipeline): explode distinct per-doc
+    tokens → count per token → top-k with (df desc, token asc) total
+    order. The explode carries only (token, doc_id); partial aggregation
+    combines map-side before the single exchange on token."""
+    toks = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+    return counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
