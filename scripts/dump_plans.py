@@ -124,6 +124,59 @@ def main() -> int:
                 "value",
             ),
         ),
+        (
+            "SimHash banded candidates (`simhash_candidate_groups`)",
+            "ONE MapInPandas signature pass (a union of per-band selects would "
+            "re-run the kernel per band — plan-tested), then `posexplode` of the "
+            "four 16-bit band values; the only exchange carries "
+            "`(band_idx, band_val)` int keys plus partial aggregates — text never "
+            "leaves the signature stage.",
+            dedup.simhash_candidate_groups(docs),
+        ),
+        (
+            "LSH-composed embedding dedup (`embedding_cosine_dedup_lsh`)",
+            "The REGISTERED corpus-level form: bucket-code self-join on "
+            "`(table_idx, bucket)` (equi-join, never `BroadcastNestedLoopJoin` — "
+            "plan-tested), distinct pairs, vectors re-attached per surviving pair "
+            "for the exact cosine verify. The all-pairs theta-join exists only as "
+            "the toy-scale baseline `dedup_embedding_cosine_exact`.",
+            dedup.embedding_cosine_dedup_lsh(emb),
+        ),
+        (
+            "Duplicate clustering round (`duplicate_clusters`, one iteration)",
+            "Each min-label propagation round = one join (edges × labels) + one "
+            "keyed min-aggregate, both distributed; the driver receives a single "
+            "scalar (label sum) per round for the convergence check. Shown here: "
+            "the verified-pair edge build feeding round 1 — LSH candidates joined "
+            "to per-doc shingle arrays (computed once, by id) for the mandatory "
+            "Jaccard verify.",
+            dedup.verified_dup_pairs(docs),
+        ),
+        (
+            "Semi join (`semi_join`)",
+            "EXISTS filter: distinct key set broadcasts "
+            "(`BroadcastHashJoin ... LeftSemi`); the fact side never shuffles and "
+            "left rows are never duplicated by multiple matches.",
+            relational.semi_join(
+                lineitem, spark.createDataFrame([(1,), (2,)], ["l_orderkey"]), ["l_orderkey"]
+            ),
+        ),
+        (
+            "Stratified sample (`stratified_sample_topk`)",
+            "Per-stratum deterministic top-k by md5 order: ONE exchange on the "
+            "stratum key feeding a window `row_number` — no global sort, and the "
+            "same rows come back under any partitioning or cluster size.",
+            relational.stratified_sample_topk(
+                docs.select("doc_id", "lang"), "lang", "doc_id", 5
+            ),
+        ),
+        (
+            "Batch session windows (`session_agg`)",
+            "`session_window` in batch: one exchange on the key, sort within "
+            "partitions, gap-merge — no state store, no custom code; the streaming "
+            "face reuses the identical operator with a watermark.",
+            relational.session_agg(events, "user_id", "ts", "10 minutes"),
+        ),
     ]
 
     lines = [
