@@ -357,6 +357,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " FROM documents_gs GROUP BY GROUPING SETS ((lang), (source))"
         )
 
+    def tfidf_top_terms(spark, sf):
+        return textops.tfidf_topk(_docs(spark, sf), k=3)
+
+    def star_join_orders(spark, sf):
+        # classic star enrichment: fact orders joined to broadcast dims
+        # (customer → nation); zero fact-side exchanges (plan-tested)
+        orders = _tbl(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = _tbl(spark, sf, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+        )
+        nat = _tbl(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        return relational.star_join_enrich(
+            orders,
+            [(cust, "o_custkey"), (nat, "c_nationkey")],
+            ["o_orderkey", "o_custkey", "c_name", "n_name"],
+        )
+
+    def skew_salted_agg(spark, sf):
+        # l_returnflag has 3 values over the whole lineitem table — the
+        # canonical skewed groupBy; the salted two-phase form splits each
+        # heavy key across 16 reducers and combines partials
+        return relational.salted_group_agg(
+            _tbl(spark, sf, "lineitem"), "l_returnflag", "l_quantity"
+        )
+
     def tumbling_window_counts(spark, sf):
         return relational.tumbling_counts(
             _tbl(spark, sf, "events"), "ts", ["event_type"], "1 hour"
@@ -580,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         "grouping_sets_lang_source": grouping_sets_lang_source,
+        "tfidf_top_terms": tfidf_top_terms,
+        "star_join_orders": star_join_orders,
+        "skew_salted_agg": skew_salted_agg,
         "tumbling_window_counts": tumbling_window_counts,
         "session_window_agg": session_window_agg,
         "udtf_sentence_split": udtf_sentence_split,
@@ -954,6 +986,33 @@ def oracle_sql() -> dict[str, str]:
             " CAST(grouping(lang) AS BIGINT) AS g_lang,"
             " CAST(grouping(source) AS BIGINT) AS g_source"
             " FROM documents GROUP BY GROUPING SETS ((lang), (source))"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id AS did,"
+            "  unnest(string_split(text,' ')) AS token FROM documents),"
+            " tf AS (SELECT did, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),"
+            " dl AS (SELECT did, COUNT(*) AS len FROM toks GROUP BY 1),"
+            " dfq AS (SELECT token, COUNT(*) AS df FROM"
+            "  (SELECT DISTINCT did, token FROM toks) GROUP BY 1),"
+            " nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),"
+            " s AS (SELECT tf.did, tf.token,"
+            "  ROUND((tf.n / CAST(dl.len AS DOUBLE))"
+            "   * ln(CAST(nd.n AS DOUBLE) / dfq.df), 4) AS tfidf"
+            "  FROM tf JOIN dl USING (did) JOIN dfq USING (token), nd),"
+            " r AS (SELECT did, token, tfidf, ROW_NUMBER() OVER"
+            "  (PARTITION BY did ORDER BY tfidf DESC, token) AS rank FROM s)"
+            " SELECT did AS doc_id, token, rank, tfidf FROM r WHERE rank <= 3"
+        ),
+        "star_join_orders": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name"
+            " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        ),
+        "skew_salted_agg": (
+            # the salted two-phase form must equal the plain GROUP BY
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " SUM(l_quantity) AS sum_l_quantity"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "tumbling_window_counts": (
             # Spark's 1-hour windows are epoch-aligned = hour-truncation

@@ -380,3 +380,42 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
         F.col("col.p").alias("p"),
         F.round(F.col("col.qs"), 3).alias("value"),
     )
+
+
+def star_join_enrich(
+    fact: DataFrame, dims: list[tuple[DataFrame, str]], select_cols: list[str]
+) -> DataFrame:
+    """Star-schema enrichment: the fact table joined to small dimensions,
+    every dimension BROADCAST so the fact side streams through without a
+    single shuffle — at 100 TB this is the difference between a map-only
+    stage and N full-fact exchanges. dims = [(dim_df, key), ...]."""
+    out = fact
+    for dim, key in dims:
+        out = out.join(F.broadcast(dim), key)
+    return out.select(*select_cols)
+
+
+def salted_group_agg(
+    df: DataFrame, key: str, value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys: pre-aggregate on
+    (key, salt) — splitting each heavy key across ``salt_buckets``
+    reducers — then combine the partials on the key alone. The second
+    exchange moves at most |keys|·salt_buckets rows, so no single reducer
+    ever sees a heavy key's full row stream. Result is identical to a
+    plain groupBy (sums of longs are associative); use for low-cardinality
+    high-volume keys where AQE skew handling isn't available (e.g.
+    deliberate salting per the scale contract)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col(value)).alias("__s"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__s").alias(f"sum_{value}"),
+    )

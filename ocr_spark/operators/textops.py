@@ -102,3 +102,52 @@ def top_terms_df(
         F.count("*").cast("long").alias("doc_freq")
     )
     return counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = occurrences/doc_len,
+    idf = ln(N/df), score rounded to 4 decimals (absorbs last-ulp libm
+    differences across engines). Two shuffles total — (token) for the
+    document frequencies and (doc) for the per-doc top-k window — with
+    partial aggregation on both; the df side is a token→count table,
+    broadcastable at any corpus size with a bounded vocabulary."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(_tokens(text_col)).alias("token"),
+    )
+    tf = toks.groupBy("did", "token").agg(F.count("*").alias("n"))
+    doc_len = toks.groupBy("did").agg(F.count("*").alias("len"))
+    dfreq = (
+        toks.select("did", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = (
+        tf.join(doc_len, "did")
+        .join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("n") / F.col("len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("did").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("did").alias("doc_id"), "token", "rank", "tfidf")
+    )

@@ -260,3 +260,36 @@ def test_stratified_sample_single_exchange(spark):
         )
     )
     assert len(_exchange_blocks(plan)) == 1  # one shuffle on the stratum key
+
+
+def test_star_join_dims_broadcast_fact_never_shuffles(spark, lineitem):
+    docs = spark  # unused alias guard
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plan = _plan(
+        relational.star_join_enrich(
+            orders,
+            [(cust, "o_custkey"), (nat, "c_nationkey")],
+            ["o_orderkey", "c_name", "n_name"],
+        )
+    )
+    assert plan.count("BroadcastHashJoin") == 4  # 2 joins x (tree + detail)
+    assert "SortMergeJoin" not in plan
+    assert not _exchange_blocks(plan)  # zero shuffles: map-only enrichment
+
+
+def test_salted_agg_two_phase_no_single_key_reducer(spark, lineitem):
+    plan = _plan(relational.salted_group_agg(lineitem, "l_returnflag", "l_quantity"))
+    blocks = _exchange_blocks(plan)
+    # first exchange on (key, salt), second on key alone
+    assert len(blocks) == 2
+    assert any("__salt" in b for b in blocks)
+    # 4 HashAggregates: partial+final per phase
+    assert plan.count("HashAggregate") >= 4
