@@ -483,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_clusters(spark, sf):
         return dedup.duplicate_clusters(_docs(spark, sf))
 
+    def dedup_verified_pairs(spark, sf):
+        # the candidates→verify stage alone: LSH pairs scored with exact
+        # shingle-Jaccard, threshold 0.5 (the edges dedup_clusters closes)
+        return dedup.verified_dup_pairs(_docs(spark, sf))
+
     def dedup_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf))
 
@@ -626,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "retry_backoff": retry_backoff,
         "dedup_clusters": dedup_clusters,
+        "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -746,6 +752,29 @@ def _ivf_oracle_sql(
     return "".join(parts)
 
 
+#: Shared verify-stage SQL: minhash sig → LSH bands → candidate pairs →
+#: per-doc shingle arrays, all MATERIALIZED (inlined CTEs would re-run the
+#: whole chain per reference). Used by dedup_clusters / dedup_verified_pairs.
+_LSH_VERIFY_PREFIX = None  # assigned below once _MINHASH_COLS exists
+
+
+def _VERIFIED_PAIRS_SELECT(cols: str) -> str:
+    """SELECT over candidate pairs with the rounded shingle-Jaccard (jac)
+    computed and thresholded at 0.5 — identical expression to the Spark
+    verified_dup_pairs."""
+    return (
+        f"SELECT {cols} FROM ("
+        " SELECT cand.a, cand.b,"
+        "  CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0"
+        "   THEN ROUND(len(list_intersect(sa.sh, sb.sh))"
+        "    / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4)"
+        "   ELSE 0.0 END AS jac"
+        " FROM cand JOIN shingled sa ON sa.sid = cand.a"
+        "  JOIN shingled sb ON sb.sid = cand.b)"
+        " WHERE jac >= 0.5"
+    )
+
+
 _SIMHASH_V = (
     "WITH tok AS ("
     " SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents"
@@ -759,6 +788,22 @@ _SIMHASH_V = (
     " v AS (SELECT doc_id, SUM(CASE WHEN acc > 0"
     "  THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS vu"
     "  FROM bits GROUP BY doc_id)"
+)
+
+
+_LSH_VERIFY_PREFIX = (
+    f"WITH RECURSIVE sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM documents),"
+    " bands AS MATERIALIZED ("
+    "  SELECT 0 AS band_idx, md5(h0 || '_' || h1) AS band_key, doc_id FROM sig"
+    "  UNION ALL SELECT 1, md5(h2 || '_' || h3), doc_id FROM sig"
+    "  UNION ALL SELECT 2, md5(h4 || '_' || h5), doc_id FROM sig"
+    "  UNION ALL SELECT 3, md5(h6 || '_' || h7), doc_id FROM sig),"
+    " cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
+    "  FROM bands x JOIN bands y USING (band_idx, band_key)"
+    "  WHERE x.doc_id < y.doc_id),"
+    " shingled AS MATERIALIZED (SELECT doc_id AS sid, "
+    + _SHINGLES.format(col="text")
+    + " AS sh FROM documents)"
 )
 
 
@@ -1116,25 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         # component, then MIN(label) per node — the exact value the
         # iterative Spark propagation converges to.
         "dedup_clusters": (
-            f"WITH RECURSIVE sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM documents),"
-            " bands AS MATERIALIZED ("
-            "  SELECT 0 AS band_idx, md5(h0 || '_' || h1) AS band_key, doc_id FROM sig"
-            "  UNION ALL SELECT 1, md5(h2 || '_' || h3), doc_id FROM sig"
-            "  UNION ALL SELECT 2, md5(h4 || '_' || h5), doc_id FROM sig"
-            "  UNION ALL SELECT 3, md5(h6 || '_' || h7), doc_id FROM sig),"
-            " cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
-            "  FROM bands x JOIN bands y USING (band_idx, band_key)"
-            "  WHERE x.doc_id < y.doc_id),"
-            " shingled AS MATERIALIZED (SELECT doc_id AS sid, "
-            + _SHINGLES.format(col="text")
-            + " AS sh FROM documents),"
-            " pairs AS MATERIALIZED (SELECT a, b FROM cand"
-            "  JOIN shingled sa ON sa.sid = cand.a"
-            "  JOIN shingled sb ON sb.sid = cand.b"
-            "  WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0"
-            "   THEN ROUND(len(list_intersect(sa.sh, sb.sh))"
-            "    / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4)"
-            "   ELSE 0.0 END >= 0.5),"
+            _LSH_VERIFY_PREFIX
+            + ", pairs AS MATERIALIZED (" + _VERIFIED_PAIRS_SELECT("a, b") + "),"
             " edges AS (SELECT a AS src, b AS dst FROM pairs"
             "  UNION ALL SELECT b, a FROM pairs),"
             " walk(id, label) AS ("
@@ -1142,6 +1170,10 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)"
             " SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id"
+        ),
+        "dedup_verified_pairs": (
+            _LSH_VERIFY_PREFIX
+            + " " + _VERIFIED_PAIRS_SELECT("a, b, jac AS jaccard")
         ),
         "dedup_ngram_jaccard": (
             "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,"

@@ -254,3 +254,17 @@ def sliding_turn_rates(
             "n_turns",
         )
     )
+
+
+def stream_dedup_exact(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: turns whose text digest already appeared
+    within the watermark horizon are dropped. dropDuplicatesWithinWatermark
+    keeps only digests younger than the watermark in the state store —
+    BOUNDED state, unlike a plain dropDuplicates whose state grows with
+    the whole stream history. Only the 32-hex digest (plus event time) is
+    stored per distinct text, never the text itself."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("fp", F.md5(F.col("text")))
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

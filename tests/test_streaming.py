@@ -227,3 +227,28 @@ def test_replayed_micro_batch_commits_nothing(spark, dirs):
     commit(batch_df, last + 1)  # a genuinely new batch still commits
     assert read_extracted_table(spark, root).count() > n
     assert committed_stream_batch(root) == last + 1
+
+def test_stream_dedup_drops_repeated_texts(spark, dirs):
+    from ocr_spark.streaming import read_transcript_stream, stream_dedup_exact
+
+    inp, _root, ckpt = dirs
+    a = _drop(inp, "a.parquet", seed=70)
+    # second drop: the SAME transcripts again (e.g. a re-delivered feed)
+    a.to_parquet(os.path.join(inp, "b.parquet"), index=False)
+
+    seen: list[int] = []
+
+    def collect(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    q = (
+        stream_dedup_exact(read_transcript_stream(spark, inp))
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_distinct = a["text"].nunique()
+    assert sum(seen) == n_distinct  # every duplicate text dropped once seen
