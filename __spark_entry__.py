@@ -357,6 +357,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " FROM documents_gs GROUP BY GROUPING SETS ((lang), (source))"
         )
 
+    def json_extract_field(spark, sf):
+        # typed JSON parse of the props column — from_json with a schema
+        # (the Spark-first form: one parse, typed output, no per-field
+        # string scans like repeated get_json_object calls)
+        ev = _tbl(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        )
+
+    def json_field_stats(spark, sf):
+        ev = _tbl(spark, sf, "events")
+        parsed = ev.select(
+            "event_type", F.from_json(F.col("props"), "k INT").getField("k").alias("k")
+        )
+        return parsed.groupBy("event_type").agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+
+    def quantize_embeddings(spark, sf):
+        return similarity.quantize_embeddings(_tbl(spark, sf, "embeddings"))
+
     def tfidf_top_terms(spark, sf):
         return textops.tfidf_topk(_docs(spark, sf), k=3)
 
@@ -614,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": deterministic_sample,
         "stratified_sample": stratified_sample,
         "grouping_sets_lang_source": grouping_sets_lang_source,
+        "json_extract_field": json_extract_field,
+        "json_field_stats": json_field_stats,
+        "quantize_embeddings": quantize_embeddings,
         "tfidf_top_terms": tfidf_top_terms,
         "star_join_orders": star_join_orders,
         "skew_salted_agg": skew_salted_agg,
@@ -1031,6 +1059,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(grouping(lang) AS BIGINT) AS g_lang,"
             " CAST(grouping(source) AS BIGINT) AS g_source"
             " FROM documents GROUP BY GROUPING SETS ((lang), (source))"
+        ),
+        "json_extract_field": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k"
+            " FROM events"
+        ),
+        "json_field_stats": (
+            "SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,"
+            " CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k,"
+            " CAST(MAX(k) AS BIGINT) AS max_k FROM"
+            " (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k"
+            "  FROM events) GROUP BY event_type"
+        ),
+        "quantize_embeddings": (
+            "SELECT vec_id, CAST(u.i - 1 AS INT) AS dim_idx,"
+            " CAST(CASE WHEN list_max(v) - list_min(v) > 0 THEN"
+            "  round((v[CAST(u.i AS INT)] - list_min(v))"
+            "   / (list_max(v) - list_min(v)) * 255, 0)"
+            "  ELSE 0 END AS INT) AS code"
+            " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) t,"
+            " LATERAL unnest(range(1, len(t.v)+1)) u(i)"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id AS did,"

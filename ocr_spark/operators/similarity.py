@@ -332,3 +332,28 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_r")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector scalar int8-style quantization (the memory lever for
+    100-TB ANN: 4 bytes/dim float32 → 1 byte/dim + 2 floats): code =
+    round((x - min) / (max - min) * 255). Emitted in long form
+    (vec_id, dim_idx, code) — JVM-side transform + posexplode, no Python.
+    Constant vectors (range 0) quantize to all-zero codes."""
+    amin = F.array_min(F.col(vec_col))
+    amax = F.array_max(F.col(vec_col))
+    rng = (amax - amin).cast("double")
+    codes = F.expr(
+        f"transform({vec_col}, x -> cast(round((cast(x as double) -"
+        f" cast(array_min({vec_col}) as double)) /"
+        f" (cast(array_max({vec_col}) as double) -"
+        f"  cast(array_min({vec_col}) as double)) * 255, 0) as int))"
+    )
+    safe = F.when(rng > 0, codes).otherwise(
+        F.expr(f"transform({vec_col}, x -> 0)")
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(safe).alias("dim_idx", "code")
+    )
