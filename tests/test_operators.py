@@ -521,3 +521,48 @@ def test_duplicate_clusters_transitive_min_label(spark):
     )
     assert out[0] == out[1] == out[2] == 0  # transitive closure to min id
     assert out[3] == 3 and out[4] == 4  # singletons keep their own id
+
+
+def test_ann_recall_vs_exact_baseline(spark):
+    # quality telemetry: approximate ANN must recover a healthy share of
+    # the exact top-3 on the deterministic test corpus (low-cosine regime
+    # — random-ish embeddings — so these floors are conservative)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, q, k=3).toPandas()
+    e = exact.groupby("q_id")["neighbor_id"].apply(set)
+
+    def recall(ap):
+        a = ap.groupby("q_id")["neighbor_id"].apply(set)
+        return sum(len(e[i] & a.get(i, set())) for i in e.index) / (3 * len(e))
+
+    assert recall(similarity.lsh_bucketed_topk(emb, q, k=3).toPandas()) >= 0.5
+    assert recall(similarity.ivf_topk(emb, q, k=3).toPandas()) >= 0.5
+
+
+def test_deterministic_sample_invariant_under_partitioning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        r["doc_id"]
+        for r in relational.deterministic_sample(docs, "doc_id", "4").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in relational.deterministic_sample(
+            docs.repartition(13), "doc_id", "4"
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_quantize_codes_bounded_and_reconstructable(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.quantize_embeddings(emb).toPandas()
+    assert out["code"].between(0, 255).all()
+    # reconstruction error of one vector bounded by half a quantization step
+    row = emb.filter(F.col("vec_id") == 0).first()
+    v = np.array(row["embedding"], dtype=np.float64)
+    codes = out[out["vec_id"] == 0].sort_values("dim_idx")["code"].to_numpy()
+    lo, hi = v.min(), v.max()
+    recon = lo + codes * (hi - lo) / 255.0
+    assert np.abs(recon - v).max() <= (hi - lo) / 255.0 / 2 + 1e-9

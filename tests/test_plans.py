@@ -293,3 +293,20 @@ def test_salted_agg_two_phase_no_single_key_reducer(spark, lineitem):
     assert any("__salt" in b for b in blocks)
     # 4 HashAggregates: partial+final per phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_top_terms_is_take_ordered_with_partial_agg(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.top_terms_df(docs, k=20))
+    assert "TakeOrderedAndProject" in plan  # heaps, never a global sort
+    assert plan.count("HashAggregate") >= 4  # partial + final
+
+
+def test_tfidf_broadcasts_document_frequencies(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.tfidf_topk(docs, k=3))
+    assert "BroadcastHashJoin" in plan  # token->df table rides broadcast

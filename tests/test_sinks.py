@@ -97,3 +97,38 @@ def test_save_outputs_shared_stamp(small_df, tmp_path):
     )
     assert written == [str(tmp_path / "extract_20260101_000000.csv")]
     assert os.path.exists(written[0])
+
+
+def test_xlsxmin_fuzz_roundtrip(tmp_path):
+    # arbitrary unicode/markup text must survive the write→parse roundtrip
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.xlsxmin import write_xlsx
+
+    # XML 1.0 forbids most control chars; the writer targets printable text
+    cell_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=40
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.lists(cell_text, min_size=2, max_size=2), max_size=5))
+    def roundtrip(rows):
+        path = write_xlsx(str(tmp_path / "f.xlsx"), ["a", "b"], rows)
+        ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+        with zipfile.ZipFile(path) as z:
+            ws = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        got = []
+        for r in ws.findall("m:sheetData/m:row", ns)[1:]:
+            cells = {}
+            for c in r.findall("m:c", ns):
+                col = "".join(ch for ch in c.get("r") if ch.isalpha())
+                t = c.find("m:is/m:t", ns)
+                cells[col] = t.text if t is not None and t.text is not None else ""
+            got.append([cells.get("A", ""), cells.get("B", "")])
+        assert got == [[row[0], row[1]] for row in rows]
+
+    roundtrip()
