@@ -1,0 +1,63 @@
+"""Directory-source face: binaryFile listing, glob pushdown, extension
+routing, and payload parsing through the multimodal operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ocr_spark.operators import multimodal
+from ocr_spark.sources import binary_dir_source, listed_payloads, route_by_extension
+
+
+def _write_files(d):
+    (d / "sub").mkdir()
+    files = {
+        "a.png": multimodal.encode_fake_image(1, 4, 3),
+        "b.PDF": b"%PDF-1.4 fake",
+        "sub/c.jpeg": multimodal.encode_fake_image(2, 2, 2),
+        "notes.txt": b"not a payload",
+    }
+    for name, content in files.items():
+        (d / name).write_bytes(content)
+    return files
+
+
+def test_binary_dir_source_lists_recursively_with_bytes(spark, tmp_path):
+    files = _write_files(tmp_path)
+    out = binary_dir_source(spark, str(tmp_path)).toPandas()
+    assert len(out) == len(files)
+    by_name = {p.rsplit("/", 1)[-1]: c for p, c in zip(out["path"], out["content"])}
+    assert bytes(by_name["a.png"]) == files["a.png"]
+    assert bytes(by_name["c.jpeg"]) == files["sub/c.jpeg"]
+    assert (out["length"] > 0).all()
+
+
+def test_glob_filter_pushes_into_listing(spark, tmp_path):
+    _write_files(tmp_path)
+    out = binary_dir_source(spark, str(tmp_path), glob="*.png").toPandas()
+    assert len(out) == 1 and out["path"].iloc[0].endswith("a.png")
+
+
+def test_extension_routing_matches_reference_whitelist(spark, tmp_path):
+    _write_files(tmp_path)
+    routed = route_by_extension(binary_dir_source(spark, str(tmp_path))).toPandas()
+    routes = {
+        p.rsplit("/", 1)[-1]: r for p, r in zip(routed["path"], routed["route"])
+    }
+    # case-insensitive, like the reference's .lower().endswith dispatch
+    assert routes["a.png"] == "image"
+    assert routes["b.PDF"] == "pdf"
+    assert routes["c.jpeg"] == "image"
+    assert routes["notes.txt"] == "unsupported"
+
+
+def test_listed_payloads_feed_multimodal_operators(spark, tmp_path):
+    _write_files(tmp_path)
+    payloads = listed_payloads(spark, str(tmp_path)).filter("route = 'image'")
+    with_ids = payloads.selectExpr(
+        "CAST(length AS LONG) AS vec_id", "content AS payload"
+    )
+    meta = multimodal.extract_metadata(with_ids).toPandas()
+    assert len(meta) == 2
+    assert meta["valid"].all()
+    assert set(zip(meta["width"], meta["height"])) == {(4, 3), (2, 2)}
