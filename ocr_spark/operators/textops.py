@@ -130,15 +130,17 @@ def tfidf_topk(
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # corpus size as a broadcast 1-row aggregate, NOT a driver-side
+    # count(): the whole query stays lazy and runs as one job
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("__nd"))
     scored = (
         tf.join(doc_len, "did")
         .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(
-                (F.col("n") / F.col("len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                (F.col("n") / F.col("len")) * F.log(F.col("__nd") / F.col("df")),
                 4,
             ),
         )
