@@ -236,8 +236,12 @@ def lsh_candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """Distinct MinHash-LSH candidate pairs (a < b): band self-join on the
-    short band keys — ids only, no text, no all-pairs."""
-    bands = lsh_bands(minhash_signatures(df, text_col, id_col, num_hashes), band_size)
+    short band keys — ids only, no text, no all-pairs. The band frame is
+    persisted: a self-join re-evaluates its plan per side, which would run
+    the signature kernel TWICE (Spark does not dedup common subplans)."""
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes), band_size
+    ).persist()
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_key"])
@@ -270,11 +274,33 @@ def verified_dup_pairs(
         f"  sequence(1, size(split({text_col},' ')) - {ngram} + 1),"
         f"  i -> concat_ws(' ', slice(split({text_col},' '), i, {ngram})))) end"
     )
-    shingled = df.select(F.col(id_col).alias("sid"), sh.alias("sh"))
+    shingled = df.select(
+        F.col(id_col).alias("sid"), sh.alias("sh")
+    ).withColumn("nsh", F.size("sh")).persist()
+    # provable length prefilter (AllPairs/PPJoin): J ≤ min(|A|,|B|)/max —
+    # a size-ratio below the threshold can never verify, so the expensive
+    # array intersect runs only on size-compatible pairs. The join for
+    # the filter moves two INTs per pair; arrays attach to survivors.
+    # Slack 1e-3 covers the 4-decimal rounding of the final score.
+    sized = (
+        pairs.join(
+            shingled.select(F.col("sid").alias("a"), F.col("nsh").alias("na")), "a"
+        )
+        .join(
+            shingled.select(F.col("sid").alias("b"), F.col("nsh").alias("nb")), "b"
+        )
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.greatest("na", "nb").cast("double") * F.lit(threshold - 1e-3)
+        )
+        .select("a", "b")
+    )
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
     return (
-        pairs.join(shingled.select(F.col("sid").alias("a"), F.col("sh").alias("sha")), "a")
+        sized.join(
+            shingled.select(F.col("sid").alias("a"), F.col("sh").alias("sha")), "a"
+        )
         .join(shingled.select(F.col("sid").alias("b"), F.col("sh").alias("shb")), "b")
         .withColumn(
             "jaccard",
@@ -357,7 +383,9 @@ def embedding_cosine_dedup_lsh(
     output is a superset of this one (LSH recall < 1 by construction)."""
     from ocr_spark.operators.similarity import hyperplane_buckets, with_cosine_expr
 
-    b = hyperplane_buckets(emb, num_planes, num_tables, dim, id_col, vec_col)
+    # persisted: the self-join would otherwise evaluate all num_tables ×
+    # num_planes plane dot products twice (once per join side)
+    b = hyperplane_buckets(emb, num_planes, num_tables, dim, id_col, vec_col).persist()
     pairs = (
         b.alias("a")
         .join(b.alias("b"), ["table_idx", "bucket"])
