@@ -56,11 +56,35 @@ def encode_fake_image(vec_id: int, width: int, height: int, channels: int = 1) -
 
 
 def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:
-    if not payload or len(payload) < 9 or payload[:4] != MAGIC:
+    """Format sniff + dimensions: IMG1 (synthetic), PNG (real IHDR parse),
+    binary netpbm. Anything else → unknown/invalid."""
+    if not payload or len(payload) < 9:
         return ("unknown", 0, 0, 0, False)
-    w, h, c = struct.unpack(">HHB", payload[4:9])
-    ok = len(payload) == 9 + w * h * c
-    return ("IMG1", w, h, c, ok)
+    if payload[:4] == MAGIC:
+        w, h, c = struct.unpack(">HHB", payload[4:9])
+        ok = len(payload) == 9 + w * h * c
+        return ("IMG1", w, h, c, ok)
+    from ocr_spark.kernels import png as _png
+
+    if payload[:8] == _png.PNG_SIG:
+        try:
+            img = _png.decode_png(payload)
+            return ("PNG", img.shape[1], img.shape[0], img.shape[2], True)
+        except Exception:
+            return ("PNG", 0, 0, 0, False)
+    if payload[:2] in (b"P5", b"P6"):
+        try:
+            img = _png.decode_netpbm(payload)
+            return (
+                payload[:2].decode(),
+                img.shape[1],
+                img.shape[0],
+                img.shape[2],
+                True,
+            )
+        except Exception:
+            return (payload[:2].decode(), 0, 0, 0, False)
+    return ("unknown", 0, 0, 0, False)
 
 
 def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,23 +109,37 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode a payload to an HxWxC array.
+    """Decode a payload to an HxWxC uint8 array, auto-detected by format:
 
-    Real decode is NOT available in this sandbox (no PIL/cv2) —
-    ``fake=True`` returns the deterministic synthetic pixels the fake
-    encoder wrote, which exercises the full downstream path (resize,
-    feature extraction) with real array shapes.
+    - PNG → REAL decode (pure stdlib zlib + NumPy, kernels/png.py)
+    - binary netpbm (P5/P6) → real decode
+    - IMG1 → the deterministic synthetic fixture format; decoded only
+      with ``fake=True`` (its bytes ARE the pixels — the flag preserves
+      the explicit synthetic-vs-real distinction in tests)
+    - JPEG → NotImplementedError (entropy coding + DCT is a codec
+      project; plug PIL in here on a cluster that has it)
     """
+    from ocr_spark.kernels import png as _png
+
+    if payload[:8] == _png.PNG_SIG:
+        return _png.decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _png.decode_netpbm(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode requires a DCT codec (PIL/cv2); PNG and netpbm "
+            "decode natively"
+        )
     fmt, w, h, c, ok = parse_header(payload)
     if not ok:
-        raise ValueError("invalid IMG1 payload")
+        raise ValueError("invalid payload")
     if fake:
         return (
             np.frombuffer(payload[9:], dtype=np.uint8).reshape(h, w, c).copy()
         )
     raise NotImplementedError(
-        "real image decode requires PIL/cv2; use fake=True for the "
-        "deterministic synthetic path"
+        "IMG1 is the synthetic fixture format; pass fake=True (real "
+        "formats — PNG/netpbm — decode without the flag)"
     )
 
 
