@@ -143,6 +143,53 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def rotate_image_payload(payload: bytes, rotation: int) -> bytes:
+    """The reference's single-image rotation (scripts/ExtractX_OCR.py:
+    290-312) on REAL payloads: decode → np.rot90 (negative = clockwise,
+    matching PIL's rotate(-r, expand=True) for right angles) → re-encode
+    PNG. rotation==0 short-circuits and returns the ORIGINAL bytes
+    untouched (the reference's no-op path, :294-295); rotation must be a
+    multiple of 90."""
+    if rotation % 360 == 0:
+        return payload
+    if rotation % 90 != 0:
+        raise ValueError("right-angle rotations only (0/90/180/270)")
+    from ocr_spark.kernels.png import encode_png
+
+    img = decode_image(payload, fake=True)
+    rotated = np.rot90(img, k=-(rotation // 90) % 4)
+    return encode_png(np.ascontiguousarray(rotated))
+
+
+ROTATED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def rotate_images(df: DataFrame, rotation: int) -> DataFrame:
+    """Arrow-batched rotation of a payload column (one mapInPandas pass);
+    rotation==0 is a true no-op projection — no Python stage at all."""
+    if rotation % 360 == 0:
+        return df.select("vec_id", "payload")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "payload": [
+                        rotate_image_payload(bytes(p), rotation)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, ROTATED_SCHEMA)
+
+
 FEAT_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

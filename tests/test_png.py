@@ -129,3 +129,55 @@ def test_image_features_run_on_real_png_payloads(spark):
         assert out.loc[i, "mean_px"] == float(img[ys][:, xs].mean())
     meta = multimodal.extract_metadata(spark.createDataFrame(pdf)).toPandas()
     assert (meta["fmt"] == "PNG").all() and meta["valid"].all()
+
+
+def test_rotate_image_payload_geometry_and_noop():
+    img = _img(3, 5, 1, seed=12)
+    p = encode_png(img)
+    assert multimodal.rotate_image_payload(p, 0) is p  # byte-identical no-op
+    r90 = multimodal.decode_image(multimodal.rotate_image_payload(p, 90))
+    assert r90.shape == (5, 3, 1)
+    assert np.array_equal(r90, np.rot90(img, k=-1))
+    # 90 twice == 180; 4x90 == identity
+    r180 = multimodal.decode_image(
+        multimodal.rotate_image_payload(multimodal.rotate_image_payload(p, 90), 90)
+    )
+    assert np.array_equal(r180, np.rot90(img, k=2))
+    r360 = multimodal.rotate_image_payload(
+        multimodal.rotate_image_payload(p, 180), 180
+    )
+    assert np.array_equal(multimodal.decode_image(r360), img)
+
+
+def test_reference_front_door_end_to_end_on_real_pngs(spark, tmp_path):
+    # the full reference image path, Spark-first: directory listing →
+    # extension routing → REAL PNG decode → rotation → features
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources import listed_payloads
+
+    imgs = {f"img{i}.png": _img(6 + i, 4, 1, seed=i) for i in range(3)}
+    for name, img in imgs.items():
+        (tmp_path / name).write_bytes(encode_png(img))
+    (tmp_path / "skip.txt").write_bytes(b"not an image")
+
+    files = listed_payloads(spark, str(tmp_path))
+    assert files.count() == 3  # .txt routed out
+    payloads = files.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.col("content").alias("payload"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+    )
+    rotated = multimodal.rotate_images(payloads, 90)
+    feats = multimodal.image_features(rotated, target=(2, 2)).toPandas()
+    assert len(feats) == 3 and feats["resized_h"].eq(2).all()
+    # spot-check one image's feature value against pure numpy
+    name_of = {r["vec_id"]: r["name"] for r in payloads.collect()}
+    expected = {}
+    for vid, nm in name_of.items():
+        img = np.rot90(imgs[nm], k=-1)
+        ys = np.linspace(0, img.shape[0] - 1, 2).astype(int)
+        xs = np.linspace(0, img.shape[1] - 1, 2).astype(int)
+        expected[vid] = float(img[ys][:, xs].mean())
+    got = feats.set_index("vec_id")["mean_px"].to_dict()
+    assert got == expected
