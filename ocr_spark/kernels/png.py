@@ -105,6 +105,26 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+def read_ihdr(data: bytes) -> tuple[int, int, int]:
+    """Constant-time PNG header read: (width, height, channels) from the
+    IHDR chunk (fixed position right after the signature), CRC-checked —
+    no IDAT decompression, no filter reconstruction. For metadata scans
+    over large corpora this is the difference between a header peek and a
+    full decode per image."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    if data[12:16] != b"IHDR" or int.from_bytes(data[8:12], "big") != 13:
+        raise ValueError("PNG missing leading IHDR")
+    chunk = data[16:29]
+    crc = int.from_bytes(data[29:33], "big")
+    if zlib.crc32(b"IHDR" + chunk) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", chunk)
+    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+        raise NotImplementedError(f"PNG variant unsupported (depth={depth})")
+    return w, h, _CHANNELS[ctype]
+
+
 def _chunk(typ: bytes, payload: bytes) -> bytes:
     return (
         len(payload).to_bytes(4, "big")

@@ -234,14 +234,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Distinct MinHash-LSH candidate pairs (a < b): band self-join on the
     short band keys — ids only, no text, no all-pairs. The band frame is
     persisted: a self-join re-evaluates its plan per side, which would run
-    the signature kernel TWICE (Spark does not dedup common subplans)."""
+    the signature kernel TWICE (Spark does not dedup common subplans).
+    The cache must outlive any action on the returned LAZY frame, so the
+    caller owns its lifetime: pass ``caches`` to collect persisted frames
+    for unpersisting after your action (duplicate_clusters does)."""
     bands = lsh_bands(
         minhash_signatures(df, text_col, id_col, num_hashes), band_size
     ).persist()
+    if caches is not None:
+        caches.append(bands)
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_key"])
@@ -259,6 +265,7 @@ def verified_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     ngram: int = 3,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """LSH candidates → exact n-gram-Jaccard verify ≥ threshold: the
     (a, b, jaccard) edges safe to cluster over. Verification is MANDATORY
@@ -267,7 +274,9 @@ def verified_dup_pairs(
     closure amplifies every false positive into a merged cluster.
     Shingle arrays are computed ONCE per doc and joined to the pairs by
     id, so the quadratic-ish candidate set never re-tokenizes text."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size)
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, band_size, caches=caches
+    )
     sh = F.expr(
         f"case when size(split({text_col},' ')) < {ngram} then array()"
         f" else array_distinct(transform("
@@ -277,6 +286,8 @@ def verified_dup_pairs(
     shingled = df.select(
         F.col(id_col).alias("sid"), sh.alias("sh")
     ).withColumn("nsh", F.size("sh")).persist()
+    if caches is not None:
+        caches.append(shingled)
     # provable length prefilter (AllPairs/PPJoin): J ≤ min(|A|,|B|)/max —
     # a size-ratio below the threshold can never verify, so the expensive
     # array intersect runs only on size-compatible pairs. The join for
@@ -331,8 +342,9 @@ def duplicate_clusters(
     tiny diameters, so 2-3 rounds converge in practice; ``max_iters``
     bounds the worst case (a path graph). Deterministic under any
     partitioning — labels are mins, never first-seen."""
+    caches: list[DataFrame] = []
     pairs = verified_dup_pairs(
-        df, threshold, text_col, id_col, num_hashes, band_size
+        df, threshold, text_col, id_col, num_hashes, band_size, caches=caches
     )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -360,6 +372,8 @@ def duplicate_clusters(
             break
         prev_sum = new_sum
     edges.unpersist()
+    for c in caches:  # band/shingle caches from the pair build
+        c.unpersist()
     return labels
 
 

@@ -67,14 +67,16 @@ def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:
     from ocr_spark.kernels import png as _png
 
     if payload[:8] == _png.PNG_SIG:
+        # header-only read (read_ihdr) — a metadata scan must never pay
+        # for IDAT decompression + filter reconstruction per image
         try:
-            img = _png.decode_png(payload)
-            return ("PNG", img.shape[1], img.shape[0], img.shape[2], True)
+            w, h, c = _png.read_ihdr(payload)
+            return ("PNG", w, h, c, True)
         except Exception:
             return ("PNG", 0, 0, 0, False)
     if payload[:2] in (b"P5", b"P6"):
         try:
-            img = _png.decode_netpbm(payload)
+            img = _png.decode_netpbm(payload)  # header parse + length check
             return (
                 payload[:2].decode(),
                 img.shape[1],
@@ -171,19 +173,26 @@ ROTATED_SCHEMA = T.StructType(
 
 def rotate_images(df: DataFrame, rotation: int) -> DataFrame:
     """Arrow-batched rotation of a payload column (one mapInPandas pass);
-    rotation==0 is a true no-op projection — no Python stage at all."""
+    rotation==0 is a true no-op projection — no Python stage at all.
+    An undecodable payload (JPEG, exotic PNG) keeps its ORIGINAL bytes —
+    the reference's fallback-to-original-on-error behavior
+    (scripts/ExtractX_OCR.py:310-312); one bad image never fails the
+    job, and downstream features count it in their failed tally."""
     if rotation % 360 == 0:
         return df.select("vec_id", "payload")
+
+    def _rotate_or_keep(p: bytes) -> bytes:
+        try:
+            return rotate_image_payload(bytes(p), rotation)
+        except Exception:
+            return bytes(p)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "payload": [
-                        rotate_image_payload(bytes(p), rotation)
-                        for p in pdf["payload"]
-                    ],
+                    "payload": [_rotate_or_keep(p) for p in pdf["payload"]],
                 }
             )
 

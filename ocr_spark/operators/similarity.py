@@ -341,19 +341,23 @@ def quantize_embeddings(
     100-TB ANN: 4 bytes/dim float32 → 1 byte/dim + 2 floats): code =
     round((x - min) / (max - min) * 255). Emitted in long form
     (vec_id, dim_idx, code) — JVM-side transform + posexplode, no Python.
-    Constant vectors (range 0) quantize to all-zero codes."""
-    amin = F.array_min(F.col(vec_col))
-    amax = F.array_max(F.col(vec_col))
-    rng = (amax - amin).cast("double")
+    Constant vectors (range 0) quantize to all-zero codes. The min/max
+    are hoisted into columns BEFORE the transform: Spark re-evaluates a
+    higher-order-function lambda body per element, so an inline
+    array_min/array_max would make quantization O(dim²) per vector."""
+    pre = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.array_min(F.col(vec_col)).cast("double").alias("__lo"),
+        F.array_max(F.col(vec_col)).cast("double").alias("__hi"),
+    )
     codes = F.expr(
-        f"transform({vec_col}, x -> cast(round((cast(x as double) -"
-        f" cast(array_min({vec_col}) as double)) /"
-        f" (cast(array_max({vec_col}) as double) -"
-        f"  cast(array_min({vec_col}) as double)) * 255, 0) as int))"
+        "transform(__v, x -> cast(round((cast(x as double) - __lo)"
+        " / (__hi - __lo) * 255, 0) as int))"
     )
-    safe = F.when(rng > 0, codes).otherwise(
-        F.expr(f"transform({vec_col}, x -> 0)")
+    safe = F.when(F.col("__hi") > F.col("__lo"), codes).otherwise(
+        F.expr("transform(__v, x -> 0)")
     )
-    return df.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(safe).alias("dim_idx", "code")
+    return pre.select(
+        "vec_id", F.posexplode(safe).alias("dim_idx", "code")
     )

@@ -49,15 +49,22 @@ def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def committed_stream_batch(table_root: str) -> int | None:
-    """Largest micro-batch id recorded in the table's snapshot chain
-    (walks parents so interleaved non-stream commits don't hide it)."""
+def committed_stream_batch(table_root: str, stream_id: str | None = None) -> int | None:
+    """Largest micro-batch id recorded in the table's snapshot chain FOR
+    THIS STREAM (walks parents so interleaved non-stream commits don't
+    hide it). Batch ids are monotonic only within one checkpoint lineage,
+    so snapshots from a different stream_id never arm the skip guard —
+    a fresh stream writing to an existing table starts at batch 0 and
+    must not have its first batches dropped. ``stream_id=None`` matches
+    any stream (legacy snapshots without the key)."""
     from ocr_spark import table as tbl
 
     snap = tbl.read_snapshot(table_root)
     while snap is not None:
         b = snap.get("stream_batch_id")
-        if b is not None:
+        if b is not None and (
+            stream_id is None or snap.get("stream_id") == stream_id
+        ):
             return int(b)
         parent = snap.get("parent")
         snap = tbl.read_snapshot(table_root, parent) if parent is not None else None
@@ -68,18 +75,22 @@ def make_batch_committer(
     table_root: str,
     num_parts: int = DEFAULT_NUM_PARTS,
     turn_bucket: int = DEFAULT_TURN_BUCKET,
+    stream_id: str = "default",
 ):
     """The foreachBatch sink: extract + atomic snapshot commit, IDEMPOTENT
     per micro-batch. foreachBatch is at-least-once — a crash after the
     snapshot commit but before the stream checkpoint's offset commit
-    replays the micro-batch on restart — so the commit records its
-    batch_id in the snapshot metadata and a replayed batch (id ≤ the last
-    committed one; Structured Streaming batch ids are monotonic) is
-    skipped, upgrading the sink to exactly-once."""
+    replays the micro-batch on restart — so the commit records
+    (stream_id, batch_id) in the snapshot metadata and a replayed batch
+    (same stream, id ≤ the last committed; batch ids are monotonic per
+    checkpoint) is skipped, upgrading the sink to exactly-once.
+    ``stream_id`` identifies the checkpoint lineage (stream_extract passes
+    its checkpoint dir): batches from a DIFFERENT stream restart at 0 and
+    are never skipped."""
     from ocr_spark import table as tbl
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = committed_stream_batch(table_root)
+        last = committed_stream_batch(table_root, stream_id)
         if last is not None and int(batch_id) <= last:
             return  # replayed after crash-between-commit-and-checkpoint
         out = extract_stage(batch_df, num_parts=num_parts, turn_bucket=turn_bucket)
@@ -88,7 +99,7 @@ def make_batch_committer(
             table_root,
             out,
             part_col="part_id",
-            extra_meta={"stream_batch_id": int(batch_id)},
+            extra_meta={"stream_batch_id": int(batch_id), "stream_id": stream_id},
         )
 
     return process_batch
@@ -114,7 +125,9 @@ def stream_extract(
     stream = read_transcript_stream(spark, input_dir)
     writer = (
         stream.writeStream.foreachBatch(
-            make_batch_committer(table_root, num_parts, turn_bucket)
+            make_batch_committer(
+                table_root, num_parts, turn_bucket, stream_id=checkpoint_dir
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -14,8 +14,9 @@ one-scalar-type-is-string data model (SURVEY.md §1.2).
 
 from __future__ import annotations
 
+import re
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _CONTENT_TYPES = (
@@ -74,16 +75,34 @@ def _workbook_xml(sheet_name: str) -> str:
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_NS}" xmlns:r="http://schemas.openxmlformats.org/'
         'officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        f"<sheets><sheet name={quoteattr(sheet_name)} sheetId=\"1\" r:id=\"rId1\"/></sheets>"
         "</workbook>"
     )
+
+
+_XESC = re.compile(r"_x[0-9A-Fa-f]{4}_")
+#: XML 1.0 forbids these outright — no entity can represent them.
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _encode_cell_text(value) -> str:
+    """SpreadsheetML text encoding: XML-invalid control characters become
+    the OOXML ``_xHHHH_`` escape (what real Excel writers emit — XML 1.0
+    cannot carry them even as entities), and literal substrings that LOOK
+    like that escape get their underscore encoded first so decoding is
+    unambiguous. This codebase makes NUL-bearing strings first-class
+    (align.NA_SENTINEL), so the sink must not emit unparseable XML."""
+    s = str(value)
+    s = _XESC.sub(lambda m: "_x005F" + m.group(0), s)
+    s = _XML_INVALID.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+    return escape(s)
 
 
 def _cell(row_idx: int, col_idx: int, value) -> str:
     if value is None or value != value:  # None / NaN → empty cell omitted
         return ""
     ref = f"{column_letter(col_idx)}{row_idx}"
-    text = escape(str(value))
+    text = _encode_cell_text(value)
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 

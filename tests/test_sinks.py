@@ -132,3 +132,23 @@ def test_xlsxmin_fuzz_roundtrip(tmp_path):
         assert got == [[row[0], row[1]] for row in rows]
 
     roundtrip()
+
+
+def test_xlsxmin_control_chars_produce_valid_xml(tmp_path):
+    # NUL-bearing strings are first-class here (align.NA_SENTINEL) — the
+    # workbook must stay parseable, with OOXML _xHHHH_ escapes in place
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from ocr_spark.xlsxmin import write_xlsx
+
+    rows = [["\x00NA"], ["bell\x07"], ["looks_x0041_escaped"], ["tab\tok"]]
+    path = write_xlsx(str(tmp_path / "ctrl.xlsx"), ["a"], rows)
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        ws = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))  # must parse
+    texts = [t.text for t in ws.findall(".//m:t", ns)][1:]
+    assert texts[0] == "_x0000_NA"
+    assert texts[1] == "bell_x0007_"
+    assert texts[2] == "looks_x005F_x0041_escaped"  # literal escape protected
+    assert texts[3] == "tab\tok"  # \t is XML-legal, kept verbatim

@@ -218,15 +218,24 @@ def test_replayed_micro_batch_commits_nothing(spark, dirs):
     last = committed_stream_batch(root)
     assert last is not None
 
-    commit = make_batch_committer(root, num_parts=8)
+    commit = make_batch_committer(root, num_parts=8, stream_id=ckpt)
     batch_df = spark.read.parquet(os.path.join(inp, "a.parquet"))
     commit(batch_df, last)  # replay of an already-committed batch
     assert read_extracted_table(spark, root).count() == n  # no duplicate rows
     assert tbl.current_snapshot_id(root) is not None
 
     commit(batch_df, last + 1)  # a genuinely new batch still commits
-    assert read_extracted_table(spark, root).count() > n
-    assert committed_stream_batch(root) == last + 1
+    n2 = read_extracted_table(spark, root).count()
+    assert n2 > n
+    assert committed_stream_batch(root, ckpt) == last + 1
+
+    # a DIFFERENT stream (fresh checkpoint) restarts at batch 0 — its
+    # first batch must NOT be dropped by the other stream's high-water id
+    other = make_batch_committer(root, num_parts=8, stream_id=ckpt + "-second")
+    other(batch_df, 0)
+    assert read_extracted_table(spark, root).count() > n2
+    assert committed_stream_batch(root, ckpt + "-second") == 0
+    assert committed_stream_batch(root, ckpt) == last + 1  # unaffected
 
 def test_stream_dedup_drops_repeated_texts(spark, dirs):
     from ocr_spark.streaming import read_transcript_stream, stream_dedup_exact
