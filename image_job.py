@@ -54,8 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
-    n = written.count()
-    n_failed = written.filter(F.col("resized_h") == 0).count()
+    # ONE job for the whole summary (count + failure count in a single
+    # aggregate scan) — two separate .count() actions would re-scan the
+    # output once per stat
+    stats = written.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum((F.col("resized_h") == 0).cast("long")), F.lit(0)
+        ).alias("n_failed"),
+    ).first()
+    n, n_failed = int(stats["n"]), int(stats["n_failed"])
     print(
         json.dumps(
             {

@@ -18,6 +18,7 @@ DuckDB oracle can replay signatures bit-for-bit.
 from __future__ import annotations
 
 import hashlib
+import weakref
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,6 +29,27 @@ from pyspark.sql import types as T
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
+
+
+def _own_caches(result: DataFrame, frames: list[DataFrame]) -> DataFrame:
+    """Tie persisted helper frames to the RESULT's lifetime. The cached
+    frames must outlive any action on the lazy result, so they cannot be
+    unpersisted eagerly here; when the caller declines ownership
+    (caches=None) a weakref finalizer releases them once the returned
+    handle is garbage-collected — no leaked storage across a long session
+    or sweep. The finalizer captures the JVM Dataset handles, not the
+    Python wrappers (finalize holds its args strongly — holding the
+    result itself would keep it alive forever)."""
+
+    def _release(jdfs=[f._jdf for f in frames]):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # session already stopped / interpreter shutdown
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def md5_number(s: str) -> int:
@@ -127,16 +149,17 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    sigs: DataFrame, band_size: int = DEFAULT_BAND_SIZE
+    sigs: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Explode signatures into (band_idx, band_key, doc_id); band_key =
     md5 of the band's joined signature values (built-in, JVM-side).
 
     ONE posexplode over an array of band keys — a union of per-band
     selects would make Spark re-run the signature UDF (and re-scan the
-    input) once PER BAND, quadrupling the dominant kernel cost."""
-    num_hashes = DEFAULT_NUM_HASHES  # length enforced by minhash_signatures
-    n = band_size
+    input) once PER BAND, multiplying the dominant kernel cost."""
+    n = band_size  # num_hashes must match the signature length upstream
     keys = F.array(
         *[
             F.md5(F.concat_ws("_", *[F.col("sig")[b * n + j] for j in range(n)]))
@@ -160,7 +183,7 @@ def lsh_candidate_groups(
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     return (
-        lsh_bands(sigs, band_size)
+        lsh_bands(sigs, band_size, num_hashes=num_hashes)
         .groupBy("band_idx", "band_key")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -242,19 +265,26 @@ def lsh_candidate_pairs(
     the signature kernel TWICE (Spark does not dedup common subplans).
     The cache must outlive any action on the returned LAZY frame, so the
     caller owns its lifetime: pass ``caches`` to collect persisted frames
-    for unpersisting after your action (duplicate_clusters does)."""
+    for unpersisting after your action (duplicate_clusters does). With
+    ``caches=None`` the cache is released automatically when the returned
+    frame is garbage-collected (weakref finalizer) — nothing leaks."""
+    own = caches is None
+    if own:
+        caches = []
     bands = lsh_bands(
-        minhash_signatures(df, text_col, id_col, num_hashes), band_size
+        minhash_signatures(df, text_col, id_col, num_hashes),
+        band_size,
+        num_hashes=num_hashes,
     ).persist()
-    if caches is not None:
-        caches.append(bands)
-    return (
+    caches.append(bands)
+    result = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
+    return _own_caches(result, caches) if own else result
 
 
 def verified_dup_pairs(
@@ -273,7 +303,12 @@ def verified_dup_pairs(
     ~99k candidates vs 25 real near-dup pairs on the sf0.01 corpus), and
     closure amplifies every false positive into a merged cluster.
     Shingle arrays are computed ONCE per doc and joined to the pairs by
-    id, so the quadratic-ish candidate set never re-tokenizes text."""
+    id, so the quadratic-ish candidate set never re-tokenizes text.
+    Cache ownership follows lsh_candidate_pairs: pass ``caches`` to own
+    the persisted frames, or leave None for GC-tied release."""
+    own = caches is None
+    if own:
+        caches = []
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, band_size, caches=caches
     )
@@ -286,8 +321,7 @@ def verified_dup_pairs(
     shingled = df.select(
         F.col(id_col).alias("sid"), sh.alias("sh")
     ).withColumn("nsh", F.size("sh")).persist()
-    if caches is not None:
-        caches.append(shingled)
+    caches.append(shingled)
     # provable length prefilter (AllPairs/PPJoin): J ≤ min(|A|,|B|)/max —
     # a size-ratio below the threshold can never verify, so the expensive
     # array intersect runs only on size-compatible pairs. The join for
@@ -308,7 +342,7 @@ def verified_dup_pairs(
     )
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
-    return (
+    result = (
         sized.join(
             shingled.select(F.col("sid").alias("a"), F.col("sh").alias("sha")), "a"
         )
@@ -320,6 +354,7 @@ def verified_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return _own_caches(result, caches) if own else result
 
 
 def duplicate_clusters(
@@ -354,6 +389,7 @@ def duplicate_clusters(
         "cluster_id", F.col("doc_id")
     ).persist()
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -369,12 +405,26 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
     for c in caches:  # band/shingle caches from the pair build
         c.unpersist()
-    return labels
+    if not converged:
+        # a non-fixpoint labeling is WRONG (it is not the transitive
+        # closure, and silently differs from the recursive-CTE oracle) —
+        # fail loudly; callers with genuinely deep components (diameter >
+        # max_iters, e.g. a chain of pairwise-similar docs) raise the
+        # budget instead of consuming a partial answer
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge "
+            f"within max_iters={max_iters} rounds; raise max_iters"
+        )
+    # the labels frame stays persisted for the caller's action; release
+    # follows the handle's lifetime
+    return _own_caches(labels, [labels])
 
 
 def embedding_cosine_dedup_lsh(

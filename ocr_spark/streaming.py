@@ -21,6 +21,10 @@ dropped, the Structured Streaming contract).
 
 from __future__ import annotations
 
+import os
+import sys
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,14 +89,24 @@ def make_batch_committer(
     (same stream, id ≤ the last committed; batch ids are monotonic per
     checkpoint) is skipped, upgrading the sink to exactly-once.
     ``stream_id`` identifies the checkpoint lineage (stream_extract passes
-    its checkpoint dir): batches from a DIFFERENT stream restart at 0 and
+    the nonce from ``stream_identity``, which survives only as long as the
+    checkpoint itself): batches from a DIFFERENT stream — including a
+    wiped-and-recreated checkpoint at the same path — restart at 0 and
     are never skipped."""
     from ocr_spark import table as tbl
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = committed_stream_batch(table_root, stream_id)
         if last is not None and int(batch_id) <= last:
-            return  # replayed after crash-between-commit-and-checkpoint
+            # replayed after crash-between-commit-and-checkpoint; loud so
+            # a mis-keyed identity (which would drop REAL batches) is
+            # visible in the stream logs, never silent
+            print(
+                f"ocr_spark.streaming: skipping replayed batch {batch_id} "
+                f"(stream {stream_id!r} already committed through {last})",
+                file=sys.stderr,
+            )
+            return
         out = extract_stage(batch_df, num_parts=num_parts, turn_bucket=turn_bucket)
         tbl.commit_append(
             batch_df.sparkSession,
@@ -103,6 +117,29 @@ def make_batch_committer(
         )
 
     return process_batch
+
+
+def stream_identity(checkpoint_dir: str) -> str:
+    """Stream lineage id: a uuid nonce persisted INSIDE the checkpoint
+    directory, created on first use. Identity must follow the
+    checkpoint's LIFETIME, not its path: batch ids restart at 0 when a
+    checkpoint is wiped and recreated at the same path (the standard
+    recovery action for checkpoint corruption), so keying the idempotence
+    guard on the path would make every post-recovery batch look like a
+    replay and silently drop it — data loss with no error. A fresh nonce
+    turns the recreated checkpoint into a new lineage that is never
+    skipped."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "ocr_spark_stream_id")
+    try:
+        # atomic create-if-absent: two racing first-uses agree on one nonce
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(uuid.uuid4().hex)
+    except FileExistsError:
+        pass
+    with open(marker) as f:
+        return f.read().strip()
 
 
 def stream_extract(
@@ -126,7 +163,10 @@ def stream_extract(
     writer = (
         stream.writeStream.foreachBatch(
             make_batch_committer(
-                table_root, num_parts, turn_bucket, stream_id=checkpoint_dir
+                table_root,
+                num_parts,
+                turn_bucket,
+                stream_id=stream_identity(checkpoint_dir),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

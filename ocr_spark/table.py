@@ -80,13 +80,27 @@ def _file_stats(spark: SparkSession, files: list[str], part_col: str | None) -> 
     if with_part:
         aggs += [F.min(part_col).alias("lo"), F.max(part_col).alias("hi")]
     rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+    # realpath on BOTH sides: input_file_name() URIs and manifest paths may
+    # disagree on symlinks/normalization; abspath alone would silently
+    # route every file into the rows:0 branch and corrupt manifest counts
     by_path = {
-        os.path.abspath(urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)): r
+        os.path.realpath(
+            urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
+        ): r
         for r in rows
     }
+    manifest_keys = {os.path.realpath(p) for p in files}
+    unmatched = [k for k in by_path if k not in manifest_keys]
+    if unmatched:
+        # a scan row that maps to NO manifest file means the path
+        # normalization failed — make it an error, not silent zeros
+        raise RuntimeError(
+            f"_file_stats: {len(unmatched)} scanned file(s) did not match "
+            f"any manifest path (normalization mismatch), e.g. {unmatched[0]!r}"
+        )
     out = []
     for path in sorted(files):
-        r = by_path.get(os.path.abspath(path))
+        r = by_path.get(os.path.realpath(path))
         if r is None:
             # a part file Spark wrote for an empty partition: zero rows,
             # so it never appears in the grouped scan output

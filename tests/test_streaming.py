@@ -207,7 +207,11 @@ def test_replayed_micro_batch_commits_nothing(spark, dirs):
     # before the checkpoint offset commit re-delivers the SAME batch_id on
     # restart. The committer must skip it (idempotent), and accept the
     # next unseen id.
-    from ocr_spark.streaming import committed_stream_batch, make_batch_committer
+    from ocr_spark.streaming import (
+        committed_stream_batch,
+        make_batch_committer,
+        stream_identity,
+    )
 
     inp, root, ckpt = dirs
     a = _drop(inp, "a.parquet", seed=60)
@@ -218,7 +222,9 @@ def test_replayed_micro_batch_commits_nothing(spark, dirs):
     last = committed_stream_batch(root)
     assert last is not None
 
-    commit = make_batch_committer(root, num_parts=8, stream_id=ckpt)
+    # the stream's identity is the nonce persisted in its checkpoint
+    sid = stream_identity(ckpt)
+    commit = make_batch_committer(root, num_parts=8, stream_id=sid)
     batch_df = spark.read.parquet(os.path.join(inp, "a.parquet"))
     commit(batch_df, last)  # replay of an already-committed batch
     assert read_extracted_table(spark, root).count() == n  # no duplicate rows
@@ -227,15 +233,49 @@ def test_replayed_micro_batch_commits_nothing(spark, dirs):
     commit(batch_df, last + 1)  # a genuinely new batch still commits
     n2 = read_extracted_table(spark, root).count()
     assert n2 > n
-    assert committed_stream_batch(root, ckpt) == last + 1
+    assert committed_stream_batch(root, sid) == last + 1
 
     # a DIFFERENT stream (fresh checkpoint) restarts at batch 0 — its
     # first batch must NOT be dropped by the other stream's high-water id
-    other = make_batch_committer(root, num_parts=8, stream_id=ckpt + "-second")
+    other = make_batch_committer(root, num_parts=8, stream_id=sid + "-second")
     other(batch_df, 0)
     assert read_extracted_table(spark, root).count() > n2
-    assert committed_stream_batch(root, ckpt + "-second") == 0
-    assert committed_stream_batch(root, ckpt) == last + 1  # unaffected
+    assert committed_stream_batch(root, sid + "-second") == 0
+    assert committed_stream_batch(root, sid) == last + 1  # unaffected
+
+
+def test_wiped_checkpoint_is_a_new_lineage(spark, dirs):
+    # recovery scenario: the checkpoint dir is deleted and recreated at
+    # the SAME path (standard response to checkpoint corruption). Batch
+    # ids restart at 0 — if stream identity were keyed on the path, every
+    # post-recovery batch would look like a replay and be silently
+    # dropped. The nonce inside the checkpoint makes it a new lineage.
+    import shutil
+
+    from ocr_spark.streaming import committed_stream_batch, stream_identity
+
+    inp, root, ckpt = dirs
+    a = _drop(inp, "a.parquet", seed=61)
+    q = stream_extract(spark, inp, root, ckpt, num_parts=8)
+    q.awaitTermination(120)
+    n = read_extracted_table(spark, root).count()
+    assert n == len(a)
+    sid1 = stream_identity(ckpt)
+    assert committed_stream_batch(root, sid1) is not None
+
+    # wipe + recreate the checkpoint: identity must change
+    shutil.rmtree(ckpt)
+    sid2 = stream_identity(ckpt)
+    assert sid2 != sid1
+    # …and it is stable across reads of the same checkpoint lifetime
+    assert stream_identity(ckpt) == sid2
+
+    # restarted stream reprocesses from batch 0 under the new lineage —
+    # nothing is skipped (rows are appended, not dropped)
+    q2 = stream_extract(spark, inp, root, ckpt, num_parts=8)
+    q2.awaitTermination(120)
+    assert read_extracted_table(spark, root).count() == 2 * n
+    assert committed_stream_batch(root, sid2) is not None
 
 def test_stream_dedup_drops_repeated_texts(spark, dirs):
     from ocr_spark.streaming import read_transcript_stream, stream_dedup_exact
