@@ -690,15 +690,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOPLIST = "'the','a','of','and','to','in','is','it','for','on','with','as','at','by','an'"
 
-_MINHASH_COLS = ",\n    ".join(
-    f"cast(list_min(list_transform(string_split(text,' '), t -> md5_number('{i}:' || t))) as varchar) as h{i}"
-    for i in range(8)
-)
-
 _SHINGLES = (
     "list_distinct(list_transform("
     " range(1, greatest(len(string_split({col},' ')) - 3 + 1, 0) + 1),"
     " i -> array_to_string(list_slice(string_split({col},' '), i, i+2), ' ')))"
+)
+
+#: MinHash signatures hash the verify unit itself (distinct word 3-gram
+#: shingles, sentinel [''] for un-shinglable docs) — matches
+#: dedup._minhash_batch / _shingle_set exactly. Written over a
+#: pre-shingled column ``s`` (the shing0 CTEs below) so shingling runs
+#: once per doc, not once per lane.
+_MINHASH_COLS = ",\n    ".join(
+    f"cast(list_min(list_transform(s, t -> md5_number('{i}:' || t))) as varchar) as h{i}"
+    for i in range(16)
+)
+
+#: shingle set with the signature sentinel: too-short docs sign [''].
+_SH_SENTINEL = (
+    "(CASE WHEN len(" + _SHINGLES.format(col="text") + ") = 0 THEN ['']"
+    " ELSE " + _SHINGLES.format(col="text") + " END)"
+)
+
+#: 16 hashes × 4-hash bands (b=4, r=4): per-band collision ≈ J_shingle^4,
+#: S-curve midpoint ≈ 0.7 — sub-threshold pairs rarely collide.
+_BANDS_16x4 = (
+    "  SELECT 0 AS band_idx, md5(h0||'_'||h1||'_'||h2||'_'||h3) AS band_key, doc_id FROM sig"
+    "  UNION ALL SELECT 1, md5(h4||'_'||h5||'_'||h6||'_'||h7), doc_id FROM sig"
+    "  UNION ALL SELECT 2, md5(h8||'_'||h9||'_'||h10||'_'||h11), doc_id FROM sig"
+    "  UNION ALL SELECT 3, md5(h12||'_'||h13||'_'||h14||'_'||h15), doc_id FROM sig"
 )
 
 
@@ -832,12 +852,11 @@ _SIMHASH_V = (
 
 
 _LSH_VERIFY_PREFIX = (
-    f"WITH RECURSIVE sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM documents),"
-    " bands AS MATERIALIZED ("
-    "  SELECT 0 AS band_idx, md5(h0 || '_' || h1) AS band_key, doc_id FROM sig"
-    "  UNION ALL SELECT 1, md5(h2 || '_' || h3), doc_id FROM sig"
-    "  UNION ALL SELECT 2, md5(h4 || '_' || h5), doc_id FROM sig"
-    "  UNION ALL SELECT 3, md5(h6 || '_' || h7), doc_id FROM sig),"
+    "WITH RECURSIVE shing0 AS MATERIALIZED (SELECT doc_id, "
+    + _SH_SENTINEL
+    + f" AS s FROM documents),"
+    f" sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM shing0),"
+    f" bands AS MATERIALIZED ({_BANDS_16x4}),"
     " cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b"
     "  FROM bands x JOIN bands y USING (band_idx, band_key)"
     "  WHERE x.doc_id < y.doc_id),"
@@ -1196,30 +1215,31 @@ def oracle_sql() -> dict[str, str]:
             + "), '|')) AS fp_shingle FROM documents"
         ),
         "minhash_signature": (
-            "SELECT doc_id,"
-            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('0:' || t))) as varchar) as h0,"
-            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('1:' || t))) as varchar) as h1,"
-            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('2:' || t))) as varchar) as h2,"
-            " cast(list_min(list_transform(string_split(text,' '), t -> md5_number('3:' || t))) as varchar) as h3"
-            " FROM documents"
+            "WITH shing0 AS (SELECT doc_id, "
+            + _SH_SENTINEL
+            + " AS s FROM documents)"
+            " SELECT doc_id,"
+            " cast(list_min(list_transform(s, t -> md5_number('0:' || t))) as varchar) as h0,"
+            " cast(list_min(list_transform(s, t -> md5_number('1:' || t))) as varchar) as h1,"
+            " cast(list_min(list_transform(s, t -> md5_number('2:' || t))) as varchar) as h2,"
+            " cast(list_min(list_transform(s, t -> md5_number('3:' || t))) as varchar) as h3"
+            " FROM shing0"
         ),
         "dedup_minhash_lsh": (
-            f"WITH sig AS (SELECT doc_id, {_MINHASH_COLS} FROM documents),"
-            " bands AS ("
-            "  SELECT 0 AS band_idx, md5(h0 || '_' || h1) AS band_key, doc_id FROM sig"
-            "  UNION ALL SELECT 1, md5(h2 || '_' || h3), doc_id FROM sig"
-            "  UNION ALL SELECT 2, md5(h4 || '_' || h5), doc_id FROM sig"
-            "  UNION ALL SELECT 3, md5(h6 || '_' || h7), doc_id FROM sig)"
+            "WITH shing0 AS MATERIALIZED (SELECT doc_id, "
+            + _SH_SENTINEL
+            + " AS s FROM documents),"
+            f" sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM shing0),"
+            f" bands AS ({_BANDS_16x4})"
             " SELECT band_idx, band_key, COUNT(*) AS n_docs,"
             "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
             " FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1"
         ),
         # Connected components replayed with a recursive CTE: LSH
-        # candidates → exact shingle-Jaccard verify ≥ 0.5 (closure over
-        # raw band collisions would merge everything — measured ~99k
-        # candidates vs 25 real edges at sf0.01) → walk closes each
-        # component, then MIN(label) per node — the exact value the
-        # iterative Spark propagation converges to.
+        # candidates → exact shingle-Jaccard verify ≥ 0.5 (the verify
+        # gate keeps closure honest regardless of banding precision) →
+        # walk closes each component, then MIN(label) per node — the
+        # exact value the iterative Spark propagation converges to.
         "dedup_clusters": (
             _LSH_VERIFY_PREFIX
             + ", pairs AS MATERIALIZED (" + _VERIFIED_PAIRS_SELECT("a, b") + "),"

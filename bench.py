@@ -73,6 +73,11 @@ HEADLINE_QUERIES = [
     "retry_backoff",
     "window_running_total",
     "stratified_sample",
+    # round-3: the full dedup chain (candidates → verify → closure) so
+    # regressions on its cost are visible round-over-round. The *_exact
+    # all-pairs baselines stay OUT of the headline by design.
+    "dedup_verified_pairs",
+    "dedup_clusters",
 ]
 
 

@@ -10,7 +10,16 @@ Scale shape (the part that matters at 100 TB):
 - verification: exact n-gram Jaccard on candidate PAIRS only, with
   JVM-side array_intersect/array_union — Python never sees the text.
 
-MinHash base hash = signed little-endian int128 of md5(f"{seed}:{token}")
+Signatures hash the SAME unit the verify stage measures — distinct word
+3-gram shingles — so band collision probability tracks the verify metric
+(P ≈ J_shingle^band_size per band). Round 2 signed unigram tokens: on a
+bounded vocabulary token-set Jaccard is high between unrelated docs, and
+the measured candidate:verified ratio was ~4000:1 (~99k candidates for 25
+true pairs at sf0.01). Shingle signatures with 16 hashes × 4-hash bands
+bring that to ~1:1 on the same corpus — at 100 TB the verify join cost IS
+the dedup cost, so candidate precision is the scale lever.
+
+MinHash base hash = signed little-endian int128 of md5(f"{seed}:{shingle}")
 — chosen because DuckDB's md5_number computes the identical value, so the
 DuckDB oracle can replay signatures bit-for-bit.
 """
@@ -27,8 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DEFAULT_NUM_HASHES = 8
-DEFAULT_BAND_SIZE = 2
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_SIZE = 4
+DEFAULT_SHINGLE_N = 3  # signature + verify share the same shingle unit
 
 
 def _own_caches(result: DataFrame, frames: list[DataFrame]) -> DataFrame:
@@ -90,22 +100,33 @@ def _digest_matrix(tokens: list[bytes], ctx) -> "tuple[np.ndarray, np.ndarray]":
     return hi, lo
 
 
-def _minhash_batch(num_hashes: int):
+def _shingle_set(text: str, n: int) -> set[str]:
+    """Distinct word n-gram shingles; sentinel {""} when the doc is too
+    short to shingle (< n tokens) so every doc has a well-defined
+    signature. Mirrors the oracle's list_distinct/list_slice SQL exactly
+    (including ''.split(' ') == [''] → too short → sentinel)."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return {""}
+    shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return shs or {""}
+
+
+def _minhash_batch(num_hashes: int, ngram: int = DEFAULT_SHINGLE_N):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # built here, not in the closure: hashlib contexts don't pickle
         prefixes = [hashlib.md5(f"{i}:".encode()) for i in range(num_hashes)]
         for pdf in it:
             texts = pdf["text"].tolist()
             n_docs = len(texts)
-            # batch vocabulary + per-doc distinct-token membership pairs:
-            # the md5 work then scales with |vocab|·lanes, not with
-            # occurrences·lanes (the former per-row loop)
+            # batch shingle vocabulary + per-doc distinct-shingle
+            # membership pairs: the md5 work scales with |vocab|·lanes,
+            # not with occurrences·lanes
             vocab: dict[str, int] = {}
             pair_doc: list[int] = []
             pair_tid: list[int] = []
             for di, text in enumerate(texts):
-                toks = set(text.split(" ")) if text else {""}
-                for t in toks:
+                for t in _shingle_set(text, ngram):
                     tid = vocab.setdefault(t, len(vocab))
                     pair_doc.append(di)
                     pair_tid.append(tid)
@@ -137,7 +158,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>) — signature values as strings because the
     hash space is int128 (beyond Spark's long); sig[i] = min over distinct
-    tokens of md5_number(f"{i}:{token}")."""
+    word 3-gram shingles of md5_number(f"{i}:{shingle}")."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     schema = T.StructType(
         [
@@ -299,9 +320,12 @@ def verified_dup_pairs(
 ) -> DataFrame:
     """LSH candidates → exact n-gram-Jaccard verify ≥ threshold: the
     (a, b, jaccard) edges safe to cluster over. Verification is MANDATORY
-    before transitive closure — raw band collisions are noisy (measured:
-    ~99k candidates vs 25 real near-dup pairs on the sf0.01 corpus), and
-    closure amplifies every false positive into a merged cluster.
+    before transitive closure — band collisions are probabilistic, and
+    closure amplifies every false positive into a merged cluster. (With
+    the r2 unigram-token signatures this stage saw ~99k candidates for 25
+    real pairs at sf0.01; shingle signatures + 4-hash bands bring it to
+    ~1:1, but the verify gate stays — precision of the FINAL edges must
+    not depend on banding luck.)
     Shingle arrays are computed ONCE per doc and joined to the pairs by
     id, so the quadratic-ish candidate set never re-tokenizes text.
     Cache ownership follows lsh_candidate_pairs: pass ``caches`` to own

@@ -41,7 +41,27 @@ def main() -> int:
         print(f"{name}: {times[name]}s rows={rows[name]}", file=sys.stderr, flush=True)
     total = round(time.monotonic() - t_all, 1)
 
-    out = {"sf": args.sf, "total_sec": total, "queries": times}
+    # LSH precision telemetry: candidate:verified ratio is THE dedup cost
+    # regression metric (at 100 TB the exact-Jaccard verify on false
+    # candidates dominates the chain; r2's token-unigram signatures sat
+    # at ~4000:1, the shingle signatures target ~1:1)
+    from ocr_spark.operators import dedup as _dedup
+
+    docs = spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+    n_cand = _dedup.lsh_candidate_pairs(docs).count()
+    n_verified = rows.get("dedup_verified_pairs")
+    if n_verified is None:
+        n_verified = _dedup.verified_dup_pairs(docs).count()
+    ratio = round(n_cand / max(n_verified, 1), 2)
+
+    out = {
+        "sf": args.sf,
+        "total_sec": total,
+        "queries": times,
+        "lsh_candidates": n_cand,
+        "lsh_verified": n_verified,
+        "lsh_candidate_verified_ratio": ratio,
+    }
     print(json.dumps(out))
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,6 +73,10 @@ def main() -> int:
             "correctness-check scale). Timings are one warm-session run on the\n"
             f"shared host — trend, not gospel. Total: {total}s for "
             f"{len(times)} queries.\n\n"
+            f"MinHash-LSH precision: {n_cand} candidates → {n_verified} "
+            f"verified pairs (ratio {ratio}:1; the dedup-chain cost "
+            "regression metric — candidates that fail verify are pure "
+            "waste at scale).\n\n"
             "| query | sec | rows |\n|---|---|---|\n"
         )
         for name in sorted(times, key=times.get, reverse=True):

@@ -471,9 +471,16 @@ def test_vectorized_kernels_match_per_row_spec():
              "unicode é ü 中文 here", "single"]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
 
-    def spec_minhash(text, num_hashes=8):
-        toks = set(text.split(" ")) if text else {""}
-        return [str(min(md5_number(f"{i}:{t}") for t in toks)) for i in range(num_hashes)]
+    def spec_minhash(text, num_hashes=8, n=3):
+        # signature unit = distinct word 3-gram shingles; sentinel {""}
+        # for docs too short to shingle
+        toks = text.split(" ")
+        shs = (
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if len(toks) >= n
+            else {""}
+        ) or {""}
+        return [str(min(md5_number(f"{i}:{t}") for t in shs)) for i in range(num_hashes)]
 
     def spec_simhash(text):
         acc = [0] * 64
@@ -502,12 +509,26 @@ def test_simhash_banding_groups_near_dups(docs):
 
 
 def test_duplicate_clusters_transitive_min_label(spark):
-    # a~b and b~c near-dups (but a~c share less) must still land in ONE
-    # cluster labeled min(id); unrelated docs stay singletons
+    # a~b and b~c near-dups (but a~c BELOW the verify threshold: J=0.273)
+    # must still land in ONE cluster labeled min(id) via transitive
+    # closure; unrelated docs stay singletons. Chain Jaccards sit just
+    # over the 0.5 threshold (0.514 / 0.600), so the test runs the
+    # banding at band_size=2 (8 bands of 2 — S-curve midpoint ≈ 0.35,
+    # the right operating point for a 0.5 threshold with shallow bands);
+    # the production default r=4 targets the high-precision regime and
+    # would probabilistically skip threshold-grazing pairs by design.
+    base = " ".join(f"w{i}" for i in range(1, 31))
+
+    def mut(s, positions, suffix):
+        t = s.split()
+        for p in positions:
+            t[p - 1] = t[p - 1] + suffix
+        return " ".join(t)
+
     texts = {
-        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
-        1: "alpha beta gamma delta epsilon zeta eta theta iota kappb",  # ~0
-        2: "alpha beta gamma delta epsilon zeta eta theta iotb kappb",  # ~1
+        0: base,
+        1: mut(base, [5, 15, 25], "q"),  # ~0, J=0.514
+        2: mut(mut(base, [5, 15, 25], "q"), [1, 10, 20], "y"),  # ~1, J=0.600; vs 0: J=0.273
         3: "completely unrelated document with different tokens here now",
         4: "another disjoint vocabulary entirely its own island text block",
     }
@@ -515,7 +536,7 @@ def test_duplicate_clusters_transitive_min_label(spark):
         pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
     )
     out = (
-        dedup.duplicate_clusters(df, threshold=0.5)
+        dedup.duplicate_clusters(df, threshold=0.5, band_size=2)
         .toPandas()
         .set_index("doc_id")["cluster_id"]
     )
