@@ -177,6 +177,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pages.explode_pages(_docs(spark, sf), sep=" ")
 
+    def pdf_text_extract(spark, sf):
+        # REAL PDF containers through the whole chain: build a classic-
+        # xref PDF per document (pages = 10-word chunks of its text,
+        # kernels/pdf.build_pdf), then parse the BYTES back — xref →
+        # page tree → FlateDecode → Tj runs (kernels/pdf.extract_pages,
+        # the reference's fitz front door, scripts/ExtractX_OCR.py:
+        # 240-288). The oracle recomputes the chunking directly from
+        # documents.text, so any parser/builder defect breaks the match.
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ocr_spark.operators import pages
+
+        def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.pdf import build_pdf
+
+            for pdf in it:
+                payloads = []
+                for text in pdf["text"]:
+                    words = text.split(" ")
+                    chunks = [
+                        " ".join(words[i : i + 10])
+                        for i in range(0, len(words), 10)
+                    ]
+                    payloads.append(build_pdf(chunks or [""]))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        return pages.pdf_pages_from_bytes(pdfs)
+
     def b64_encode(spark, sf):
         from ocr_spark.operators import pages
 
@@ -574,6 +614,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
+    def ann_ivf_pq(spark, sf):
+        # FAISS-IVFPQ shape: coarse probe → PQ asymmetric-distance
+        # scoring on ~12-byte codes → exact rerank on the top-32
+        # survivors only (similarity.ivf_pq_topk); the oracle replays
+        # BOTH quantizer trainings in SQL
+        emb = _tbl(spark, sf, "embeddings")
+        return similarity.ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3, rerank=32
+        )
+
     def multimodal_meta(spark, sf):
         from collections.abc import Iterator
 
@@ -605,6 +655,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         payloads = emb.mapInPandas(enc, schema)
         return multimodal.extract_metadata(payloads)
 
+    def multimodal_jpeg_meta(spark, sf):
+        # REAL JPEG bytes through the metadata scan: payload dims are
+        # pure functions of vec_id, so the DuckDB oracle checks the
+        # parsed header values without needing a decoder. Pixels are a
+        # deterministic gradient; the codec is kernels/jpeg.py (closes
+        # the reference's .jpg whitelist, scripts/ExtractX_OCR.py:72).
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.jpeg import encode_jpeg
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    w, h = int(v) % 24 + 8, int(v) % 16 + 8
+                    img = np.minimum(
+                        np.add.outer(np.arange(h) * 3, np.arange(w) * 2) + int(v),
+                        255,
+                    ).astype(np.uint8)
+                    payloads.append(encode_jpeg(img, quality=90))
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.extract_metadata(emb.mapInPandas(enc, schema)).select(
+            "vec_id", "fmt", "width", "height", "channels", "valid"
+        )
+
     # Registration ORDER is evidence: the driver's correctness file caps
     # at the first 50 keys, so the training-data operator family (dedup /
     # ANN / multimodal / text quality — the LLM-pipeline core) registers
@@ -626,7 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_pq": ann_ivf_pq,
         "multimodal_meta": multimodal_meta,
+        "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "multimodal_features": multimodal_features,
         "retry_backoff": retry_backoff,
         "token_count": token_count,
@@ -655,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_table_data": projection_table_data,
         "records_to_table": records_to_table,
         "pdf_page_explode": pdf_page_explode,
+        "pdf_text_extract": pdf_text_extract,
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
         "count_rows_cols": count_rows_cols,
@@ -742,22 +835,21 @@ _LSH_CODES = (
     "  FROM e, planes p GROUP BY e.vec_id, p.table_idx)"
 )
 
-def _ivf_oracle_sql(
+def _ivf_common_parts(
     nlist: int = 16,
     nprobe: int = 4,
-    k: int = 3,
     iters: int = 10,
     sample_n: int = 2048,
     dim: int = 64,
     q_pred: str = "vec_id < 5",
-) -> str:
-    """SQL-unrolled replay of similarity.ivf_topk: md5-ordered sample →
+) -> list[str]:
+    """Shared SQL prefix for the IVF-family oracles: md5-ordered sample →
     ``iters`` Lloyd steps (centroids rounded to 6 decimals per iteration —
     the same quantization the trainer applies, which pins the floats
-    across engines) → corpus cell assignment → per-query probe list →
-    exact rerank inside the probed cells. Every iteration CTE is
-    MATERIALIZED and argmax is a join+window: a correlated subquery would
-    make DuckDB inline (re-run) the whole training chain per row."""
+    across engines) → corpus cell assignment → per-query probe list.
+    Every iteration CTE is MATERIALIZED and argmax is a join+window: a
+    correlated subquery would make DuckDB inline (re-run) the whole
+    training chain per row. Ends after the ``probe`` CTE."""
     parts = [
         "WITH s AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,"
         "  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),"
@@ -798,8 +890,25 @@ def _ivf_oracle_sql(
         " probe AS (SELECT q_id, cell FROM ("
         "  SELECT q.q_id, c.cell, ROW_NUMBER() OVER (PARTITION BY q.q_id"
         "   ORDER BY list_dot_product(q.qv, c.c) DESC, c.cell) AS prank"
-        f"  FROM q, {cf} c) WHERE prank <= {nprobe}),"
-        " scored AS (SELECT probe.q_id, corpus.neighbor_id,"
+        f"  FROM q, {cf} c) WHERE prank <= {nprobe})"
+    )
+    return parts
+
+
+def _ivf_oracle_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    iters: int = 10,
+    sample_n: int = 2048,
+    dim: int = 64,
+    q_pred: str = "vec_id < 5",
+) -> str:
+    """SQL-unrolled replay of similarity.ivf_topk: the common IVF prefix
+    plus the exact rerank inside the probed cells."""
+    parts = _ivf_common_parts(nlist, nprobe, iters, sample_n, dim, q_pred)
+    parts.append(
+        ", scored AS (SELECT probe.q_id, corpus.neighbor_id,"
         "  ROUND(list_dot_product(q.qv, corpus.cv) /"
         "   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(corpus.cv, corpus.cv))), 4)"
         "   AS cosine_r"
@@ -808,6 +917,98 @@ def _ivf_oracle_sql(
         " r AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
         "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank FROM scored)"
         f" SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= {k}"
+    )
+    return "".join(parts)
+
+
+def _ivf_pq_oracle_sql(
+    k: int = 3,
+    rerank: int = 32,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 5,
+    pq_sample_n: int = 512,
+    dim: int = 64,
+    **ivf_kwargs,
+) -> str:
+    """SQL-unrolled replay of similarity.ivf_pq_topk: the common IVF
+    prefix + per-subspace VQ codebook training (same quantized-Lloyd
+    trick, all ``m`` subspaces trained in ONE CTE chain keyed by the
+    subspace column), corpus PQ codes via rounded expanded-L2 argmin,
+    asymmetric-distance scoring over probed candidates, top-``rerank``
+    cut, then the exact cosine on survivors."""
+    dsub = dim // m
+    parts = _ivf_common_parts(dim=dim, **ivf_kwargs)
+    parts.append(
+        # training sample subvectors (reuses the md5-ordered sample CTE)
+        f", sub AS MATERIALIZED (SELECT s.rn, CAST(mm.m AS INT) AS m,"
+        f"  list_slice(s.v, {dsub}*mm.m + 1, {dsub}*mm.m + {dsub}) AS x"
+        f"  FROM s, LATERAL unnest(range(0, {m})) mm(m) WHERE s.rn <= {pq_sample_n}),"
+        f" pb0 AS MATERIALIZED (SELECT m, rn - 1 AS cell,"
+        f"  list_transform(x, e -> round(e, 6)) AS c FROM sub WHERE rn <= {ksub})"
+    )
+    for i in range(1, pq_iters + 1):
+        p = i - 1
+        parts.append(
+            f", pa{i} AS MATERIALIZED (SELECT rn, m, x, cell FROM ("
+            f"  SELECT sub.rn, sub.m, sub.x, c.cell, ROW_NUMBER() OVER ("
+            f"   PARTITION BY sub.rn, sub.m ORDER BY"
+            f"   round(list_dot_product(sub.x, sub.x) - 2*list_dot_product(sub.x, c.c)"
+            f"    + list_dot_product(c.c, c.c), 6), c.cell) AS rnk"
+            f"  FROM sub JOIN pb{p} c USING (m)) WHERE rnk = 1),"
+            f" pm{i} AS (SELECT m, cell, u.j AS j,"
+            f"  SUM(x[CAST(u.j AS INT)]) / COUNT(*) AS mv"
+            f"  FROM pa{i}, LATERAL unnest(range(1, {dsub + 1})) u(j)"
+            f"  GROUP BY m, cell, u.j),"
+            f" pmm{i} AS (SELECT m, cell, list(mv ORDER BY j) AS mlist"
+            f"  FROM pm{i} GROUP BY m, cell),"
+            f" pb{i} AS MATERIALIZED (SELECT p.m, p.cell,"
+            f"  list_transform(COALESCE(mm.mlist, p.c), e -> round(e, 6)) AS c"
+            f"  FROM pb{p} p LEFT JOIN pmm{i} mm ON mm.m = p.m AND mm.cell = p.cell)"
+        )
+    pbf = f"pb{pq_iters}"
+    parts.append(
+        f", esub AS MATERIALIZED (SELECT e.vec_id, CAST(mm.m AS INT) AS m,"
+        f"  list_slice(e.v, {dsub}*mm.m + 1, {dsub}*mm.m + {dsub}) AS x"
+        f"  FROM e, LATERAL unnest(range(0, {m})) mm(m)),"
+        # corpus PQ codes carry the matched codebook vector for ADC
+        f" pcodes AS MATERIALIZED (SELECT vec_id, m, c FROM ("
+        f"  SELECT esub.vec_id, esub.m, cb.c, ROW_NUMBER() OVER ("
+        f"   PARTITION BY esub.vec_id, esub.m ORDER BY"
+        f"   round(list_dot_product(esub.x, esub.x) - 2*list_dot_product(esub.x, cb.c)"
+        f"    + list_dot_product(cb.c, cb.c), 6), cb.cell) AS rnk"
+        f"  FROM esub JOIN {pbf} cb USING (m)) WHERE rnk = 1),"
+        " vn AS MATERIALIZED (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vnorm FROM e),"
+        " qn AS (SELECT q_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),"
+        f" qsub AS (SELECT q.q_id, CAST(mm.m AS INT) AS m,"
+        f"  list_slice(q.qv, {dsub}*mm.m + 1, {dsub}*mm.m + {dsub}) AS qx"
+        f"  FROM q, LATERAL unnest(range(0, {m})) mm(m)),"
+        " candpq AS MATERIALIZED (SELECT probe.q_id, corpus.neighbor_id"
+        "  FROM corpus JOIN probe USING (cell)"
+        "  WHERE corpus.neighbor_id <> probe.q_id),"
+        " adc AS MATERIALIZED (SELECT cp.q_id, cp.neighbor_id,"
+        "  SUM(list_dot_product(qs.qx, pc.c)) AS adot"
+        "  FROM candpq cp JOIN pcodes pc ON pc.vec_id = cp.neighbor_id"
+        "   JOIN qsub qs ON qs.q_id = cp.q_id AND qs.m = pc.m"
+        "  GROUP BY cp.q_id, cp.neighbor_id),"
+        " pqscore AS (SELECT adc.q_id, adc.neighbor_id,"
+        "  CASE WHEN vn.vnorm > 0 AND qn.qnorm > 0"
+        "   THEN ROUND(adc.adot / (qn.qnorm * vn.vnorm), 4) ELSE 0.0 END AS pq_cos"
+        "  FROM adc JOIN vn ON vn.vec_id = adc.neighbor_id"
+        "   JOIN qn ON qn.q_id = adc.q_id),"
+        " surv AS (SELECT q_id, neighbor_id FROM ("
+        "  SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id"
+        "   ORDER BY pq_cos DESC, neighbor_id) AS pr FROM pqscore)"
+        f"  WHERE pr <= {rerank}),"
+        " fscored AS (SELECT surv.q_id, surv.neighbor_id,"
+        "  ROUND(list_dot_product(q.qv, e.v) /"
+        "   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4)"
+        "   AS cosine_r"
+        "  FROM surv JOIN e ON e.vec_id = surv.neighbor_id"
+        "   JOIN q ON q.q_id = surv.q_id),"
+        " fr AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
+        "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank FROM fscored)"
+        f" SELECT q_id, neighbor_id, rank, cosine_r FROM fr WHERE rank <= {k}"
     )
     return "".join(parts)
 
@@ -965,6 +1166,15 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents) t,"
             " LATERAL unnest(range(1, len(t.s)+1)) u(i)"
             " WHERE length(s[CAST(u.i AS INT)]) > 0"
+        ),
+        # the PDF build/parse must round-trip the 10-word page chunking
+        # exactly; the oracle computes the chunks without any PDF at all
+        "pdf_text_extract": (
+            "SELECT doc_id, CAST(u.i + 1 AS INT) AS page_idx,"
+            " array_to_string(list_slice(w, CAST(10*u.i + 1 AS INT),"
+            "  CAST(10*u.i + 10 AS INT)), ' ') AS page_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,"
+            " LATERAL unnest(range(0, (len(d.w) + 9) // 10)) u(i)"
         ),
         "b64_encode": (
             "SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents"
@@ -1321,6 +1531,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(9 + (label % 16 + 1) * (vec_id % 8 + 1) AS BIGINT) AS n_bytes,"
             " TRUE AS valid FROM embeddings"
         ),
+        # JPEG payload dims are pure functions of vec_id, so the oracle
+        # validates the SOF header parse without a decoder.
+        "multimodal_jpeg_meta": (
+            "SELECT vec_id, 'JPEG' AS fmt,"
+            " CAST(vec_id % 24 + 8 AS INTEGER) AS width,"
+            " CAST(vec_id % 16 + 8 AS INTEGER) AS height,"
+            " CAST(1 AS INTEGER) AS channels,"
+            " TRUE AS valid FROM embeddings WHERE vec_id < 200"
+        ),
         # SimHash replay: DuckDB md5_number is the signed little-endian
         # int128 of md5, so the token hash (first 8 digest bytes, little-
         # endian) is its low 64 bits; bit votes and the sign-bit pack run
@@ -1383,5 +1602,6 @@ def oracle_sql() -> dict[str, str]:
             " SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= 3"
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_pq": _ivf_pq_oracle_sql(rerank=32),
         # Every queries() key now has a full DuckDB oracle.
     }

@@ -74,10 +74,13 @@ HEADLINE_QUERIES = [
     "window_running_total",
     "stratified_sample",
     # round-3: the full dedup chain (candidates → verify → closure) so
-    # regressions on its cost are visible round-over-round. The *_exact
-    # all-pairs baselines stay OUT of the headline by design.
+    # regressions on its cost are visible round-over-round, plus the new
+    # IVF-PQ rerank and the real-PDF parse. The *_exact all-pairs
+    # baselines stay OUT of the headline by design.
     "dedup_verified_pairs",
     "dedup_clusters",
+    "ann_ivf_pq",
+    "pdf_text_extract",
 ]
 
 

@@ -1,0 +1,599 @@
+"""Pure stdlib+NumPy baseline JPEG (JFIF) codec.
+
+Closes the reference's highest-hit media gap: its extension whitelist
+accepts .jpg/.jpeg (scripts/ExtractX_OCR.py:72,514-527) and PIL opens
+them (scripts/ExtractX_OCR.py:302); this sandbox has no PIL/cv2, so the
+codec is implemented from the public ITU-T T.81 spec the same way
+kernels/png.py implements RFC 2083:
+
+- decode: baseline sequential DCT (SOF0), Huffman entropy coding,
+  grayscale + YCbCr with any 4:4:4 / 4:2:2 / 4:2:0 sampling factors,
+  restart intervals (DRI/RSTn), APPn/COM skip. Progressive (SOF2)
+  decodes dimensions only (``parse_dims``) and raises on pixel decode —
+  the documented seam.
+- encode: baseline 4:4:4 with the T.81 Annex K quantization and Huffman
+  tables (quality-scaled, IJG formula) — enough to make deterministic
+  test fixtures and round-trip within quantization error.
+
+All DCT math is vectorized over every 8×8 block at once (one einsum per
+plane); the only per-element Python is the Huffman bit stream, which is
+inherent to the format. At corpus scale the parallel axis is images
+(Arrow-batched mapInPandas in operators/multimodal.py), not pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants (ITU-T T.81 Annex K — public spec tables)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (natural order).
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+#: HUFFVAL symbol list).
+HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: orthonormal 8-point DCT-II matrix: D @ x = DCT(x)
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+_SOF_BASELINE = {0xC0, 0xC1}  # baseline + extended sequential
+_SOF_PROGRESSIVE = {0xC2}
+_SOF_ALL = _SOF_BASELINE | _SOF_PROGRESSIVE | {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+# ---------------------------------------------------------------------------
+# marker walk / header parse
+# ---------------------------------------------------------------------------
+
+def _segments(data: bytes):
+    """Yield (marker, payload_start, payload_len) for each segment up to
+    SOS (whose payload runs to the next real marker)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        yield marker, pos + 4, ln - 2
+        if marker == 0xDA:  # SOS: entropy data follows, caller takes over
+            return
+        pos += 2 + ln
+
+
+def parse_dims(data: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, n_components, progressive) from the SOF header —
+    no entropy decode. Works for baseline AND progressive JPEGs, so
+    metadata scans return real dimensions for any common .jpg."""
+    for marker, start, ln in _segments(data):
+        if marker in _SOF_ALL:
+            _prec, h, w, ncomp = struct.unpack(">BHHB", data[start : start + 6])
+            return w, h, ncomp, marker in _SOF_PROGRESSIVE
+    raise ValueError("JPEG missing SOF")
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; RST markers are handled by the caller via
+    ``sync_to_rst``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                # pad with 1s per spec (decoder may read past final byte)
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # a real marker (RST/EOI): stop feeding, pad 1s
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def sync_to_rst(self) -> None:
+        """Drop buffered bits and consume the next RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG expected RST marker")
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t > 0 and v < (1 << (t - 1)) else v
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficient blocks → (n, 8, 8) spatial, orthonormal."""
+    return np.einsum("ki,nkl,lj->nij", _D, blocks, _D, optimize=True)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, c) uint8 (c = 1 gray or 3 RGB)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart = 0
+    sos = None
+    sos_end = None
+    for marker, start, ln in _segments(data):
+        seg = data[start : start + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < ln:
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < ln:
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker in _SOF_PROGRESSIVE:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2): dimensions available via "
+                "parse_dims; pixel decode is baseline-only"
+            )
+        elif marker in _SOF_ALL:
+            if marker not in _SOF_BASELINE:
+                raise NotImplementedError(f"JPEG SOF{marker - 0xC0} unsupported")
+            _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = (w, h, comps)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            mapping = {}
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                mapping[cs] = (td_ta >> 4, td_ta & 0xF)
+            sos = mapping
+            sos_end = start + ln
+    if sof is None or sos is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    # per-component coefficient storage: (blocks_y, blocks_x, 64)
+    planes_coef = []
+    for c in comps:
+        by, bx = mcuy * c["v"], mcux * c["h"]
+        planes_coef.append(np.zeros((by, bx, 64), dtype=np.int64))
+
+    r = _BitReader(data, sos_end)
+    pred = [0] * len(comps)
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            r.sync_to_rst()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            td, ta = sos[c["id"]]
+            dct, act = huff_dc[td], huff_ac[ta]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(r, dct)
+                    diff = _extend(r.read(t), t)
+                    pred[ci] += diff
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, act)
+                        rr, ss = rs >> 4, rs & 0xF
+                        if ss == 0:
+                            if rr == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _extend(r.read(ss), ss)
+                        k += 1
+                    planes_coef[ci][my * c["v"] + v, mx * c["h"] + hh] = coef
+
+    # dequantize + un-zigzag + IDCT, vectorized per component plane
+    planes = []
+    for ci, c in enumerate(comps):
+        by, bx, _ = planes_coef[ci].shape
+        flat = planes_coef[ci].reshape(-1, 64) * qt[c["tq"]][None, :]
+        nat = np.zeros_like(flat)
+        nat[:, ZIGZAG] = flat
+        spatial = _idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        # (by·bx, 8, 8) → (by·8, bx·8)
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to full resolution (sample replication)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[: h, : w])
+    out = np.stack(planes, axis=2)
+    if len(comps) == 3:  # YCbCr → RGB (JFIF)
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    elif len(comps) != 1:
+        raise NotImplementedError(f"JPEG with {len(comps)} components")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline, 4:4:4, Annex K tables)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0xFF, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol -> (code, length)} canonical assignment."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table (public libjpeg formula)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, magnitude code) for a DC diff / AC value, T.81 F.1.2.1."""
+    t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_plane_blocks(
+    plane: np.ndarray, qtab: np.ndarray
+) -> np.ndarray:
+    """float plane (level-shifted) → (n_blocks, 64) quantized zigzag coefs."""
+    hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coefs = np.einsum("ik,nkl,jl->nij", _D, blocks, _D, optimize=True)
+    # quantize in NATURAL order (qtab is natural), then reorder to zigzag
+    quant = np.round(coefs.reshape(-1, 64) / qtab[None, :])
+    return quant[:, ZIGZAG].astype(np.int64)
+
+
+def _write_block(wtr: _BitWriter, coefs: np.ndarray, pred: int, dct, act) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    dc = int(coefs[0])
+    t, mag = _mag_bits(dc - pred)
+    code, ln = dct[t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(mag, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        t, mag = _mag_bits(v)
+        code, ln = act[(run << 4) | t]
+        wtr.write(code, ln)
+        wtr.write(mag, t)
+        run = 0
+    if run:
+        code, ln = act[0x00]  # EOB
+        wtr.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, c]) uint8 (c ∈ {1, 3}, RGB) → baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (box-averaged chroma, 2×2 luma
+    sampling); ``restart_interval`` > 0 emits DRI + RSTn markers every N
+    MCUs. Both exist mainly so the decoder's subsampling/restart paths
+    have deterministic fixtures."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError("JPEG encoder takes gray or RGB")
+    sub = subsample and c == 3
+    ql = _quality_scale(QT_LUMA, quality)
+    qc = _quality_scale(QT_CHROMA, quality)
+    if c == 3:
+        rf = a.astype(np.float64)
+        y = 0.299 * rf[:, :, 0] + 0.587 * rf[:, :, 1] + 0.114 * rf[:, :, 2]
+        cb = -0.168736 * rf[:, :, 0] - 0.331264 * rf[:, :, 1] + 0.5 * rf[:, :, 2] + 128
+        cr = 0.5 * rf[:, :, 0] - 0.418688 * rf[:, :, 1] - 0.081312 * rf[:, :, 2] + 128
+        planes = [y, cb, cr]
+        qtabs = [ql, qc, qc]
+        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+        qtabs = [ql]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component padded plane at its own resolution, level-shifted
+    coef_grids = []
+    for p, q, (sh, sv) in zip(planes, qtabs, samp):
+        if (sh, sv) != (hmax, vmax):  # downsample by box average
+            fy, fx = vmax // sv, hmax // sh
+            ph0, pw0 = -(-h // fy) * fy, -(-w // fx) * fx
+            p = np.pad(p, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
+        tgt_h, tgt_w = mcuy * sv * 8, mcux * sh * 8
+        p = np.pad(
+            p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])), mode="edge"
+        ) - 128.0
+        blocks = _encode_plane_blocks(p, q.astype(np.float64))
+        coef_grids.append(blocks.reshape(tgt_h // 8, tgt_w // 8, 64))
+
+    dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * (c == 3) * 2
+    ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * (c == 3) * 2
+    pred = [0] * len(planes)
+    chunks: list[bytes] = []
+    wtr = _BitWriter()
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            chunks.append(wtr.flush())
+            chunks.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+            rst_n += 1
+            wtr = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for v in range(sv):
+                for hh in range(sh):
+                    coefs = coef_grids[ci][my * sv + v, mx * sh + hh]
+                    pred[ci] = _write_block(
+                        wtr, coefs, pred[ci], dc_tabs[ci], ac_tabs[ci]
+                    )
+    chunks.append(wtr.flush())
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].tolist()))
+    if c == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for i in range(c):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
+    if c == 3:
+        out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
+    sos = bytes([c])
+    for i in range(c):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -3,10 +3,13 @@
 The reference's front door is image files (scripts/ExtractX_OCR.py:290:
 PNG/JPEG pages fed to the vision model). This sandbox has no PIL/cv2,
 but PNG's only hard dependency is zlib — which is stdlib — so the decode
-seam gets a real implementation instead of a stub: 8-bit non-interlaced
-PNG (gray / gray+alpha / RGB / RGBA, all five scanline filters) and
-binary netpbm (P5/P6). JPEG stays behind NotImplementedError (entropy
-coding + DCT is a codec project, not a seam).
+seam gets a real implementation instead of a stub: non-interlaced PNG at
+bit depths 1/2/4/8/16 across all five color types (gray, RGB, palette
+with tRNS, gray+alpha, RGBA; all five scanline filters) and binary
+netpbm (P5/P6). Output is always 8-bit (16-bit samples downshift, the
+PIL convention); Adam7 interlace remains unsupported (rare for the
+screenshot/scan class the reference handles, documented seam). JPEG
+lives in kernels/jpeg.py.
 
 Scale note: decode runs inside the Arrow-batched multimodal operators
 (mapInPandas), one image per element — the format parsing is sequential
@@ -21,9 +24,19 @@ import zlib
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: PNG color type → channel count (8-bit depth only; type 3 = palette
-#: unsupported).
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: PNG color type → RAW sample count per pixel (palette = 1 index).
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: color type → channel count of the DECODED array (palette → RGB; +1
+#: when a tRNS chunk adds alpha).
+_OUT_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+#: depths valid per color type (PNG spec §11.2.2).
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
@@ -35,38 +48,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, c) uint8. Supports bit depth 8, color types
-    0/2/4/6, interlace 0; validates chunk CRCs."""
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
-    while pos + 12 <= len(data):
-        ln = int.from_bytes(data[pos : pos + 4], "big")
-        typ = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + ln]
-        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
-        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        pos += 12 + ln
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG variant unsupported (depth={depth}, interlace={interlace})"
-        )
-    if ctype not in _CHANNELS:
-        raise NotImplementedError(f"PNG color type {ctype} (palette?) unsupported")
-    c = _CHANNELS[ctype]
-    stride = w * c
-    raw = zlib.decompress(b"".join(idat))
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters → (h, stride) uint8 of raw
+    (still packed) bytes. ``bpp`` is the filter's pixel byte offset
+    (ceil(depth/8)·samples, min 1) — filters always operate on BYTES
+    regardless of bit depth (PNG spec §9.2)."""
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline stream length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -78,9 +64,9 @@ def decode_png(data: bytes) -> np.ndarray:
         )
         if ftype == 0:  # None
             rec = line.astype(np.int32)
-        elif ftype == 1:  # Sub: per-channel cumulative sum, wrapping mod 256
+        elif ftype == 1:  # Sub: per-byte-lane cumulative sum, mod 256
             rec = (
-                np.cumsum(line.reshape(w, c), axis=0, dtype=np.uint8)
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint8)
                 .reshape(-1)
                 .astype(np.int32)
             )
@@ -89,20 +75,97 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ftype == 3:  # Average — left-dependent, sequential per byte
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                left = rec[x - c] if x >= c else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth — left-dependent, sequential per byte
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = int(rec[x - c]) if x >= c else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
+                cc = int(prev[x - bpp]) if x >= bpp else 0
                 rec[x] = (int(line[x]) + _paeth(a, b, cc)) & 0xFF
         else:
             raise ValueError(f"PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(h, w, c)
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed bytes at sub-byte ``depth`` → (h, w) sample
+    values (left-to-right, high bits first — PNG packing order)."""
+    per = 8 // depth
+    bits = np.unpackbits(rows, axis=1)  # (h, stride·8), MSB first
+    vals = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = (vals * weights).sum(axis=2)
+    return samples[:, :w]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8. Supports bit depths 1/2/4/8/16,
+    color types 0/2/3/4/6 (palette via PLTE, optional tRNS alpha),
+    interlace 0; validates chunk CRCs. 16-bit samples downshift to
+    8-bit; sub-byte gray scales to the full 0–255 range."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (interlace={interlace})"
+        )
+    if ctype not in _CHANNELS or depth not in _VALID_DEPTHS.get(ctype, ()):
+        raise NotImplementedError(
+            f"PNG color type {ctype} at depth {depth} unsupported"
+        )
+    samples = _CHANNELS[ctype]
+    stride = (w * samples * depth + 7) // 8
+    bpp = max(1, (samples * depth) // 8)
+    rows = _unfilter(zlib.decompress(b"".join(idat)), h, stride, bpp)
+    if ctype == 3:  # palette index → RGB(A)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = (
+            rows[:, :w] if depth == 8 else _unpack_samples(rows, w, depth)
+        ).astype(np.int64)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if depth == 16:
+        arr = rows.reshape(h, -1).view(">u2")  # big-endian sample pairs
+        return (arr >> 8).astype(np.uint8).reshape(h, w, samples)
+    if depth == 8:
+        return rows.reshape(h, w, samples)
+    # sub-byte grayscale: expand to full 8-bit range (255 / maxval)
+    vals = _unpack_samples(rows, w, depth)
+    scale = 255 // ((1 << depth) - 1)
+    return (vals * scale).astype(np.uint8).reshape(h, w, 1)
 
 
 def read_ihdr(data: bytes) -> tuple[int, int, int]:
@@ -110,7 +173,8 @@ def read_ihdr(data: bytes) -> tuple[int, int, int]:
     IHDR chunk (fixed position right after the signature), CRC-checked —
     no IDAT decompression, no filter reconstruction. For metadata scans
     over large corpora this is the difference between a header peek and a
-    full decode per image."""
+    full decode per image. Palette reports 3 channels (the header alone
+    cannot see a tRNS alpha; decode_png returns 4 when one exists)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     if data[12:16] != b"IHDR" or int.from_bytes(data[8:12], "big") != 13:
@@ -120,9 +184,15 @@ def read_ihdr(data: bytes) -> tuple[int, int, int]:
     if zlib.crc32(b"IHDR" + chunk) & 0xFFFFFFFF != crc:
         raise ValueError("PNG IHDR CRC mismatch")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", chunk)
-    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
-        raise NotImplementedError(f"PNG variant unsupported (depth={depth})")
-    return w, h, _CHANNELS[ctype]
+    if (
+        interlace != 0
+        or ctype not in _CHANNELS
+        or depth not in _VALID_DEPTHS.get(ctype, ())
+    ):
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, ctype={ctype})"
+        )
+    return w, h, _OUT_CHANNELS[ctype]
 
 
 def _chunk(typ: bytes, payload: bytes) -> bytes:

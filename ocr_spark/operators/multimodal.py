@@ -2,12 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a small structured
 header; all Spark-side plumbing (schema, Arrow batch shape, partitioning)
-is real and tested. The actual media decode is STUBBED: the container has
-no image/audio libraries, so ``decode_image`` raises NotImplementedError
-unless a deterministic fake is requested — exactly the seam where a real
-decoder (PIL/ffmpeg via mapInPandas) plugs in on a production cluster.
+is real and tested. Image decode is REAL for PNG (all color types incl.
+palette, depths 1-16 — kernels/png.py), binary netpbm, and baseline JPEG
+(kernels/jpeg.py); progressive JPEG decodes metadata only — the seam
+where a full PIL/ffmpeg decoder plugs in on a production cluster.
 
-Payload wire format (deterministic, self-describing):
+Payload wire format for the synthetic fixture class (deterministic,
+self-describing):
 ``b"IMG1" + width:uint16be + height:uint16be + channels:uint8 + raw bytes``
 """
 
@@ -86,6 +87,18 @@ def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:
             )
         except Exception:
             return (payload[:2].decode(), 0, 0, 0, False)
+    if payload[:2] == b"\xff\xd8":
+        # real dims from the SOF header, no entropy decode — works for
+        # baseline AND progressive (the reference whitelist accepts
+        # .jpg/.jpeg, scripts/ExtractX_OCR.py:72)
+        from ocr_spark.kernels import jpeg as _jpeg
+
+        try:
+            w, h, c, progressive = _jpeg.parse_dims(payload)
+            # progressive: metadata is real but pixel decode unsupported
+            return ("JPEG", w, h, c, not progressive)
+        except Exception:
+            return ("JPEG", 0, 0, 0, False)
     return ("unknown", 0, 0, 0, False)
 
 
@@ -113,13 +126,15 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode a payload to an HxWxC uint8 array, auto-detected by format:
 
-    - PNG → REAL decode (pure stdlib zlib + NumPy, kernels/png.py)
+    - PNG → REAL decode (pure stdlib zlib + NumPy, kernels/png.py; all
+      color types incl. palette+tRNS, bit depths 1-16)
     - binary netpbm (P5/P6) → real decode
+    - baseline JPEG → REAL decode (pure NumPy Huffman+IDCT,
+      kernels/jpeg.py); progressive JPEG raises NotImplementedError
+      (metadata still real via parse_header)
     - IMG1 → the deterministic synthetic fixture format; decoded only
       with ``fake=True`` (its bytes ARE the pixels — the flag preserves
       the explicit synthetic-vs-real distinction in tests)
-    - JPEG → NotImplementedError (entropy coding + DCT is a codec
-      project; plug PIL in here on a cluster that has it)
     """
     from ocr_spark.kernels import png as _png
 
@@ -128,10 +143,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:2] in (b"P5", b"P6"):
         return _png.decode_netpbm(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires a DCT codec (PIL/cv2); PNG and netpbm "
-            "decode natively"
-        )
+        from ocr_spark.kernels import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg(payload)
     fmt, w, h, c, ok = parse_header(payload)
     if not ok:
         raise ValueError("invalid payload")
@@ -174,8 +188,8 @@ ROTATED_SCHEMA = T.StructType(
 def rotate_images(df: DataFrame, rotation: int) -> DataFrame:
     """Arrow-batched rotation of a payload column (one mapInPandas pass);
     rotation==0 is a true no-op projection — no Python stage at all.
-    An undecodable payload (JPEG, exotic PNG) keeps its ORIGINAL bytes —
-    the reference's fallback-to-original-on-error behavior
+    An undecodable payload (progressive JPEG, interlaced PNG) keeps its
+    ORIGINAL bytes — the reference's fallback-to-original-on-error behavior
     (scripts/ExtractX_OCR.py:310-312); one bad image never fails the
     job, and downstream features count it in their failed tally."""
     if rotation % 360 == 0:

@@ -117,3 +117,46 @@ def rotate_roundtrip(df: DataFrame) -> DataFrame:
     (reference img.rotate(-r, expand=True) semantics incl. the rot==0
     short-circuit). Vectorized NumPy inside mapInPandas."""
     return df.select("doc_id", "text").mapInPandas(_rot_roundtrip, _ROT_SCHEMA)
+
+
+PDF_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("page_idx", T.IntegerType()),
+        T.StructField("page_text", T.StringType()),
+    ]
+)
+
+
+def pdf_pages_from_bytes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL PDF container explode: (doc_id, payload binary) → one row per
+    page with its extracted text (kernels/pdf.py: xref parse, page-tree
+    walk, FlateDecode, Tj/TJ runs) — the reference's fitz front door
+    (scripts/ExtractX_OCR.py:240-288) minus rasterization. Arrow-batched
+    mapInPandas; an unparseable PDF contributes zero rows (the
+    reference's skip-and-continue, :282-284)."""
+    from ocr_spark.kernels.pdf import extract_pages
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            texts: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    pages = extract_pages(bytes(payload))
+                except Exception:
+                    continue  # skip-and-continue
+                for i, text in enumerate(pages):
+                    ids.append(int(doc_id))
+                    idxs.append(i + 1)  # 1-based, reference convention
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "page_idx": pd.Series(idxs, dtype="int32"),
+                    "page_text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", F.col(payload_col)).mapInPandas(fn, PDF_PAGES_SCHEMA)

@@ -361,3 +361,248 @@ def quantize_embeddings(
     return pre.select(
         "vec_id", F.posexplode(safe).alias("dim_idx", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ re-rank)
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_n: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subvectors; each subspace trains its own ``ksub``-entry
+    VQ codebook by Lloyd iterations on the SAME bounded md5-ordered
+    sample the IVF coarse quantizer uses (deterministic under any
+    partitioning). Returns (m, ksub, dsub) float64.
+
+    Replayability contract (what lets the DuckDB oracle rerun training
+    in SQL): centroids round to 6 decimals after init and after every
+    update; assignment distance is the expanded form
+    ``round(x·x - 2·x·c + c·c, 6)`` with ties to the lowest cell —
+    identical expressions on both engines, so the float noise between
+    summation orders (~1e-16) dies against the 1e-6 grid.
+    """
+    pdf = (
+        corpus.select(
+            F.col(id_col).cast("string").alias("h_id"), F.col(vec_col).alias("v")
+        )
+        .withColumn("h", F.md5(F.col("h_id")))
+        .orderBy("h", "h_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    x = np.array(pdf["v"].tolist(), dtype=np.float64)
+    dim = x.shape[1]
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for mi in range(m):
+        xs = x[:, mi * dsub : (mi + 1) * dsub]
+        cents = np.round(xs[:ksub], 6)
+        for _ in range(iters):
+            assign = _pq_assign(xs, cents)
+            for cell in range(ksub):
+                members = xs[assign == cell]
+                if len(members):
+                    cents[cell] = members.mean(axis=0)
+            cents = np.round(cents, 6)
+        books[mi] = cents
+    return books
+
+
+def _pq_assign(xs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin cell per row of the ROUNDED expanded squared distance
+    (ties → lowest cell, np.argmin's first-hit) — the exact expression
+    the SQL oracle evaluates."""
+    xx = np.einsum("ij,ij->i", xs, xs)
+    cc = np.einsum("ij,ij->i", cents, cents)
+    d2 = np.round(xx[:, None] - 2.0 * (xs @ cents.T) + cc[None, :], 6)
+    return np.argmin(d2, axis=1)
+
+
+def pq_encode_with_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One map-side pass over the corpus → (neighbor_id, cell, codes
+    array<int>, vnorm double): IVF cell (argmax dot against the coarse
+    centroids, ties → lowest cell — same rule as ivf_topk), PQ code per
+    subspace, and the exact vector norm (1 float/vector, the standard
+    PQ sidecar that keeps cosine exact in the denominator). No shuffle;
+    vectors never leave this stage."""
+    from pyspark.sql import types as T
+
+    m, ksub, dsub = codebooks.shape
+    ct = centroids.T.copy()
+    books = codebooks.copy()
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = np.argmax(x @ ct, axis=1).astype(np.int32)
+            codes = np.zeros((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                xs = x[:, mi * dsub : (mi + 1) * dsub]
+                codes[:, mi] = _pq_assign(xs, books[mi])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cell": cells,
+                    "codes": list(codes),
+                    "vnorm": np.sqrt(np.einsum("ij,ij->i", x, x)),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("vnorm", T.DoubleType()),
+        ]
+    )
+    return corpus.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int | None = None,
+    sample_n: int = 2048,
+    pq_sample_n: int = 512,
+    iters: int = 10,
+    pq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF + product-quantization re-rank (FAISS IVFPQ shape):
+    coarse-probe the ``nprobe`` nearest cells, score EVERY candidate in
+    them by the asymmetric-distance PQ approximation (codes + the
+    per-query lookup table — no candidate vector is touched), keep only
+    the top ``rerank`` (default 4k) per query, and run the exact cosine
+    on those survivors. Output schema matches cosine_topk/ivf_topk.
+
+    Scale shape: candidates carry (cell, m bytes of codes, 1 norm) —
+    at dim=64, m=8 that is ~12 bytes instead of 256+ for the raw
+    vector, so the probe join and the PQ window shuffle ~20× less than
+    ivf_topk's rerank; the full vectors re-attach only for the
+    ``rerank·|queries|`` survivors. The LUT rides in the UDF closure
+    (|queries|·m·ksub doubles — KBs)."""
+    R = rerank if rerank is not None else 4 * k
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(corpus, nlist, sample_n, iters, id_col, vec_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train_codebooks(corpus, m, ksub, pq_sample_n, pq_iters, id_col, vec_col)
+    )
+    mq, ksq, dsub = books.shape
+
+    enc = pq_encode_with_cells(corpus, cents, books, id_col, vec_col)
+
+    qpdf = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    qx_raw = np.array(qpdf["q_vec"].tolist(), dtype=np.float64)
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qx_raw, qx_raw))
+    # probe list: same rule as ivf_topk (normalized query vs unit centroids)
+    qxn = _normalize_rows(qx_raw.copy())
+    order = np.argsort(-(qxn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    spark = corpus.sparkSession
+    probe = spark.createDataFrame(
+        [
+            (qid, int(cell))
+            for qid, cells in zip(qpdf["q_id"].tolist(), order)
+            for cell in cells
+        ],
+        schema=f"q_id {dict(queries.dtypes)[id_col]}, cell int",
+    )
+    qn = spark.createDataFrame(
+        [(qid, float(n)) for qid, n in zip(qpdf["q_id"].tolist(), qnorms)],
+        schema=f"q_id {dict(queries.dtypes)[id_col]}, qnorm double",
+    )
+    # per-query ADC lookup table: LUT[q][mi, code] = q_sub · codebook entry
+    luts = {
+        qid: np.stack(
+            [qx_raw[i, mi * dsub : (mi + 1) * dsub] @ books[mi].T for mi in range(mq)]
+        )
+        for i, qid in enumerate(qpdf["q_id"].tolist())
+    }
+
+    @pandas_udf("double")
+    def adc_dot(q_id: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.zeros(len(q_id))
+        rng = np.arange(mq)
+        for i, (qid, cs) in enumerate(zip(q_id, codes)):
+            out[i] = float(luts[qid][rng, np.asarray(cs)].sum())
+        return pd.Series(out)
+
+    cand = (
+        enc.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .join(F.broadcast(qn), "q_id")
+        .withColumn(
+            "pq_cos",
+            F.when(
+                (F.col("vnorm") > 0) & (F.col("qnorm") > 0),
+                F.round(
+                    adc_dot("q_id", "codes") / (F.col("qnorm") * F.col("vnorm")), 4
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    wpq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cand.withColumn("pq_rank", F.row_number().over(wpq))
+        .filter(F.col("pq_rank") <= R)
+        .select("q_id", "neighbor_id")
+    )
+    scored = (
+        survivors.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn("cosine_r", F.round(with_cosine_expr("q_vec", "c_vec"), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_r")
+    )

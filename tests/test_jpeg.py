@@ -1,0 +1,143 @@
+"""Baseline JPEG codec tests: round-trips (gray/RGB, 4:4:4 and 4:2:0,
+restart intervals), header-only dimension parse, progressive rejection,
+and the decode path wired through the multimodal Spark operators.
+
+The codec closes the reference's .jpg/.jpeg whitelist gap
+(scripts/ExtractX_OCR.py:72,514-527; PIL open at :302)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_spark.kernels.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    parse_dims,
+)
+from ocr_spark.operators import multimodal
+
+
+def _img(h, w, c=None, seed=0):
+    n = h * w * (c or 1)
+    buf = b"".join(
+        hashlib.md5(f"{seed}:{i}".encode()).digest() for i in range((n + 15) // 16)
+    )
+    a = np.frombuffer(buf[:n], dtype=np.uint8)
+    return a.reshape(h, w) if c is None else a.reshape(h, w, c).copy()
+
+
+def _smooth(h, w, c):
+    """JPEG-friendly gradient (no 255→0 wrap: clip, don't mod)."""
+    g = np.minimum(np.add.outer(np.arange(h) * 3, np.arange(w) * 2), 255)
+    if c == 1:
+        return g.astype(np.uint8)[:, :, None]
+    return np.stack([np.minimum(g + 30 * k, 255) for k in range(c)], axis=2).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 1), (24, 40, 1), (17, 23, 3), (9, 13, 3)])
+def test_jpeg_roundtrip_smooth_images(shape):
+    img = _smooth(*shape)
+    data = encode_jpeg(img, quality=95)
+    assert parse_dims(data) == (shape[1], shape[0], shape[2], False)
+    dec = decode_jpeg(data)
+    assert dec.shape == shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8  # smooth content at q95: tiny quantization error
+
+
+def test_jpeg_roundtrip_noise_bounded_error():
+    img = _img(16, 16, 3, seed=7)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 10  # lossy, but must track the source
+
+
+def test_jpeg_flat_block_exact():
+    img = np.full((8, 8), 200, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=90))[:, :, 0], img)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    img = _smooth(33, 45, 3)
+    data = encode_jpeg(img, quality=90, subsample=True)
+    # SOF must declare 2x2 luma sampling
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 8  # chroma is box-averaged; luma stays tight
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    img = _smooth(32, 48, 3)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+    # restart markers change the container, not the pixels
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_progressive_dims_parse_but_decode_raises():
+    # minimal SOF2 header: dims must parse, pixel decode must refuse
+    sof2 = struct.pack(">BHHB", 8, 11, 22, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    seg = bytes([0xFF, 0xC2]) + (len(sof2) + 2).to_bytes(2, "big") + sof2
+    data = b"\xff\xd8" + seg + b"\xff\xd9"
+    assert parse_dims(data) == (22, 11, 3, True)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(data)
+
+
+def test_jpeg_garbage_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        parse_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_parse_header_reports_jpeg_dims():
+    img = _smooth(14, 21, 3)
+    fmt, w, h, c, ok = multimodal.parse_header(encode_jpeg(img))
+    assert (fmt, w, h, c, ok) == ("JPEG", 21, 14, 3, True)
+    # progressive: real dims, valid=False (decode unsupported)
+    sof2 = struct.pack(">BHHB", 8, 5, 6, 1) + bytes([1, 0x11, 0])
+    seg = bytes([0xFF, 0xC2]) + (len(sof2) + 2).to_bytes(2, "big") + sof2
+    fmt, w, h, c, ok = multimodal.parse_header(b"\xff\xd8" + seg + b"\xff\xd9")
+    assert (fmt, w, h, c, ok) == ("JPEG", 6, 5, 1, False)
+
+
+def test_rotate_image_payload_handles_jpeg():
+    # decode → rot90 → re-encode (PNG, lossless from the decoded pixels)
+    img = _smooth(12, 20, 3)
+    data = encode_jpeg(img, quality=95)
+    rotated = multimodal.rotate_image_payload(data, 90)
+    out = multimodal.decode_image(rotated)
+    want = np.rot90(decode_jpeg(data), k=-1)
+    assert np.array_equal(out, want)
+
+
+def test_image_features_on_real_jpegs_spark(spark):
+    # the multimodal feature operator must produce real (non-NaN)
+    # features for JPEG payloads — the r2 gap this codec closes
+    payloads = [
+        (i, encode_jpeg(_smooth(16 + i, 24 + i, 3), quality=90)) for i in range(4)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": [p[0] for p in payloads], "payload": [p[1] for p in payloads]}
+    )
+    df = spark.createDataFrame(pdf)
+    feats = multimodal.image_features(df, target=(4, 4)).toPandas()
+    assert (feats["resized_h"] == 4).all()
+    assert feats["mean_px"].notna().all()
+    for i, data in payloads:
+        want = decode_jpeg(data)
+        ys = np.linspace(0, want.shape[0] - 1, 4).astype(int)
+        xs = np.linspace(0, want.shape[1] - 1, 4).astype(int)
+        got = feats.set_index("vec_id").loc[i, "mean_px"]
+        assert abs(got - float(want[ys][:, xs].mean())) < 1e-9

@@ -558,7 +558,17 @@ def test_ann_recall_vs_exact_baseline(spark):
         return sum(len(e[i] & a.get(i, set())) for i in e.index) / (3 * len(e))
 
     assert recall(similarity.lsh_bucketed_topk(emb, q, k=3).toPandas()) >= 0.5
-    assert recall(similarity.ivf_topk(emb, q, k=3).toPandas()) >= 0.5
+    ivf_recall = recall(similarity.ivf_topk(emb, q, k=3).toPandas())
+    assert ivf_recall >= 0.5
+    # PQ re-rank prunes within the SAME probed cells, so with a deep
+    # enough rerank cut it must recover (almost) everything IVF finds —
+    # random low-cosine embeddings make the PQ approximation maximally
+    # noisy, hence "almost" (measured: equality at rerank=64)
+    pq_recall = recall(
+        similarity.ivf_pq_topk(emb, q, k=3, rerank=64).toPandas()
+    )
+    assert pq_recall >= ivf_recall - 0.05
+    assert recall(similarity.ivf_pq_topk(emb, q, k=3, rerank=32).toPandas()) >= 0.5
 
 
 def test_deterministic_sample_invariant_under_partitioning(spark):

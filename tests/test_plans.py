@@ -310,3 +310,63 @@ def test_tfidf_broadcasts_document_frequencies(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(textops.tfidf_topk(docs, k=3))
     assert "BroadcastHashJoin" in plan  # token->df table rides broadcast
+
+
+def test_ivf_pq_window_shuffles_codes_not_vectors(spark):
+    """IVF-PQ: the PQ-scoring window shuffle carries (codes, vnorm) —
+    never the embedding vectors; probe list and query norms broadcast.
+    Vectors re-attach only for the top-``rerank`` survivors."""
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(
+        similarity.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, rerank=8)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the candidate-side exchange (PQ window, keyed q_id) must not move
+    # vectors — Catalyst even prunes the codes after the ADC projection,
+    # so only (q_id, neighbor_id, pq_cos) cross the wire
+    pq_exchanges = [
+        b for b in _exchange_blocks(plan) if "hashpartitioning(q_id" in b
+    ]
+    assert pq_exchanges, plan
+    assert all(
+        "embedding" not in b and "_vec" not in b and "codes" not in b
+        for b in pq_exchanges
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pdf_text_extract_is_single_python_chain_no_shuffle(spark):
+    """Real-PDF explode: build → parse is a straight-line map chain —
+    zero exchanges (page order comes from the parser, not a sort)."""
+    from pyspark.sql import types as T
+
+    from ocr_spark.operators import pages as pages_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def build(it):
+        import pandas as pd
+
+        from ocr_spark.kernels.pdf import build_pdf
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [build_pdf([t]) for t in pdf["text"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out = pages_ops.pdf_pages_from_bytes(
+        docs.select("doc_id", "text").mapInPandas(build, schema)
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan

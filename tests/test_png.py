@@ -97,7 +97,14 @@ def test_decode_image_autodetects_real_formats():
     img = _img(6, 4, 3, seed=3)
     assert np.array_equal(multimodal.decode_image(encode_png(img)), img)
     assert np.array_equal(multimodal.decode_image(encode_netpbm(img)), img)
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG now decodes for real (lossy — bounded error)
+    from ocr_spark.kernels.jpeg import encode_jpeg
+
+    dec = multimodal.decode_image(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 16
+    # truncated/garbage JPEG bytes still error out (no SOF)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
@@ -181,3 +188,116 @@ def test_reference_front_door_end_to_end_on_real_pngs(spark, tmp_path):
         expected[vid] = float(img[ys][:, xs].mean())
     got = feats.set_index("vec_id")["mean_px"].to_dict()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round 3: palette, tRNS, 16-bit, sub-byte depths
+# ---------------------------------------------------------------------------
+
+
+def _png_from_scanlines(w, h, depth, ctype, scanlines, extra_chunks=()):
+    """Assemble a PNG with filter-0 scanlines and optional PLTE/tRNS."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + ln for ln in scanlines)
+    body = b"".join(_chunk(t, p) for t, p in extra_chunks)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + body
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_8bit_decodes_to_rgb():
+    palette = bytes(range(12))  # 4 entries RGB
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    data = _png_from_scanlines(
+        4, 2, 8, 3, [r.tobytes() for r in idx], [(b"PLTE", palette)]
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 4, 3)
+    plte = np.frombuffer(palette, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(out, plte[idx])
+
+
+def test_png_palette_trns_adds_alpha():
+    palette = bytes([255, 0, 0, 0, 255, 0])  # red, green
+    idx = np.array([[0, 1, 0]], dtype=np.uint8)
+    data = _png_from_scanlines(
+        3, 1, 8, 3,
+        [idx[0].tobytes()],
+        [(b"PLTE", palette), (b"tRNS", bytes([10]))],  # entry 0 alpha=10
+    )
+    out = decode_png(data)
+    assert out.shape == (1, 3, 4)
+    assert out[0, 0].tolist() == [255, 0, 0, 10]
+    assert out[0, 1].tolist() == [0, 255, 0, 255]  # beyond tRNS → opaque
+
+
+def test_png_palette_4bit_unpacks_indices():
+    palette = bytes(range(48))  # 16 entries
+    # width 5 at 4 bits → 3 bytes per row (last nibble padding)
+    rows = [bytes([0x01, 0x23, 0x40]), bytes([0xFE, 0xDC, 0xB0])]
+    data = _png_from_scanlines(5, 2, 4, 3, rows, [(b"PLTE", palette)])
+    out = decode_png(data)
+    plte = np.frombuffer(palette, dtype=np.uint8).reshape(16, 3)
+    want_idx = np.array([[0, 1, 2, 3, 4], [15, 14, 13, 12, 11]])
+    assert np.array_equal(out, plte[want_idx])
+
+
+def test_png_gray_1bit_scales_to_full_range():
+    # width 10 → 2 bytes per row; bit pattern 1010101010 / 0101010101
+    rows = [bytes([0b10101010, 0b10000000]), bytes([0b01010101, 0b01000000])]
+    data = _png_from_scanlines(10, 2, 1, 0, rows)
+    out = decode_png(data)
+    assert out.shape == (2, 10, 1)
+    assert out[0, :, 0].tolist() == [255, 0] * 5
+    assert out[1, :, 0].tolist() == [0, 255] * 5
+
+
+def test_png_16bit_downshifts_to_high_byte():
+    # 2x2 gray16, big-endian samples
+    vals = np.array([[0x0102, 0xFFFE], [0x8000, 0x00FF]], dtype=">u2")
+    rows = [vals[0].tobytes(), vals[1].tobytes()]
+    data = _png_from_scanlines(2, 2, 16, 0, rows)
+    out = decode_png(data)
+    assert out[:, :, 0].tolist() == [[0x01, 0xFF], [0x80, 0x00]]
+
+
+def test_png_16bit_rgb_sub_filter():
+    # depth 16 RGB with the Sub filter: bpp must be 6 bytes, not 3
+    img = (_img(3, 4, 3, seed=5).astype(np.uint16) << 8) | 0x7F
+    h, w, _ = img.shape
+    flat = img.astype(">u2").tobytes()
+    stride = w * 6
+    raws = []
+    for y in range(h):
+        row = np.frombuffer(flat[y * stride : (y + 1) * stride], dtype=np.uint8).astype(int)
+        filt = row.copy()
+        filt[6:] = (row[6:] - row[:-6]) % 256
+        raws.append(b"\x01" + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert np.array_equal(out, (img >> 8).astype(np.uint8))
+
+
+def test_png_read_ihdr_reports_palette_and_16bit():
+    from ocr_spark.kernels.png import read_ihdr
+
+    pal = _png_from_scanlines(3, 1, 8, 3, [b"\x00\x01\x02"], [(b"PLTE", bytes(9))])
+    assert read_ihdr(pal) == (3, 1, 3)
+    g16 = _png_from_scanlines(2, 2, 16, 0, [b"\x00" * 4, b"\x00" * 4])
+    assert read_ihdr(g16) == (2, 2, 1)
+
+
+def test_png_interlaced_still_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
+    data = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
