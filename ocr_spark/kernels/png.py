@@ -3,13 +3,11 @@
 The reference's front door is image files (scripts/ExtractX_OCR.py:290:
 PNG/JPEG pages fed to the vision model). This sandbox has no PIL/cv2,
 but PNG's only hard dependency is zlib — which is stdlib — so the decode
-seam gets a real implementation instead of a stub: non-interlaced PNG at
-bit depths 1/2/4/8/16 across all five color types (gray, RGB, palette
-with tRNS, gray+alpha, RGBA; all five scanline filters) and binary
-netpbm (P5/P6). Output is always 8-bit (16-bit samples downshift, the
-PIL convention); Adam7 interlace remains unsupported (rare for the
-screenshot/scan class the reference handles, documented seam). JPEG
-lives in kernels/jpeg.py.
+seam gets a real implementation instead of a stub: PNG at bit depths
+1/2/4/8/16 across all five color types (gray, RGB, palette with tRNS,
+gray+alpha, RGBA; all five scanline filters; sequential AND Adam7
+interlaced) and binary netpbm (P5/P6). Output is always 8-bit (16-bit
+samples downshift, the PIL convention). JPEG lives in kernels/jpeg.py.
 
 Scale note: decode runs inside the Arrow-batched multimodal operators
 (mapInPandas), one image per element — the format parsing is sequential
@@ -94,12 +92,55 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     """(h, stride) packed bytes at sub-byte ``depth`` → (h, w) sample
     values (left-to-right, high bits first — PNG packing order)."""
-    per = 8 // depth
     bits = np.unpackbits(rows, axis=1)  # (h, stride·8), MSB first
     vals = bits.reshape(rows.shape[0], -1, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
     samples = (vals * weights).sum(axis=2)
     return samples[:, :w]
+
+
+def _rows_to_pixels(rows: np.ndarray, w: int, samples: int, depth: int) -> np.ndarray:
+    """Reconstructed scanline bytes → (h, w, samples) uint8 raw sample
+    values: 16-bit downshifts to the high byte; sub-byte values stay
+    unscaled (palette indices / gray levels — callers scale)."""
+    hh = rows.shape[0]
+    if depth == 16:
+        arr = rows.reshape(hh, -1).view(">u2")
+        return (arr >> 8).astype(np.uint8).reshape(hh, w, samples)
+    if depth == 8:
+        return rows.reshape(hh, w, samples)
+    return _unpack_samples(rows, w, depth).astype(np.uint8).reshape(hh, w, 1)
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace(
+    raw: bytes, w: int, h: int, samples: int, depth: int
+) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images concatenated in the
+    IDAT stream; each pass unfilters on its own (filter state resets) and
+    scatters onto the full-resolution grid."""
+    out = np.zeros((h, w, samples), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * samples * depth + 7) // 8
+        bpp = max(1, (samples * depth) // 8)
+        end = pos + hp * (stride + 1)
+        rows = _unfilter(raw[pos:end], hp, stride, bpp)
+        pos = end
+        out[y0::dy, x0::dx] = _rows_to_pixels(rows, wp, samples, depth)
+    if pos != len(raw):
+        raise ValueError("PNG Adam7 stream length mismatch")
+    return out
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -131,24 +172,24 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if interlace != 0 or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG variant unsupported (interlace={interlace})"
-        )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise NotImplementedError("PNG compression/filter method unsupported")
     if ctype not in _CHANNELS or depth not in _VALID_DEPTHS.get(ctype, ()):
         raise NotImplementedError(
             f"PNG color type {ctype} at depth {depth} unsupported"
         )
     samples = _CHANNELS[ctype]
-    stride = (w * samples * depth + 7) // 8
-    bpp = max(1, (samples * depth) // 8)
-    rows = _unfilter(zlib.decompress(b"".join(idat)), h, stride, bpp)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        pixels = _deinterlace(raw, w, h, samples, depth)
+    else:
+        stride = (w * samples * depth + 7) // 8
+        bpp = max(1, (samples * depth) // 8)
+        pixels = _rows_to_pixels(_unfilter(raw, h, stride, bpp), w, samples, depth)
     if ctype == 3:  # palette index → RGB(A)
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        idx = (
-            rows[:, :w] if depth == 8 else _unpack_samples(rows, w, depth)
-        ).astype(np.int64)
+        idx = pixels[:, :, 0].astype(np.int64)
         if idx.max(initial=0) >= len(plte):
             raise ValueError("palette index out of range")
         rgb = plte[idx]  # (h, w, 3)
@@ -157,15 +198,11 @@ def decode_png(data: bytes) -> np.ndarray:
         alpha = np.full(len(plte), 255, dtype=np.uint8)
         alpha[: len(trns)] = trns
         return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
-    if depth == 16:
-        arr = rows.reshape(h, -1).view(">u2")  # big-endian sample pairs
-        return (arr >> 8).astype(np.uint8).reshape(h, w, samples)
-    if depth == 8:
-        return rows.reshape(h, w, samples)
-    # sub-byte grayscale: expand to full 8-bit range (255 / maxval)
-    vals = _unpack_samples(rows, w, depth)
-    scale = 255 // ((1 << depth) - 1)
-    return (vals * scale).astype(np.uint8).reshape(h, w, 1)
+    if depth < 8:
+        # sub-byte grayscale: expand to the full 8-bit range (255/maxval)
+        scale = 255 // ((1 << depth) - 1)
+        return (pixels.astype(np.uint16) * scale).astype(np.uint8)
+    return pixels
 
 
 def read_ihdr(data: bytes) -> tuple[int, int, int]:
@@ -185,7 +222,7 @@ def read_ihdr(data: bytes) -> tuple[int, int, int]:
         raise ValueError("PNG IHDR CRC mismatch")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", chunk)
     if (
-        interlace != 0
+        interlace not in (0, 1)
         or ctype not in _CHANNELS
         or depth not in _VALID_DEPTHS.get(ctype, ())
     ):

@@ -296,8 +296,31 @@ def test_png_read_ihdr_reports_palette_and_16bit():
     assert read_ihdr(g16) == (2, 2, 1)
 
 
-def test_png_interlaced_still_rejected():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-    data = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(data)
+def _adam7_encode(img):
+    """Reference Adam7 writer (filter 0 per scanline) for decode tests."""
+    h, w, c = img.shape
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 1)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 1), (13, 11, 3), (8, 8, 4), (1, 17, 1)])
+def test_png_adam7_interlaced_decodes(shape):
+    img = _img(*shape, seed=sum(shape))
+    out = decode_png(_adam7_encode(img))
+    assert np.array_equal(out, img)
