@@ -146,6 +146,11 @@ def _segments(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at {pos}")
+        # optional 0xFF fill bytes before a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            return
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             return

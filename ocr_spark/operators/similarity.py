@@ -553,10 +553,18 @@ def ivf_pq_topk(
 
     @pandas_udf("double")
     def adc_dot(q_id: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.zeros(len(q_id))
+        # vectorized per DISTINCT query in the batch (queries are few by
+        # contract): one fancy-indexed LUT gather + row-sum per group —
+        # no per-candidate Python
+        if len(q_id) == 0:
+            return pd.Series([], dtype="float64")
+        codes_mat = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        qarr = q_id.to_numpy()
+        out = np.zeros(len(qarr))
         rng = np.arange(mq)
-        for i, (qid, cs) in enumerate(zip(q_id, codes)):
-            out[i] = float(luts[qid][rng, np.asarray(cs)].sum())
+        for qid in np.unique(qarr):
+            mask = qarr == qid
+            out[mask] = luts[qid][rng[None, :], codes_mat[mask]].sum(axis=1)
         return pd.Series(out)
 
     cand = (

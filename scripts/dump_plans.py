@@ -24,7 +24,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from ocr_spark.fixtures import make_transcripts
-    from ocr_spark.operators import dedup, relational, similarity
+    from ocr_spark.kernels.pdf import build_pdf
+    from ocr_spark.operators import dedup, pages, relational, similarity
     from ocr_spark.pipeline import extract_stage
     from ocr_spark.session import get_spark
 
@@ -176,6 +177,28 @@ def main() -> int:
             "partitions, gap-merge — no state store, no custom code; the streaming "
             "face reuses the identical operator with a watermark.",
             relational.session_agg(events, "user_id", "ts", "10 minutes"),
+        ),
+        (
+            "IVF-PQ rerank (`ivf_pq_topk`)",
+            "Map-side cell+code pass (codes ≈12 B/vector); probe list, query "
+            "norms, and survivor vectors all broadcast; the only exchange is the "
+            "PQ-scoring window keyed on `q_id` and Catalyst prunes it down to "
+            "`(q_id, neighbor_id, pq_cos)` — vectors re-attach only for the "
+            "top-`rerank` survivors.",
+            similarity.ivf_pq_topk(
+                emb, emb.filter(F.col("vec_id") < 3), k=3, rerank=8
+            ),
+        ),
+        (
+            "Real-PDF page explode (`pdf_pages_from_bytes`)",
+            "Straight-line map chain — ZERO exchanges: the container parse and "
+            "page explode happen in one Arrow-batched Python stage, and page "
+            "order comes from the parser, not a sort.",
+            pages.pdf_pages_from_bytes(
+                spark.createDataFrame(
+                    [(0, build_pdf(["x"]))], "doc_id long, payload binary"
+                )
+            ),
         ),
     ]
 

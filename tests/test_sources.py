@@ -61,3 +61,69 @@ def test_listed_payloads_feed_multimodal_operators(spark, tmp_path):
     assert len(meta) == 2
     assert meta["valid"].all()
     assert set(zip(meta["width"], meta["height"])) == {(4, 3), (2, 2)}
+
+
+def test_pdf_job_cli_end_to_end(spark, tmp_path):
+    # the PDF front-door CLI: directory of real PDFs (plus one corrupt
+    # file and one non-pdf) → parquet of per-page text + JSON summary
+    import json
+
+    import pdf_job
+    from ocr_spark.kernels.pdf import build_pdf
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(build_pdf(["page one text", "page two text"]))
+    (d / "b.PDF").write_bytes(build_pdf(["solo"]))  # case-insensitive route
+    (d / "broken.pdf").write_bytes(b"%PDF-1.4 truncated garbage")
+    (d / "ignore.txt").write_bytes(b"not routed")
+
+    out = tmp_path / "out"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = pdf_job.main(
+            ["--input-dir", str(d), "--output", str(out)]
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["files"] == 3  # both .pdf cases + broken; txt not routed
+    assert summary["parsed"] == 2 and summary["skipped"] == 1
+    assert summary["pages"] == 3
+
+    got = (
+        spark.read.parquet(str(out))
+        .toPandas()
+        .sort_values(["path", "page_idx"], ignore_index=True)
+    )
+    assert got["page_text"].tolist() == ["page one text", "page two text", "solo"]
+    assert got["page_idx"].tolist() == [1, 2, 1]
+
+
+def test_pdf_job_page_range(spark, tmp_path):
+    import json
+
+    import pdf_job
+    from ocr_spark.kernels.pdf import build_pdf
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "x.pdf").write_bytes(build_pdf([f"p{i}" for i in range(1, 6)]))
+    out = tmp_path / "out"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pdf_job.main(
+            [
+                "--input-dir", str(d), "--output", str(out),
+                "--start-page", "2", "--end-page", "99",  # end clamps
+            ]
+        )
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 4
+    got = spark.read.parquet(str(out)).toPandas().sort_values("page_idx")
+    assert got["page_text"].tolist() == ["p2", "p3", "p4", "p5"]
