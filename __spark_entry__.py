@@ -799,9 +799,11 @@ _MINHASH_COLS = ",\n    ".join(
     for i in range(16)
 )
 
-#: shingle set with the signature sentinel: too-short docs sign [''].
+#: shingle set for signatures: a doc too short to shingle signs its FULL
+#: text (unique per distinct text — a constant sentinel would bucket
+#: every short doc of the corpus together in every band).
 _SH_SENTINEL = (
-    "(CASE WHEN len(" + _SHINGLES.format(col="text") + ") = 0 THEN ['']"
+    "(CASE WHEN len(" + _SHINGLES.format(col="text") + ") = 0 THEN [text]"
     " ELSE " + _SHINGLES.format(col="text") + " END)"
 )
 

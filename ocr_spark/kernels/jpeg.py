@@ -310,9 +310,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if len(comps) == 1:
+                # a single-component scan is non-interleaved: its MCU is
+                # ONE data unit and the component covers the full frame
+                # regardless of declared sampling factors (T.81 A.2.2) —
+                # honoring h/v here would desync the Huffman stream on
+                # e.g. grayscale files declaring 2x2
+                comps[0]["h"] = comps[0]["v"] = 1
             sof = (w, h, comps)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if sof is not None and ns != len(sof[2]):
+                raise NotImplementedError(
+                    "JPEG non-interleaved multi-scan baseline (scan covers "
+                    f"{ns} of {len(sof[2])} components) unsupported"
+                )
             mapping = {}
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]

@@ -123,7 +123,10 @@ class _Lexer:
 
     def _number_or_ref(self):
         d = self.data
-        m = re.match(rb"[+-]?\d*\.?\d+", d[self.pos :])
+        # trailing-dot reals ("612.") are legal PDF numbers
+        m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", d[self.pos :])
+        if m is None:
+            raise ValueError(f"PDF malformed number at {self.pos}")
         tok = m.group(0)
         end = self.pos + len(tok)
         # lookahead for "gen R" → indirect reference
@@ -332,27 +335,84 @@ class PdfDoc:
 # text extraction from content streams
 # ---------------------------------------------------------------------------
 
-_CS_TOKEN = re.compile(
-    rb"""\((?:\\.|[^\\()])*\)   # literal string (no nesting in generated pdfs)
-      | <[0-9A-Fa-f\s]*>       # hex string
-      | \[ | \]
-      | /[^\s()<>\[\]{}/%]*    # name
-      | [+-]?\d*\.?\d+         # number
-      | [A-Za-z'"*]{1,3}       # operator
-    """,
-    re.X | re.S,  # DOTALL: an escaped newline inside a string is \\ + \n
-)
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
 
 
-def _decode_string_token(tok: bytes) -> str:
-    if tok.startswith(b"("):
-        raw = _Lexer(tok).parse()
-    else:
-        raw = bytes.fromhex(re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1]).decode())
-    # PDF text-string convention: UTF-16BE with BOM, else byte string
-    if raw[:2] == b"\xfe\xff":
+def _decode_text_string(raw: bytes, from_hex: bool) -> str:
+    # UTF-16BE-with-BOM convention applies to HEX strings (what build_pdf
+    # emits for non-latin-1 text); literal strings decode byte-for-byte
+    # so arbitrary latin-1 content — including text that happens to start
+    # with þÿ — round-trips exactly
+    if from_hex and raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
+
+
+def _cs_tokens(content: bytes):
+    """Position-based content-stream tokenizer: yields ("str", text),
+    ("[",), ("]",), ("op", bytes) — names/numbers yield ("operand",).
+    Literal strings go through the full object lexer, so NESTED
+    parentheses and every escape decode correctly (a regex cannot match
+    balanced nesting); << >> property-list dicts (BDC/DP) are consumed
+    whole via the object parser."""
+    n = len(content)
+    pos = 0
+    while pos < n:
+        c = content[pos : pos + 1]
+        if c in _WS:
+            pos += 1
+        elif c == b"%":  # comment to EOL
+            while pos < n and content[pos] not in b"\r\n":
+                pos += 1
+        elif c == b"(":
+            lex = _Lexer(content, pos)
+            raw = lex._literal_string()
+            pos = lex.pos
+            yield ("str", _decode_text_string(raw, from_hex=False))
+        elif c == b"<":
+            if content[pos : pos + 2] == b"<<":
+                lex = _Lexer(content, pos)
+                try:
+                    lex.parse()  # swallow the inline dict
+                    pos = lex.pos
+                except Exception:
+                    pos += 2
+                yield ("operand",)
+            else:
+                end = content.find(b">", pos)
+                if end < 0:
+                    return
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"", content[pos + 1 : end])
+                if len(hx) % 2:
+                    hx += b"0"
+                pos = end + 1
+                yield ("str", _decode_text_string(bytes.fromhex(hx.decode()), from_hex=True))
+        elif c == b"[":
+            pos += 1
+            yield ("[",)
+        elif c == b"]":
+            pos += 1
+            yield ("]",)
+        elif c == b"/":
+            m = _NAME_RE.match(content, pos)
+            pos = m.end()
+            yield ("operand",)
+        elif c in b"+-.0123456789":
+            m = _NUM_RE.match(content, pos)
+            if m is None:
+                pos += 1
+                continue
+            pos = m.end()
+            yield ("operand",)
+        else:
+            m = _OP_RE.match(content, pos)
+            if m is None:
+                pos += 1  # unknown byte: skip (inline-image data etc.)
+                continue
+            pos = m.end()
+            yield ("op", m.group(0))
 
 
 def extract_text_ops(content: bytes) -> list[str]:
@@ -360,36 +420,32 @@ def extract_text_ops(content: bytes) -> list[str]:
     emit their string; TJ emits its array's strings concatenated
     (kerning numbers ignored). One list element per show operator."""
     out: list[str] = []
-    stack: list[bytes] = []
-    cur_array: list[bytes] | None = None  # being collected between [ ]
-    pending_array: list[bytes] | None = None  # closed, awaiting operator
-    for m in _CS_TOKEN.finditer(content):
-        tok = m.group(0)
-        c = tok[:1]
-        if tok == b"[":
+    last_str: str | None = None  # most recent string operand
+    cur_array: list[str] | None = None  # strings collected between [ ]
+    pending_array: list[str] | None = None  # closed, awaiting operator
+    for tok in _cs_tokens(content):
+        kind = tok[0]
+        if kind == "[":
             cur_array = []
-        elif tok == b"]":
+        elif kind == "]":
             pending_array, cur_array = cur_array, None
-        elif c in b"(<":
-            (cur_array if cur_array is not None else stack).append(tok)
-        elif c in b"/+-.0123456789":
-            if cur_array is None:
-                stack.append(tok)
-        elif tok in (b"Tj", b"'", b'"'):
-            if stack and stack[-1][:1] in b"(<":
-                out.append(_decode_string_token(stack[-1]))
-            stack.clear()
+        elif kind == "str":
+            if cur_array is not None:
+                cur_array.append(tok[1])
+            else:
+                last_str = tok[1]
+        elif kind == "op":
+            op = tok[1]
+            if op in (b"Tj", b"'", b'"'):
+                if last_str is not None:
+                    out.append(last_str)
+            elif op == b"TJ" and pending_array is not None:
+                out.append("".join(pending_array))
+            # every operator consumes its operands (incl. a closed array
+            # used by e.g. `[2 1] 0 d` dash patterns)
+            last_str = None
             pending_array = None
-        elif tok == b"TJ":
-            if pending_array is not None:
-                out.append("".join(_decode_string_token(t) for t in pending_array))
-            pending_array = None
-            stack.clear()
-        else:
-            # any other operator consumes its operands (incl. a closed
-            # array — e.g. `[2 1] 0 d` dash patterns)
-            stack.clear()
-            pending_array = None
+        # "operand" tokens (names/numbers/dicts) don't disturb strings
     return out
 
 

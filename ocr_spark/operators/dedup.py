@@ -101,15 +101,22 @@ def _digest_matrix(tokens: list[bytes], ctx) -> "tuple[np.ndarray, np.ndarray]":
 
 
 def _shingle_set(text: str, n: int) -> set[str]:
-    """Distinct word n-gram shingles; sentinel {""} when the doc is too
-    short to shingle (< n tokens) so every doc has a well-defined
-    signature. Mirrors the oracle's list_distinct/list_slice SQL exactly
-    (including ''.split(' ') == [''] → too short → sentinel)."""
+    """Distinct word n-gram shingles; a doc too short to shingle
+    (< n tokens) signs its FULL text instead, so every doc has a
+    well-defined signature and — critically — two short docs collide
+    only when their text is identical. (A shared constant sentinel would
+    put EVERY short doc of a web-scale corpus into the same bucket in
+    every band: an O(n²) candidate blowup that the verify stage then
+    rejects wholesale, since un-shinglable docs can never reach the
+    Jaccard threshold.) A short text cannot equal a real n-gram shingle
+    — it has fewer than n-1 separators — so no cross-class collisions.
+    Mirrors the oracle's list_distinct/list_slice SQL exactly (including
+    ''.split(' ') == [''] → too short → sign "")."""
     toks = text.split(" ")
     if len(toks) < n:
-        return {""}
+        return {text}
     shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    return shs or {""}
+    return shs or {text}
 
 
 def _minhash_batch(num_hashes: int, ngram: int = DEFAULT_SHINGLE_N):

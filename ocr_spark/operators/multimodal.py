@@ -188,7 +188,7 @@ ROTATED_SCHEMA = T.StructType(
 def rotate_images(df: DataFrame, rotation: int) -> DataFrame:
     """Arrow-batched rotation of a payload column (one mapInPandas pass);
     rotation==0 is a true no-op projection — no Python stage at all.
-    An undecodable payload (progressive JPEG, interlaced PNG) keeps its
+    An undecodable payload (progressive JPEG, corrupt bytes) keeps its
     ORIGINAL bytes — the reference's fallback-to-original-on-error behavior
     (scripts/ExtractX_OCR.py:310-312); one bad image never fails the
     job, and downstream features count it in their failed tally."""

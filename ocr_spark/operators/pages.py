@@ -128,13 +128,22 @@ PDF_PAGES_SCHEMA = T.StructType(
 )
 
 
-def pdf_pages_from_bytes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def pdf_pages_from_bytes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    passthrough: "tuple[str, ...]" = (),
+) -> DataFrame:
     """REAL PDF container explode: (doc_id, payload binary) → one row per
     page with its extracted text (kernels/pdf.py: xref parse, page-tree
     walk, FlateDecode, Tj/TJ runs) — the reference's fitz front door
     (scripts/ExtractX_OCR.py:240-288) minus rasterization. Arrow-batched
     mapInPandas; an unparseable PDF contributes zero rows (the
-    reference's skip-and-continue, :282-284)."""
+    reference's skip-and-continue, :282-284). ``passthrough`` columns are
+    replicated onto every page row inside the same stage — carrying e.g.
+    the source path through keeps the plan a straight-line map chain
+    instead of a shuffle join back to the source."""
+    from pyspark.sql import types as T
+
     from ocr_spark.kernels.pdf import extract_pages
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,21 +151,29 @@ def pdf_pages_from_bytes(df: DataFrame, payload_col: str = "payload") -> DataFra
             ids: list[int] = []
             idxs: list[int] = []
             texts: list[str] = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            extra: dict[str, list] = {c: [] for c in passthrough}
+            for row in pdf.itertuples(index=False):
                 try:
-                    pages = extract_pages(bytes(payload))
+                    pages = extract_pages(bytes(getattr(row, payload_col)))
                 except Exception:
                     continue  # skip-and-continue
                 for i, text in enumerate(pages):
-                    ids.append(int(doc_id))
+                    ids.append(int(row.doc_id))
                     idxs.append(i + 1)  # 1-based, reference convention
                     texts.append(text)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "page_idx": pd.Series(idxs, dtype="int32"),
-                    "page_text": pd.Series(texts, dtype="object"),
-                }
-            )
+                    for c in passthrough:
+                        extra[c].append(getattr(row, c))
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "page_idx": pd.Series(idxs, dtype="int32"),
+                "page_text": pd.Series(texts, dtype="object"),
+            }
+            out.update({c: pd.Series(extra[c], dtype="object") for c in passthrough})
+            yield pd.DataFrame(out)
 
-    return df.select("doc_id", F.col(payload_col)).mapInPandas(fn, PDF_PAGES_SCHEMA)
+    schema = T.StructType(
+        list(PDF_PAGES_SCHEMA.fields)
+        + [df.schema[c] for c in passthrough]
+    )
+    cols = ["doc_id", F.col(payload_col), *[F.col(c) for c in passthrough]]
+    return df.select(*cols).mapInPandas(fn, schema)

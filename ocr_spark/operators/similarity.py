@@ -223,6 +223,12 @@ def ivf_train_centroids(
         .toPandas()
     )
     x = _normalize_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+    if len(x) < nlist:
+        raise ValueError(
+            f"ivf_train_centroids: training sample has {len(x)} vectors but "
+            f"nlist={nlist} cells need at least that many — lower nlist or "
+            "raise sample_n/corpus size"
+        )
     cents = np.round(x[:nlist], 6)
     for _ in range(iters):
         assign = np.argmax(x @ cents.T, axis=1)
@@ -400,7 +406,15 @@ def pq_train_codebooks(
         .toPandas()
     )
     x = np.array(pdf["v"].tolist(), dtype=np.float64)
+    if len(x) < ksub:
+        raise ValueError(
+            f"pq_train_codebooks: training sample has {len(x)} vectors but "
+            f"ksub={ksub} codebook entries need at least that many — lower "
+            "ksub or raise sample_n/corpus size"
+        )
     dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
     dsub = dim // m
     books = np.zeros((m, ksub, dsub))
     for mi in range(m):

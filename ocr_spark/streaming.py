@@ -119,7 +119,7 @@ def make_batch_committer(
     return process_batch
 
 
-def stream_identity(checkpoint_dir: str) -> str:
+def stream_identity(checkpoint_dir: str, spark: SparkSession | None = None) -> str:
     """Stream lineage id: a uuid nonce persisted INSIDE the checkpoint
     directory, created on first use. Identity must follow the
     checkpoint's LIFETIME, not its path: batch ids restart at 0 when a
@@ -128,18 +128,52 @@ def stream_identity(checkpoint_dir: str) -> str:
     guard on the path would make every post-recovery batch look like a
     replay and silently drop it — data loss with no error. A fresh nonce
     turns the recreated checkpoint into a new lineage that is never
-    skipped."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "ocr_spark_stream_id")
+    skipped.
+
+    The nonce lives in the SAME filesystem as the checkpoint: a local
+    path (or file:) uses the OS directly; any other scheme (hdfs://,
+    s3a://, …) goes through the Hadoop FileSystem API via ``spark`` —
+    a driver-local marker for a remote checkpoint would survive the
+    remote wipe and recreate exactly the stale-identity data loss this
+    nonce exists to prevent."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if parsed.scheme in ("", "file"):
+        local_dir = parsed.path if parsed.scheme == "file" else checkpoint_dir
+        os.makedirs(local_dir, exist_ok=True)
+        marker = os.path.join(local_dir, "ocr_spark_stream_id")
+        try:
+            # atomic create-if-absent: racing first-uses agree on one nonce
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(uuid.uuid4().hex)
+        except FileExistsError:
+            pass
+        with open(marker) as f:
+            return f.read().strip()
+    if spark is None:
+        raise ValueError(
+            f"stream_identity: non-local checkpoint {checkpoint_dir!r} needs "
+            "the SparkSession for Hadoop filesystem access"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir + "/ocr_spark_stream_id")
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        try:
+            out = fs.create(path, False)  # no-overwrite: first writer wins
+            out.write(bytearray(uuid.uuid4().hex.encode()))
+            out.close()
+        except Exception:
+            pass  # a racer created it; read theirs below
+    stream = fs.open(path)
     try:
-        # atomic create-if-absent: two racing first-uses agree on one nonce
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(uuid.uuid4().hex)
-    except FileExistsError:
-        pass
-    with open(marker) as f:
-        return f.read().strip()
+        nonce = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return nonce.strip()
 
 
 def stream_extract(
@@ -166,7 +200,7 @@ def stream_extract(
                 table_root,
                 num_parts,
                 turn_bucket,
-                stream_id=stream_identity(checkpoint_dir),
+                stream_id=stream_identity(checkpoint_dir, spark),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -47,16 +47,16 @@ def main(argv: list[str] | None = None) -> int:
     docs = files.select(
         F.xxhash64("path").alias("doc_id"), "path", F.col("content").alias("payload")
     )
-    page_rows = pages.pdf_pages_from_bytes(docs)
+    # path rides THROUGH the parse stage — no shuffle join back to the
+    # source (which would also re-list and re-scan the directory)
+    page_rows = pages.pdf_pages_from_bytes(docs, passthrough=("path",))
     if args.start_page > 1:
         page_rows = page_rows.filter(F.col("page_idx") >= args.start_page)
     if args.end_page is not None:
         # end clamps to the document's page count implicitly (no row has
         # a larger page_idx) — the reference's min(end, total)
         page_rows = page_rows.filter(F.col("page_idx") <= args.end_page)
-    out = page_rows.join(docs.select("doc_id", "path"), "doc_id").select(
-        "path", "page_idx", "page_text"
-    )
+    out = page_rows.select("path", "page_idx", "page_text")
     out.write.mode("overwrite").parquet(args.output)
 
     written = spark.read.parquet(args.output)

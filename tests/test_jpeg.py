@@ -141,3 +141,34 @@ def test_image_features_on_real_jpegs_spark(spark):
         xs = np.linspace(0, want.shape[1] - 1, 4).astype(int)
         got = feats.set_index("vec_id").loc[i, "mean_px"]
         assert abs(got - float(want[ys][:, xs].mean())) < 1e-9
+
+
+def test_grayscale_with_declared_subsampling_decodes():
+    # a single-component scan is non-interleaved: MCU = one data unit
+    # regardless of the SOF's sampling factors (T.81 A.2.2) — honoring a
+    # 2x2 declaration would desync the Huffman stream
+    img = _smooth(24, 40, 1)
+    data = encode_jpeg(img, quality=95)
+    i = data.index(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, hv, tq]
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert data[hv_off] == 0x11
+    patched = data[:hv_off] + b"\x22" + data[hv_off + 1 :]
+    dec = decode_jpeg(patched)
+    assert np.array_equal(dec, decode_jpeg(data))
+
+
+def test_multi_scan_baseline_raises_cleanly():
+    # a scan covering fewer components than the SOF declares is the
+    # non-interleaved multi-scan layout — must refuse, not KeyError
+    img = _smooth(8, 8, 3)
+    data = encode_jpeg(img, quality=90)
+    i = data.index(b"\xff\xda")
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    # rewrite SOS to cover only component 1
+    new_sos = b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big") + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    patched = data[:i] + new_sos + data[i + 2 + ln :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(patched)

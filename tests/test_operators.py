@@ -472,14 +472,14 @@ def test_vectorized_kernels_match_per_row_spec():
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
 
     def spec_minhash(text, num_hashes=8, n=3):
-        # signature unit = distinct word 3-gram shingles; sentinel {""}
-        # for docs too short to shingle
+        # signature unit = distinct word 3-gram shingles; a doc too
+        # short to shingle signs its full text (unique per distinct text)
         toks = text.split(" ")
         shs = (
             {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             if len(toks) >= n
-            else {""}
-        ) or {""}
+            else {text}
+        ) or {text}
         return [str(min(md5_number(f"{i}:{t}") for t in shs)) for i in range(num_hashes)]
 
     def spec_simhash(text):
@@ -597,3 +597,18 @@ def test_quantize_codes_bounded_and_reconstructable(spark):
     lo, hi = v.min(), v.max()
     recon = lo + codes * (hi - lo) / 255.0
     assert np.abs(recon - v).max() <= (hi - lo) / 255.0 / 2 + 1e-9
+
+
+def test_short_docs_do_not_cross_collide_in_lsh(spark):
+    # docs too short to shingle sign their FULL text: distinct short
+    # docs never share a band bucket (a constant sentinel would bucket
+    # every short doc in the corpus together — O(n^2) candidates that
+    # all fail verify); identical short docs still group like exact dups
+    texts = {0: "one", 1: "two", 2: "", 3: "one two", 4: "one", 5: "x y"}
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    groups = dedup.lsh_candidate_groups(df).toPandas()
+    # the only multi-doc buckets are the identical pair (0, 4)
+    assert (groups["min_doc"] == 0).all() and (groups["max_doc"] == 4).all()
+    assert (groups["n_docs"] == 2).all()

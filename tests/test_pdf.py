@@ -146,3 +146,31 @@ def test_spark_pdf_pages_from_bytes(spark):
         "page_idx": [1, 2, 1],
         "page_text": ["alpha one", "alpha two", "beta"],
     }
+
+
+def test_nested_parentheses_in_content_strings():
+    # legal and common in real PDFs; a flat regex silently truncates
+    content = b"BT (a (b) c) Tj ((deep (deeper)) end) Tj ET"
+    assert extract_text_ops(content) == ["a (b) c", "(deep (deeper)) end"]
+
+
+def test_trailing_dot_reals_parse():
+    # '612.' is a legal PDF real emitted by some writers; equal-length
+    # patch so the xref offsets stay valid
+    data = build_pdf(["mediabox test"])
+    patched = data.replace(b"/MediaBox[0 0 612 792]", b"/MediaBox[0 0 612. 79]")
+    assert len(patched) == len(data) and patched != data
+    assert extract_pages(patched) == ["mediabox test"]
+
+
+def test_latin1_text_starting_with_bom_bytes_roundtrips():
+    # þÿ (0xFE 0xFF in latin-1) at the start of a literal string must NOT
+    # trigger UTF-16 decoding — the writer emits UTF-16 only as hex
+    pages = ["þÿabc", "plain"]
+    assert extract_pages(build_pdf(pages)) == pages
+
+
+def test_inline_property_dict_does_not_break_text():
+    # BDC property lists are << >> dicts inside the content stream
+    content = b"/OC <</Type /OCMD /S (not text)>> BDC BT (real) Tj ET EMC"
+    assert extract_text_ops(content) == ["real"]
