@@ -6,14 +6,17 @@ them (scripts/ExtractX_OCR.py:302); this sandbox has no PIL/cv2, so the
 codec is implemented from the public ITU-T T.81 spec the same way
 kernels/png.py implements RFC 2083:
 
-- decode: baseline sequential DCT (SOF0), Huffman entropy coding,
-  grayscale + YCbCr with any 4:4:4 / 4:2:2 / 4:2:0 sampling factors,
-  restart intervals (DRI/RSTn), APPn/COM skip. Progressive (SOF2)
-  decodes dimensions only (``parse_dims``) and raises on pixel decode —
-  the documented seam.
-- encode: baseline 4:4:4 with the T.81 Annex K quantization and Huffman
-  tables (quality-scaled, IJG formula) — enough to make deterministic
-  test fixtures and round-trip within quantization error.
+- decode: baseline sequential DCT (SOF0) AND progressive (SOF2 —
+  spectral selection, successive approximation with EOBRUN end-of-band
+  codes and refinement correction bits, T.81 G.2), Huffman entropy
+  coding, grayscale + YCbCr with any 4:4:4 / 4:2:2 / 4:2:0 sampling
+  factors, restart intervals (DRI/RSTn), APPn/COM skip.
+- encode: baseline 4:4:4/4:2:0 with the T.81 Annex K quantization and
+  Huffman tables (quality-scaled, IJG formula), plus a progressive
+  encoder whose scan script exercises all four progressive scan types —
+  it transmits the same quantized coefficients as the baseline encoder,
+  so progressive and baseline decodes are bit-identical (the fixture
+  contract the tests pin).
 
 All DCT math is vectorized over every 8×8 block at once (one einsum per
 plane); the only per-element Python is the Huffman bit stream, which is
@@ -298,10 +301,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker in _SOF_PROGRESSIVE:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2): dimensions available via "
-                "parse_dims; pixel decode is baseline-only"
-            )
+            return _decode_progressive(data)
         elif marker in _SOF_ALL:
             if marker not in _SOF_BASELINE:
                 raise NotImplementedError(f"JPEG SOF{marker - 0xC0} unsupported")
@@ -379,7 +379,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         k += 1
                     planes_coef[ci][my * c["v"] + v, mx * c["h"] + hh] = coef
 
-    # dequantize + un-zigzag + IDCT, vectorized per component plane
+    return _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax)
+
+
+def _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Shared tail for baseline and progressive: dequantize + un-zigzag +
+    IDCT (vectorized per component plane), chroma upsample, color."""
     planes = []
     for ci, c in enumerate(comps):
         by, bx, _ = planes_coef[ci].shape
@@ -407,6 +412,259 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     elif len(comps) != 1:
         raise NotImplementedError(f"JPEG with {len(comps)} components")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (T.81 G.2: spectral selection + successive approx)
+# ---------------------------------------------------------------------------
+
+def _next_marker(data: bytes, start: int) -> int:
+    """Position of the next REAL marker at/after ``start``: skips entropy
+    bytes, 0xFF00 stuffing, fill bytes, and RSTn."""
+    pos = start
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG: coefficient planes accumulate across scans —
+    DC first/refine (interleaved or single-component), AC first/refine
+    (single-component bands with EOBRUN run-length end-of-band codes and
+    successive-approximation correction bits)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart = 0
+    planes_coef: "list[np.ndarray] | None" = None
+    saw_scan = False
+    pos = 2
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < ln - 2:
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+        elif marker == 0xC4:
+            p = 0
+            while p < ln - 2:
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nsym = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+                p += 17 + nsym
+        elif marker == 0xDD:
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker in _SOF_PROGRESSIVE:
+            _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if len(comps) == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            sof = (w, h, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes_coef = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in _SOF_ALL:
+            raise ValueError("mixed SOF markers in progressive stream")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(sof[2]) if c["id"] == cs
+                )
+                scomps.append((ci, td_ta >> 4, td_ta & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            r = _BitReader(data, pos + 2 + ln)
+            _decode_prog_scan(
+                r, sof, scomps, ss, se, ah, al,
+                planes_coef, huff_dc, huff_ac, restart,
+                mcux, mcuy, hmax, vmax,
+            )
+            saw_scan = True
+            pos = _next_marker(data, pos + 2 + ln)
+            continue
+        pos += 2 + ln
+    if sof is None or planes_coef is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/scan data")
+    w, h, comps = sof
+    return _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax)
+
+
+def _refine_nonzero(r: _BitReader, coef: np.ndarray, zz_idx: int, al: int) -> None:
+    """Append a correction bit to an already-nonzero AC coefficient
+    (T.81 G.2.2.3): a 1-bit adds 2^Al toward the coefficient's sign if
+    that bit is not already present."""
+    if r.read(1):
+        bit = 1 << al
+        v = coef[zz_idx]
+        if v > 0 and not (v & bit):
+            coef[zz_idx] = v + bit
+        elif v < 0 and not ((-v) & bit):
+            coef[zz_idx] = v - bit
+
+
+def _decode_prog_scan(
+    r, sof, scomps, ss, se, ah, al,
+    planes_coef, huff_dc, huff_ac, restart,
+    mcux, mcuy, hmax, vmax,
+):
+    w, h, comps = sof
+    eobrun = 0
+
+    def block_grid(ci):
+        c = comps[ci]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)  # (bh, bw) true data-unit grid
+
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        pred = [0] * len(scomps)
+        if len(scomps) > 1 or len(comps) == 1:
+            n_units = mcux * mcuy
+        else:
+            bh, bw = block_grid(scomps[0][0])
+            n_units = bh * bw
+        for m in range(n_units):
+            if restart and m and m % restart == 0:
+                r.sync_to_rst()
+                pred = [0] * len(scomps)
+            for si, (ci, td, _ta) in enumerate(scomps):
+                c = comps[ci]
+                if len(scomps) > 1:
+                    my, mx = divmod(m, mcux)
+                    units = [
+                        (my * c["v"] + v, mx * c["h"] + hh)
+                        for v in range(c["v"])
+                        for hh in range(c["h"])
+                    ]
+                else:
+                    bh, bw = block_grid(ci)
+                    units = [divmod(m, bw)]
+                for by, bx in units:
+                    coef = planes_coef[ci][by, bx]
+                    if ah == 0:  # first pass
+                        t = _huff_decode(r, huff_dc[td])
+                        diff = _extend(r.read(t), t)
+                        pred[si] += diff
+                        coef[0] = pred[si] << al
+                    else:  # refinement: one bit per data unit
+                        coef[0] |= r.read(1) << al
+        return
+
+    # AC scan: single component, band [ss, se] (T.81 G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("JPEG progressive AC scan must cover one component")
+    ci, _td, ta = scomps[0]
+    act = huff_ac[ta]
+    bh, bw = block_grid(ci)
+    for m in range(bh * bw):
+        if restart and m and m % restart == 0:
+            r.sync_to_rst()
+            eobrun = 0
+        by, bx = divmod(m, bw)
+        coef = planes_coef[ci][by, bx]
+        if ah == 0:  # ---- AC first pass (with EOBRUN) ----
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(r, act)
+                rr, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rr < 15:  # EOBn
+                        eobrun = (1 << rr) - 1 + r.read(rr)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC band overflow")
+                coef[k] = _extend(r.read(s), s) << al
+                k += 1
+        else:  # ---- AC refinement pass (correction bits) ----
+            k = ss
+            if eobrun > 0:
+                eobrun -= 1
+                # only correction bits for already-nonzero coefs
+                while k <= se:
+                    if coef[k] != 0:
+                        _refine_nonzero(r, coef, k, al)
+                    k += 1
+                continue
+            while k <= se:
+                rs = _huff_decode(r, act)
+                rr, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if rr < 15:  # EOBn: finish band with correction bits
+                        eobrun = (1 << rr) - 1 + r.read(rr)
+                        while k <= se:
+                            if coef[k] != 0:
+                                _refine_nonzero(r, coef, k, al)
+                            k += 1
+                        break
+                    # ZRL: skip 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refine magnitude != 1")
+                    newval = (1 << al) if r.read(1) else -(1 << al)
+                # advance over rr zero-history coefs, refining nonzeros
+                while k <= se:
+                    if coef[k] != 0:
+                        _refine_nonzero(r, coef, k, al)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[k] = newval
+                k += 1
 
 
 # ---------------------------------------------------------------------------
@@ -507,18 +765,10 @@ def _write_block(wtr: _BitWriter, coefs: np.ndarray, pred: int, dct, act) -> int
     return dc
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w[, c]) uint8 (c ∈ {1, 3}, RGB) → baseline JFIF bytes.
-
-    ``subsample=True`` emits 4:2:0 (box-averaged chroma, 2×2 luma
-    sampling); ``restart_interval`` > 0 emits DRI + RSTn markers every N
-    MCUs. Both exist mainly so the decoder's subsampling/restart paths
-    have deterministic fixtures."""
+def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, subsample, pad, DCT,
+    quantize. Returns (coef_grids[(by,bx,64) zigzag], samp, ql, qc,
+    h, w, c, mcux, mcuy, hmax, vmax)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -558,10 +808,28 @@ def encode_jpeg(
         ) - 128.0
         blocks = _encode_plane_blocks(p, q.astype(np.float64))
         coef_grids.append(blocks.reshape(tgt_h // 8, tgt_w // 8, 64))
+    return coef_grids, samp, ql, qc, h, w, c, mcux, mcuy, hmax, vmax
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, c]) uint8 (c ∈ {1, 3}, RGB) → baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (box-averaged chroma, 2×2 luma
+    sampling); ``restart_interval`` > 0 emits DRI + RSTn markers every N
+    MCUs. Both exist mainly so the decoder's subsampling/restart paths
+    have deterministic fixtures."""
+    coef_grids, samp, ql, qc, h, w, c, mcux, mcuy, hmax, vmax = _prepare_planes(
+        arr, quality, subsample
+    )
 
     dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * (c == 3) * 2
     ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * (c == 3) * 2
-    pred = [0] * len(planes)
+    pred = [0] * len(samp)
     chunks: list[bytes] = []
     wtr = _BitWriter()
     rst_n = 0
@@ -571,7 +839,7 @@ def encode_jpeg(
             chunks.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
             rst_n += 1
             wtr = _BitWriter()
-            pred = [0] * len(planes)
+            pred = [0] * len(samp)
         my, mx = divmod(m, mcux)
         for ci, (sh, sv) in enumerate(samp):
             for v in range(sv):
@@ -613,4 +881,184 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture generator: exercises all four scan types)
+# ---------------------------------------------------------------------------
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO
+    (T.81 G.1.2.2) — arithmetic shift would floor negatives."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_ac_first_block(wtr, coefs, ss, se, al, act) -> None:
+    """AC first-pass band encode (per-block EOB, no cross-block runs)."""
+    vals = [_pt_ac(int(coefs[k]), al) for k in range(ss, se + 1)]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        t, mag = _mag_bits(v)
+        code, ln = act[(run << 4) | t]
+        wtr.write(code, ln)
+        wtr.write(mag, t)
+        run = 0
+    if last_nz < len(vals) - 1:  # trailing zeros → EOB (run-length 1)
+        code, ln = act[0x00]
+        wtr.write(code, ln)
+
+
+def _emit_ac_refine_block(wtr, coefs, ss, se, al, act) -> None:
+    """AC refinement band encode (T.81 G.2.2.3 / libjpeg
+    encode_mcu_AC_refine shape, per-block EOB): newly-nonzero coefs
+    (|c|>>Al == 1) emit (run,1)+sign; history coefs (|c|>>Al > 1) emit
+    one correction bit each, buffered until the next symbol."""
+    absv = [abs(int(coefs[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if int(coefs[k]) > 0 else 0 for k in range(ss, se + 1)]
+    last_new = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            last_new = i
+    run = 0
+    pending: list[int] = []
+    for i in range(last_new + 1):
+        t = absv[i]
+        if t == 0:
+            run += 1
+            continue
+        # flush ZRLs on ARRIVAL at any nonzero — history included: the
+        # decoder reads buffered correction bits positionally inside each
+        # ZRL's 16-zero window, so a history bit buffered past a pending
+        # ZRL would land on the wrong side of the next symbol
+        while run > 15:  # ZRL covers 16 zero-history positions
+            code, ln = act[0xF0]
+            wtr.write(code, ln)
+            for b in pending:
+                wtr.write(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:  # history coefficient: correction bit, run continues
+            pending.append(t & 1)
+            continue
+        code, ln = act[(run << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(signs[i], 1)
+        for b in pending:
+            wtr.write(b, 1)
+        pending = []
+        run = 0
+    # trailing positions: EOB + correction bits for remaining history coefs
+    tail_bits = [absv[i] & 1 for i in range(last_new + 1, len(absv)) if absv[i] > 1]
+    tail_bits = pending + tail_bits
+    if run > 0 or tail_bits or last_new < len(absv) - 1:
+        code, ln = act[0x00]
+        wtr.write(code, ln)
+        for b in tail_bits:
+            wtr.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w[, c]) uint8 → progressive (SOF2) JFIF bytes with a scan
+    script exercising all four progressive scan types: interleaved DC
+    first (Al=1), per-component AC first (band 1-63, Al=1), DC refine
+    (Ah=1→Al=0), per-component AC refine. Transmits the SAME quantized
+    coefficients as ``encode_jpeg`` at equal quality, so
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` bit-exactly —
+    the fixture contract the tests pin."""
+    coef_grids, samp, ql, qc, h, w, c, mcux, mcuy, hmax, vmax = _prepare_planes(
+        arr, quality, subsample
+    )
+    dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * (c == 3) * 2
+    ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * (c == 3) * 2
+
+    def true_grid(ci):
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def dc_scan(al_shift, refine):
+        wtr = _BitWriter()
+        pred = [0] * c
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(c):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        dc = int(coef_grids[ci][my * sv + v, mx * sh + hh, 0])
+                        if refine:
+                            wtr.write((dc >> al_shift) & 1, 1)
+                        else:
+                            val = dc >> al_shift  # arithmetic: two's compl.
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            t, mag = _mag_bits(diff)
+                            code, ln = dc_tabs[ci][t]
+                            wtr.write(code, ln)
+                            if t:
+                                wtr.write(mag, t)
+        return wtr.flush()
+
+    def ac_scan(ci, al_shift, refine):
+        wtr = _BitWriter()
+        bh, bw = true_grid(ci)
+        emit = _emit_ac_refine_block if refine else _emit_ac_first_block
+        for m in range(bh * bw):
+            by, bx = divmod(m, bw)
+            emit(wtr, coef_grids[ci][by, bx], 1, 63, al_shift, ac_tabs[ci])
+        return wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].tolist()))
+    if c == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for i in range(c):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
+    if c == 3:
+        out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
+
+    # scan script: DC first → per-comp AC first → DC refine → AC refine
+    out += sos(list(range(c)), 0, 0, 0, 1) + dc_scan(1, refine=False)
+    for ci in range(c):
+        out += sos([ci], 1, 63, 0, 1) + ac_scan(ci, 1, refine=False)
+    out += sos(list(range(c)), 0, 0, 1, 0) + dc_scan(0, refine=True)
+    for ci in range(c):
+        out += sos([ci], 1, 63, 1, 0) + ac_scan(ci, 0, refine=True)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -2,10 +2,11 @@
 
 Images/audio/video ride as ``binary`` columns with a small structured
 header; all Spark-side plumbing (schema, Arrow batch shape, partitioning)
-is real and tested. Image decode is REAL for PNG (all color types incl.
-palette, depths 1-16 — kernels/png.py), binary netpbm, and baseline JPEG
-(kernels/jpeg.py); progressive JPEG decodes metadata only — the seam
-where a full PIL/ffmpeg decoder plugs in on a production cluster.
+is real and tested. Image decode is REAL for the full PNG matrix (all
+color types incl. palette, depths 1-16, Adam7 — kernels/png.py), binary
+netpbm, and JPEG both baseline and progressive (kernels/jpeg.py) —
+audio/video remain the seam where ffmpeg plugs in on a production
+cluster.
 
 Payload wire format for the synthetic fixture class (deterministic,
 self-describing):
@@ -88,15 +89,14 @@ def parse_header(payload: bytes | None) -> tuple[str, int, int, int, bool]:
         except Exception:
             return (payload[:2].decode(), 0, 0, 0, False)
     if payload[:2] == b"\xff\xd8":
-        # real dims from the SOF header, no entropy decode — works for
-        # baseline AND progressive (the reference whitelist accepts
-        # .jpg/.jpeg, scripts/ExtractX_OCR.py:72)
+        # real dims from the SOF header, no entropy decode — baseline
+        # and progressive both parse AND decode (the reference whitelist
+        # accepts .jpg/.jpeg, scripts/ExtractX_OCR.py:72)
         from ocr_spark.kernels import jpeg as _jpeg
 
         try:
-            w, h, c, progressive = _jpeg.parse_dims(payload)
-            # progressive: metadata is real but pixel decode unsupported
-            return ("JPEG", w, h, c, not progressive)
+            w, h, c, _progressive = _jpeg.parse_dims(payload)
+            return ("JPEG", w, h, c, True)
         except Exception:
             return ("JPEG", 0, 0, 0, False)
     return ("unknown", 0, 0, 0, False)
@@ -129,9 +129,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     - PNG → REAL decode (pure stdlib zlib + NumPy, kernels/png.py; all
       color types incl. palette+tRNS, bit depths 1-16)
     - binary netpbm (P5/P6) → real decode
-    - baseline JPEG → REAL decode (pure NumPy Huffman+IDCT,
-      kernels/jpeg.py); progressive JPEG raises NotImplementedError
-      (metadata still real via parse_header)
+    - JPEG (baseline AND progressive) → REAL decode (pure NumPy
+      Huffman+IDCT, kernels/jpeg.py)
     - IMG1 → the deterministic synthetic fixture format; decoded only
       with ``fake=True`` (its bytes ARE the pixels — the flag preserves
       the explicit synthetic-vs-real distinction in tests)
@@ -188,8 +187,8 @@ ROTATED_SCHEMA = T.StructType(
 def rotate_images(df: DataFrame, rotation: int) -> DataFrame:
     """Arrow-batched rotation of a payload column (one mapInPandas pass);
     rotation==0 is a true no-op projection — no Python stage at all.
-    An undecodable payload (progressive JPEG, corrupt bytes) keeps its
-    ORIGINAL bytes — the reference's fallback-to-original-on-error behavior
+    An undecodable payload (corrupt/truncated bytes) keeps its ORIGINAL
+    bytes — the reference's fallback-to-original-on-error behavior
     (scripts/ExtractX_OCR.py:310-312); one bad image never fails the
     job, and downstream features count it in their failed tally."""
     if rotation % 360 == 0:

@@ -82,16 +82,34 @@ def test_jpeg_restart_intervals_roundtrip():
     assert np.array_equal(plain, with_rst)
 
 
-def test_jpeg_progressive_dims_parse_but_decode_raises():
-    # minimal SOF2 header: dims must parse, pixel decode must refuse
+def test_jpeg_progressive_header_only_raises_cleanly():
+    # SOF2 with no scans: dims parse, pixel decode errors (no scan data)
     sof2 = struct.pack(">BHHB", 8, 11, 22, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     seg = bytes([0xFF, 0xC2]) + (len(sof2) + 2).to_bytes(2, "big") + sof2
     data = b"\xff\xd8" + seg + b"\xff\xd9"
     assert parse_dims(data) == (22, 11, 3, True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(data)
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [((24, 40, 1), False), ((17, 23, 3), False), ((33, 45, 3), True)],
+)
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(shape, sub):
+    # the progressive encoder transmits the SAME quantized coefficients
+    # as the baseline encoder, so the two decodes must agree bit-exactly
+    # — this pins all four progressive scan types (DC first/refine,
+    # AC first with EOBRUN, AC refine with correction bits)
+    from ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+    img = _img(shape[0], shape[1], shape[2], seed=sum(shape))
+    prog = encode_jpeg_progressive(img, quality=90, subsample=sub)
+    base = encode_jpeg(img, quality=90, subsample=sub)
+    assert parse_dims(prog)[3] is True and parse_dims(base)[3] is False
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
 
 
 def test_jpeg_garbage_raises():
@@ -102,14 +120,16 @@ def test_jpeg_garbage_raises():
 
 
 def test_parse_header_reports_jpeg_dims():
+    from ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
     img = _smooth(14, 21, 3)
     fmt, w, h, c, ok = multimodal.parse_header(encode_jpeg(img))
     assert (fmt, w, h, c, ok) == ("JPEG", 21, 14, 3, True)
-    # progressive: real dims, valid=False (decode unsupported)
-    sof2 = struct.pack(">BHHB", 8, 5, 6, 1) + bytes([1, 0x11, 0])
-    seg = bytes([0xFF, 0xC2]) + (len(sof2) + 2).to_bytes(2, "big") + sof2
-    fmt, w, h, c, ok = multimodal.parse_header(b"\xff\xd8" + seg + b"\xff\xd9")
-    assert (fmt, w, h, c, ok) == ("JPEG", 6, 5, 1, False)
+    # progressive payloads are fully decodable too
+    fmt, w, h, c, ok = multimodal.parse_header(encode_jpeg_progressive(img))
+    assert (fmt, w, h, c, ok) == ("JPEG", 21, 14, 3, True)
+    dec = multimodal.decode_image(encode_jpeg_progressive(img, quality=95))
+    assert dec.shape == img.shape
 
 
 def test_rotate_image_payload_handles_jpeg():
