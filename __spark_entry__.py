@@ -701,6 +701,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST, then the reference's own §2 extraction slugs; the generic
     # relational-breadth queries (all driver-verified green in round 2,
     # CORRECTNESS_r02.json) take the tail.
+    def multimodal_audio_meta(spark, sf):
+        # REAL PCM WAV containers through the header-only metadata scan:
+        # every field is a pure function of vec_id, so the oracle checks
+        # the RIFF parse without a decoder (kernels/wav.py)
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 300
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.wav import encode_wav
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    n, ch = v % 50 + 10, v % 2 + 1
+                    samples = np.zeros((n, ch), dtype=np.int16)
+                    payloads.append(
+                        encode_wav(samples, rate=8000 + (v % 8) * 1000)
+                    )
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.audio_meta(emb.mapInPandas(enc, schema))
+
+    def multimodal_audio_features(spark, sf):
+        # REAL WAV decode: mono int16 samples are md5-derived (sample i =
+        # signed little-endian int16 of digest bytes 2i..2i+1 of block
+        # i//8), so the DuckDB oracle recomputes the mean absolute
+        # amplitude from md5() hex alone — the image md5-pixel trick,
+        # widened to 16-bit audio
+        from collections.abc import Iterator
+
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.wav import encode_wav
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    n = v % 40 + 8
+                    raw = b"".join(
+                        hashlib.md5(f"wav:{v}:{blk}".encode()).digest()
+                        for blk in range((2 * n + 15) // 16)
+                    )[: 2 * n]
+                    samples = np.frombuffer(raw, dtype="<i2").copy()
+                    payloads.append(encode_wav(samples, rate=16000))
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.audio_features(emb.mapInPandas(enc, schema)).select(
+            "vec_id", F.round("mean_abs", 4).alias("mean_abs"), "n_frames"
+        )
+
+    def multimodal_video_frames(spark, sf):
+        # video as an MJPEG stream of REAL (flat-gray) JPEG frames:
+        # frame sampling splits the stream with a marker walk and truly
+        # decodes every 2nd frame (kernels/jpeg.py). Flat 8x8 blocks
+        # survive quantization exactly at q90 (verified for all 256
+        # levels), so mean_px is integer-exact and the oracle computes
+        # every output column arithmetically from (vec_id, frame_idx).
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 150
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.jpeg import encode_jpeg
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    w, h = v % 16 + 8, v % 8 + 8
+                    frames = [
+                        encode_jpeg(
+                            np.full((h, w), (v * 7 + f * 13) % 256, np.uint8),
+                            quality=90,
+                        )
+                        for f in range(v % 4 + 2)
+                    ]
+                    payloads.append(b"".join(frames))
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.video_frame_sample(
+            emb.mapInPandas(enc, schema), every_n=2
+        )
+
     return {
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "dedup_exact": dedup_exact,
@@ -720,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "multimodal_features": multimodal_features,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_features": multimodal_audio_features,
+        "multimodal_video_frames": multimodal_video_frames,
         "retry_backoff": retry_backoff,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -797,6 +925,16 @@ _SHINGLES = (
 _MINHASH_COLS = ",\n    ".join(
     f"cast(list_min(list_transform(s, t -> md5_number('{i}:' || t))) as varchar) as h{i}"
     for i in range(16)
+)
+
+#: byte {b} of the md5-derived stream keyed {key}||vec_id||':'||block —
+#: the replayable byte source behind the fake-image pixels and the WAV
+#: fixture samples (block = b//16, offset = b%16, read from md5() hex).
+_MD5_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5({key} || CAST(vec_id AS VARCHAR)"
+    " || ':' || CAST(({b})//16 AS VARCHAR)), 2*(({b})%16)+1, 1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5({key} || CAST(vec_id AS VARCHAR)"
+    " || ':' || CAST(({b})//16 AS VARCHAR)), 2*(({b})%16)+2, 1))-1))"
 )
 
 #: shingle set for signatures: a doc too short to shingle signs its FULL
@@ -1541,6 +1679,46 @@ def oracle_sql() -> dict[str, str]:
             " CAST(vec_id % 16 + 8 AS INTEGER) AS height,"
             " CAST(1 AS INTEGER) AS channels,"
             " TRUE AS valid FROM embeddings WHERE vec_id < 200"
+        ),
+        # WAV header fields are pure functions of vec_id → the oracle
+        # validates the RIFF chunk walk arithmetically
+        "multimodal_audio_meta": (
+            "SELECT vec_id, 'WAV' AS fmt,"
+            " CAST(8000 + (vec_id % 8) * 1000 AS INTEGER) AS sample_rate,"
+            " CAST(vec_id % 2 + 1 AS INTEGER) AS channels,"
+            " CAST(16 AS INTEGER) AS bits,"
+            " CAST(vec_id % 50 + 10 AS BIGINT) AS n_frames,"
+            " TRUE AS valid FROM embeddings WHERE vec_id < 300"
+        ),
+        # md5-derived int16 samples replayed from md5() hex (the image
+        # md5-pixel scheme widened to 16-bit audio): sample i = signed LE
+        # int16 of digest bytes (2i, 2i+1) of md5('wav:<id>:<i//8>')
+        "multimodal_audio_features": (
+            "WITH m AS (SELECT vec_id, CAST(vec_id % 40 + 8 AS BIGINT) AS n"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " s AS (SELECT m.vec_id, m.n, u.i AS i"
+            "  FROM m, LATERAL unnest(range(0, m.n)) u(i)),"
+            " b AS (SELECT vec_id, n, "
+            + _MD5_BYTE.format(key="'wav:'", b="(2*i)")
+            + " AS lo, "
+            + _MD5_BYTE.format(key="'wav:'", b="(2*i+1)")
+            + " AS hi FROM s),"
+            " v AS (SELECT vec_id, n, CASE WHEN lo + 256*hi >= 32768"
+            "  THEN lo + 256*hi - 65536 ELSE lo + 256*hi END AS val FROM b)"
+            " SELECT vec_id, ROUND(AVG(ABS(val)), 4) AS mean_abs,"
+            "  CAST(MAX(n) AS BIGINT) AS n_frames"
+            " FROM v GROUP BY vec_id"
+        ),
+        # MJPEG frame sampling: flat-gray frames round-trip exactly at
+        # q90, so dims AND mean_px are arithmetic in (vec_id, frame_idx)
+        "multimodal_video_frames": (
+            "SELECT e.vec_id, CAST(u.f AS INTEGER) AS frame_idx,"
+            " CAST(e.vec_id % 16 + 8 AS INTEGER) AS width,"
+            " CAST(e.vec_id % 8 + 8 AS INTEGER) AS height,"
+            " CAST((e.vec_id * 7 + u.f * 13) % 256 AS DOUBLE) AS mean_px"
+            " FROM (SELECT vec_id FROM embeddings WHERE vec_id < 150) e,"
+            " LATERAL unnest(range(0, e.vec_id % 4 + 2)) u(f)"
+            " WHERE u.f % 2 = 0"
         ),
         # SimHash replay: DuckDB md5_number is the signed little-endian
         # int128 of md5, so the token hash (first 8 digest bytes, little-

@@ -1062,3 +1062,48 @@ def encode_jpeg_progressive(
         out += sos([ci], 1, 63, 1, 0) + ac_scan(ci, 0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG stream (concatenated JFIF frames — the IP-camera wire format)
+# ---------------------------------------------------------------------------
+
+def _frame_end(data: bytes, start: int) -> int:
+    """End offset (exclusive) of the JPEG frame starting at ``start``:
+    a real marker walk — segment payloads may contain 0xFFD9 bytes, so a
+    naive EOI search would truncate frames with EXIF blobs."""
+    pos = start + 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"MJPEG marker sync lost at {pos}")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return pos + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if marker == 0xDA:  # entropy data follows (multi-scan safe)
+            pos = _next_marker(data, pos + 2 + ln)
+            continue
+        pos += 2 + ln
+    raise ValueError("MJPEG frame missing EOI")
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Concatenated-JFIF stream → list of standalone JPEG frames."""
+    frames = []
+    pos = 0
+    while True:
+        s = data.find(b"\xff\xd8", pos)
+        if s < 0:
+            break
+        e = _frame_end(data, s)
+        frames.append(data[s:e])
+        pos = e
+    if not frames:
+        raise ValueError("no JPEG frames in stream")
+    return frames

@@ -2,10 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a small structured
 header; all Spark-side plumbing (schema, Arrow batch shape, partitioning)
-is real and tested. Image decode is REAL for the full PNG matrix (all
-color types incl. palette, depths 1-16, Adam7 — kernels/png.py), binary
-netpbm, and JPEG both baseline and progressive (kernels/jpeg.py) —
-audio/video remain the seam where ffmpeg plugs in on a production
+is real and tested, and so is the decode for every modality's
+interchange format: images — full PNG matrix (all color types incl.
+palette, depths 1-16, Adam7 — kernels/png.py), binary netpbm, JPEG both
+baseline and progressive (kernels/jpeg.py); audio — PCM WAV
+(kernels/wav.py); video — MJPEG streams with real per-frame JPEG decode
+(frame sampling, kernels/jpeg.split_mjpeg). Compressed audio/video
+codecs (MP3/AAC/H.264) are the ffmpeg plug-in seam on a production
 cluster.
 
 Payload wire format for the synthetic fixture class (deterministic,
@@ -259,3 +262,138 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
     return df.select("vec_id", "payload").mapInPandas(
         _feature_batches(target), FEAT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# audio (PCM WAV — kernels/wav.py) and video (MJPEG stream — kernels/jpeg.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """(vec_id, payload) → typed audio metadata via the header-only RIFF
+    walk — no sample decode on the metadata scan path."""
+    from ocr_spark.kernels.wav import parse_wav_header
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    rate, ch, bits, n = parse_wav_header(bytes(p))
+                    rows.append((int(vec_id), "WAV", rate, ch, bits, n, True))
+                except Exception:
+                    rows.append((int(vec_id), "unknown", 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "fmt", "sample_rate", "channels", "bits",
+                    "n_frames", "valid",
+                ],
+            ).astype(
+                {
+                    "sample_rate": "int32", "channels": "int32",
+                    "bits": "int32", "n_frames": "int64",
+                }
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode → mean absolute amplitude (the loudness screen a training
+    pipeline runs before expensive transcription). Arrow-batched; a bad
+    payload yields NaN features, never a failed job."""
+    from ocr_spark.kernels.wav import decode_wav
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav(bytes(p))
+                    rows.append(
+                        (
+                            int(vec_id),
+                            float(np.abs(samples.astype(np.float64)).mean()),
+                            len(samples),
+                            rate,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(vec_id), float("nan"), 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "mean_abs", "n_frames", "sample_rate"]
+            ).astype({"sample_rate": "int32", "n_frames": "int64"})
+
+    return df.select("vec_id", "payload").mapInPandas(fn, AUDIO_FEAT_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """MJPEG payload → every ``every_n``-th frame REALLY decoded
+    (kernels/jpeg.py) with its dims and mean pixel — the frame-sampling
+    shape of a video training pipeline: split is a cheap marker walk,
+    the expensive pixel decode runs only on sampled frames, and the
+    parallel axis is videos (one Arrow batch element each). Unparseable
+    payloads contribute zero rows (skip-and-continue)."""
+    from ocr_spark.kernels.jpeg import decode_jpeg, split_mjpeg
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    frames = split_mjpeg(bytes(p))
+                except Exception:
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    try:
+                        img = decode_jpeg(frames[fi])
+                    except Exception:
+                        continue  # one bad frame never kills the video
+                    rows.append(
+                        (
+                            int(vec_id),
+                            fi,
+                            img.shape[1],
+                            img.shape[0],
+                            float(img.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "frame_idx", "width", "height", "mean_px"]
+            ).astype({"frame_idx": "int32", "width": "int32", "height": "int32"})
+
+    return df.select("vec_id", "payload").mapInPandas(fn, VIDEO_FRAME_SCHEMA)

@@ -1,0 +1,131 @@
+"""Audio (PCM WAV) and video (MJPEG stream) kernel + operator tests:
+container round-trips, header-only scans, 8-bit widening, skip-on-error,
+and the frame-sampling Spark operator with real per-frame JPEG decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_spark.kernels.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+from ocr_spark.kernels.wav import decode_wav, encode_wav, parse_wav_header
+from ocr_spark.operators import multimodal
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(5)
+    for ch in (1, 2):
+        samples = rng.integers(-32768, 32768, size=(37, ch), dtype=np.int16)
+        data = encode_wav(samples, rate=22050)
+        assert parse_wav_header(data) == (22050, ch, 16, 37)
+        got, rate = decode_wav(data)
+        assert rate == 22050
+        assert np.array_equal(got, samples)
+
+
+def test_wav_8bit_pcm_decodes_centered():
+    # hand-built 8-bit PCM: unsigned samples center at 128 and widen
+    import struct
+
+    body = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body + b"\x00"
+    data = b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    assert parse_wav_header(data) == (8000, 1, 8, 3)
+    got, rate = decode_wav(data)
+    assert got[:, 0].tolist() == [-128 << 8, 0, 127 << 8]
+
+
+def test_wav_skips_unknown_chunks():
+    # LIST/INFO chunks (odd-sized, word-padded) before data must be walked
+    samples = np.arange(-5, 5, dtype=np.int16)
+    data = bytearray(encode_wav(samples, rate=16000))
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    out = bytes(data[:12]) + extra + bytes(data[12:])
+    out = out[:4] + (len(out) - 8).to_bytes(4, "little") + out[8:]
+    got, _ = decode_wav(out)
+    assert np.array_equal(got[:, 0], samples)
+
+
+def test_wav_garbage_and_non_pcm_raise():
+    with pytest.raises(ValueError):
+        parse_wav_header(b"not a riff file at all")
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # 85 = MP3
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    data = b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    with pytest.raises(NotImplementedError):
+        parse_wav_header(data)
+
+
+def test_mjpeg_split_and_frame_decode():
+    frames = [
+        encode_jpeg(np.full((8 + i, 10), 40 * i, np.uint8), quality=90)
+        for i in range(5)
+    ]
+    got = split_mjpeg(b"".join(frames))
+    assert got == frames
+    for i, f in enumerate(got):
+        assert (decode_jpeg(f) == 40 * i).all()
+
+
+def test_mjpeg_split_survives_ffd9_in_segment_payload():
+    # an APPn payload containing the EOI byte pair must not split the
+    # frame early — the splitter walks markers, it does not grep
+    frame = encode_jpeg(np.full((8, 8), 9, np.uint8), quality=90)
+    app = b"\xff\xee" + (10).to_bytes(2, "big") + b"ab\xff\xd9cdef"
+    patched = frame[:2] + app + frame[2:]
+    got = split_mjpeg(patched + frame)
+    assert len(got) == 2
+    assert (decode_jpeg(got[0]) == 9).all()
+
+
+def test_audio_ops_spark(spark):
+    payloads = [
+        (0, encode_wav(np.arange(-8, 8, dtype=np.int16), rate=8000)),
+        (1, encode_wav(np.ones((12, 2), dtype=np.int16) * 100, rate=44100)),
+        (2, b"garbage not audio"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [p[0] for p in payloads], "payload": [p[1] for p in payloads]}
+        )
+    )
+    meta = multimodal.audio_meta(df).toPandas().set_index("vec_id")
+    assert meta.loc[0, ["fmt", "sample_rate", "channels", "n_frames"]].tolist() == [
+        "WAV", 8000, 1, 16,
+    ]
+    assert meta.loc[1, ["sample_rate", "channels", "n_frames"]].tolist() == [
+        44100, 2, 12,
+    ]
+    assert not meta.loc[2, "valid"]
+
+    feats = multimodal.audio_features(df).toPandas().set_index("vec_id")
+    assert feats.loc[0, "mean_abs"] == np.abs(np.arange(-8, 8)).mean()
+    assert feats.loc[1, "mean_abs"] == 100.0
+    assert np.isnan(feats.loc[2, "mean_abs"])
+
+
+def test_video_frame_sample_spark(spark):
+    frames0 = [
+        encode_jpeg(np.full((8, 12), v, np.uint8), quality=90) for v in (10, 20, 30, 40)
+    ]
+    payloads = [(0, b"".join(frames0)), (1, b"no frames here")]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [p[0] for p in payloads], "payload": [p[1] for p in payloads]}
+        )
+    )
+    out = (
+        multimodal.video_frame_sample(df, every_n=2)
+        .toPandas()
+        .sort_values("frame_idx", ignore_index=True)
+    )
+    # every 2nd frame of video 0; video 1 skip-and-continue
+    assert out["vec_id"].tolist() == [0, 0]
+    assert out["frame_idx"].tolist() == [0, 2]
+    assert out["mean_px"].tolist() == [10.0, 30.0]
+    assert out["width"].tolist() == [12, 12]
