@@ -193,17 +193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_spark.operators import pages
 
         def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from ocr_spark.kernels.pdf import build_pdf
+            from ocr_spark.kernels.pdf import build_pdf, build_pdf_modern
 
             for pdf in it:
                 payloads = []
-                for text in pdf["text"]:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                     words = text.split(" ")
                     chunks = [
                         " ".join(words[i : i + 10])
                         for i in range(0, len(words), 10)
-                    ]
-                    payloads.append(build_pdf(chunks or [""]))
+                    ] or [""]
+                    # even docs: classic xref-table PDFs; odd docs: the
+                    # PDF 1.5 layout (object stream + predictor-coded
+                    # xref stream) — one oracle covers both parse paths
+                    builder = build_pdf if int(doc_id) % 2 == 0 else build_pdf_modern
+                    payloads.append(builder(chunks))
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"], "payload": payloads}
                 )

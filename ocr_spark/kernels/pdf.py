@@ -6,10 +6,15 @@ no PyMuPDF, so — same discipline as kernels/png.py — the container gets
 a real stdlib implementation instead of a stub:
 
 - ``build_pdf(pages)``: deterministic classic-xref PDF 1.4 writer, one
-  FlateDecode content stream per page, one ``Tj`` per text line. The
-  fixture generator for tests and contract queries (no external data).
-- ``extract_pages(data)``: xref-table parse (incremental updates via
-  /Prev chains; fallback object scan for damaged or xref-stream files),
+  FlateDecode content stream per page, one ``Tj`` per text line;
+  ``build_pdf_modern(pages)``: the PDF 1.5 layout — page tree inside a
+  compressed OBJECT STREAM, indexed by a CROSS-REFERENCE STREAM with
+  PNG-predictor rows. Fixture generators for tests and contract queries
+  (no external data).
+- ``extract_pages(data)``: classic xref tables AND 1.5+ xref streams
+  (/W widths, /Index subsections, /Prev chains, PNG Up/Sub predictors
+  reversed with the kernels/png.py scanline machinery), object-stream
+  (/ObjStm) resident objects, fallback object scan for damaged files,
   page-tree walk in /Kids order (inherited attributes not needed for
   text), FlateDecode content streams, BT/ET text runs with Tj / TJ /
   ' / " operators. Returns one text string per page, lines joined with
@@ -17,11 +22,11 @@ a real stdlib implementation instead of a stub:
 - ``page_count(data)``: page-tree leaf count without touching content
   streams.
 
-Not a renderer: encrypted PDFs, object streams (compressed xref), and
-non-Flate filters raise. The reference's own fixtures
-(data/input/daat12221.pdf, "grid data.pdf" — classic xref, 1 page each)
-parse for page count/tree; their content is rasterized scans, which is
-exactly what the image branch (kernels/png.py, kernels/jpeg.py) is for.
+Not a renderer: encrypted PDFs and non-Flate filters raise. The
+reference's own fixtures (data/input/daat12221.pdf, "grid data.pdf" —
+classic xref, 1 page each) parse for page count/tree; their content is
+rasterized scans, which is exactly what the image branch
+(kernels/png.py, kernels/jpeg.py) is for.
 """
 
 from __future__ import annotations
@@ -195,14 +200,17 @@ class PdfDoc:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets: dict[int, int] = {}
+        self.compressed: dict[int, tuple[int, int]] = {}  # num -> (objstm, idx)
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict] = {}
         try:
             self._read_xref_chain()
         except Exception:
             self.offsets = {}
-        if not self.offsets or "Root" not in self.trailer:
-            self._scan_objects()  # repair mode: works for xref-stream files too
+            self.compressed = {}
+        if (not self.offsets and not self.compressed) or "Root" not in self.trailer:
+            self._scan_objects()  # repair mode for damaged files
 
     # -- xref ---------------------------------------------------------------
 
@@ -215,7 +223,15 @@ class PdfDoc:
         while pos not in seen:
             seen.add(pos)
             if not self.data[pos : pos + 4] == b"xref":
-                raise NotImplementedError("PDF xref stream (1.5+) — using object scan")
+                # PDF 1.5+ cross-reference STREAM at this offset
+                tr = self._load_xref_stream(pos)
+                for k, v in tr.items():
+                    self.trailer.setdefault(k, v)
+                prev = tr.get("Prev")
+                if prev is None:
+                    return
+                pos = int(self.resolve(prev))
+                continue
             lex = _Lexer(self.data, pos + 4)
             while True:
                 lex._skip_ws()
@@ -245,6 +261,114 @@ class PdfDoc:
                 return
             pos = int(prev)
 
+    def _parse_object_at(self, off: int):
+        """Parse the ``N G obj`` at a byte offset (dict/stream)."""
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.data[off : off + 64])
+        if m is None:
+            raise ValueError(f"PDF no object at offset {off}")
+        lex = _Lexer(self.data, off + m.end())
+        obj = lex.parse()
+        lex._skip_ws()
+        if self.data[lex.pos : lex.pos + 6] == b"stream":
+            p = lex.pos + 6
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(obj.get("Length"))
+            raw = self.data[p : p + int(length)]
+            obj = ("stream", obj, raw)
+        return obj
+
+    def _decode_stream(self, sdict: dict, raw: bytes) -> bytes:
+        """Stream payload → bytes: FlateDecode (or none) plus the PNG
+        predictors xref streams commonly use (/DecodeParms /Predictor
+        ≥ 10: per-row filter byte over /Columns, reversed with the PNG
+        scanline machinery from kernels/png.py)."""
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            out = raw
+        elif str(filt) == "FlateDecode" or (
+            isinstance(filt, list) and [str(f) for f in filt] == ["FlateDecode"]
+        ):
+            out = zlib.decompress(raw)
+        else:
+            raise NotImplementedError(f"PDF stream filter {filt} unsupported")
+        parms = self.resolve(sdict.get("DecodeParms"))
+        if isinstance(parms, dict):
+            pred = int(self.resolve(parms.get("Predictor", 1)))
+            if pred >= 10:  # PNG predictors
+                from ocr_spark.kernels.png import _unfilter
+
+                columns = int(self.resolve(parms.get("Columns", 1)))
+                rows = len(out) // (columns + 1)
+                out = _unfilter(out[: rows * (columns + 1)], rows, columns, 1).tobytes()
+            elif pred != 1:
+                raise NotImplementedError(f"PDF predictor {pred} unsupported")
+        return out
+
+    def _load_xref_stream(self, pos: int) -> dict:
+        """Cross-reference STREAM (PDF 1.5+, §7.5.8): /W field widths,
+        /Index subsections; entry type 1 = regular offset, type 2 =
+        (object stream number, index within it). Returns the trailer
+        dict (the xref stream's own dictionary)."""
+        obj = self._parse_object_at(pos)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise ValueError("PDF xref offset points at a non-stream object")
+        _tag, d, raw = obj
+        if str(self.resolve(d.get("Type", ""))) != "XRef":
+            raise ValueError("PDF xref stream missing /Type /XRef")
+        data = self._decode_stream(d, raw)
+        w = [int(self.resolve(x)) for x in self.resolve(d["W"])]
+        size = int(self.resolve(d["Size"]))
+        index = [int(self.resolve(x)) for x in self.resolve(d.get("Index", [0, size]))]
+        rowlen = sum(w)
+        p = 0
+        for start, count in zip(index[::2], index[1::2]):
+            for i in range(count):
+                row = data[p : p + rowlen]
+                p += rowlen
+                fields = []
+                o = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[o : o + width], "big") if width else None
+                    )
+                    o += width
+                typ = fields[0] if w[0] else 1  # omitted type defaults to 1
+                num = start + i
+                if num in self.offsets or num in self.compressed:
+                    continue  # first (newest) xref section wins
+                if typ == 1:
+                    self.offsets[num] = fields[1]
+                elif typ == 2:
+                    self.compressed[num] = (fields[1], fields[2])
+        return d
+
+    def _load_objstm(self, stm_num: int) -> dict:
+        """Object stream (§7.5.7): header of N (num, offset) integer
+        pairs, then the serialized objects at /First + offset."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        obj = self.get_object(stm_num)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise ValueError(f"PDF object stream {stm_num} is not a stream")
+        _tag, d, raw = obj
+        data = self._decode_stream(d, raw)
+        n = int(self.resolve(d["N"]))
+        first = int(self.resolve(d["First"]))
+        lex = _Lexer(data, 0)
+        pairs = []
+        for _ in range(n):
+            num = lex.parse()
+            off = lex.parse()
+            pairs.append((int(num), int(off)))
+        out = {}
+        for num, off in pairs:
+            out[num] = _Lexer(data, first + off).parse()
+        self._objstm_cache[stm_num] = out
+        return out
+
     def _scan_objects(self) -> None:
         """Repair/fallback: index every `N G obj` in the file (later
         occurrences win — incremental updates append)."""
@@ -269,23 +393,13 @@ class PdfDoc:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
-            return None
-        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.data[off : off + 64])
-        if not m:
-            raise ValueError(f"PDF object {num} not at recorded offset")
-        lex = _Lexer(self.data, off + m.end())
-        obj = lex.parse()
-        # stream?
-        lex._skip_ws()
-        if self.data[lex.pos : lex.pos + 6] == b"stream":
-            p = lex.pos + 6
-            if self.data[p : p + 2] == b"\r\n":
-                p += 2
-            elif self.data[p : p + 1] == b"\n":
-                p += 1
-            length = self.resolve(obj.get("Length"))
-            raw = self.data[p : p + int(length)]
-            obj = ("stream", obj, raw)
+            loc = self.compressed.get(num)
+            if loc is None:
+                return None
+            obj = self._load_objstm(loc[0]).get(num)
+            self._cache[num] = obj
+            return obj
+        obj = self._parse_object_at(off)
         self._cache[num] = obj
         return obj
 
@@ -319,15 +433,7 @@ class PdfDoc:
             if not (isinstance(obj, tuple) and obj[0] == "stream"):
                 raise ValueError("PDF /Contents is not a stream")
             _tag, sdict, raw = obj
-            filt = self.resolve(sdict.get("Filter"))
-            if filt is None:
-                parts.append(raw)
-            elif str(filt) == "FlateDecode" or (
-                isinstance(filt, list) and [str(f) for f in filt] == ["FlateDecode"]
-            ):
-                parts.append(zlib.decompress(raw))
-            else:
-                raise NotImplementedError(f"PDF stream filter {filt} unsupported")
+            parts.append(self._decode_stream(sdict, raw))
         return b"\n".join(parts)
 
 
@@ -542,3 +648,122 @@ def build_pdf(pages: list[str]) -> bytes:
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def build_pdf_modern(pages: list[str]) -> bytes:
+    """PDF 1.5-style writer: the page tree (catalog, pages node, page
+    dicts, font) lives in a compressed OBJECT STREAM and the file is
+    indexed by a CROSS-REFERENCE STREAM with PNG Up-predictor rows —
+    the layout every modern producer emits. Content streams stay
+    regular objects (streams may not live inside object streams).
+    Round-trips exactly through ``extract_pages``; repair-mode scanning
+    alone CANNOT parse it (the page tree has no `N G obj` headers), so
+    tests on this writer prove the xref-stream + ObjStm path."""
+    np_ = len(pages)
+    content_num = list(range(1, np_ + 1))
+    objstm_num = np_ + 1
+    xref_num = np_ + 2
+    catalog_num = np_ + 3
+    pagesnode_num = np_ + 4
+    page_nums = [np_ + 5 + i for i in range(np_)]
+    font_num = np_ + 5 + np_
+
+    # compressed (ObjStm-resident) objects
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    compressed: list[tuple[int, bytes]] = [
+        (catalog_num, f"<</Type/Catalog/Pages {pagesnode_num} 0 R>>".encode()),
+        (pagesnode_num, f"<</Type/Pages/Count {np_}/Kids[{kids}]>>".encode()),
+    ]
+    for i in range(np_):
+        compressed.append(
+            (
+                page_nums[i],
+                (
+                    f"<</Type/Page/Parent {pagesnode_num} 0 R"
+                    f"/MediaBox[0 0 612 792]"
+                    f"/Resources<</Font<</F1 {font_num} 0 R>>>>"
+                    f"/Contents {content_num[i]} 0 R>>"
+                ).encode(),
+            )
+        )
+    compressed.append(
+        (font_num, b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+    )
+    header = " ".join(f"{n} {off}" for n, off in _objstm_offsets(compressed)).encode()
+    body = b" ".join(b for _n, b in compressed)
+    objstm_payload = header + b"\n" + body
+    first = len(header) + 1
+    objstm_z = zlib.compress(objstm_payload)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, text in enumerate(pages):
+        lines = text.split("\n")
+        cbody = bytearray(b"BT\n/F1 12 Tf\n72 720 Td\n14 TL\n")
+        for j, line in enumerate(lines):
+            if j:
+                cbody += b"T*\n"
+            cbody += _pdf_string_token(line) + b" Tj\n"
+        cbody += b"ET"
+        z = zlib.compress(bytes(cbody))
+        offsets[content_num[i]] = len(out)
+        out += (
+            f"{content_num[i]} 0 obj\n<</Length {len(z)}/Filter/FlateDecode>>\n"
+            "stream\n".encode()
+            + z
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n<</Type/ObjStm/N {len(compressed)}/First {first}"
+        f"/Length {len(objstm_z)}/Filter/FlateDecode>>\nstream\n".encode()
+        + objstm_z
+        + b"\nendstream\nendobj\n"
+    )
+
+    # xref stream: W=[1,4,2]; rows for objects 0..font_num
+    xref_pos = len(out)
+    offsets[xref_num] = xref_pos
+    size = font_num + 1
+    rows = []
+    comp_index = {n: i for i, (n, _b) in enumerate(compressed)}
+    for num in range(size):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        else:
+            rows.append(
+                bytes([2])
+                + objstm_num.to_bytes(4, "big")
+                + comp_index[num].to_bytes(2, "big")
+            )
+    # PNG Up predictor (type 2) over 7-byte columns
+    cols = 7
+    pred_rows = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        pred_rows += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    xref_z = zlib.compress(bytes(pred_rows))
+    out += (
+        f"{xref_num} 0 obj\n<</Type/XRef/Size {size}/W[1 4 2]"
+        f"/Root {catalog_num} 0 R"
+        f"/DecodeParms<</Predictor 12/Columns {cols}>>"
+        f"/Length {len(xref_z)}/Filter/FlateDecode>>\nstream\n".encode()
+        + xref_z
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def _objstm_offsets(compressed: list[tuple[int, bytes]]) -> list[tuple[int, int]]:
+    """(num, offset-within-body) pairs for an object stream whose bodies
+    are space-joined."""
+    out = []
+    off = 0
+    for num, body in compressed:
+        out.append((num, off))
+        off += len(body) + 1  # the joining space
+    return out

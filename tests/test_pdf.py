@@ -174,3 +174,49 @@ def test_inline_property_dict_does_not_break_text():
     # BDC property lists are << >> dicts inside the content stream
     content = b"/OC <</Type /OCMD /S (not text)>> BDC BT (real) Tj ET EMC"
     assert extract_text_ops(content) == ["real"]
+
+
+def test_modern_pdf_xref_stream_and_objstm_roundtrip():
+    from ocr_spark.kernels.pdf import PdfDoc, build_pdf_modern
+
+    pages = ["modern page one\nline two", "unicode — ü 中文", "", "last"]
+    data = build_pdf_modern(pages)
+    doc = PdfDoc(data)
+    # the page tree is ObjStm-resident: xref-stream parse is load-bearing
+    # (repair-mode scanning cannot see objects without `N G obj` headers)
+    assert doc.compressed
+    assert extract_pages(data) == pages
+    assert page_count(data) == len(pages)
+
+
+def test_modern_pdf_corrupt_xref_stream_fails_not_garbage():
+    from ocr_spark.kernels.pdf import build_pdf_modern
+
+    data = build_pdf_modern(["only page"])
+    # corrupt the xref stream BODY (after the last '>>\nstream\n', which
+    # is the XRef object's): parsing must error, not fabricate pages
+    cut = data.rindex(b">>\nstream\n") + len(b">>\nstream\n")
+    broken = data[:cut] + b"\x00\x00" + data[cut + 2 :]
+    with pytest.raises(Exception):
+        extract_pages(broken)
+
+
+def test_mixed_classic_and_modern_through_spark(spark):
+    from ocr_spark.kernels.pdf import build_pdf_modern
+    from ocr_spark.operators import pages as pages_ops
+
+    docs = [
+        (0, build_pdf(["classic a", "classic b"])),
+        (1, build_pdf_modern(["modern a", "modern b", "modern c"])),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [d[0] for d in docs], "payload": [d[1] for d in docs]})
+    )
+    out = (
+        pages_ops.pdf_pages_from_bytes(df)
+        .toPandas()
+        .sort_values(["doc_id", "page_idx"], ignore_index=True)
+    )
+    assert out["page_text"].tolist() == [
+        "classic a", "classic b", "modern a", "modern b", "modern c",
+    ]
