@@ -247,6 +247,32 @@ def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     return table
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """DQT payload (possibly several tables per segment) → qt[id]."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+            p += 64
+        else:
+            qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+            p += 128
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT payload (possibly several tables per segment) → built tables."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0xF
+        bits = list(seg[p + 1 : p + 17])
+        n = sum(bits)
+        vals = list(seg[p + 17 : p + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+        p += 17 + n
+
+
 def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
     for length in range(1, 17):
@@ -278,26 +304,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sos_end = None
     for marker, start, ln in _segments(data):
         seg = data[start : start + ln]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            p = 0
-            while p < ln:
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
-                    p += 64
-                else:
-                    qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
-                    p += 128
+        if marker == 0xDB:  # DQT
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < ln:
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
-                p += 17 + n
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif marker in _SOF_PROGRESSIVE:
@@ -463,25 +473,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
         seg = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
-            p = 0
-            while p < ln - 2:
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    qt[tq] = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
-                    p += 64
-                else:
-                    qt[tq] = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
-                    p += 128
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:
-            p = 0
-            while p < ln - 2:
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                nsym = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + nsym])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
-                p += 17 + nsym
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:
             restart = int.from_bytes(seg[:2], "big")
         elif marker in _SOF_PROGRESSIVE:
@@ -1094,16 +1088,22 @@ def _frame_end(data: bytes, start: int) -> int:
 
 
 def split_mjpeg(data: bytes) -> list[bytes]:
-    """Concatenated-JFIF stream → list of standalone JPEG frames."""
+    """Concatenated-JFIF stream → list of standalone JPEG frames. A
+    truncated FINAL frame (the IP-camera disconnect case) is dropped
+    and the complete frames are returned — one bad tail must never
+    discard a whole video's worth of good frames."""
     frames = []
     pos = 0
     while True:
         s = data.find(b"\xff\xd8", pos)
         if s < 0:
             break
-        e = _frame_end(data, s)
+        try:
+            e = _frame_end(data, s)
+        except ValueError:
+            break  # truncated/corrupt tail: keep what we have
         frames.append(data[s:e])
         pos = e
     if not frames:
-        raise ValueError("no JPEG frames in stream")
+        raise ValueError("no complete JPEG frames in stream")
     return frames

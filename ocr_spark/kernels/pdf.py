@@ -201,6 +201,7 @@ class PdfDoc:
         self.data = data
         self.offsets: dict[int, int] = {}
         self.compressed: dict[int, tuple[int, int]] = {}  # num -> (objstm, idx)
+        self._freed: set[int] = set()  # claimed-free: older sections can't revive
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict] = {}
@@ -209,6 +210,7 @@ class PdfDoc:
         except Exception:
             self.offsets = {}
             self.compressed = {}
+            self._freed = set()
         if (not self.offsets and not self.compressed) or "Root" not in self.trailer:
             self._scan_objects()  # repair mode for damaged files
 
@@ -233,6 +235,7 @@ class PdfDoc:
                 pos = int(self.resolve(prev))
                 continue
             lex = _Lexer(self.data, pos + 4)
+            pending: list[tuple[int, int, bytes]] = []
             while True:
                 lex._skip_ws()
                 m2 = re.match(rb"(\d+)\s+(\d+)", self.data[lex.pos :])
@@ -243,23 +246,36 @@ class PdfDoc:
                 lex._skip_ws()
                 for i in range(count):
                     entry = self.data[lex.pos : lex.pos + 20]
-                    off = int(entry[0:10])
-                    typ = entry[17:18]
-                    num = start + i
-                    if typ == b"n" and num not in self.offsets:
-                        self.offsets[num] = off
+                    pending.append((start + i, int(entry[0:10]), entry[17:18]))
                     lex.pos += 20
             lex._skip_ws()
             if self.data[lex.pos : lex.pos + 7] != b"trailer":
                 raise ValueError("PDF xref missing trailer")
             lex.pos += 7
             tr = lex.parse()
+            # hybrid-reference files (§7.5.8.4): the classic table lists
+            # ObjStm-resident objects as FREE and hides their real
+            # entries in the /XRefStm stream — which therefore claims
+            # its numbers BEFORE this section's entries apply
+            xrefstm = tr.get("XRefStm")
+            if xrefstm is not None:
+                self._load_xref_stream(int(self.resolve(xrefstm)))
+            for num, off, typ in pending:
+                if self._claimed(num):
+                    continue  # newest section (or its XRefStm) wins
+                if typ == b"n":
+                    self.offsets[num] = off
+                else:  # free: claims the number so an OLDER section
+                    self._freed.add(num)  # cannot resurrect the object
             for k, v in tr.items():
                 self.trailer.setdefault(k, v)
             prev = tr.get("Prev")
             if prev is None:
                 return
             pos = int(prev)
+
+    def _claimed(self, num: int) -> bool:
+        return num in self.offsets or num in self.compressed or num in self._freed
 
     def _parse_object_at(self, off: int):
         """Parse the ``N G obj`` at a byte offset (dict/stream)."""
@@ -301,8 +317,19 @@ class PdfDoc:
                 from ocr_spark.kernels.png import _unfilter
 
                 columns = int(self.resolve(parms.get("Columns", 1)))
-                rows = len(out) // (columns + 1)
-                out = _unfilter(out[: rows * (columns + 1)], rows, columns, 1).tobytes()
+                colors = int(self.resolve(parms.get("Colors", 1)))
+                bpc = int(self.resolve(parms.get("BitsPerComponent", 8)))
+                # /Columns counts SAMPLES per row; the filter's pixel
+                # byte offset is colors·bpc/8 (Sub/Paeth reconstruct
+                # wrong bytes with bpp=1 when Colors > 1)
+                row_bytes = (columns * colors * bpc + 7) // 8
+                bpp = max(1, colors * bpc // 8)
+                if len(out) % (row_bytes + 1):
+                    raise ValueError(
+                        "PDF predictor stream truncated (partial row)"
+                    )
+                rows = len(out) // (row_bytes + 1)
+                out = _unfilter(out, rows, row_bytes, bpp).tobytes()
             elif pred != 1:
                 raise NotImplementedError(f"PDF predictor {pred} unsupported")
         return out
@@ -337,12 +364,14 @@ class PdfDoc:
                     o += width
                 typ = fields[0] if w[0] else 1  # omitted type defaults to 1
                 num = start + i
-                if num in self.offsets or num in self.compressed:
+                if self._claimed(num):
                     continue  # first (newest) xref section wins
                 if typ == 1:
                     self.offsets[num] = fields[1]
                 elif typ == 2:
                     self.compressed[num] = (fields[1], fields[2])
+                else:  # type 0 free: claim, so older sections can't
+                    self._freed.add(num)  # resurrect a deleted object
         return d
 
     def _load_objstm(self, stm_num: int) -> dict:

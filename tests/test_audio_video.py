@@ -129,3 +129,27 @@ def test_video_frame_sample_spark(spark):
     assert out["frame_idx"].tolist() == [0, 2]
     assert out["mean_px"].tolist() == [10.0, 30.0]
     assert out["width"].tolist() == [12, 12]
+
+
+def test_mjpeg_truncated_tail_keeps_complete_frames():
+    # IP-camera disconnect: the final frame is cut short — the complete
+    # frames must survive, not be discarded wholesale
+    frames = [
+        encode_jpeg(np.full((8, 8), 30 * i, np.uint8), quality=90) for i in range(4)
+    ]
+    stream = b"".join(frames) + frames[0][:-5]  # truncated 5th frame
+    got = split_mjpeg(stream)
+    assert got == frames
+
+
+def test_wav_header_and_decode_agree_on_multi_data_chunk():
+    # nonstandard two-data-chunk WAV: metadata and samples must come
+    # from the SAME (first) chunk
+    samples = np.arange(10, dtype=np.int16)
+    data = bytearray(encode_wav(samples, rate=8000))
+    extra = b"data" + (4).to_bytes(4, "little") + b"\x01\x00\x02\x00"
+    data += extra
+    data[4:8] = (len(data) - 8).to_bytes(4, "little")
+    rate, ch, bits, n = parse_wav_header(bytes(data))
+    got, _ = decode_wav(bytes(data))
+    assert n == len(got) == 10

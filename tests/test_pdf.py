@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import zlib
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -220,3 +221,166 @@ def test_mixed_classic_and_modern_through_spark(spark):
     assert out["page_text"].tolist() == [
         "classic a", "classic b", "modern a", "modern b", "modern c",
     ]
+
+
+def test_incremental_update_into_objstm_wins_over_classic_offset():
+    # a classic 1.4 file incrementally updated by a 1.5 producer that
+    # rewrites a page INSIDE an object stream: the newest xref stream's
+    # type-2 entry must shadow the stale classic offset (newest-section-
+    # wins spans both maps)
+    base = build_pdf(["OLD TEXT"])
+    base_xref = base.rindex(b"xref\n0 ")  # the table, not "startxref"
+    # append: new page object 3 inside an ObjStm + xref stream update
+    new_page = (
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 6 0 R>>"
+    )
+    header = b"3 0"
+    payload = header + b"\n" + new_page
+    z = zlib.compress(payload)
+    out = bytearray(base)
+    objstm_off = len(out)
+    out += (
+        b"7 0 obj\n<</Type/ObjStm/N 1/First "
+        + str(len(header) + 1).encode()
+        + b"/Length " + str(len(z)).encode() + b"/Filter/FlateDecode>>\nstream\n"
+        + z + b"\nendstream\nendobj\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (NEW TEXT) Tj ET"
+    zc = zlib.compress(content)
+    content_off = len(out)
+    out += (
+        b"6 0 obj\n<</Length " + str(len(zc)).encode()
+        + b"/Filter/FlateDecode>>\nstream\n" + zc + b"\nendstream\nendobj\n"
+    )
+    # xref stream for the update: type-2 entry for 3, type-1 for 6,7,8
+    xref_off = len(out)
+    rows = {
+        3: bytes([2]) + (7).to_bytes(4, "big") + (0).to_bytes(2, "big"),
+        6: bytes([1]) + content_off.to_bytes(4, "big") + (0).to_bytes(2, "big"),
+        7: bytes([1]) + objstm_off.to_bytes(4, "big") + (0).to_bytes(2, "big"),
+        8: bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big"),
+    }
+    body = b"".join(rows[n] for n in sorted(rows))
+    zx = zlib.compress(body)
+    out += (
+        b"8 0 obj\n<</Type/XRef/Size 9/W[1 4 2]"
+        b"/Index[3 1 6 3]"
+        b"/Root 1 0 R/Prev " + str(base_xref).encode()
+        + b"/Length " + str(len(zx)).encode() + b"/Filter/FlateDecode>>\nstream\n"
+        + zx + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    assert extract_pages(bytes(out)) == ["NEW TEXT"]
+
+
+def test_free_entry_in_newer_section_hides_older_object():
+    # an incremental update marks the 2nd page's objects free; the older
+    # section must not resurrect them — page tree shrinks accordingly
+    from ocr_spark.kernels.pdf import PdfDoc
+
+    base = build_pdf(["page one", "page two"])
+    assert page_count(base) == 2
+    base_xref = base.rindex(b"xref\n0 ")  # the table, not "startxref"
+    out = bytearray(base)
+    # rewritten pages node (object 2) referencing only page 3
+    new_pages = b"2 0 obj\n<</Type/Pages/Count 1/Kids[3 0 R]>>\nendobj\n"
+    pages_off = len(out)
+    out += new_pages
+    xref_off = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += b"2 1\n" + f"{pages_off:010d} 00000 n \n".encode()
+    # mark old page-2 objects (5: page dict, 6: its content) free
+    out += b"5 2\n"
+    out += b"0000000000 00001 f \n" * 2
+    out += (
+        b"trailer\n<</Size 9/Root 1 0 R/Prev " + str(base_xref).encode()
+        + b">>\nstartxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    )
+    data = bytes(out)
+    assert page_count(data) == 1
+    assert extract_pages(data) == ["page one"]
+    doc = PdfDoc(data)
+    assert doc.get_object(5) is None  # freed, not resurrected
+
+
+def test_decode_stream_png_predictor_with_colors():
+    # /Colors 3: the Sub filter's byte offset must be 3, not 1
+    import numpy as np
+
+    from ocr_spark.kernels.pdf import PdfDoc, Name
+
+    doc = PdfDoc(build_pdf(["x"]))
+    raw_rows = np.arange(24, dtype=np.uint8).reshape(2, 12)
+    filtered = bytearray()
+    for row in raw_rows:
+        filt = row.astype(int).copy()
+        filt[3:] = (row[3:].astype(int) - row[:-3].astype(int)) % 256  # Sub, bpp=3
+        filtered += b"\x01" + bytes(filt.astype(np.uint8))
+    sdict = {
+        "Filter": Name("FlateDecode"),
+        "DecodeParms": {"Predictor": 11, "Columns": 4, "Colors": 3},
+    }
+    out = doc._decode_stream(sdict, zlib.compress(bytes(filtered)))
+    assert out == raw_rows.tobytes()
+    # a truncated predictor stream is an error, not silent row loss
+    with pytest.raises(ValueError):
+        doc._decode_stream(sdict, zlib.compress(bytes(filtered[:-3])))
+
+
+def test_hybrid_reference_file_xrefstm():
+    # Acrobat-style hybrid: classic table lists ObjStm-resident objects
+    # as FREE; the trailer's /XRefStm points at the stream holding their
+    # real (type-2) entries — readers must consult it first
+    content = b"BT /F1 12 Tf 72 720 Td (hybrid text) Tj ET"
+    zc = zlib.compress(content)
+    compressed = [
+        (3, b"<</Type/Catalog/Pages 4 0 R>>"),
+        (4, b"<</Type/Pages/Count 1/Kids[5 0 R]>>"),
+        (5, b"<</Type/Page/Parent 4 0 R/Resources<</Font<</F1 6 0 R>>>>/Contents 1 0 R>>"),
+        (6, b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"),
+    ]
+    header = " ".join(
+        f"{n} {off}" for n, off in zip(
+            [c[0] for c in compressed],
+            np.cumsum([0] + [len(c[1]) + 1 for c in compressed[:-1]]),
+        )
+    ).encode()
+    body = b" ".join(c[1] for c in compressed)
+    zo = zlib.compress(header + b"\n" + body)
+
+    out = bytearray(b"%PDF-1.5\n")
+    off1 = len(out)
+    out += (b"1 0 obj\n<</Length " + str(len(zc)).encode()
+            + b"/Filter/FlateDecode>>\nstream\n" + zc + b"\nendstream\nendobj\n")
+    off2 = len(out)
+    out += (b"2 0 obj\n<</Type/ObjStm/N 4/First " + str(len(header) + 1).encode()
+            + b"/Length " + str(len(zo)).encode()
+            + b"/Filter/FlateDecode>>\nstream\n" + zo + b"\nendstream\nendobj\n")
+    off7 = len(out)
+    rows = []
+    for num in range(8):
+        if num == 0:
+            rows.append(bytes([0]) + bytes(4) + b"\xff\xff")
+        elif num in (1, 2, 7):
+            off = {1: off1, 2: off2, 7: off7}[num]
+            rows.append(bytes([1]) + off.to_bytes(4, "big") + bytes(2))
+        else:
+            idx = [c[0] for c in compressed].index(num)
+            rows.append(bytes([2]) + (2).to_bytes(4, "big") + idx.to_bytes(2, "big"))
+    zx = zlib.compress(b"".join(rows))
+    out += (b"7 0 obj\n<</Type/XRef/Size 8/W[1 4 2]/Root 3 0 R/Length "
+            + str(len(zx)).encode() + b"/Filter/FlateDecode>>\nstream\n"
+            + zx + b"\nendstream\nendobj\n")
+    table_off = len(out)
+    out += b"xref\n0 8\n"
+    out += b"0000000000 65535 f \n"
+    out += f"{off1:010d} 00000 n \n".encode()
+    out += f"{off2:010d} 00000 n \n".encode()
+    out += b"0000000000 00000 f \n" * 4  # ObjStm residents listed free
+    out += f"{off7:010d} 00000 n \n".encode()
+    out += (b"trailer\n<</Size 8/Root 3 0 R/XRefStm " + str(off7).encode()
+            + b">>\nstartxref\n" + str(table_off).encode() + b"\n%%EOF\n")
+    data = bytes(out)
+    assert extract_pages(data) == ["hybrid text"]
+    assert page_count(data) == 1
