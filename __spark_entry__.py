@@ -221,6 +221,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
         return pages.pdf_pages_from_bytes(pdfs)
 
+    def pdf_cid_text_extract(spark, sf):
+        # Real-world PDF text path: SUBSET-style Identity-H CID fonts.
+        # Each document becomes a PDF whose show strings are 2-byte codes
+        # assigned in first-seen order (no relation to Unicode — the
+        # Word/Chrome/PDFium subset-font layout, kernels/pdf.py
+        # build_pdf_cid); the ONLY road back to text is the font's
+        # /ToUnicode CMap (bfrange + bfchar). Pages are 8-word chunks so
+        # the oracle distinguishes this from pdf_text_extract's 10-word
+        # classic/modern containers. Reference behavior matched: fitz's
+        # text-capable front door on its own fixtures, both Identity-H
+        # (scripts/ExtractX_OCR.py:240-288).
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ocr_spark.operators import pages
+
+        def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.pdf import build_pdf_cid
+
+            for pdf in it:
+                payloads = []
+                for text in pdf["text"]:
+                    words = text.split(" ")
+                    chunks = [
+                        " ".join(words[i : i + 8])
+                        for i in range(0, len(words), 8)
+                    ] or [""]
+                    payloads.append(build_pdf_cid(chunks))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        return pages.pdf_pages_from_bytes(pdfs)
+
+    def pdf_image_extract(spark, sf):
+        # the reference's scanned-PDF use-case end-to-end: grid image →
+        # JPEG (DCTDecode) XObject in a built PDF → container parse →
+        # kernels/jpeg decode → threshold → grid layout parse → cells
+        return xq.pdf_image_extract_query(_docs(spark, sf))
+
+    def pdf_encrypted_extract(spark, sf):
+        # encrypted-but-openable PDFs (standard security handler, empty
+        # user password): even docs RC4-128, odd docs AES-128 /AESV2 —
+        # key derivation (Alg 2), per-object keys (Alg 1), stream
+        # decryption all exercised per document; 6-word page chunks so
+        # the oracle distinguishes this from the other PDF queries
+        from collections.abc import Iterator
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ocr_spark.operators import pages
+
+        def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.pdf import build_pdf_encrypted
+
+            for pdf in it:
+                payloads = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = text.split(" ")
+                    chunks = [
+                        " ".join(words[i : i + 6])
+                        for i in range(0, len(words), 6)
+                    ] or [""]
+                    payloads.append(
+                        build_pdf_encrypted(chunks, aes=bool(int(doc_id) % 2))
+                    )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        return pages.pdf_pages_from_bytes(pdfs)
+
     def b64_encode(spark, sf):
         from ocr_spark.operators import pages
 
@@ -500,6 +585,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_fingerprint(spark, sf):
         return textops.doc_fingerprint(_docs(spark, sf))
+
+    def pii_scrub(spark, sf):
+        # deterministic PII injection by doc_id%4 (none / email / ip /
+        # phone), then the JVM-side scrubber: category counts for
+        # lineage + the scrubbed text. The oracle replays injection AND
+        # scrubbing in DuckDB's RE2 — the patterns are the cross-engine
+        # -compatible subset (textops.PII_PATTERNS).
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 4
+        injected = d.select(
+            "doc_id",
+            F.when(
+                m == 1,
+                F.concat(
+                    F.col("text"), F.lit(" reach me at "),
+                    F.split(F.col("text"), " ").getItem(0),
+                    F.lit("@example.com thanks"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.col("text"), F.lit(" server 10."),
+                    (F.col("doc_id") % 200).cast("string"), F.lit(".0.1 up"),
+                ),
+            )
+            .when(m == 3, F.concat(F.col("text"), F.lit(" call 555-123-4567 now")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.pii_scrub(injected)
+
+    def repetition_score(spark, sf):
+        # C4/Gopher-style repetition signal; doc_id%3==0 docs get their
+        # first 5 words appended twice so the corpus actually exercises
+        # the duplicate fractions and the boilerplate flag
+        d = _docs(spark, sf)
+        rep = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+        )
+        injected = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, rep).otherwise(F.col("text")).alias("text"),
+        )
+        return textops.repetition_score(injected)
 
     def minhash_signature(spark, sf):
         sigs = dedup.minhash_signatures(_docs(spark, sf))
@@ -857,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality_score,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "pii_scrub": pii_scrub,
+        "repetition_score": repetition_score,
         "top_terms": top_terms,
         "tfidf_top_terms": tfidf_top_terms,
         "quantize_embeddings": quantize_embeddings,
@@ -876,10 +1011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_result_filter": empty_result_filter,
         "extension_predicate": extension_predicate,
         "source_file_scan": source_file_scan,
-        "projection_table_data": projection_table_data,
-        "records_to_table": records_to_table,
         "pdf_page_explode": pdf_page_explode,
         "pdf_text_extract": pdf_text_extract,
+        "pdf_cid_text_extract": pdf_cid_text_extract,
+        "pdf_image_extract": pdf_image_extract,
+        "pdf_encrypted_extract": pdf_encrypted_extract,
+        # ---- rotated out of the 50-entry driver window (multi-round
+        # driver-green r2+r3; re-proven every round by the in-gate
+        # sf0.001 contract replay, tests/test_contract_gate.py) ----
+        "projection_table_data": projection_table_data,
+        "records_to_table": records_to_table,
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
         "count_rows_cols": count_rows_cols,
@@ -1320,6 +1461,30 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,"
             " LATERAL unnest(range(0, (len(d.w) + 9) // 10)) u(i)"
         ),
+        # the CID build/parse must round-trip the 8-word chunking through
+        # the subset-code + ToUnicode CMap path; the oracle computes the
+        # chunks without any PDF at all
+        "pdf_cid_text_extract": (
+            "SELECT doc_id, CAST(u.i + 1 AS INT) AS page_idx,"
+            " array_to_string(list_slice(w, CAST(8*u.i + 1 AS INT),"
+            "  CAST(8*u.i + 8 AS INT)), ' ') AS page_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,"
+            " LATERAL unnest(range(0, (len(d.w) + 7) // 8)) u(i)"
+        ),
+        # grid image → JPEG XObject → PDF → parse → decode → grid cells:
+        # the cell text must survive the whole scanned-document chain
+        "pdf_image_extract": (
+            "SELECT doc_id, 'r=' || w[1] || '|s=' || w[-1] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # encrypted containers must decrypt to the exact 6-word chunking
+        "pdf_encrypted_extract": (
+            "SELECT doc_id, CAST(u.i + 1 AS INT) AS page_idx,"
+            " array_to_string(list_slice(w, CAST(6*u.i + 1 AS INT),"
+            "  CAST(6*u.i + 6 AS INT)), ' ') AS page_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,"
+            " LATERAL unnest(range(0, (len(d.w) + 5) // 6)) u(i)"
+        ),
         "b64_encode": (
             "SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents"
         ),
@@ -1567,6 +1732,54 @@ def oracle_sql() -> dict[str, str]:
             " md5(array_to_string(list_sort("
             + _SHINGLES.format(col="text")
             + "), '|')) AS fp_shingle FROM documents"
+        ),
+        # PII injection (doc_id%4) + RE2 scrub replayed verbatim; DuckDB
+        # needs the explicit 'g' flag Spark applies implicitly
+        "pii_scrub": (
+            "WITH inj AS (SELECT doc_id, CASE"
+            " WHEN doc_id%4=1 THEN text || ' reach me at ' ||"
+            "  string_split(text,' ')[1] || '@example.com thanks'"
+            " WHEN doc_id%4=2 THEN text || ' server 10.' ||"
+            "  CAST(doc_id%200 AS VARCHAR) || '.0.1 up'"
+            " WHEN doc_id%4=3 THEN text || ' call 555-123-4567 now'"
+            " ELSE text END AS t FROM documents)"
+            " SELECT doc_id,"
+            " CAST(len(regexp_extract_all(t,"
+            "  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,"
+            " CAST(len(regexp_extract_all(t,"
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,"
+            " CAST(len(regexp_extract_all(t,"
+            "  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,"
+            " regexp_replace(regexp_replace(regexp_replace(t,"
+            "  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),"
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),"
+            "  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed"
+            " FROM inj"
+        ),
+        # repetition injection (doc_id%3==0: first-5-words appended ×2)
+        # + duplicate-word / duplicate-3-gram fractions
+        "repetition_score": (
+            "WITH inj AS (SELECT doc_id, CASE WHEN doc_id%3=0 THEN"
+            "  text || ' ' ||"
+            "  array_to_string(list_slice(string_split(text,' '),1,5),' ')"
+            "  || ' ' ||"
+            "  array_to_string(list_slice(string_split(text,' '),1,5),' ')"
+            " ELSE text END AS t FROM documents),"
+            " g AS (SELECT doc_id, string_split(t,' ') AS w,"
+            "  CASE WHEN len(string_split(t,' ')) < 3"
+            "   THEN CAST([] AS VARCHAR[])"
+            "   ELSE list_transform(range(1, len(string_split(t,' ')) - 1),"
+            "    i -> array_to_string(list_slice(string_split(t,' '), i, i+2), ' '))"
+            "  END AS grams FROM inj)"
+            " SELECT doc_id,"
+            " ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4)"
+            "  AS dup_word_frac,"
+            " ROUND(CASE WHEN len(grams) = 0 THEN 0.0 ELSE"
+            "  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) END, 4)"
+            "  AS dup_3gram_frac,"
+            " (1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)) > 0.3"
+            "  AS is_repetitive"
+            " FROM g"
         ),
         "minhash_signature": (
             "WITH shing0 AS (SELECT doc_id, "

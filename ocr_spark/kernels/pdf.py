@@ -15,18 +15,24 @@ a real stdlib implementation instead of a stub:
   (/W widths, /Index subsections, /Prev chains, PNG Up/Sub predictors
   reversed with the kernels/png.py scanline machinery), object-stream
   (/ObjStm) resident objects, fallback object scan for damaged files,
-  page-tree walk in /Kids order (inherited attributes not needed for
-  text), FlateDecode content streams, BT/ET text runs with Tj / TJ /
-  ' / " operators. Returns one text string per page, lines joined with
-  "\\n" in operator order.
+  page-tree walk in /Kids order (with /Resources inherited through
+  /Parent), FlateDecode content streams, BT/ET text runs with Tj / TJ /
+  ' / " operators. Show strings decode through the page's FONTS: Type0
+  (composite) fonts split show bytes into 2-byte codes and map them
+  through the font's /ToUnicode CMap (``bfchar``/``bfrange``), falling
+  back to UTF-16BE code units for Identity-H/V without a CMap; simple
+  fonts honor /ToUnicode when present and default to latin-1 — this is
+  what turns real-world (Word/Chrome/PDFium, Identity-H subset-font)
+  PDFs into readable text instead of NUL-interleaved 2-byte codes.
+  Returns one text string per page, lines joined with "\\n" in
+  operator order.
 - ``page_count(data)``: page-tree leaf count without touching content
   streams.
 
-Not a renderer: encrypted PDFs and non-Flate filters raise. The
-reference's own fixtures (data/input/daat12221.pdf, "grid data.pdf" —
-classic xref, 1 page each) parse for page count/tree; their content is
-rasterized scans, which is exactly what the image branch
-(kernels/png.py, kernels/jpeg.py) is for.
+Not a renderer: non-Flate/DCT stream filters raise. The reference's own
+fixtures (data/input/daat12221.pdf, "grid data.pdf" — classic xref,
+1 page, Identity-H CID fonts with ToUnicode CMaps) parse for page
+count/tree AND text.
 """
 
 from __future__ import annotations
@@ -192,6 +198,126 @@ class _Lexer:
 
 
 # ---------------------------------------------------------------------------
+# standard security handler (PDF 1.7 §7.6.3: RC4 /V 1-2, AESV2 /V 4)
+# ---------------------------------------------------------------------------
+
+#: the 32-byte password padding string (PDF 1.7 Table 21 / Algorithm 2a)
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+class _StdSecurity:
+    """Empty-user-password standard security handler: derives the file
+    key (Algorithm 2) and de/encrypts per-object data — RC4 for
+    /V 1-2, AES-128-CBC for /V 4 /CFM /AESV2 (16-byte IV prefix)."""
+
+    def __init__(self, enc: dict, id0: bytes, resolve):
+        import hashlib
+
+        if str(resolve(enc.get("Filter", ""))) != "Standard":
+            raise NotImplementedError("PDF non-Standard security handler")
+        self.v = int(resolve(enc.get("V", 0)))
+        self.r = int(resolve(enc.get("R", 2)))
+        if self.v not in (1, 2, 4):
+            raise NotImplementedError(f"PDF /Encrypt /V {self.v} unsupported")
+        length = int(resolve(enc.get("Length", 40)))
+        self.n = length // 8 if self.r >= 3 else 5
+        self.aes = False
+        if self.v == 4:
+            cf = resolve(enc.get("CF", {})) or {}
+            stdcf = resolve(cf.get("StdCF", {})) or {}
+            cfm = str(resolve(stdcf.get("CFM", "")))
+            if cfm == "AESV2":
+                self.aes = True
+                self.n = 16
+            elif cfm != "V2":
+                raise NotImplementedError(f"PDF crypt filter {cfm} unsupported")
+        o = resolve(enc.get("O"))
+        p = int(resolve(enc.get("P", -1)))
+        if not isinstance(o, bytes) or len(o) < 32:
+            raise ValueError("PDF /Encrypt missing /O")
+        h = hashlib.md5()
+        h.update(_PW_PAD)  # empty user password
+        h.update(o[:32])
+        h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+        h.update(id0)
+        if self.r >= 4 and resolve(enc.get("EncryptMetadata", True)) is False:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[: self.n]).digest()
+        self.key = key[: self.n]
+
+    def _obj_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(num.to_bytes(4, "little")[:3])
+        h.update(gen.to_bytes(4, "little")[:2])
+        if self.aes:
+            h.update(b"sAlT")
+        return h.digest()[: min(self.n + 5, 16)]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        from ocr_spark.kernels.crypto import aes128_cbc_decrypt, rc4
+
+        k = self._obj_key(num, gen)
+        if self.aes:
+            if len(data) < 16:
+                raise ValueError("PDF AES stream shorter than its IV")
+            return aes128_cbc_decrypt(k, data[:16], data[16:])
+        return rc4(k, data)
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        from ocr_spark.kernels.crypto import aes128_cbc_encrypt, rc4
+
+        k = self._obj_key(num, gen)
+        if self.aes:
+            iv = bytes(
+                (num * 31 + gen * 7 + i * 13 + len(data)) & 0xFF
+                for i in range(16)
+            )  # deterministic fixture IV — uniqueness, not secrecy
+            return iv + aes128_cbc_encrypt(k, iv, data)
+        return rc4(k, data)
+
+
+def _std_security_dicts(aes: bool) -> "tuple[dict, bytes, bytes]":
+    """Writer-side /Encrypt pieces for empty owner+user passwords:
+    (encrypt dict fields, /O, file key) — Algorithms 3 then 2."""
+    import hashlib
+
+    from ocr_spark.kernels.crypto import rc4
+
+    r, n = (4, 16) if aes else (3, 16)
+    p = -3904  # print/modify denied — an ordinary permission mask
+    # Algorithm 3: /O from the (empty) owner password
+    key = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):  # R >= 3
+        key = hashlib.md5(key[:n]).digest()
+    okey = key[:n]
+    o = rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = rc4(bytes(b ^ i for b in okey), o)
+    return ({"R": r, "P": p, "Length": n * 8}, o, b"")
+
+
+def _std_user_entry(sec: "_StdSecurity", id0: bytes) -> bytes:
+    """Algorithm 5 (R >= 3): the /U validation entry."""
+    import hashlib
+
+    from ocr_spark.kernels.crypto import rc4
+
+    u = hashlib.md5(_PW_PAD + id0).digest()
+    u = rc4(sec.key, u)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in sec.key), u)
+    return u + bytes(16)
+
+
+# ---------------------------------------------------------------------------
 # document structure
 # ---------------------------------------------------------------------------
 
@@ -205,6 +331,8 @@ class PdfDoc:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict] = {}
+        self._font_cache: dict = {}  # Ref -> decoder
+        self._sec: "_StdSecurity | None" = None
         try:
             self._read_xref_chain()
         except Exception:
@@ -213,6 +341,30 @@ class PdfDoc:
             self._freed = set()
         if (not self.offsets and not self.compressed) or "Root" not in self.trailer:
             self._scan_objects()  # repair mode for damaged files
+        self._init_encryption()
+
+    def _init_encryption(self) -> None:
+        """Standard-security-handler setup (empty user password). Runs
+        AFTER the xref chain so the /Encrypt dict itself — which is
+        never encrypted — parses while ``_sec`` is still None."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        ids = self.trailer.get("ID")
+        id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+        self._sec = _StdSecurity(enc, id0, self.resolve)
+
+    def _decrypt_strings(self, v, num: int, gen: int):
+        if isinstance(v, bytes):
+            return self._sec.decrypt(num, gen, v)
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, num, gen) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, num, gen) for x in v]
+        return v
 
     # -- xref ---------------------------------------------------------------
 
@@ -278,10 +430,14 @@ class PdfDoc:
         return num in self.offsets or num in self.compressed or num in self._freed
 
     def _parse_object_at(self, off: int):
-        """Parse the ``N G obj`` at a byte offset (dict/stream)."""
+        """Parse the ``N G obj`` at a byte offset (dict/stream). In an
+        encrypted document, stream payloads and string values decrypt
+        here with the per-object key (XRef streams excepted — they are
+        never encrypted, §7.5.8.2)."""
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.data[off : off + 64])
         if m is None:
             raise ValueError(f"PDF no object at offset {off}")
+        num, gen = int(m.group(1)), int(m.group(2))
         lex = _Lexer(self.data, off + m.end())
         obj = lex.parse()
         lex._skip_ws()
@@ -293,7 +449,12 @@ class PdfDoc:
                 p += 1
             length = self.resolve(obj.get("Length"))
             raw = self.data[p : p + int(length)]
+            if self._sec is not None and str(obj.get("Type", "")) != "XRef":
+                raw = self._sec.decrypt(num, gen, raw)
+                obj = self._decrypt_strings(obj, num, gen)
             obj = ("stream", obj, raw)
+        elif self._sec is not None:
+            obj = self._decrypt_strings(obj, num, gen)
         return obj
 
     def _decode_stream(self, sdict: dict, raw: bytes) -> bytes:
@@ -465,6 +626,276 @@ class PdfDoc:
             parts.append(self._decode_stream(sdict, raw))
         return b"\n".join(parts)
 
+    # -- fonts --------------------------------------------------------------
+
+    def page_resources(self, page: dict) -> "dict | None":
+        """/Resources, inherited through /Parent (§7.7.3.4) — modern
+        producers commonly hoist shared resources to the Pages node."""
+        node = page
+        for _ in range(64):  # cycle guard
+            if node is None or not isinstance(node, dict):
+                return None
+            res = self.resolve(node.get("Resources"))
+            if isinstance(res, dict):
+                return res
+            node = self.resolve(node.get("Parent"))
+        return None
+
+    def page_fonts(self, page: dict) -> dict:
+        """Font-name → string-decoder map for a page (see
+        ``make_font_decoder``). Unparseable font entries fall back to
+        the default latin-1 decoder rather than failing the page."""
+        res = self.page_resources(page)
+        fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
+        if not isinstance(fonts, dict):
+            return {}
+        out = {}
+        for name, ref in fonts.items():
+            key = ref if isinstance(ref, Ref) else None
+            if key is not None and key in self._font_cache:
+                out[name] = self._font_cache[key]
+                continue
+            try:
+                dec = self._font_decoder(self.resolve(ref))
+            except Exception:
+                dec = _decode_text_string
+            if key is not None:
+                self._font_cache[key] = dec
+            out[name] = dec
+        return out
+
+    def _font_decoder(self, font):
+        if not isinstance(font, dict):
+            return _decode_text_string
+        subtype = str(self.resolve(font.get("Subtype", "")))
+        mapping = None
+        code_len = 0
+        tu = self.resolve(font.get("ToUnicode"))
+        if isinstance(tu, tuple) and tu[0] == "stream":
+            code_len, mapping = parse_tounicode(self._decode_stream(tu[1], tu[2]))
+        if subtype == "Type0":
+            # composite font: 2-byte codes under Identity-H/V (and every
+            # CMap a text-generating producer emits for extraction
+            # purposes); Identity without ToUnicode ⇒ UTF-16BE bytes
+            enc = self.resolve(font.get("Encoding"))
+            identity = isinstance(enc, Name) and str(enc).startswith("Identity")
+            return make_font_decoder(2, mapping, identity_fallback=identity)
+        if mapping is not None:  # simple font (1-byte codes) w/ ToUnicode
+            return make_font_decoder(1, mapping, False)
+        return _decode_text_string
+
+    # -- image XObjects -----------------------------------------------------
+
+    def page_images(self, page: dict) -> "list[tuple[str, object]]":
+        """Decoded /Subtype /Image XObjects on a page as (name, uint8
+        ndarray) — the reference's actual use-case is scanned/table PDFs
+        whose content lives in page images, not the text layer
+        (scripts/ExtractX_OCR.py:263-265 rasterizes and extracts from
+        pixels). DCTDecode streams go through kernels/jpeg.py; Flate
+        (+PNG predictor) bitmaps through the shared stream decoder with
+        /Width /Height /BitsPerComponent /ColorSpace layout. Undecodable
+        images are skipped (reference skip-and-continue), not fatal."""
+        res = self.page_resources(page)
+        xo = self.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        out = []
+        if not isinstance(xo, dict):
+            return out
+        for name, ref in xo.items():
+            obj = self.resolve(ref)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                continue
+            d = obj[1]
+            if str(self.resolve(d.get("Subtype", ""))) != "Image":
+                continue
+            try:
+                out.append((str(name), self._decode_image_xobject(d, obj[2])))
+            except Exception:
+                continue
+        return out
+
+    def _decode_image_xobject(self, d: dict, raw: bytes):
+        import numpy as np
+
+        filt = self.resolve(d.get("Filter"))
+        names = [str(f) for f in (filt if isinstance(filt, list) else [filt])] if filt else []
+        if "DCTDecode" in names:
+            from ocr_spark.kernels.jpeg import decode_jpeg
+
+            if names and names[0] == "FlateDecode":  # Flate-wrapped JPEG
+                raw = zlib.decompress(raw)
+            arr = decode_jpeg(raw)
+            # single-component JPEG → 2-D gray, matching the raw-bitmap path
+            return arr[:, :, 0] if arr.ndim == 3 and arr.shape[2] == 1 else arr
+        data = self._decode_stream(d, raw)  # none / Flate (+predictor)
+        w = int(self.resolve(d["Width"]))
+        h = int(self.resolve(d["Height"]))
+        bpc = int(self.resolve(d.get("BitsPerComponent", 8)))
+        if bool(self.resolve(d.get("ImageMask", False))):
+            bpc = 1
+        cs = self.resolve(d.get("ColorSpace"))
+        ncomp = 3 if (cs is not None and str(cs) == "DeviceRGB") else 1
+        row_bytes = (w * ncomp * bpc + 7) // 8
+        if len(data) < row_bytes * h:
+            raise ValueError("PDF image stream truncated")
+        rows = np.frombuffer(data[: row_bytes * h], dtype=np.uint8).reshape(
+            h, row_bytes
+        )
+        if bpc == 8:
+            arr = rows[:, : w * ncomp]
+            return arr.reshape(h, w, 3) if ncomp == 3 else arr.reshape(h, w)
+        if bpc == 1:
+            bits = np.unpackbits(rows, axis=1)[:, : w * ncomp]
+            return (bits * 255).astype(np.uint8).reshape(h, w) if ncomp == 1 else (
+                (bits * 255).astype(np.uint8).reshape(h, w, 3)
+            )
+        raise NotImplementedError(f"PDF image BitsPerComponent {bpc}")
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps + font decoders (PDF 32000-1 §9.10.3)
+# ---------------------------------------------------------------------------
+
+
+def parse_tounicode(data: bytes) -> "tuple[int, dict[int, str]]":
+    """Parse a /ToUnicode CMap stream → (code_byte_length, {code: text}).
+
+    The CMap body is PostScript-flavored, but every payload we need is
+    PDF-lexable: hex strings, integers, arrays of hex strings, and the
+    bareword section operators ``begincodespacerange`` /
+    ``beginbfchar`` / ``beginbfrange``. Destination strings are UTF-16BE
+    (possibly multi-unit — ligatures, surrogate pairs). ``bfrange`` with
+    a scalar destination increments the destination as a big-endian
+    integer of fixed width (the spec's "last byte" increment, which for
+    well-formed ranges never carries past it); the array form maps each
+    code to its own string."""
+    code_len = 0
+    mapping: dict[int, str] = {}
+    lex = _Lexer(data, 0)
+    n = len(data)
+
+    def next_word() -> "bytes | None":
+        lex._skip_ws()
+        m = re.match(rb"[A-Za-z]+", data[lex.pos :])
+        if m:
+            lex.pos += m.end()
+            return m.group(0)
+        return None
+
+    def to_text(dst: bytes) -> str:
+        return dst.decode("utf-16-be", errors="replace")
+
+    while lex.pos < n:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos : lex.pos + 1]
+        if c in b"<([/+-.0123456789":
+            try:
+                obj = lex.parse()
+            except Exception:
+                lex.pos += 1
+                continue
+            continue  # operands outside a section we track — skip
+        word = next_word()
+        if word is None:
+            lex.pos += 1
+            continue
+        if word == b"begincodespacerange":
+            while True:
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 1] != b"<":
+                    break
+                lo = lex.parse()
+                hi = lex.parse()
+                if isinstance(lo, bytes):
+                    code_len = max(code_len, len(lo))
+        elif word == b"beginbfchar":
+            while True:
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 1] != b"<":
+                    break
+                src = lex.parse()
+                dst = lex.parse()
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    code_len = max(code_len, len(src))
+                    mapping[int.from_bytes(src, "big")] = to_text(dst)
+        elif word == b"beginbfrange":
+            while True:
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 1] != b"<":
+                    break
+                lo_b = lex.parse()
+                hi_b = lex.parse()
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 1] == b"[":
+                    dsts = lex.parse()
+                else:
+                    dsts = lex.parse()
+                if not (isinstance(lo_b, bytes) and isinstance(hi_b, bytes)):
+                    continue
+                code_len = max(code_len, len(lo_b))
+                lo, hi = int.from_bytes(lo_b, "big"), int.from_bytes(hi_b, "big")
+                if isinstance(dsts, list):
+                    for i, d in enumerate(dsts):
+                        if lo + i <= hi and isinstance(d, bytes):
+                            mapping[lo + i] = to_text(d)
+                elif isinstance(dsts, bytes) and dsts:
+                    base = int.from_bytes(dsts, "big")
+                    width = len(dsts)
+                    for i in range(hi - lo + 1):
+                        mapping[lo + i] = to_text(
+                            (base + i).to_bytes(width, "big")
+                        )
+    return (code_len or 2, mapping)
+
+
+def _cid_fallback_char(code: int) -> str:
+    """Unmapped 2-byte code under an Identity encoding: the code IS the
+    UTF-16 unit for BMP scalars; surrogate halves (which only appear
+    unpaired when the CMap is incomplete) degrade to U+FFFD."""
+    if 0xD800 <= code <= 0xDFFF:
+        return "�"
+    return chr(code)
+
+
+def make_font_decoder(
+    code_len: int,
+    mapping: "dict[int, str] | None",
+    identity_fallback: bool,
+):
+    """Build a ``(raw: bytes, from_hex: bool) -> str`` decoder.
+
+    - ``code_len == 2`` (composite/Type0): split into big-endian 2-byte
+      codes; map through ``mapping`` when given, else — for Identity
+      encodings without a ToUnicode CMap — decode the raw bytes as
+      UTF-16BE (``identity_fallback``).
+    - ``code_len == 1`` (simple font with ToUnicode): per-byte map,
+      latin-1 fallback per unmapped byte."""
+    if code_len == 2:
+        def decode2(raw: bytes, from_hex: bool) -> str:
+            if mapping is None:
+                if identity_fallback:
+                    return raw.decode("utf-16-be", errors="replace")
+                return _decode_text_string(raw, from_hex)
+            out = []
+            even = len(raw) - (len(raw) % 2)
+            for i in range(0, even, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                got = mapping.get(code)
+                out.append(got if got is not None else _cid_fallback_char(code))
+            return "".join(out)
+
+        return decode2
+
+    def decode1(raw: bytes, from_hex: bool) -> str:
+        if not mapping:
+            return _decode_text_string(raw, from_hex)
+        return "".join(
+            mapping.get(b, bytes([b]).decode("latin-1")) for b in raw
+        )
+
+    return decode1
+
 
 # ---------------------------------------------------------------------------
 # text extraction from content streams
@@ -486,12 +917,14 @@ def _decode_text_string(raw: bytes, from_hex: bool) -> str:
 
 
 def _cs_tokens(content: bytes):
-    """Position-based content-stream tokenizer: yields ("str", text),
-    ("[",), ("]",), ("op", bytes) — names/numbers yield ("operand",).
-    Literal strings go through the full object lexer, so NESTED
-    parentheses and every escape decode correctly (a regex cannot match
-    balanced nesting); << >> property-list dicts (BDC/DP) are consumed
-    whole via the object parser."""
+    """Position-based content-stream tokenizer: yields
+    ("str", raw_bytes, from_hex), ("name", text), ("[",), ("]",),
+    ("op", bytes) — numbers/dicts yield ("operand",). Literal strings go
+    through the full object lexer, so NESTED parentheses and every
+    escape decode correctly (a regex cannot match balanced nesting);
+    << >> property-list dicts (BDC/DP) are consumed whole via the object
+    parser. String DECODING is deferred to the consumer: which bytes→
+    text mapping applies depends on the currently-selected font (Tf)."""
     n = len(content)
     pos = 0
     while pos < n:
@@ -505,7 +938,7 @@ def _cs_tokens(content: bytes):
             lex = _Lexer(content, pos)
             raw = lex._literal_string()
             pos = lex.pos
-            yield ("str", _decode_text_string(raw, from_hex=False))
+            yield ("str", raw, False)
         elif c == b"<":
             if content[pos : pos + 2] == b"<<":
                 lex = _Lexer(content, pos)
@@ -523,7 +956,7 @@ def _cs_tokens(content: bytes):
                 if len(hx) % 2:
                     hx += b"0"
                 pos = end + 1
-                yield ("str", _decode_text_string(bytes.fromhex(hx.decode()), from_hex=True))
+                yield ("str", bytes.fromhex(hx.decode()), True)
         elif c == b"[":
             pos += 1
             yield ("[",)
@@ -533,7 +966,7 @@ def _cs_tokens(content: bytes):
         elif c == b"/":
             m = _NAME_RE.match(content, pos)
             pos = m.end()
-            yield ("operand",)
+            yield ("name", content[m.start() + 1 : m.end()].decode("latin-1"))
         elif c in b"+-.0123456789":
             m = _NUM_RE.match(content, pos)
             if m is None:
@@ -550,14 +983,22 @@ def _cs_tokens(content: bytes):
             yield ("op", m.group(0))
 
 
-def extract_text_ops(content: bytes) -> list[str]:
+def extract_text_ops(content: bytes, fonts: "dict | None" = None) -> list[str]:
     """Text runs from a content stream in operator order: Tj / ' / "
     emit their string; TJ emits its array's strings concatenated
-    (kerning numbers ignored). One list element per show operator."""
+    (kerning numbers ignored). One list element per show operator.
+
+    ``fonts`` maps font resource names (the /F1 in ``/F1 12 Tf``) to
+    ``(raw, from_hex) -> str`` decoders (see ``make_font_decoder``);
+    show strings decode through the currently-selected font. Without
+    ``fonts`` (or for unknown names) strings decode as latin-1 /
+    UTF-16BE-BOM-hex — the classic simple-font behavior."""
     out: list[str] = []
-    last_str: str | None = None  # most recent string operand
-    cur_array: list[str] | None = None  # strings collected between [ ]
-    pending_array: list[str] | None = None  # closed, awaiting operator
+    last_str: "tuple[bytes, bool] | None" = None  # most recent string operand
+    last_name: str | None = None  # most recent name operand
+    cur_array: "list | None" = None  # raw strings collected between [ ]
+    pending_array: "list | None" = None  # closed, awaiting operator
+    decoder = _decode_text_string
     for tok in _cs_tokens(content):
         kind = tok[0]
         if kind == "[":
@@ -566,33 +1007,40 @@ def extract_text_ops(content: bytes) -> list[str]:
             pending_array, cur_array = cur_array, None
         elif kind == "str":
             if cur_array is not None:
-                cur_array.append(tok[1])
+                cur_array.append((tok[1], tok[2]))
             else:
-                last_str = tok[1]
+                last_str = (tok[1], tok[2])
+        elif kind == "name":
+            last_name = tok[1]
         elif kind == "op":
             op = tok[1]
-            if op in (b"Tj", b"'", b'"'):
+            if op == b"Tf" and fonts is not None and last_name is not None:
+                decoder = fonts.get(last_name, _decode_text_string)
+            elif op in (b"Tj", b"'", b'"'):
                 if last_str is not None:
-                    out.append(last_str)
+                    out.append(decoder(*last_str))
             elif op == b"TJ" and pending_array is not None:
-                out.append("".join(pending_array))
+                out.append("".join(decoder(*s) for s in pending_array))
             # every operator consumes its operands (incl. a closed array
             # used by e.g. `[2 1] 0 d` dash patterns)
             last_str = None
+            last_name = None
             pending_array = None
-        # "operand" tokens (names/numbers/dicts) don't disturb strings
+        # "operand" tokens (numbers/dicts) don't disturb strings
     return out
 
 
 def extract_pages(data: bytes) -> list[str]:
     """PDF bytes → one text string per page (Tj/TJ runs joined with
-    newlines, page-tree order)."""
+    newlines, page-tree order), decoding show strings through each
+    page's fonts (ToUnicode CMaps / Identity-H — see module doc)."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (no %PDF header)")
     doc = PdfDoc(data)
     out = []
     for page in doc.pages():
-        out.append("\n".join(extract_text_ops(doc.content_bytes(page))))
+        fonts = doc.page_fonts(page)
+        out.append("\n".join(extract_text_ops(doc.content_bytes(page), fonts)))
     return out
 
 
@@ -601,6 +1049,21 @@ def page_count(data: bytes) -> int:
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (no %PDF header)")
     return len(PdfDoc(data).pages())
+
+
+def extract_images(data: bytes) -> "list[tuple[int, str, object]]":
+    """PDF bytes → [(1-based page_idx, xobject name, uint8 ndarray)] for
+    every decodable /Image XObject, page-tree order. The scanned-PDF
+    front door: feed the arrays to kernels/grid.read_grid_cells or
+    multimodal feature extraction."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF (no %PDF header)")
+    doc = PdfDoc(data)
+    out = []
+    for i, page in enumerate(doc.pages()):
+        for name, arr in doc.page_images(page):
+            out.append((i + 1, name, arr))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -661,6 +1124,298 @@ def build_pdf(pages: list[str]) -> bytes:
             + b"\nendstream"
         )
     objs.append(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")  # font
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _tounicode_stream(codes: "list[tuple[int, str]]") -> bytes:
+    """Standard /ToUnicode CMap body for (code, char) pairs: maximal
+    ``bfrange`` runs where code and (single-UTF-16-unit, BMP) char
+    advance in lockstep without crossing a low-byte boundary, ``bfchar``
+    for the rest (incl. astral chars as surrogate-pair destinations).
+    Blocks capped at 100 entries per the spec."""
+    singles: list[tuple[int, str]] = []
+    ranges: list[tuple[int, int, int]] = []  # (lo_code, hi_code, lo_ord)
+    i = 0
+    n = len(codes)
+    while i < n:
+        code, ch = codes[i]
+        if len(ch) == 1 and not (0xD800 <= ord(ch) <= 0xDFFF) and ord(ch) <= 0xFFFF:
+            j = i
+            while (
+                j + 1 < n
+                and codes[j + 1][0] == codes[j][0] + 1
+                and len(codes[j + 1][1]) == 1
+                and ord(codes[j + 1][1]) == ord(codes[j][1]) + 1
+                and ord(codes[j + 1][1]) <= 0xFFFF
+                and codes[j][0] & 0xFF != 0xFF  # don't cross byte boundary
+                and ord(codes[j][1]) & 0xFF != 0xFF
+            ):
+                j += 1
+            if j > i:
+                ranges.append((codes[i][0], codes[j][0], ord(ch)))
+                i = j + 1
+                continue
+        singles.append((code, ch))
+        i += 1
+
+    body = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo <</Registry (Adobe)/Ordering (UCS)/Supplement 0>> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    for k in range(0, len(ranges), 100):
+        blk = ranges[k : k + 100]
+        body.append(f"{len(blk)} beginbfrange\n".encode())
+        for lo, hi, o in blk:
+            body.append(f"<{lo:04X}> <{hi:04X}> <{o:04X}>\n".encode())
+        body.append(b"endbfrange\n")
+    for k in range(0, len(singles), 100):
+        blk = singles[k : k + 100]
+        body.append(f"{len(blk)} beginbfchar\n".encode())
+        for code, ch in blk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            body.append(f"<{code:04X}> <{dst}>\n".encode())
+        body.append(b"endbfchar\n")
+    body.append(
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    return b"".join(body)
+
+
+def build_pdf_cid(pages: list[str]) -> bytes:
+    """Deterministic classic-xref PDF whose text uses a SUBSET-style
+    Identity-H composite font: every show string is a hex string of
+    2-byte codes assigned in first-seen order (code 1, 2, …) — i.e. the
+    codes carry NO relation to Unicode, exactly like the subset fonts
+    Word/Chrome/PDFium emit — with a /ToUnicode CMap (bfrange + bfchar)
+    as the only road back to text. Round-trips through
+    ``extract_pages`` ONLY via the CMap path."""
+    code_of: dict[str, int] = {}
+    for text in pages:
+        for ch in text.replace("\n", ""):
+            if ch not in code_of:
+                code_of[ch] = len(code_of) + 1
+    if len(code_of) > 0xFFFE:
+        raise ValueError("CID fixture: too many distinct characters")
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    desc_num = font_num + 1
+    tu_num = font_num + 2
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs: list[bytes] = []
+    objs.append(b"<</Type/Catalog/Pages 2 0 R>>")  # 1
+    objs.append(f"<</Type/Pages/Count {n_pages}/Kids[{kids}]>>".encode())  # 2
+    for i, text in enumerate(pages):
+        page_num = 3 + 2 * i
+        objs.append(
+            (
+                f"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+                f"/Resources<</Font<</F1 {font_num} 0 R>>>>"
+                f"/Contents {page_num + 1} 0 R>>"
+            ).encode()
+        )
+        body = bytearray(b"BT\n/F1 12 Tf\n72 720 Td\n14 TL\n")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b"T*\n"
+            hx = "".join(f"{code_of[ch]:04X}" for ch in line)
+            body += b"<" + hx.encode() + b"> Tj\n"
+        body += b"ET"
+        z = zlib.compress(bytes(body))
+        objs.append(
+            f"<</Length {len(z)}/Filter/FlateDecode>>\nstream\n".encode()
+            + z
+            + b"\nendstream"
+        )
+    objs.append(
+        (
+            f"<</Type/Font/Subtype/Type0/BaseFont/AAAAAA+Fixture"
+            f"/Encoding/Identity-H/DescendantFonts[{desc_num} 0 R]"
+            f"/ToUnicode {tu_num} 0 R>>"
+        ).encode()
+    )
+    objs.append(
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/AAAAAA+Fixture"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/DW 1000>>"
+    )
+    cmap = zlib.compress(
+        _tounicode_stream(sorted((c, ch) for ch, c in code_of.items()))
+    )
+    objs.append(
+        f"<</Length {len(cmap)}/Filter/FlateDecode>>\nstream\n".encode()
+        + cmap
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def build_pdf_encrypted(pages: list[str], aes: bool = False) -> bytes:
+    """Deterministic ENCRYPTED classic-xref PDF (standard security
+    handler, empty user password — the overwhelmingly common "encrypted
+    but openable" document class): RC4-128 (/V 2 /R 3) or, with
+    ``aes=True``, AES-128-CBC (/V 4 /R 4 /CFM /AESV2). Same page/text
+    layout as ``build_pdf``; every content stream is encrypted with its
+    per-object key (Algorithm 1), /O and /U computed per Algorithms 3/5.
+    Round-trips exactly through ``extract_pages``."""
+    import hashlib
+
+    id0 = hashlib.md5(("\x1e".join(pages) + f"|aes={aes}").encode()).digest()
+    fields, o, _ = _std_security_dicts(aes)
+    enc_dict = {
+        "Filter": Name("Standard"),
+        "V": 4 if aes else 2,
+        "R": fields["R"],
+        "O": o,
+        "P": fields["P"],
+        "Length": fields["Length"],
+    }
+    if aes:
+        enc_dict["CF"] = {"StdCF": {"CFM": Name("AESV2")}}
+    sec = _StdSecurity(enc_dict, id0, lambda v: v)
+    u = _std_user_entry(sec, id0)
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    enc_num = font_num + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs: list[bytes] = []
+    objs.append(b"<</Type/Catalog/Pages 2 0 R>>")  # 1
+    objs.append(f"<</Type/Pages/Count {n_pages}/Kids[{kids}]>>".encode())  # 2
+    for i, text in enumerate(pages):
+        page_num = 3 + 2 * i
+        objs.append(
+            (
+                f"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+                f"/Resources<</Font<</F1 {font_num} 0 R>>>>"
+                f"/Contents {page_num + 1} 0 R>>"
+            ).encode()
+        )
+        body = bytearray(b"BT\n/F1 12 Tf\n72 720 Td\n14 TL\n")
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                body += b"T*\n"
+            body += _pdf_string_token(line) + b" Tj\n"
+        body += b"ET"
+        z = sec.encrypt(page_num + 1, 0, zlib.compress(bytes(body)))
+        objs.append(
+            f"<</Length {len(z)}/Filter/FlateDecode>>\nstream\n".encode()
+            + z
+            + b"\nendstream"
+        )
+    objs.append(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+    cf = "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>/StmF/StdCF/StrF/StdCF" if aes else ""
+    objs.append(
+        (
+            f"<</Filter/Standard/V {enc_dict['V']}/R {fields['R']}"
+            f"/Length {fields['Length']}/P {fields['P']}{cf}"
+            f"/O <{o.hex().upper()}>/U <{u.hex().upper()}>>>"
+        ).encode()
+    )
+
+    out = bytearray(b"%PDF-1.6\n" if aes else b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    idh = id0.hex().upper()
+    out += (
+        f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R"
+        f"/Encrypt {enc_num} 0 R/ID[<{idh}><{idh}>]>>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def build_pdf_images(images: "list[object]", jpeg: bool = False, quality: int = 90) -> bytes:
+    """Deterministic classic-xref PDF embedding one image XObject per
+    page — the scanned-document layout (a page whose only content is a
+    ``/Im0 Do``). ``images`` are uint8 ndarrays: 2-D DeviceGray or
+    (h, w, 3) DeviceRGB. ``jpeg=True`` stores them DCTDecode via
+    kernels/jpeg.encode_jpeg (the daat12221.pdf layout); else
+    FlateDecode raw samples. Round-trips through ``extract_images``
+    (exactly for Flate; JPEG to codec tolerance)."""
+    import numpy as np
+
+    objs: list[bytes] = []
+    n_pages = len(images)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<</Type/Catalog/Pages 2 0 R>>")  # 1
+    objs.append(f"<</Type/Pages/Count {n_pages}/Kids[{kids}]>>".encode())  # 2
+    for i, img in enumerate(images):
+        arr = np.asarray(img, dtype=np.uint8)
+        h, w = arr.shape[:2]
+        rgb = arr.ndim == 3
+        page_num = 3 + 3 * i
+        objs.append(
+            (
+                f"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+                f"/Resources<</XObject<</Im0 {page_num + 2} 0 R>>>>"
+                f"/Contents {page_num + 1} 0 R>>"
+            ).encode()
+        )
+        content = f"q\n{w} 0 0 {h} 72 {720 - h} cm\n/Im0 Do\nQ".encode()
+        zc = zlib.compress(content)
+        objs.append(
+            f"<</Length {len(zc)}/Filter/FlateDecode>>\nstream\n".encode()
+            + zc
+            + b"\nendstream"
+        )
+        if jpeg:
+            from ocr_spark.kernels.jpeg import encode_jpeg
+
+            payload = encode_jpeg(arr, quality=quality)
+            filt = "/Filter/DCTDecode"
+        else:
+            payload = zlib.compress(arr.tobytes())
+            filt = "/Filter/FlateDecode"
+        cspace = "/DeviceRGB" if rgb else "/DeviceGray"
+        objs.append(
+            (
+                f"<</Type/XObject/Subtype/Image/Width {w}/Height {h}"
+                f"/ColorSpace{cspace}/BitsPerComponent 8{filt}"
+                f"/Length {len(payload)}>>\nstream\n"
+            ).encode()
+            + payload
+            + b"\nendstream"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

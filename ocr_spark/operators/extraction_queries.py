@@ -126,6 +126,51 @@ def extract_grid_query(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "text").mapInPandas(_grid_roundtrip, schema)
 
 
+# -- PDF embedded-image grid extraction ------------------------------------
+
+
+def _pdf_image_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocr_spark.kernels.grid import read_grid_cells, render_grid
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")
+            cells = [["r", "s"], [words[0], words[-1]]]
+            img = (render_grid(cells) * 255).astype(np.uint8)
+            # DCTDecode page scan — the daat12221.pdf layout
+            data = build_pdf_images([img], jpeg=True, quality=90)
+            got = []
+            for _page, _name, arr in extract_images(data):
+                mask = (arr > 127).astype(np.uint8)
+                rows = read_grid_cells(mask)
+                header, body = rows[0], rows[1:]
+                for r in body:
+                    got.extend(f"{k}={v}" for k, v in zip(header, r))
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def pdf_image_extract_query(df: DataFrame) -> DataFrame:
+    """documents → grid image of [first, last] words → JPEG-encoded
+    /Image XObject inside a built PDF (the scanned-document layout,
+    daat12221.pdf's DCTDecode scans) → container parse → image decode
+    (kernels/jpeg.py) → threshold → full grid layout parse → key=value
+    cell text. Exercises the reference's ACTUAL use-case: content that
+    lives in page images, not the text layer
+    (scripts/ExtractX_OCR.py:263-265)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(_pdf_image_roundtrip, schema)
+
+
 # -- Null-token clean ------------------------------------------------------
 
 

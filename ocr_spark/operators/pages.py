@@ -177,3 +177,77 @@ def pdf_pages_from_bytes(
     )
     cols = ["doc_id", F.col(payload_col), *[F.col(c) for c in passthrough]]
     return df.select(*cols).mapInPandas(fn, schema)
+
+
+PDF_IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("page_idx", T.IntegerType()),
+        T.StructField("img_name", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def pdf_images_from_bytes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    passthrough: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Embedded-image extraction from PDF bytes: one row per decodable
+    /Image XObject with dims/channels/mean — the reference's scanned-PDF
+    reality (its fixtures carry their content as DCTDecode page scans,
+    scripts/ExtractX_OCR.py:263-265 extracts from rendered pixels).
+    DCTDecode → kernels/jpeg.py, Flate bitmaps → raw samples
+    (kernels/pdf.PdfDoc.page_images). Arrow-batched mapInPandas, one
+    fused Python stage, parallel axis = documents; undecodable files or
+    images contribute zero rows (skip-and-continue)."""
+    from ocr_spark.kernels.pdf import extract_images
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            extra: dict[str, list] = {c: [] for c in passthrough}
+            for row in pdf.itertuples(index=False):
+                try:
+                    imgs = extract_images(bytes(getattr(row, payload_col)))
+                except Exception:
+                    continue
+                for page_idx, name, arr in imgs:
+                    rows.append(
+                        (
+                            int(row.doc_id),
+                            int(page_idx),
+                            name,
+                            int(arr.shape[0]),
+                            int(arr.shape[1]),
+                            int(arr.shape[2]) if arr.ndim == 3 else 1,
+                            float(arr.mean()) if arr.size else 0.0,
+                        )
+                    )
+                    for c in passthrough:
+                        extra[c].append(getattr(row, c))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_idx", "img_name",
+                    "height", "width", "channels", "mean_px",
+                ],
+            )
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["page_idx"] = out["page_idx"].astype("int32")
+            for c in ("height", "width", "channels"):
+                out[c] = out[c].astype("int32")
+            out["mean_px"] = out["mean_px"].astype("float64")
+            for c in passthrough:
+                out[c] = pd.Series(extra[c], dtype="object")
+            yield out
+
+    schema = T.StructType(
+        list(PDF_IMAGES_SCHEMA.fields) + [df.schema[c] for c in passthrough]
+    )
+    cols = ["doc_id", F.col(payload_col), *[F.col(c) for c in passthrough]]
+    return df.select(*cols).mapInPandas(fn, schema)

@@ -86,6 +86,62 @@ def doc_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns (RE2-compatible subset so Spark's Java regex and the
+#: DuckDB oracle's RE2 agree byte-for-byte), applied in this order.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrubbing (the pre-training hygiene pass): replace emails,
+    IPv4 addresses, and NANP-style phone numbers with typed tokens and
+    count each category — counts are what a production pipeline writes
+    to lineage. Entirely JVM-side ``regexp_extract_all`` /
+    ``regexp_replace`` (whole-stage codegen, no Python), fixed match
+    order email → ip → phone so the engines' replacement text agrees."""
+    scrubbed = F.col(col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\\\")  # Spark SQL literal escaping
+        counts.append(
+            F.size(F.expr(f"regexp_extract_all({col}, '{sql_pat}', 0)"))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Repetition / boilerplate signal (the C4/Gopher-style quality
+    gate): duplicate-word fraction and duplicate-3-gram fraction, both
+    1 − distinct/total rounded to 4 decimals, plus the conventional
+    boilerplate flag at >0.3 duplicate words. Higher-order array
+    expressions only — no shuffle, no Python."""
+    words = _tokens(col)
+    n_words = F.size(words).cast("double")
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words
+    grams = F.expr(
+        f"case when size(split({col},' ')) < 3 then array()"
+        f" else transform(sequence(1, size(split({col},' ')) - 2),"
+        f"  i -> concat_ws(' ', slice(split({col},' '), i, 3))) end"
+    )
+    n_grams = F.size(grams).cast("double")
+    dup_gram = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.round(dup_word, 4).alias("dup_word_frac"),
+        F.round(dup_gram, 4).alias("dup_3gram_frac"),
+        (dup_word > 0.3).alias("is_repetitive"),
+    )
+
+
 def top_terms_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 20
 ) -> DataFrame:

@@ -6,12 +6,17 @@
 
 Directory listing (binaryFile source, glob pushed into the listing) →
 .pdf routing → REAL container parse (kernels/pdf.py: xref, page tree,
-FlateDecode, Tj/TJ text) → 1-based page rows → optional page-range
-filter (end clamped per the reference, scripts/ExtractX_OCR.py:252-258)
-→ parquet, with one JSON summary line on stdout. Mirrors
-scripts/ExtractX_OCR.py:240-288 + :505-577 for the PDF branch; images
-are image_job.py, transcripts are job.py. Unparseable PDFs contribute
-zero pages (skip-and-continue, :282-284) and are counted in the summary.
+FlateDecode, CID/ToUnicode text decode) → 1-based page rows → optional
+page-range filter (end clamped per the reference,
+scripts/ExtractX_OCR.py:252-258) → parquet, with one JSON summary line
+on stdout. ``--images out.parquet`` additionally extracts every
+embedded /Image XObject (DCTDecode via kernels/jpeg.py, Flate bitmaps)
+— the reference's scanned-PDF reality: its own daat12221.pdf carries
+its content as two page scans and a 3-char text layer
+(scripts/ExtractX_OCR.py:263-265). Mirrors :240-288 + :505-577 for the
+PDF branch; standalone images are image_job.py, transcripts are job.py.
+Unparseable PDFs contribute zero pages (skip-and-continue, :282-284)
+and are counted in the summary.
 """
 
 from __future__ import annotations
@@ -32,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--glob", default=None)
     p.add_argument("--start-page", type=int, default=1)
     p.add_argument("--end-page", type=int, default=None)
+    p.add_argument(
+        "--images",
+        default=None,
+        help="also extract embedded /Image XObjects to this parquet path",
+    )
     args = p.parse_args(argv)
 
     from ocr_spark.operators import pages
@@ -59,6 +69,29 @@ def main(argv: list[str] | None = None) -> int:
     out = page_rows.select("path", "page_idx", "page_text")
     out.write.mode("overwrite").parquet(args.output)
 
+    img_summary = {}
+    if args.images:
+        imgs = pages.pdf_images_from_bytes(docs, passthrough=("path",))
+        imgs.select(
+            "path", "page_idx", "img_name",
+            "height", "width", "channels", "mean_px",
+        ).write.mode("overwrite").parquet(args.images)
+        istats = (
+            spark.read.parquet(args.images)
+            .agg(
+                F.count("*").alias("n_images"),
+                F.sum(
+                    F.col("height").cast("long") * F.col("width") * F.col("channels")
+                ).alias("image_px"),
+            )
+            .first()
+        )
+        img_summary = {
+            "images": int(istats["n_images"]),
+            "image_px": int(istats["image_px"] or 0),
+            "images_output": args.images,
+        }
+
     written = spark.read.parquet(args.output)
     # ONE job for the summary: files seen vs files that produced pages
     n_files = docs.count()
@@ -75,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                 "pages": int(stats["n_pages"]),
                 "wall_sec": round(time.monotonic() - t0, 2),
                 "output": args.output,
+                **img_summary,
             }
         )
     )

@@ -384,3 +384,343 @@ def test_hybrid_reference_file_xrefstm():
     data = bytes(out)
     assert extract_pages(data) == ["hybrid text"]
     assert page_count(data) == 1
+
+
+# ---------------------------------------------------------------------------
+# CID / ToUnicode text decoding (round-4: the real-world font path)
+# ---------------------------------------------------------------------------
+
+
+def test_cid_roundtrip_multi_page():
+    from ocr_spark.kernels.pdf import build_pdf_cid
+
+    pages = [
+        "hello world\nsecond line",
+        "unicode — ü 中文 and 𝄞 astral",
+        "",
+        "repeat hello",
+    ]
+    data = build_pdf_cid(pages)
+    # the show strings are 2-byte subset codes: the raw bytes must NOT
+    # contain the page text (proves decoding went through the CMap)
+    assert b"hello" not in data
+    assert extract_pages(data) == pages
+    assert page_count(data) == len(pages)
+
+
+def test_cid_codes_are_not_unicode():
+    # first-seen code assignment: 'h'→1, 'e'→2 … — a decoder that
+    # UTF-16BE-decodes the bytes instead of consulting the CMap yields
+    # control characters, not text
+    from ocr_spark.kernels.pdf import build_pdf_cid
+
+    data = build_pdf_cid(["abc"])
+    assert extract_pages(data) == ["abc"]
+
+
+def test_parse_tounicode_bfchar_and_scalar_bfrange():
+    from ocr_spark.kernels.pdf import parse_tounicode
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0003> <0041>\n<0007> <D834DD1E>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+        b"endcmap\nend\nend\n"
+    )
+    nbytes, m = parse_tounicode(cmap)
+    assert nbytes == 2
+    assert m[3] == "A"
+    assert m[7] == "\U0001d11e"  # surrogate-pair destination
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+
+
+def test_parse_tounicode_array_bfrange():
+    from ocr_spark.kernels.pdf import parse_tounicode
+
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0001> <0003> [<0058> <0059> <005A>]\nendbfrange\n"
+        b"endcmap\n"
+    )
+    _n, m = parse_tounicode(cmap)
+    assert (m[1], m[2], m[3]) == ("X", "Y", "Z")
+
+
+def test_identity_h_without_tounicode_decodes_utf16be():
+    # Identity-H with no /ToUnicode: the fallback is UTF-16BE code units
+    # (codes == unicode for unsubsetted identity fonts)
+    from ocr_spark.kernels.pdf import build_pdf_cid
+
+    data = build_pdf_cid(["fallback ok"])
+    # strip the /ToUnicode entry (equal-length patch keeps xref valid)
+    patched = data.replace(b"/ToUnicode", b"/XoUnicode")
+    assert len(patched) == len(data)
+    got = extract_pages(patched)[0]
+    # each char of "fallback ok" decodes to chr(first-seen code) — the
+    # UTF-16BE identity reading of the 2-byte code units
+    order = {}
+    for ch in "fallback ok":
+        order.setdefault(ch, len(order) + 1)
+    assert got == "".join(chr(order[ch]) for ch in "fallback ok")
+
+
+def test_simple_font_with_tounicode_one_byte_codes():
+    # a 1-byte-code simple font whose ToUnicode remaps bytes
+    import zlib as _zlib
+
+    from ocr_spark.kernels.pdf import PdfDoc
+    from ocr_spark.kernels.pdf import extract_text_ops as eto
+
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0068>\n<42> <0069>\nendbfchar\nendcmap\n"
+    )
+    z = _zlib.compress(cmap)
+    content = b"BT /F9 10 Tf (AB) Tj ET"
+    zc = _zlib.compress(content)
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Count 1/Kids[3 0 R]>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F9 5 0 R>>>>/Contents 4 0 R>>",
+        b"<</Length " + str(len(zc)).encode() + b"/Filter/FlateDecode>>\nstream\n" + zc + b"\nendstream",
+        b"<</Type/Font/Subtype/TrueType/BaseFont/Whatever/ToUnicode 6 0 R>>",
+        b"<</Length " + str(len(z)).encode() + b"/Filter/FlateDecode>>\nstream\n" + z + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += f"trailer\n<</Size {len(objs)+1}/Root 1 0 R>>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    assert extract_pages(bytes(out)) == ["hi"]
+
+
+def test_tf_switches_decoder_within_content_stream():
+    # two fonts in one stream: /F1 simple latin-1, /F2 CID via fonts map
+    from ocr_spark.kernels.pdf import extract_text_ops, make_font_decoder
+
+    cid = make_font_decoder(2, {1: "Z", 2: "q"}, identity_fallback=True)
+    fonts = {"F2": cid}
+    content = (
+        b"BT /F1 12 Tf (plain) Tj /F2 12 Tf <00010002> Tj "
+        b"/F1 12 Tf (back) Tj ET"
+    )
+    assert extract_text_ops(content, fonts) == ["plain", "Zq", "back"]
+
+
+def test_resources_inherited_from_pages_node():
+    # /Resources on the Pages NODE, not the page: inheritance walk
+    import zlib as _zlib
+
+    from ocr_spark.kernels.pdf import build_pdf_cid
+
+    data = build_pdf_cid(["inherited resources"])
+    # move Resources up: point the page's Resources at an empty dict and
+    # the parent at the real one — instead construct directly:
+    # simpler: patch the page dict to drop Resources and add to parent
+    # (string surgery is brittle; build a tiny doc by hand)
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<58> <0057>\nendbfchar\nendcmap\n"
+    )
+    z = _zlib.compress(cmap)
+    content = b"BT /F1 1 Tf (X) Tj ET"
+    zc = _zlib.compress(content)
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Count 1/Kids[3 0 R]/Resources<</Font<</F1 5 0 R>>>>>>",
+        b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+        b"<</Length " + str(len(zc)).encode() + b"/Filter/FlateDecode>>\nstream\n" + zc + b"\nendstream",
+        b"<</Type/Font/Subtype/TrueType/BaseFont/X/ToUnicode 6 0 R>>",
+        b"<</Length " + str(len(z)).encode() + b"/Filter/FlateDecode>>\nstream\n" + z + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += f"trailer\n<</Size {len(objs)+1}/Root 1 0 R>>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    assert extract_pages(bytes(out)) == ["W"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/input/grid data.pdf"),
+    reason="reference fixtures absent",
+)
+def test_reference_fixture_cid_text_is_readable():
+    # both reference fixtures use Identity-H CID fonts with ToUnicode
+    # CMaps; extraction must return NUL-free readable text — 'grid
+    # data.pdf' carries a 15KB text layer beginning with the April table
+    raw = open("/root/reference/data/input/grid data.pdf", "rb").read()
+    txt = extract_pages(raw)[0]
+    assert "\x00" not in txt
+    assert txt.startswith("April")
+    assert "DATA" in txt and "HALL" in txt
+    raw2 = open("/root/reference/data/input/daat12221.pdf", "rb").read()
+    txt2 = extract_pages(raw2)[0]
+    assert "\x00" not in txt2  # scanned page: tiny text layer, but clean
+
+
+# ---------------------------------------------------------------------------
+# image XObjects (round-4: the scanned-PDF reality)
+# ---------------------------------------------------------------------------
+
+
+def test_image_xobject_flate_roundtrip_exact():
+    import numpy as np
+
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    gray = np.arange(300, dtype=np.uint8).reshape(15, 20) % 256
+    rgb = np.dstack([gray, gray // 2, 255 - gray])
+    data = build_pdf_images([gray, rgb])
+    imgs = extract_images(data)
+    assert [(p, n) for p, n, _ in imgs] == [(1, "Im0"), (2, "Im0")]
+    assert np.array_equal(imgs[0][2], gray)
+    assert np.array_equal(imgs[1][2], rgb)
+
+
+def test_image_xobject_jpeg_grid_cells_decode():
+    import numpy as np
+
+    from ocr_spark.kernels.grid import read_grid_cells, render_grid
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    cells = [["r", "s"], ["hello", "wo4ld"]]
+    img = (render_grid(cells) * 255).astype(np.uint8)
+    data = build_pdf_images([img], jpeg=True, quality=90)
+    got = extract_images(data)[0][2]
+    assert got.ndim == 2  # single-component JPEG → 2-D gray
+    assert read_grid_cells((got > 127).astype(np.uint8)) == cells
+
+
+def test_image_xobject_1bit_bitmap():
+    import zlib as _zlib
+
+    import numpy as np
+
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    # patch a built PDF? simpler: hand-build via build_pdf_images then
+    # verify the 1-bit path directly through PdfDoc._decode_image_xobject
+    from ocr_spark.kernels.pdf import PdfDoc, Name, build_pdf
+
+    doc = PdfDoc(build_pdf(["x"]))
+    bits = np.array([[1, 0, 1, 0, 1], [0, 1, 0, 1, 0]], dtype=np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    d = {
+        "Subtype": Name("Image"), "Width": 5, "Height": 2,
+        "BitsPerComponent": 1, "ColorSpace": Name("DeviceGray"),
+        "Filter": Name("FlateDecode"),
+    }
+    arr = doc._decode_image_xobject(d, _zlib.compress(packed))
+    assert np.array_equal(arr, bits * 255)
+
+
+def test_spark_pdf_images_from_bytes(spark):
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.kernels.pdf import build_pdf, build_pdf_images
+    from ocr_spark.operators import pages as pages_ops
+
+    img = np.full((8, 9), 100, np.uint8)
+    docs = [
+        (0, build_pdf_images([img, img])),
+        (1, build_pdf(["text only, no images"])),
+        (2, b"corrupt"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [d[0] for d in docs], "payload": [d[1] for d in docs]})
+    )
+    out = (
+        pages_ops.pdf_images_from_bytes(df)
+        .toPandas()
+        .sort_values(["doc_id", "page_idx"], ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 0]
+    assert out["page_idx"].tolist() == [1, 2]
+    assert out["height"].tolist() == [8, 8]
+    assert out["width"].tolist() == [9, 9]
+    assert out["channels"].tolist() == [1, 1]
+    assert out["mean_px"].tolist() == [100.0, 100.0]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/input/daat12221.pdf"),
+    reason="reference fixtures absent",
+)
+def test_reference_fixture_embedded_images_decode():
+    # daat12221.pdf is a scanned document: 2 DCTDecode XObjects carry
+    # the content (its text layer is 3 chars) — the parser must surface
+    # the actual scans (reference behavior: rasterize + extract pixels,
+    # scripts/ExtractX_OCR.py:263-265)
+    from ocr_spark.kernels.pdf import extract_images
+
+    raw = open("/root/reference/data/input/daat12221.pdf", "rb").read()
+    imgs = extract_images(raw)
+    assert len(imgs) == 2
+    for page, _name, arr in imgs:
+        assert page == 1
+        assert arr.shape == (1620, 2305, 3)
+    raw2 = open("/root/reference/data/input/grid data.pdf", "rb").read()
+    imgs2 = extract_images(raw2)
+    assert len(imgs2) == 1 and imgs2[0][2].shape == (2200, 1700, 3)
+
+
+# ---------------------------------------------------------------------------
+# encrypted PDFs (round-4: standard security handler, empty password)
+# ---------------------------------------------------------------------------
+
+
+def test_encrypted_rc4_roundtrip():
+    from ocr_spark.kernels.pdf import build_pdf_encrypted
+
+    pages = ["rc4 page one\nsecond line", "unicode — ü 中文", "", "last"]
+    data = build_pdf_encrypted(pages, aes=False)
+    assert b"rc4 page" not in data  # content streams are ciphertext
+    assert extract_pages(data) == pages
+    assert page_count(data) == len(pages)
+
+
+def test_encrypted_aesv2_roundtrip():
+    from ocr_spark.kernels.pdf import build_pdf_encrypted
+
+    pages = ["aes page (with parens) and \\ escape", "two"]
+    data = build_pdf_encrypted(pages, aes=True)
+    assert b"aes page" not in data
+    assert b"AESV2" in data
+    assert extract_pages(data) == pages
+
+
+def test_encrypted_matches_plaintext_twin():
+    # the VERDICT's done-criterion: an encrypted empty-password PDF
+    # extracts identically to its unencrypted twin
+    from ocr_spark.kernels.pdf import build_pdf_encrypted
+
+    pages = ["twin check alpha", "twin check beta\ngamma"]
+    plain = extract_pages(build_pdf(pages))
+    assert extract_pages(build_pdf_encrypted(pages, aes=False)) == plain
+    assert extract_pages(build_pdf_encrypted(pages, aes=True)) == plain
+
+
+def test_encrypted_tampered_key_material_fails_or_garbles():
+    # flipping /O changes the derived file key: FlateDecode of the
+    # mis-decrypted stream must fail loudly (zlib error), never return
+    # silently wrong text
+    from ocr_spark.kernels.pdf import build_pdf_encrypted
+
+    data = build_pdf_encrypted(["tamper me"], aes=False)
+    i = data.index(b"/O <") + 4
+    tampered = data[:i] + (b"00" if data[i:i+2] != b"00" else b"11") + data[i+2:]
+    with pytest.raises(Exception):
+        extract_pages(tampered)
