@@ -81,6 +81,15 @@ HEADLINE_QUERIES = [
     "dedup_clusters",
     "ann_ivf_pq",
     "pdf_text_extract",
+    # round-4 additions (bench honesty: every new nontrivial operator is
+    # timed from the round it lands): CID-font text decode, embedded-
+    # image extraction chain, encrypted-container decrypt+parse, and the
+    # two JVM-side text-quality passes
+    "pdf_cid_text_extract",
+    "pdf_image_extract",
+    "pdf_encrypted_extract",
+    "pii_scrub",
+    "repetition_score",
 ]
 
 
