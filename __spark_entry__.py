@@ -23,6 +23,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session's full parallelism before
+    CPU-bound per-document Python work.
+
+    The test-SF corpus is ONE parquet split (~600 KB at sf0.1), but each
+    document carries milliseconds-to-seconds of codec work (build + parse
+    a real PDF container, AES/RC4, JPEG decode) — the classic
+    small-input / large-compute shape where the scan's split count, not
+    the cluster, would otherwise cap parallelism (measured: the encrypted
+    -PDF query ran 56 s on one core of 32 before this). The round-robin
+    exchange moves only (doc_id, text) once and is noise next to the
+    kernels; at 100 TB the scan already yields thousands of splits and
+    the same repartition merely rebalances skewed splits."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -218,7 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 T.StructField("payload", T.BinaryType()),
             ]
         )
-        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        pdfs = _docs_par(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
         return pages.pdf_pages_from_bytes(pdfs)
 
     def pdf_cid_text_extract(spark, sf):
@@ -259,14 +275,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 T.StructField("payload", T.BinaryType()),
             ]
         )
-        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        pdfs = _docs_par(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
         return pages.pdf_pages_from_bytes(pdfs)
 
     def pdf_image_extract(spark, sf):
         # the reference's scanned-PDF use-case end-to-end: grid image →
         # JPEG (DCTDecode) XObject in a built PDF → container parse →
         # kernels/jpeg decode → threshold → grid layout parse → cells
-        return xq.pdf_image_extract_query(_docs(spark, sf))
+        return xq.pdf_image_extract_query(_docs_par(spark, sf))
 
     def pdf_encrypted_extract(spark, sf):
         # encrypted-but-openable PDFs (standard security handler, empty
@@ -303,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 T.StructField("payload", T.BinaryType()),
             ]
         )
-        pdfs = _docs(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
+        pdfs = _docs_par(spark, sf).select("doc_id", "text").mapInPandas(build, schema)
         return pages.pdf_pages_from_bytes(pdfs)
 
     def b64_encode(spark, sf):

@@ -370,3 +370,19 @@ def test_pdf_text_extract_is_single_python_chain_no_shuffle(spark):
     )
     plan = _plan(out)
     assert "Exchange" not in plan
+
+
+def test_pdf_query_repartitions_once_then_stays_fused(spark):
+    """The registered PDF queries force doc-axis parallelism with ONE
+    round-robin exchange before the codec chain (the corpus parquet is a
+    single split at test SF while each doc carries real per-doc codec
+    work); everything after the exchange is still one fused Python chain
+    with no further shuffle."""
+    import __spark_entry__ as se
+
+    out = se.queries()["pdf_encrypted_extract"](spark, SF)
+    plan = _plan(out)
+    ex = _exchange_blocks(plan)
+    assert len(ex) == 1, plan
+    assert "RoundRobinPartitioning" in ex[0] or "roundrobin" in ex[0].lower(), ex[0]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
