@@ -284,6 +284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernels/jpeg decode → threshold → grid layout parse → cells
         return xq.pdf_image_extract_query(_docs_par(spark, sf))
 
+    def pdf_ccitt_image_extract(spark, sf):
+        # the scanned-fax sibling: grid image → 1-bit Group 4
+        # /CCITTFaxDecode XObject (ITU-T T.6, kernels/ccitt.py; odd docs
+        # /EncodedByteAlign) → container parse → G4 decode → grid cells
+        return xq.pdf_ccitt_image_extract_query(_docs_par(spark, sf))
+
     def pdf_encrypted_extract(spark, sf):
         # encrypted-but-openable PDFs (standard security handler, empty
         # user password): even docs RC4-128, odd docs AES-128 /AESV2 —
@@ -1021,7 +1027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_first_n_pages": limit_first_n_pages,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
-        "max_len_per_col": max_len_per_col,
         "page_count_scan": page_count_scan,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "empty_result_filter": empty_result_filter,
@@ -1031,11 +1036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": pdf_text_extract,
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
+        "pdf_ccitt_image_extract": pdf_ccitt_image_extract,
         "pdf_encrypted_extract": pdf_encrypted_extract,
         # ---- rotated out of the 50-entry driver window (multi-round
         # driver-green r2+r3; re-proven every round by the in-gate
         # sf0.001 contract replay, tests/test_contract_gate.py) ----
         "projection_table_data": projection_table_data,
+        "max_len_per_col": max_len_per_col,
         "records_to_table": records_to_table,
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
@@ -1491,6 +1498,12 @@ def oracle_sql() -> dict[str, str]:
         # the cell text must survive the whole scanned-document chain
         "pdf_image_extract": (
             "SELECT doc_id, 'r=' || w[1] || '|s=' || w[-1] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # Group 4 fax scan: same chain through the T.6 codec instead of
+        # JPEG — cell text must survive the 1-bit CCITT round-trip
+        "pdf_ccitt_image_extract": (
+            "SELECT doc_id, 'f=' || w[1] || '|l=' || w[-1] AS cells_text"
             " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
         ),
         # encrypted containers must decrypt to the exact 6-word chunking

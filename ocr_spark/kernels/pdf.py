@@ -726,6 +726,8 @@ class PdfDoc:
             arr = decode_jpeg(raw)
             # single-component JPEG → 2-D gray, matching the raw-bitmap path
             return arr[:, :, 0] if arr.ndim == 3 and arr.shape[2] == 1 else arr
+        if "CCITTFaxDecode" in names:
+            return self._decode_ccitt_image(d, raw, names)
         data = self._decode_stream(d, raw)  # none / Flate (+predictor)
         w = int(self.resolve(d["Width"]))
         h = int(self.resolve(d["Height"]))
@@ -749,6 +751,43 @@ class PdfDoc:
                 (bits * 255).astype(np.uint8).reshape(h, w, 3)
             )
         raise NotImplementedError(f"PDF image BitsPerComponent {bpc}")
+
+    def _decode_ccitt_image(self, d: dict, raw: bytes, names: "list[str]"):
+        """/CCITTFaxDecode image → (h, w) uint8 gray. Group 4 (/K < 0)
+        only — the encoding scanner firmwares and fax gateways emit for
+        1-bit scanned documents (ITU-T T.6 via kernels/ccitt.py). The
+        Group 3 variants (/K >= 0) stay a guarded seam."""
+        import numpy as np
+
+        from ocr_spark.kernels.ccitt import decode_g4
+
+        if names[0] == "FlateDecode":  # Flate-wrapped CCITT payload
+            raw = zlib.decompress(raw)
+        # per-filter DecodeParms: an array parallels the /Filter array
+        parms = self.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = self.resolve(parms[names.index("CCITTFaxDecode")])
+        if not isinstance(parms, dict):
+            parms = {}
+        k = int(self.resolve(parms.get("K", 0)))
+        if k >= 0:
+            raise NotImplementedError(
+                f"CCITTFaxDecode /K {k} (Group 3) unsupported — only G4"
+            )
+        columns = int(self.resolve(parms.get("Columns", 1728)))
+        rows = int(self.resolve(parms.get("Rows", d.get("Height", 0))))
+        if rows <= 0:
+            rows = int(self.resolve(d["Height"]))
+        black_is_1 = bool(self.resolve(parms.get("BlackIs1", False)))
+        byte_align = bool(self.resolve(parms.get("EncodedByteAlign", False)))
+        bm = decode_g4(raw, columns, rows, byte_align=byte_align)
+        # filter-output samples: 0 = black unless /BlackIs1; DeviceGray
+        # then maps sample→intensity (0 = black), /Decode [1 0] inverts
+        samples = bm if black_is_1 else (1 - bm)
+        dec = self.resolve(d.get("Decode"))
+        if isinstance(dec, list) and [float(self.resolve(v)) for v in dec] == [1.0, 0.0]:
+            samples = 1 - samples
+        return (samples * 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -1364,14 +1403,23 @@ def build_pdf_encrypted(pages: list[str], aes: bool = False) -> bytes:
     return bytes(out)
 
 
-def build_pdf_images(images: "list[object]", jpeg: bool = False, quality: int = 90) -> bytes:
+def build_pdf_images(
+    images: "list[object]",
+    jpeg: bool = False,
+    quality: int = 90,
+    ccitt: bool = False,
+    byte_align: bool = False,
+) -> bytes:
     """Deterministic classic-xref PDF embedding one image XObject per
     page — the scanned-document layout (a page whose only content is a
     ``/Im0 Do``). ``images`` are uint8 ndarrays: 2-D DeviceGray or
     (h, w, 3) DeviceRGB. ``jpeg=True`` stores them DCTDecode via
-    kernels/jpeg.encode_jpeg (the daat12221.pdf layout); else
-    FlateDecode raw samples. Round-trips through ``extract_images``
-    (exactly for Flate; JPEG to codec tolerance)."""
+    kernels/jpeg.encode_jpeg (the daat12221.pdf layout); ``ccitt=True``
+    thresholds 2-D images at 128 and stores Group 4 /CCITTFaxDecode
+    (the office-scanner layout, kernels/ccitt.py — exact round-trip for
+    binary 0/255 inputs); else FlateDecode raw samples. Round-trips
+    through ``extract_images`` (exactly for Flate/CCITT; JPEG to codec
+    tolerance)."""
     import numpy as np
 
     objs: list[bytes] = []
@@ -1398,7 +1446,18 @@ def build_pdf_images(images: "list[object]", jpeg: bool = False, quality: int = 
             + zc
             + b"\nendstream"
         )
-        if jpeg:
+        bpc = 8
+        if ccitt and not rgb:
+            from ocr_spark.kernels.ccitt import encode_g4
+
+            payload = encode_g4(arr < 128, byte_align=byte_align)
+            ba = "true" if byte_align else "false"
+            filt = (
+                f"/Filter/CCITTFaxDecode/DecodeParms<</K -1/Columns {w}"
+                f"/Rows {h}/BlackIs1 false/EncodedByteAlign {ba}>>"
+            )
+            bpc = 1
+        elif jpeg:
             from ocr_spark.kernels.jpeg import encode_jpeg
 
             payload = encode_jpeg(arr, quality=quality)
@@ -1410,7 +1469,7 @@ def build_pdf_images(images: "list[object]", jpeg: bool = False, quality: int = 
         objs.append(
             (
                 f"<</Type/XObject/Subtype/Image/Width {w}/Height {h}"
-                f"/ColorSpace{cspace}/BitsPerComponent 8{filt}"
+                f"/ColorSpace{cspace}/BitsPerComponent {bpc}{filt}"
                 f"/Length {len(payload)}>>\nstream\n"
             ).encode()
             + payload

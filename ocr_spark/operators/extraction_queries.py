@@ -154,6 +154,50 @@ def _pdf_image_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
 
 
+def _pdf_ccitt_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocr_spark.kernels.grid import read_grid_cells, render_grid
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")
+            cells = [["f", "l"], [words[0], words[-1]]]
+            img = (render_grid(cells) * 255).astype(np.uint8)
+            # Group 4 scan — the office-scanner layout; parity picks the
+            # /EncodedByteAlign variant so both bit layouts are exercised
+            data = build_pdf_images(
+                [img], ccitt=True, byte_align=bool(int(doc_id) % 2)
+            )
+            got = []
+            for _page, _name, arr in extract_images(data):
+                mask = (arr > 127).astype(np.uint8)
+                rows = read_grid_cells(mask)
+                header, body = rows[0], rows[1:]
+                for r in body:
+                    got.extend(f"{k}={v}" for k, v in zip(header, r))
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def pdf_ccitt_image_extract_query(df: DataFrame) -> DataFrame:
+    """documents → grid image of [first, last] words → 1-bit Group 4
+    /CCITTFaxDecode XObject inside a built PDF (the office-scanner
+    layout, kernels/ccitt.py ITU-T T.6 codec, half the docs with
+    /EncodedByteAlign) → container parse → G4 decode → grid layout
+    parse → key=value cell text. The scanned-fax sibling of
+    pdf_image_extract (scripts/ExtractX_OCR.py:263-265)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(_pdf_ccitt_roundtrip, schema)
+
+
 def pdf_image_extract_query(df: DataFrame) -> DataFrame:
     """documents → grid image of [first, last] words → JPEG-encoded
     /Image XObject inside a built PDF (the scanned-document layout,
