@@ -285,9 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return xq.pdf_image_extract_query(_docs_par(spark, sf))
 
     def pdf_ccitt_image_extract(spark, sf):
-        # the scanned-fax sibling: grid image → 1-bit Group 4
-        # /CCITTFaxDecode XObject (ITU-T T.6, kernels/ccitt.py; odd docs
-        # /EncodedByteAlign) → container parse → G4 decode → grid cells
+        # the scanned-fax sibling: grid image → 1-bit /CCITTFaxDecode
+        # XObject (ITU-T T.6/T.4, kernels/ccitt.py; doc_id%4 walks G4,
+        # G4 byte-aligned, G3 1-D, G3 mixed 2-D) → parse → grid cells
         return xq.pdf_ccitt_image_extract_query(_docs_par(spark, sf))
 
     def pdf_encrypted_extract(spark, sf):
@@ -656,6 +656,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.repetition_score(injected)
 
+    def url_extract(spark, sf):
+        # deterministic URL injection by doc_id%3 (none / one clean URL /
+        # one blocklisted + one clean), then the JVM-side extractor:
+        # URL count, sorted distinct domains, blocklist flag. The oracle
+        # replays injection AND extraction in DuckDB's RE2.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 3
+        injected = d.select(
+            "doc_id",
+            F.when(
+                m == 1,
+                F.concat(
+                    F.col("text"), F.lit(" see http://h"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.com/p now"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.col("text"), F.lit(" via https://cdn"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".tracker.net/x and http://ok.example.com/y"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.url_extract(injected)
+
+    def decontaminate(spark, sf):
+        # benchmark decontamination: docs with doc_id%97==0 stand in for
+        # the eval suite (deterministic, ~1% of the corpus — the
+        # bounded-broadcast shape of a real eval set); overlap unit is
+        # the word 5-gram. Bench docs flag themselves, and any doc
+        # sharing a 5-gram (exact/near dups of bench docs) flags too.
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        return textops.decontaminate(d, bench)
+
+    def pack_sequences(spark, sf):
+        # training-batch assembly: concatenate docs in doc_id order
+        # within doc_id%64 shards, cut every 512 tokens; each doc gets
+        # (seq_idx, pos_in_seq) — integer arithmetic, exact oracle
+        return textops.pack_sequences(_docs(spark, sf))
+
+    def domain_mix(spark, sf):
+        # α=0.5 temperature mixture over the real `source` column:
+        # per-domain up/down-sampling factor q/p, √ + integer
+        # micro-units so the oracle replays bit-for-bit
+        return textops.domain_mix(_docs(spark, sf))
+
     def minhash_signature(spark, sf):
         sigs = dedup.minhash_signatures(_docs(spark, sf))
         return sigs.select(
@@ -988,15 +1040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "dedup_exact": dedup_exact,
-        "minhash_signature": minhash_signature,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_clusters": dedup_clusters,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_embedding_cosine_exact": dedup_embedding_cosine_exact,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1014,7 +1063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
-        "top_terms": top_terms,
+        "url_extract": url_extract,
+        "decontaminate": decontaminate,
+        "pack_sequences": pack_sequences,
+        "domain_mix": domain_mix,
         "tfidf_top_terms": tfidf_top_terms,
         "quantize_embeddings": quantize_embeddings,
         # ---- reference §2 extraction slugs ----
@@ -1043,6 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001 contract replay, tests/test_contract_gate.py) ----
         "projection_table_data": projection_table_data,
         "max_len_per_col": max_len_per_col,
+        "top_terms": top_terms,
+        "dedup_embedding_cosine_exact": dedup_embedding_cosine_exact,
+        "minhash_signature": minhash_signature,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "records_to_table": records_to_table,
         "b64_encode": b64_encode,
         "rotate_image": rotate_image,
@@ -1809,6 +1865,81 @@ def oracle_sql() -> dict[str, str]:
             " (1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)) > 0.3"
             "  AS is_repetitive"
             " FROM g"
+        ),
+        # URL injection (doc_id%3) + RE2 extraction, sorted distinct
+        # domains, blocklist suffix flag — replayed verbatim
+        "url_extract": (
+            "WITH inj AS (SELECT doc_id, CASE"
+            " WHEN doc_id%3=1 THEN text || ' see http://h' ||"
+            "  CAST(doc_id%50 AS VARCHAR) || '.example.com/p now'"
+            " WHEN doc_id%3=2 THEN text || ' via https://cdn' ||"
+            "  CAST(doc_id%9 AS VARCHAR) ||"
+            "  '.tracker.net/x and http://ok.example.com/y'"
+            " ELSE text END AS t FROM documents),"
+            " d AS (SELECT doc_id, t,"
+            "  list_sort(list_distinct(list_transform("
+            "   regexp_extract_all(t, 'https?://[a-z0-9./_-]+'),"
+            "   u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1)))) AS doms"
+            "  FROM inj)"
+            " SELECT doc_id,"
+            " CAST(len(regexp_extract_all(t, 'https?://[a-z0-9./_-]+'))"
+            "  AS BIGINT) AS n_urls,"
+            # DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+            " COALESCE(array_to_string(doms, '|'), '') AS domains,"
+            " len(list_filter(doms, x -> x LIKE '%tracker.net')) > 0 AS blocked"
+            " FROM d"
+        ),
+        # benchmark decontamination: doc_id%97==0 docs are the eval set;
+        # word-5-gram overlap counts + flag
+        "decontaminate": (
+            "WITH g AS (SELECT doc_id,"
+            "  CASE WHEN len(string_split(text,' ')) < 5"
+            "   THEN CAST([] AS VARCHAR[])"
+            "   ELSE list_distinct(list_transform("
+            "    range(1, len(string_split(text,' ')) - 3),"
+            "    i -> array_to_string(list_slice(string_split(text,' '), i, i+4),"
+            "     ' ')))"
+            "  END AS grams FROM documents),"
+            " bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g"
+            "  WHERE doc_id % 97 = 0),"
+            " dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),"
+            " hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg"
+            "  JOIN bench USING (gram) GROUP BY doc_id)"
+            " SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,"
+            " CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_contaminated,"
+            " COALESCE(n_hit, 0) > 0 AS contaminated"
+            " FROM g LEFT JOIN hits USING (doc_id)"
+        ),
+        # sequence packing: per-shard (doc_id%64) running token offsets,
+        # windows cut every 512 tokens — all-integer, exact replay
+        "pack_sequences": (
+            "WITH b AS (SELECT doc_id, doc_id % 64 AS shard,"
+            "  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens"
+            "  FROM documents),"
+            " o AS (SELECT doc_id, shard, n_tokens,"
+            "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
+            "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   1 PRECEDING), 0) AS BIGINT) AS start_off FROM b)"
+            " SELECT doc_id, shard, n_tokens, start_off,"
+            " CAST(floor(start_off / 512) AS BIGINT) AS seq_idx,"
+            " CAST(start_off % 512 AS BIGINT) AS pos_in_seq FROM o"
+        ),
+        # α=0.5 temperature mixture: √share in integer micro-units
+        # (sqrt is IEEE-exact in both engines; CAST rounds in DuckDB so
+        # floor() is explicit), exact-integer normalizer Z
+        "domain_mix": (
+            "WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),"
+            " per AS (SELECT source, COUNT(*) AS n_domain FROM documents"
+            "  GROUP BY source),"
+            " mu AS (SELECT source, n_domain, n_total,"
+            "  CAST(floor(sqrt(CAST(n_domain AS DOUBLE)/n_total) * 1000000)"
+            "   AS BIGINT) AS mu FROM per, tot),"
+            " z AS (SELECT CAST(SUM(mu) AS BIGINT) AS z FROM mu)"
+            " SELECT d.doc_id, d.source, CAST(m.n_domain AS BIGINT)"
+            "  AS n_domain,"
+            " ROUND((CAST(m.mu AS DOUBLE)/z.z) /"
+            "  (CAST(m.n_domain AS DOUBLE)/m.n_total), 6) AS mix_weight"
+            " FROM documents d JOIN mu m USING (source), z"
         ),
         "minhash_signature": (
             "WITH shing0 AS (SELECT doc_id, "

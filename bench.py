@@ -87,9 +87,16 @@ HEADLINE_QUERIES = [
     # two JVM-side text-quality passes
     "pdf_cid_text_extract",
     "pdf_image_extract",
+    "pdf_ccitt_image_extract",
     "pdf_encrypted_extract",
     "pii_scrub",
     "repetition_score",
+    # late round-4: URL/domain harvest, eval-set decontamination,
+    # sequence packing, temperature domain mixing
+    "url_extract",
+    "decontaminate",
+    "pack_sequences",
+    "domain_mix",
 ]
 
 

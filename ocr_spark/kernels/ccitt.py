@@ -163,6 +163,59 @@ def _changes(line: np.ndarray) -> "list[int]":
 # ---------------------------------------------------------------------------
 
 
+def _encode_2d_row(
+    cur_changes: "list[int]", ref_changes: "list[int]", w: int
+) -> "list[str]":
+    """T.6 §2.2 coding of one line against its reference line —
+    the row unit shared by G4 and the 2-D rows of mixed G3 (K>0)."""
+    bits: list[str] = []
+    a0 = -1
+    color = 0  # white
+    ci = 0  # index of next changing element ≥ a0 of the coding line
+    while a0 < w:
+        # a1: first changing element of coding line right of a0
+        while ci < len(cur_changes) and cur_changes[ci] <= (a0 if a0 >= 0 else -1):
+            ci += 1
+        a1 = cur_changes[ci] if ci < len(cur_changes) else w
+        # b1: first change on ref line right of a0 with colour
+        # opposite the coding colour (== colour of a1's new colour)
+        b1 = _b1(ref_changes, a0, color)
+        b2 = _next_change(ref_changes, b1)
+        if b2 < a1:
+            bits.append(MODE_PASS)
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            bits.append(MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal mode: two runs a0a1 (current colour), a1a2
+        a2 = cur_changes[ci + 1] if ci + 1 < len(cur_changes) else w
+        r1 = a1 - (a0 if a0 >= 0 else 0)
+        r2 = a2 - a1
+        bits.append(MODE_HORIZ)
+        bits.append(_run_code(r1, black=bool(color)))
+        bits.append(_run_code(r2, black=not bool(color)))
+        a0 = a2
+    return bits
+
+
+def _encode_1d_row(cur_changes: "list[int]", w: int) -> "list[str]":
+    """T.4 one-dimensional (modified Huffman) coding of one line: run
+    codes alternating colour, starting with a (possibly zero-length)
+    white run — the row unit of G3 1-D and the K-th rows of mixed G3."""
+    bits: list[str] = []
+    prev = 0
+    color = 0
+    for c in cur_changes[:-2]:  # drop the two width sentinels
+        bits.append(_run_code(c - prev, black=bool(color)))
+        prev = c
+        color ^= 1
+    bits.append(_run_code(w - prev, black=bool(color)))
+    return bits
+
+
 def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
     """Encode a (rows, cols) {0,1} uint8 bitmap (1 = black) as Group 4.
 
@@ -182,42 +235,63 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
             pad = "0" * (-nbits % 8)
             bits.append(pad)
             nbits += len(pad)
-        row_start = len(bits)
         cur_changes = _changes(bm[y])
-        a0 = -1
-        color = 0  # white
-        ci = 0  # index of next changing element ≥ a0 of the coding line
-        while a0 < w:
-            # a1: first changing element of coding line right of a0
-            while ci < len(cur_changes) and cur_changes[ci] <= (a0 if a0 >= 0 else -1):
-                ci += 1
-            a1 = cur_changes[ci] if ci < len(cur_changes) else w
-            # b1: first change on ref line right of a0 with colour
-            # opposite the coding colour (== colour of a1's new colour)
-            b1 = _b1(ref_changes, a0, color)
-            b2 = _next_change(ref_changes, b1)
-            if b2 < a1:
-                bits.append(MODE_PASS)
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                bits.append(MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal mode: two runs a0a1 (current colour), a1a2
-            a2 = cur_changes[ci + 1] if ci + 1 < len(cur_changes) else w
-            r1 = a1 - (a0 if a0 >= 0 else 0)
-            r2 = a2 - a1
-            bits.append(MODE_HORIZ)
-            bits.append(_run_code(r1, black=bool(color)))
-            bits.append(_run_code(r2, black=not bool(color)))
-            a0 = a2
-        nbits += sum(map(len, bits[row_start:]))
+        row = _encode_2d_row(cur_changes, ref_changes, w)
+        bits.extend(row)
+        nbits += sum(map(len, row))
         ref_changes = cur_changes
     if byte_align and nbits % 8:
         bits.append("0" * (-nbits % 8))  # EOFB starts a coded line too
     bits.append(EOFB)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
+def encode_g3(
+    bitmap: np.ndarray,
+    k: int = 0,
+    byte_align: bool = False,
+    end_of_line: bool = False,
+) -> bytes:
+    """Encode a (rows, cols) {0,1} uint8 bitmap (1 = black) as Group 3
+    (ITU-T T.4) — the PDF /CCITTFaxDecode ``/K >= 0`` family.
+
+    ``k=0``: pure one-dimensional MH rows (PDF /K 0). ``k>0``: mixed
+    2-D — every k-th row is coded 1-D, the rows between 2-D against
+    their predecessor, each row carrying the T.4 §4.2.1 tag bit
+    (1 = 1-D, 0 = 2-D). ``end_of_line=True`` prefixes every row with an
+    EOL codeword (PDF /EndOfLine — classic fax framing); the decoder
+    auto-detects either layout. ``byte_align`` pads each coded row to a
+    byte boundary (PDF /EncodedByteAlign)."""
+    if bitmap.ndim != 2:
+        raise ValueError("G3 encoder needs a 2-D bitmap")
+    if k < 0:
+        raise ValueError("G3 needs k >= 0; use encode_g4 for k < 0")
+    bm = (bitmap > 0).astype(np.uint8)
+    h, w = bm.shape
+    bits: list[str] = []
+    nbits = 0
+    ref_changes = [w, w]
+    for y in range(h):
+        if byte_align and nbits % 8:
+            pad = "0" * (-nbits % 8)
+            bits.append(pad)
+            nbits += len(pad)
+        row: list[str] = []
+        if end_of_line:
+            row.append(EOL)
+        one_d = k == 0 or (y % k == 0)
+        if k > 0:
+            row.append("1" if one_d else "0")
+        cur_changes = _changes(bm[y])
+        if one_d:
+            row.extend(_encode_1d_row(cur_changes, w))
+        else:
+            row.extend(_encode_2d_row(cur_changes, ref_changes, w))
+        bits.extend(row)
+        nbits += sum(map(len, row))
+        ref_changes = cur_changes
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
@@ -309,6 +383,71 @@ def _read_run(bits: _Bits, black: bool) -> int:
         # makeup code → a terminating code (or another makeup ≥2560) follows
 
 
+def _decode_2d_row(bits: _Bits, ref_changes: "list[int]", w: int) -> "list[int]":
+    """Decode one T.6-coded line against its reference line → changing
+    elements. Shared by G4 and the 2-D rows of mixed G3 (K>0)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    while a0 < w:
+        mode = _read_mode(bits)
+        if mode == "pass":
+            b1 = _b1(ref_changes, a0, color)
+            b2 = _next_change(ref_changes, b1)
+            a0 = b2
+        elif mode == "horiz":
+            r1 = _read_run(bits, black=bool(color))
+            r2 = _read_run(bits, black=not bool(color))
+            start = a0 if a0 >= 0 else 0
+            a1 = min(start + r1, w)
+            a2 = min(a1 + r2, w)
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:  # vertical -3..3
+            b1 = _b1(ref_changes, a0, color)
+            a1 = b1 + mode
+            # a1 is by definition the NEXT changing element: it must
+            # advance, else a corrupt stream would loop forever
+            if a1 <= (a0 if a0 >= 0 else -1) or a1 > w:
+                raise ValueError("G4: vertical mode does not advance")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _Bits, w: int) -> "list[int]":
+    """Decode one T.4 one-dimensional (MH) line → changing elements.
+    Runs alternate colour starting white; a leading black pixel arrives
+    as a zero-length white run, exactly as encoded."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < w:
+        run = _read_run(bits, black=bool(color))
+        pos = min(pos + run, w)
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _paint_row(cur: "list[int]", w: int) -> np.ndarray:
+    """Changing elements → one {0,1} scanline (colour starts white)."""
+    line = np.zeros(w, dtype=np.uint8)
+    c = 0
+    prev = 0
+    for pos in cur:
+        pos = min(pos, w)
+        if c:
+            line[prev:pos] = 1
+        prev = pos
+        c ^= 1
+    if c and prev < w:
+        line[prev:] = 1
+    return line
+
+
 def decode_g4(
     data: bytes, columns: int, rows: int, byte_align: bool = False
 ) -> np.ndarray:
@@ -328,47 +467,71 @@ def decode_g4(
             bits.pos = (bits.pos + 7) & ~7
         if bits.peek_str(24) == EOFB:
             return out
-        cur: list[int] = []
-        a0 = -1
-        color = 0
-        while a0 < w:
-            mode = _read_mode(bits)
-            if mode == "pass":
-                b1 = _b1(ref_changes, a0, color)
-                b2 = _next_change(ref_changes, b1)
-                a0 = b2
-            elif mode == "horiz":
-                r1 = _read_run(bits, black=bool(color))
-                r2 = _read_run(bits, black=not bool(color))
-                start = a0 if a0 >= 0 else 0
-                a1 = min(start + r1, w)
-                a2 = min(a1 + r2, w)
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:  # vertical -3..3
-                b1 = _b1(ref_changes, a0, color)
-                a1 = b1 + mode
-                # a1 is by definition the NEXT changing element: it must
-                # advance, else a corrupt stream would loop forever
-                if a1 <= (a0 if a0 >= 0 else -1) or a1 > w:
-                    raise ValueError("G4: vertical mode does not advance")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        # paint the line from its changing elements
-        line = np.zeros(w, dtype=np.uint8)
-        c = 0
-        prev = 0
-        for pos in cur:
-            pos = min(pos, w)
-            if c:
-                line[prev:pos] = 1
-            prev = pos
-            c ^= 1
-        if c and prev < w:
-            line[prev:] = 1
-        out[y] = line
+        cur = _decode_2d_row(bits, ref_changes, w)
+        out[y] = _paint_row(cur, w)
+        ref_changes = [min(x, w) for x in cur] + [w, w]
+    return out
+
+
+def _consume_eol(bits: _Bits) -> bool:
+    """Consume (fill zeros +) one EOL codeword if one is next; return
+    whether an EOL was consumed. Safe by the T.4 synchronization
+    property: no run/mode codeword has ≥ 11 leading zeros, so ≥ 11
+    zeros followed by a 1 can only be fill + EOL."""
+    p = bits.pos
+    zeros = 0
+    while p + zeros < bits.n and not (
+        (bits.data[(p + zeros) >> 3] >> (7 - ((p + zeros) & 7))) & 1
+    ):
+        zeros += 1
+    if zeros >= 11 and p + zeros < bits.n:
+        bits.pos = p + zeros + 1
+        return True
+    return False
+
+
+def decode_g3(
+    data: bytes,
+    columns: int,
+    rows: int,
+    k: int = 0,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Decode a Group 3 stream (ITU-T T.4, PDF /K >= 0) → (rows,
+    columns) uint8 {0,1}, 1 = black.
+
+    ``k=0``: every row is one-dimensional MH. ``k>0``: each row carries
+    a tag bit (1 = 1-D, 0 = 2-D against the previous row). EOL
+    codewords (with fill) before rows are auto-detected and consumed —
+    both the PDF /EndOfLine true and false layouts decode; an RTC /
+    exhausted stream before /Rows lines leaves the remainder white, so
+    the declared shape always comes back."""
+    if k < 0:
+        raise ValueError("G3 needs k >= 0; use decode_g4 for k < 0")
+    bits = _Bits(data)
+    w = columns
+    out = np.zeros((rows, w), dtype=np.uint8)
+    ref_changes = [w, w]
+    for y in range(rows):
+        if byte_align:
+            bits.pos = (bits.pos + 7) & ~7
+        had_eol = _consume_eol(bits)
+        if bits.pos >= bits.n:
+            return out  # trailing pad / RTC
+        if had_eol and _consume_eol(bits):
+            return out  # two consecutive EOLs: return-to-control
+        try:
+            one_d = True
+            if k > 0:
+                one_d = bits.read() == 1
+            cur = (
+                _decode_1d_row(bits, w)
+                if one_d
+                else _decode_2d_row(bits, ref_changes, w)
+            )
+        except EOFError:
+            return out  # stream ended at a row boundary pad
+        out[y] = _paint_row(cur, w)
         ref_changes = [min(x, w) for x in cur] + [w, w]
     return out
 

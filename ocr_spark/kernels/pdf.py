@@ -753,13 +753,12 @@ class PdfDoc:
         raise NotImplementedError(f"PDF image BitsPerComponent {bpc}")
 
     def _decode_ccitt_image(self, d: dict, raw: bytes, names: "list[str]"):
-        """/CCITTFaxDecode image → (h, w) uint8 gray. Group 4 (/K < 0)
-        only — the encoding scanner firmwares and fax gateways emit for
-        1-bit scanned documents (ITU-T T.6 via kernels/ccitt.py). The
-        Group 3 variants (/K >= 0) stay a guarded seam."""
+        """/CCITTFaxDecode image → (h, w) uint8 gray. Group 4 (/K < 0,
+        the office-scanner default) and Group 3 (/K 0 pure 1-D, /K > 0
+        mixed 2-D — fax gateways), ITU-T T.6/T.4 via kernels/ccitt.py."""
         import numpy as np
 
-        from ocr_spark.kernels.ccitt import decode_g4
+        from ocr_spark.kernels.ccitt import decode_g3, decode_g4
 
         if names[0] == "FlateDecode":  # Flate-wrapped CCITT payload
             raw = zlib.decompress(raw)
@@ -770,17 +769,16 @@ class PdfDoc:
         if not isinstance(parms, dict):
             parms = {}
         k = int(self.resolve(parms.get("K", 0)))
-        if k >= 0:
-            raise NotImplementedError(
-                f"CCITTFaxDecode /K {k} (Group 3) unsupported — only G4"
-            )
         columns = int(self.resolve(parms.get("Columns", 1728)))
         rows = int(self.resolve(parms.get("Rows", d.get("Height", 0))))
         if rows <= 0:
             rows = int(self.resolve(d["Height"]))
         black_is_1 = bool(self.resolve(parms.get("BlackIs1", False)))
         byte_align = bool(self.resolve(parms.get("EncodedByteAlign", False)))
-        bm = decode_g4(raw, columns, rows, byte_align=byte_align)
+        if k < 0:
+            bm = decode_g4(raw, columns, rows, byte_align=byte_align)
+        else:
+            bm = decode_g3(raw, columns, rows, k=k, byte_align=byte_align)
         # filter-output samples: 0 = black unless /BlackIs1; DeviceGray
         # then maps sample→intensity (0 = black), /Decode [1 0] inverts
         samples = bm if black_is_1 else (1 - bm)
@@ -1409,6 +1407,7 @@ def build_pdf_images(
     quality: int = 90,
     ccitt: bool = False,
     byte_align: bool = False,
+    ccitt_k: int = -1,
 ) -> bytes:
     """Deterministic classic-xref PDF embedding one image XObject per
     page — the scanned-document layout (a page whose only content is a
@@ -1448,12 +1447,22 @@ def build_pdf_images(
         )
         bpc = 8
         if ccitt and not rgb:
-            from ocr_spark.kernels.ccitt import encode_g4
+            from ocr_spark.kernels.ccitt import encode_g3, encode_g4
 
-            payload = encode_g4(arr < 128, byte_align=byte_align)
+            if ccitt_k < 0:
+                payload = encode_g4(arr < 128, byte_align=byte_align)
+            else:
+                # G3: classic fax EOL framing for mixed 2-D (K>0),
+                # bare MH rows for pure 1-D (K=0)
+                payload = encode_g3(
+                    arr < 128,
+                    k=ccitt_k,
+                    byte_align=byte_align,
+                    end_of_line=ccitt_k > 0,
+                )
             ba = "true" if byte_align else "false"
             filt = (
-                f"/Filter/CCITTFaxDecode/DecodeParms<</K -1/Columns {w}"
+                f"/Filter/CCITTFaxDecode/DecodeParms<</K {ccitt_k}/Columns {w}"
                 f"/Rows {h}/BlackIs1 false/EncodedByteAlign {ba}>>"
             )
             bpc = 1

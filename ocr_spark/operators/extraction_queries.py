@@ -166,10 +166,15 @@ def _pdf_ccitt_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             words = text.split(" ")
             cells = [["f", "l"], [words[0], words[-1]]]
             img = (render_grid(cells) * 255).astype(np.uint8)
-            # Group 4 scan — the office-scanner layout; parity picks the
-            # /EncodedByteAlign variant so both bit layouts are exercised
+            # doc_id%4 walks the fax family: G4, G4 /EncodedByteAlign,
+            # G3 pure 1-D (/K 0), G3 mixed 2-D (/K 4, EOL framing) —
+            # all four real-world CCITT bit layouts exercised
+            m = int(doc_id) % 4
             data = build_pdf_images(
-                [img], ccitt=True, byte_align=bool(int(doc_id) % 2)
+                [img],
+                ccitt=True,
+                byte_align=m == 1,
+                ccitt_k=-1 if m < 2 else (0 if m == 2 else 4),
             )
             got = []
             for _page, _name, arr in extract_images(data):
@@ -183,12 +188,13 @@ def _pdf_ccitt_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def pdf_ccitt_image_extract_query(df: DataFrame) -> DataFrame:
-    """documents → grid image of [first, last] words → 1-bit Group 4
-    /CCITTFaxDecode XObject inside a built PDF (the office-scanner
-    layout, kernels/ccitt.py ITU-T T.6 codec, half the docs with
-    /EncodedByteAlign) → container parse → G4 decode → grid layout
-    parse → key=value cell text. The scanned-fax sibling of
-    pdf_image_extract (scripts/ExtractX_OCR.py:263-265)."""
+    """documents → grid image of [first, last] words → 1-bit
+    /CCITTFaxDecode XObject inside a built PDF (the office-scanner /
+    fax-gateway layouts, kernels/ccitt.py ITU-T T.6+T.4 codecs;
+    doc_id%4 walks G4, G4 byte-aligned, G3 1-D, G3 mixed 2-D) →
+    container parse → fax decode → grid layout parse → key=value cell
+    text. The scanned-fax sibling of pdf_image_extract
+    (scripts/ExtractX_OCR.py:263-265)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

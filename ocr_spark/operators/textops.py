@@ -142,6 +142,151 @@ def repetition_score(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def url_extract(df: DataFrame, col: str = "text") -> DataFrame:
+    """URL / domain extraction with a domain blocklist flag (the
+    web-corpus filtering primitive: every production pretraining
+    pipeline drops documents whose source domain sits on a blocklist).
+    JVM ``regexp_extract_all`` + higher-order array expressions —
+    whole-stage codegen, no Python, no shuffle. The URL pattern is the
+    RE2-compatible subset so the DuckDB oracle replays byte-for-byte."""
+    urls = f"regexp_extract_all({col}, 'https?://[a-z0-9./_-]+', 0)"
+    doms = (
+        f"array_sort(array_distinct(transform({urls},"
+        f" u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1))))"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"size({urls})").cast("long").alias("n_urls"),
+        F.expr(f"concat_ws('|', {doms})").alias("domains"),
+        F.expr(f"exists({doms}, d -> d like '%{BLOCKED_DOMAIN_SUFFIX}')").alias(
+            "blocked"
+        ),
+    )
+
+
+#: domain suffix treated as blocklisted by url_extract. Fixed — part of
+#: the operator's contract (the oracle SQL replays it verbatim).
+BLOCKED_DOMAIN_SUFFIX = "tracker.net"
+
+
+def decontaminate(
+    df: DataFrame, bench_df: DataFrame, col: str = "text", n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    ``n``-gram with an evaluation set (the GPT-3/PaLM-style overlap
+    check every serious pretraining pipeline runs before training).
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    documents, a bounded n-gram set — so its distinct grams are
+    **broadcast** and the corpus side never shuffles its text: the
+    probe carries (gram, doc_id) pairs from docs' distinct grams only,
+    the per-doc hit count aggregates partially map-side, and the final
+    join back to (doc_id, n_grams) is id+count columns only."""
+    grams = (
+        f"case when size(split({col},' ')) < {n} then array()"
+        f" else array_distinct(transform("
+        f"  sequence(1, size(split({col},' ')) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice(split({col},' '), i, {n})))) end"
+    )
+    bench_grams = (
+        bench_df.select(F.explode(F.expr(grams)).alias("gram")).distinct()
+    )
+    doc_grams = df.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    base = df.select(
+        "doc_id", F.expr(f"size({grams})").cast("long").alias("n_grams")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, col: str = "text", budget: int = 512, shards: int = 64
+) -> DataFrame:
+    """Sequence packing (the training-batch assembly op): documents are
+    concatenated in doc_id order and cut every ``budget`` tokens — each
+    doc gets the sequence index and intra-sequence position where its
+    tokens start, the layout a packed-pretraining dataloader consumes.
+
+    Scale shape: a GLOBAL running sum would serialize the corpus
+    through one partition, so packing is per-shard (``doc_id %
+    shards``) — one exchange on the shard key, a running-sum window
+    inside each shard, shards sized to the cluster. Integer arithmetic
+    end-to-end (token counts, offsets), so the DuckDB oracle replays
+    exactly."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(_tokens(col)).cast("long")
+    base = df.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        off.alias("start_off"),
+        F.floor(off / F.lit(budget)).cast("long").alias("seq_idx"),
+        (off % budget).cast("long").alias("pos_in_seq"),
+    )
+
+
+def domain_mix(df: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Temperature-scaled domain mixture weights (α = 0.5, the
+    pretraining data-mixing pass): a domain with corpus share p gets
+    target share q ∝ √p, and every document carries its domain's
+    up/down-sampling factor q/p — >1 upsamples rare domains, <1
+    downsamples dominant ones.
+
+    Cross-engine determinism: √ is IEEE-correctly-rounded in both
+    engines (unlike pow), √p is floored to integer micro-units before
+    the normalizing sum so Z is an exact integer, and the final weight
+    is one double division of identical rationals — the DuckDB oracle
+    reproduces it bit-for-bit. Scale shape: two tiny aggregates (the
+    domain table is bounded by the number of sources), both broadcast
+    back; the corpus itself never shuffles."""
+    n_tot = df.agg(F.count("*").alias("n_total"))  # 1-row broadcast
+    per = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    mu = F.floor(
+        F.sqrt(F.col("n_domain").cast("double") / F.col("n_total")) * 1e6
+    ).cast("long")
+    w_tab = per.crossJoin(F.broadcast(n_tot)).select(
+        domain_col, "n_domain", "n_total", mu.alias("mu")
+    )
+    z = w_tab.agg(F.sum("mu").alias("z"))  # exact integer normalizer
+    weights = w_tab.crossJoin(F.broadcast(z)).select(
+        domain_col,
+        "n_domain",
+        F.round(
+            (F.col("mu") / F.col("z"))
+            / (F.col("n_domain") / F.col("n_total")),
+            6,
+        ).alias("mix_weight"),
+    )
+    return (
+        df.select("doc_id", domain_col)
+        .join(F.broadcast(weights), domain_col)
+        .select("doc_id", domain_col, "n_domain", "mix_weight")
+    )
+
+
 def top_terms_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 20
 ) -> DataFrame:

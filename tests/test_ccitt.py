@@ -16,7 +16,9 @@ from ocr_spark.kernels.ccitt import (
     MODE_PASS,
     MODE_V,
     WHITE_CODES,
+    decode_g3,
     decode_g4,
+    encode_g3,
     encode_g4,
 )
 
@@ -24,6 +26,14 @@ from ocr_spark.kernels.ccitt import (
 def _roundtrip(bm, **kw):
     enc = encode_g4(bm, **kw)
     dec = decode_g4(enc, bm.shape[1], bm.shape[0], **kw)
+    assert dec.shape == bm.shape
+    assert np.array_equal(dec, (bm > 0).astype(np.uint8))
+    return enc
+
+
+def _roundtrip_g3(bm, k=0, byte_align=False, end_of_line=False):
+    enc = encode_g3(bm, k=k, byte_align=byte_align, end_of_line=end_of_line)
+    dec = decode_g3(enc, bm.shape[1], bm.shape[0], k=k, byte_align=byte_align)
     assert dec.shape == bm.shape
     assert np.array_equal(dec, (bm > 0).astype(np.uint8))
     return enc
@@ -197,13 +207,96 @@ def test_pdf_ccitt_blackis1_and_decode_invert():
     assert np.array_equal(gray2, gray)
 
 
-def test_pdf_ccitt_group3_is_a_guarded_seam():
-    from ocr_spark.kernels.pdf import PdfDoc, build_pdf_images
+# ---------------------------------------------------------------------------
+# Group 3 (ITU-T T.4, PDF /K >= 0)
+# ---------------------------------------------------------------------------
 
-    doc = PdfDoc(build_pdf_images([np.zeros((2, 2), np.uint8)], ccitt=True))
-    with pytest.raises(NotImplementedError):
-        doc._decode_ccitt_image(
-            {"Width": 4, "Height": 4, "DecodeParms": {"K": 0, "Columns": 4}},
-            b"\x00",
-            ["CCITTFaxDecode"],
-        )
+
+@pytest.mark.parametrize("k", [0, 1, 2, 4])
+@pytest.mark.parametrize("end_of_line", [False, True])
+def test_g3_structured_roundtrip(k, end_of_line):
+    bm = np.zeros((32, 140), np.uint8)
+    bm[4:9, 20:120] = 1
+    bm[15:17, :] = 1
+    bm[25, 0] = 1  # leading black pixel → zero-length white run
+    _roundtrip_g3(bm, k=k, end_of_line=end_of_line)
+
+
+@pytest.mark.parametrize("k", [0, 4])
+@pytest.mark.parametrize("byte_align", [False, True])
+def test_g3_degenerate_roundtrips(k, byte_align):
+    _roundtrip_g3(np.zeros((5, 17), np.uint8), k=k, byte_align=byte_align)
+    _roundtrip_g3(np.ones((5, 17), np.uint8), k=k, byte_align=byte_align)
+    _roundtrip_g3(np.ones((1, 1), np.uint8), k=k, byte_align=byte_align)
+    _roundtrip_g3(np.eye(40, 40, dtype=np.uint8), k=k, byte_align=byte_align)
+    _roundtrip_g3(
+        (np.indices((20, 33)).sum(0) % 2).astype(np.uint8),
+        k=k,
+        byte_align=byte_align,
+    )
+
+
+@pytest.mark.parametrize("density", [0.02, 0.3, 0.7, 0.98])
+def test_g3_random_roundtrips(density):
+    rng = np.random.default_rng(int(density * 1000))
+    bm = (rng.random((48, 97)) < density).astype(np.uint8)
+    for k in (0, 4):
+        _roundtrip_g3(bm, k=k)
+        _roundtrip_g3(bm, k=k, byte_align=True)
+        _roundtrip_g3(bm, k=k, end_of_line=True)
+
+
+def test_g3_long_runs_use_extended_makeups():
+    bm = np.zeros((3, 6000), np.uint8)
+    bm[1, 2900:5800] = 1
+    _roundtrip_g3(bm, k=0)
+    _roundtrip_g3(bm, k=2)
+
+
+def test_g3_k_mixes_1d_and_2d_rows():
+    # k=1 → every row 1-D (all tag bits 1); large k → mostly 2-D rows;
+    # a 2-D stream of a repetitive image is strictly smaller
+    bm = np.tile((np.arange(100) < 50).astype(np.uint8), (24, 1))
+    pure_1d = encode_g3(bm, k=1)
+    mixed = encode_g3(bm, k=24)
+    assert len(mixed) < len(pure_1d)
+    for enc, k in ((pure_1d, 1), (mixed, 24)):
+        assert np.array_equal(decode_g3(enc, 100, 24, k=k), bm)
+
+
+def test_g3_overdeclared_rows_come_back_white():
+    bm = np.zeros((10, 50), np.uint8)
+    bm[3, 10:40] = 1
+    for k in (0, 4):
+        enc = encode_g3(bm, k=k, end_of_line=True)
+        dec = decode_g3(enc, 50, 14, k=k)
+        assert dec.shape == (14, 50)
+        assert np.array_equal(dec[:10], bm)
+        assert not dec[10:].any()
+
+
+def test_g3_k_sign_contracts():
+    with pytest.raises(ValueError):
+        encode_g3(np.zeros((2, 2), np.uint8), k=-1)
+    with pytest.raises(ValueError):
+        decode_g3(b"\x00", 2, 2, k=-1)
+
+
+def test_pdf_ccitt_group3_roundtrip():
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    a = np.full((60, 120), 255, np.uint8)
+    a[10:24, 15:100] = 0
+    a[40, :] = 0
+    b = np.full((33, 77), 255, np.uint8)
+    b[::3, ::2] = 0
+    for k in (0, 4):
+        for ba in (False, True):
+            pdf = build_pdf_images(
+                [a, b], ccitt=True, ccitt_k=k, byte_align=ba
+            )
+            assert f"/K {k}".encode() in pdf
+            out = extract_images(pdf)
+            assert [(p, n) for p, n, _ in out] == [(1, "Im0"), (2, "Im0")]
+            for (_, _, arr), src in zip(out, [a, b]):
+                assert np.array_equal(arr, src)

@@ -612,3 +612,90 @@ def test_short_docs_do_not_cross_collide_in_lsh(spark):
     # the only multi-doc buckets are the identical pair (0, 4)
     assert (groups["min_doc"] == 0).all() and (groups["max_doc"] == 4).all()
     assert (groups["n_docs"] == 2).all()
+
+
+def test_url_extract_domains_and_blocklist(spark):
+    from ocr_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to http://a.example.com/x and https://bad.tracker.net/y now"),
+            (2, "no links here"),
+            (3, "dup http://a.example.com/x then http://a.example.com/z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.url_extract(df).collect()}
+    assert rows[1]["n_urls"] == 2 and rows[1]["blocked"]
+    assert rows[1]["domains"] == "a.example.com|bad.tracker.net"
+    assert rows[2]["n_urls"] == 0 and rows[2]["domains"] == ""
+    assert not rows[2]["blocked"]
+    # distinct domains: two URLs, one domain, not blocked
+    assert rows[3]["n_urls"] == 2 and rows[3]["domains"] == "a.example.com"
+    assert not rows[3]["blocked"]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from ocr_spark.operators import textops
+
+    bench_text = "alpha beta gamma delta epsilon zeta"  # 6 words -> 2 5-grams
+    df = spark.createDataFrame(
+        [
+            (0, bench_text),  # the eval doc flags itself
+            (1, "x " + bench_text + " y"),  # superstring: carries both grams
+            (2, "one two three four five six"),  # disjoint -> clean
+            (3, "too short"),  # <5 words -> no grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = df.filter("doc_id = 0")
+    rows = {r["doc_id"]: r for r in textops.decontaminate(df, bench).collect()}
+    assert rows[0]["contaminated"]
+    assert rows[0]["n_grams"] == 2 and rows[0]["n_contaminated"] == 2
+    assert rows[1]["contaminated"] and rows[1]["n_contaminated"] == 2
+    assert rows[1]["n_grams"] == 4
+    assert not rows[2]["contaminated"] and rows[2]["n_grams"] == 2
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+
+
+def test_pack_sequences_offsets_and_windows(spark):
+    from ocr_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (64, "d e"), (128, " ".join(["w"] * 510)), (1, "x")],
+        "doc_id long, text string",
+    )
+    # docs 0, 64, 128 share shard 0 and pack in doc_id order
+    rows = {
+        r["doc_id"]: r
+        for r in textops.pack_sequences(df, budget=512, shards=64).collect()
+    }
+    assert rows[0]["shard"] == 0 and rows[0]["start_off"] == 0
+    assert rows[0]["seq_idx"] == 0 and rows[0]["pos_in_seq"] == 0
+    assert rows[64]["start_off"] == 3 and rows[64]["pos_in_seq"] == 3
+    # 3 + 2 + 510 = 515 -> doc 128 starts in sequence 0, a later doc
+    # in shard 0 would start at offset 515 = sequence 1
+    assert rows[128]["start_off"] == 5 and rows[128]["seq_idx"] == 0
+    assert rows[1]["shard"] == 1 and rows[1]["start_off"] == 0
+
+
+def test_domain_mix_upsamples_rare_domains(spark):
+    import math
+
+    from ocr_spark.operators import textops
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in textops.domain_mix(df).collect()}
+    assert got["rare"]["n_domain"] == 10 and got["big"]["n_domain"] == 90
+    # α=0.5: q ∝ √p -> rare domains upsample (>1), dominant shrink (<1)
+    assert got["rare"]["mix_weight"] > 1.0 > got["big"]["mix_weight"]
+    # replicate the micro-unit arithmetic exactly
+    mu_big = math.floor(math.sqrt(90 / 100) * 1e6)
+    mu_rare = math.floor(math.sqrt(10 / 100) * 1e6)
+    z = mu_big + mu_rare
+    assert got["rare"]["mix_weight"] == round((mu_rare / z) / (10 / 100), 6)
+    assert got["big"]["mix_weight"] == round((mu_big / z) / (90 / 100), 6)
+    # expected doc count is conserved up to rounding: Σ n_d * w_d ≈ N
+    tot = 90 * got["big"]["mix_weight"] + 10 * got["rare"]["mix_weight"]
+    assert abs(tot - 100) < 0.01

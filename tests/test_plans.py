@@ -386,3 +386,43 @@ def test_pdf_query_repartitions_once_then_stays_fused(spark):
     assert len(ex) == 1, plan
     assert "RoundRobinPartitioning" in ex[0] or "roundrobin" in ex[0].lower(), ex[0]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    # the eval-set gram table is bounded by construction (an eval suite,
+    # not the corpus) -> it must ride a broadcast, and the corpus text
+    # must never cross an exchange: the probe carries (gram, doc_id),
+    # the count rides (doc_id, n) -- that is what survives 100 TB
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(textops.decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_domain_mix_broadcasts_weights_corpus_never_shuffles(spark):
+    # the domain-weight table is bounded by the number of sources ->
+    # it broadcasts; the corpus side must reach the final join without
+    # an exchange (its only shuffle feeds the tiny per-domain agg)
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.domain_mix(docs))
+    assert "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b and "doc_id#" not in b
+
+
+def test_pack_sequences_single_exchange_on_shard(spark):
+    # one hash exchange on the shard key feeds the running-sum window;
+    # nothing else shuffles, and the text column never crosses the wire
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.pack_sequences(docs))
+    blocks = _exchange_blocks(plan)
+    assert len(blocks) == 1
+    assert "text#" not in blocks[0]
