@@ -74,6 +74,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+#: dup_span_detect injection blocks — exactly 20 words each (one full
+#: detection window), shared verbatim with the oracle SQL.
+_SPAN_BLOCK_A = (
+    "the quick brown fox jumps over the lazy dog while seven wise"
+    " wizards brew potions beneath ancient oak trees tonight"
+)
+_SPAN_BLOCK_B = (
+    "every large training corpus repeats boilerplate passages verbatim"
+    " across many pages and pipelines must detect these spans quickly"
+    " at scale"
+)
+assert len(_SPAN_BLOCK_A.split(" ")) == 20 and len(_SPAN_BLOCK_B.split(" ")) == 20
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark.operators import dedup, relational, similarity, textops
@@ -708,6 +721,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-units so the oracle replays bit-for-bit
         return textops.domain_mix(_docs(spark, sf))
 
+    def line_dedup(spark, sf):
+        # C4-style corpus-level line dedup: deterministic boilerplate
+        # injection by doc_id%5 (nav header / social footer / rights
+        # footer in overlapping classes), then count every line across
+        # the corpus and drop lines seen >2 times; docs reassembled
+        # from surviving lines in order. The oracle replays injection,
+        # counting, and reassembly (string_agg ORDER BY idx).
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 5
+        injected = d.select(
+            "doc_id",
+            F.concat(
+                F.when(m.isin(1, 3), F.lit("Home | About | Contact\n"))
+                .otherwise(F.lit("")),
+                F.col("text"),
+                F.when(
+                    m.isin(0, 1),
+                    F.lit("\nFollow us on social media for updates"),
+                ).otherwise(F.lit("")),
+                F.when(m.isin(0, 2), F.lit("\nAll rights reserved 2026"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textops.line_dedup(injected)
+
+    def dup_span_detect(spark, sf):
+        # Lee-et-al-style duplicated-span detection: docs doc_id%6 in
+        # (0,1) are prepended one fixed 20-word block, doc_id%6==2 a
+        # second block — prepending keeps the injected window aligned
+        # to the stride grid (windows start at token 1), so the block
+        # IS a shared span across its class. 20-token windows every 10
+        # tokens, corpus-wide count, per-doc duplicated fraction.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 6
+        injected = d.select(
+            "doc_id",
+            F.when(m.isin(0, 1), F.concat(F.lit(_SPAN_BLOCK_A + " "), F.col("text")))
+            .when(m == 2, F.concat(F.lit(_SPAN_BLOCK_B + " "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.dup_span_detect(injected)
+
+    def semdedup(spark, sf):
+        # SemDedup: IVF k-means cells (the SQL-replayed quantized
+        # training) + within-cell pairwise cosine; kept = no lower-id
+        # in-cell neighbor at cosine >= 0.35
+        return dedup.semdedup(_tbl(spark, sf, "embeddings"))
+
     def minhash_signature(spark, sf):
         sigs = dedup.minhash_signatures(_docs(spark, sf))
         return sigs.select(
@@ -1046,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "semdedup": semdedup,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1057,9 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_video_frames": multimodal_video_frames,
         "retry_backoff": retry_backoff,
-        "token_count": token_count,
         "quality_score": quality_score,
-        "lang_id": lang_id,
+        "line_dedup": line_dedup,
+        "dup_span_detect": dup_span_detect,
         "doc_fingerprint": doc_fingerprint,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
@@ -1067,7 +1130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "pack_sequences": pack_sequences,
         "domain_mix": domain_mix,
-        "tfidf_top_terms": tfidf_top_terms,
         "quantize_embeddings": quantize_embeddings,
         # ---- reference §2 extraction slugs ----
         "extract_html": extract_html,
@@ -1096,6 +1158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_table_data": projection_table_data,
         "max_len_per_col": max_len_per_col,
         "top_terms": top_terms,
+        # rotated out of the driver window round 4 on multi-round-green
+        # evidence (r2+r3 driver green; in-gate contract replay keeps
+        # proving them every pytest run)
+        "token_count": token_count,
+        "lang_id": lang_id,
+        "tfidf_top_terms": tfidf_top_terms,
         "dedup_embedding_cosine_exact": dedup_embedding_cosine_exact,
         "minhash_signature": minhash_signature,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1281,6 +1349,32 @@ def _ivf_oracle_sql(
         " r AS (SELECT q_id, neighbor_id, cosine_r, ROW_NUMBER() OVER"
         "  (PARTITION BY q_id ORDER BY cosine_r DESC, neighbor_id) AS rank FROM scored)"
         f" SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= {k}"
+    )
+    return "".join(parts)
+
+
+def _semdedup_oracle_sql(
+    threshold: float = 0.35,
+    nlist: int = 16,
+    iters: int = 10,
+    sample_n: int = 2048,
+    dim: int = 64,
+) -> str:
+    """SQL-unrolled replay of dedup.semdedup: the common IVF prefix
+    (training + corpus cell assignment; the q/probe CTEs go unused) plus
+    the within-cell pairwise cosine and the lowest-id-kept rule."""
+    parts = _ivf_common_parts(nlist, 1, iters, sample_n, dim, "vec_id < 0")
+    parts.append(
+        ", pr AS (SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b,"
+        "  ROUND(list_dot_product(a.cv, b.cv) /"
+        "   (sqrt(list_dot_product(a.cv, a.cv)) *"
+        "    sqrt(list_dot_product(b.cv, b.cv))), 4) AS cos"
+        "  FROM corpus a JOIN corpus b"
+        "  ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id),"
+        f" dup AS (SELECT DISTINCT id_b FROM pr WHERE cos >= {threshold})"
+        " SELECT c.neighbor_id AS vec_id, CAST(c.cell AS BIGINT) AS cell,"
+        " (d.id_b IS NULL) AS kept"
+        " FROM corpus c LEFT JOIN dup d ON d.id_b = c.neighbor_id"
     )
     return "".join(parts)
 
@@ -1941,6 +2035,62 @@ def oracle_sql() -> dict[str, str]:
             "  (CAST(m.n_domain AS DOUBLE)/m.n_total), 6) AS mix_weight"
             " FROM documents d JOIN mu m USING (source), z"
         ),
+        # C4 boilerplate-line dedup: injection by doc_id%5, corpus-wide
+        # line counts, drop lines seen >2 times, reassemble in order
+        "line_dedup": (
+            "WITH inj AS (SELECT doc_id,"
+            " CASE WHEN doc_id%5 IN (1,3)"
+            "  THEN 'Home | About | Contact' || chr(10) ELSE '' END"
+            " || text ||"
+            " CASE WHEN doc_id%5 IN (0,1)"
+            "  THEN chr(10) || 'Follow us on social media for updates'"
+            "  ELSE '' END ||"
+            " CASE WHEN doc_id%5 IN (0,2)"
+            "  THEN chr(10) || 'All rights reserved 2026' ELSE '' END"
+            " AS t FROM documents),"
+            " l AS (SELECT doc_id, u.i AS idx,"
+            "  string_split(t, chr(10))[CAST(u.i AS INT)] AS line"
+            "  FROM inj, LATERAL unnest("
+            "   range(1, len(string_split(t, chr(10))) + 1)) u(i)),"
+            " bad AS (SELECT line FROM l GROUP BY line"
+            "  HAVING COUNT(*) > 2),"
+            " m AS (SELECT l.doc_id, l.idx, l.line,"
+            "  (b.line IS NOT NULL) AS isbad"
+            "  FROM l LEFT JOIN bad b ON b.line = l.line)"
+            " SELECT doc_id,"
+            " COALESCE(string_agg(CASE WHEN NOT isbad THEN line END,"
+            "  chr(10) ORDER BY idx), '') AS clean_text,"
+            " CAST(COUNT(*) AS BIGINT) AS n_lines,"
+            " CAST(SUM(CASE WHEN isbad THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_dropped"
+            " FROM m GROUP BY doc_id"
+        ),
+        # duplicated-span detection: 20-word blocks prepended by
+        # doc_id%6 (window-aligned), 20-token windows every 10 tokens,
+        # corpus-wide counts, per-doc duplicated fraction
+        "dup_span_detect": (
+            "WITH inj AS (SELECT doc_id, CASE"
+            f" WHEN doc_id%6 IN (0,1) THEN '{_SPAN_BLOCK_A} ' || text"
+            f" WHEN doc_id%6 = 2 THEN '{_SPAN_BLOCK_B} ' || text"
+            " ELSE text END AS t FROM documents),"
+            " b AS (SELECT doc_id, string_split(t, ' ') AS w FROM inj),"
+            " sp AS (SELECT doc_id, CASE WHEN len(w) >= 20 THEN"
+            "  list_transform(range(1, len(w) - 18, 10),"
+            "   i -> array_to_string("
+            "    list_slice(w, CAST(i AS INT), CAST(i AS INT) + 19), ' '))"
+            "  ELSE CAST([] AS VARCHAR[]) END AS grams FROM b),"
+            " ex AS (SELECT doc_id, unnest(grams) AS g FROM sp),"
+            " dup AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 1),"
+            " hits AS (SELECT doc_id, COUNT(*) AS n_dup FROM ex"
+            "  JOIN dup USING (g) GROUP BY doc_id)"
+            " SELECT sp.doc_id, CAST(len(grams) AS BIGINT) AS n_spans,"
+            " CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,"
+            " ROUND(CASE WHEN len(grams) = 0 THEN 0.0 ELSE"
+            "  CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(grams) END, 4)"
+            "  AS dup_span_frac,"
+            " COALESCE(n_dup, 0) > 0 AS is_duplicated"
+            " FROM sp LEFT JOIN hits USING (doc_id)"
+        ),
         "minhash_signature": (
             "WITH shing0 AS (SELECT doc_id, "
             + _SH_SENTINEL
@@ -2159,6 +2309,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT q_id, neighbor_id, rank, cosine_r FROM r WHERE rank <= 3"
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "ann_ivf_pq": _ivf_pq_oracle_sql(rerank=32),
         # Every queries() key now has a full DuckDB oracle.
     }

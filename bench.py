@@ -97,6 +97,10 @@ HEADLINE_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "domain_mix",
+    # late round-4: C4 line dedup, duplicated-span detection, SemDedup
+    "line_dedup",
+    "dup_span_detect",
+    "semdedup",
 ]
 
 

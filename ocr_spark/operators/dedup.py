@@ -590,3 +590,65 @@ def simhash_candidate_groups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    nlist: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDedup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster embeddings with the IVF coarse quantizer, then run the
+    pairwise cosine check ONLY within each cluster and drop every vector
+    that has a lower-id in-cell neighbor at cosine ≥ ``threshold``
+    (lowest id kept — a deterministic stand-in for the paper's
+    keep-farthest-from-centroid rule).
+
+    Scale shape: the quadratic is contained per cell (nlist grows with
+    the corpus, so cells stay bounded — the paper's own containment);
+    training is the bounded md5-ordered driver sample shared with
+    ``similarity.ivf_train_centroids``; cell assignment is a map-side
+    Arrow-batched matrix product; the self-join shuffles each vector
+    once per side on the int cell key; the drop set joins back id-only.
+    """
+    from ocr_spark.operators.similarity import (
+        _cell_assign_udf,
+        ivf_train_centroids,
+        with_cosine_expr,
+    )
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(emb, nlist, sample_n, iters, id_col, vec_col)
+    )
+    assigned = (
+        emb.select(id_col, vec_col)
+        .withColumn("cell", _cell_assign_udf(cents)(F.col(vec_col)).cast("long"))
+        .persist()
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_r", F.round(with_cosine_expr("va", "vb"), 4))
+        .filter(F.col("cosine_r") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    out = assigned.join(dup, id_col, "left").select(
+        id_col, "cell", F.col("__dup").isNull().alias("kept")
+    )
+    return _own_caches(out, [assigned])

@@ -354,3 +354,117 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("did").alias("doc_id"), "token", "rank", "tfidf")
     )
+
+
+#: line_dedup drops lines occurring more than this many times corpus-wide.
+#: Fixed — part of the operator contract (the oracle replays it verbatim).
+LINE_DEDUP_MAX_COUNT = 2
+
+
+def line_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = LINE_DEDUP_MAX_COUNT,
+) -> DataFrame:
+    """Corpus-level line deduplication — the C4 boilerplate filter
+    (Raffel et al., arXiv:1910.10683 §2.2: "we discarded ... any line
+    that occurred more than [N] times"): split every document on
+    newlines, count each line's occurrences across the WHOLE corpus,
+    drop lines seen more than ``max_count`` times, and reassemble each
+    document from its surviving lines in original order.
+
+    Scale shape: the occurrence count aggregates on ``md5(line)`` with
+    map-side partial aggregation, so only (16-byte hash, count) crosses
+    that exchange — never line text. The over-threshold hash set is a
+    tiny filtered aggregate (boilerplate is rare among distinct lines);
+    AQE broadcasts it into the probe join at runtime. The single text
+    shuffle is the unavoidable reassembly exchange on (id, line_idx,
+    line).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("line_idx", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    bad = (
+        lines.groupBy("lh")
+        .count()
+        .filter(F.col("count") > max_count)
+        .select("lh", F.lit(True).alias("is_bad"))
+    )
+    marked = lines.join(bad, "lh", "left")
+    survivor = F.when(
+        F.col("is_bad").isNull(), F.struct("line_idx", "line")
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(survivor)), lambda x: x["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("is_bad").alias("n_dropped"),
+    )
+
+
+#: dup_span_detect window geometry. Fixed — operator contract.
+DUP_SPAN_WIDTH = 20
+DUP_SPAN_STRIDE = 10
+
+
+def dup_span_detect(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    width: int = DUP_SPAN_WIDTH,
+    stride: int = DUP_SPAN_STRIDE,
+) -> DataFrame:
+    """Exact duplicated-span detection — the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499), in its scalable stride-sampled form:
+    hash one ``width``-token window every ``stride`` tokens, count each
+    window's occurrences corpus-wide, and report per document how many
+    of its windows are duplicated (global count > 1, within-doc repeats
+    included — they are duplication too).
+
+    Scale shape: windows travel as md5 hashes; the count exchange
+    carries (hash, partial count) only, the duplicated-hash set joins
+    back hash-to-hash (AQE broadcasts it when small), and document text
+    never crosses an exchange.
+    """
+    w = _tokens(col)
+    n = F.size(w)
+    grams = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, width))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), grams.alias("hs")).select(
+        id_col, "hs", F.size("hs").cast("long").alias("n_spans")
+    )
+    ex = base.select(id_col, F.explode("hs").alias("h"))
+    dup = ex.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    hits = ex.join(dup, "h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_dup")
+    )
+    n_dup = F.coalesce(F.col("__n_dup"), F.lit(0)).cast("long")
+    return (
+        base.drop("hs")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            n_dup.alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    n_dup.cast("double") / F.col("n_spans").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_span_frac"),
+            (n_dup > 0).alias("is_duplicated"),
+        )
+    )

@@ -699,3 +699,97 @@ def test_domain_mix_upsamples_rare_domains(spark):
     # expected doc count is conserved up to rounding: Σ n_d * w_d ≈ N
     tot = 90 * got["big"]["mix_weight"] + 10 * got["rare"]["mix_weight"]
     assert abs(tot - 100) < 0.01
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from ocr_spark.operators import textops
+
+    boiler = "subscribe now"
+    rows = [
+        (0, f"alpha one\n{boiler}\nalpha two"),
+        (1, f"{boiler}\nbeta body"),
+        (2, f"gamma body\n{boiler}"),
+        (3, "delta only unique lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.line_dedup(df).collect()}
+    # boilerplate appears 3 times > max_count=2 -> dropped everywhere
+    assert got[0]["clean_text"] == "alpha one\nalpha two"
+    assert got[0]["n_lines"] == 3 and got[0]["n_dropped"] == 1
+    assert got[1]["clean_text"] == "beta body"
+    assert got[2]["clean_text"] == "gamma body"
+    assert got[3]["clean_text"] == "delta only unique lines"
+    assert got[3]["n_dropped"] == 0
+
+
+def test_line_dedup_all_lines_dropped_yields_empty(spark):
+    from ocr_spark.operators import textops
+
+    rows = [(i, "same line") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.line_dedup(df).collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in got)
+
+
+def test_dup_span_detect_counts_shared_windows(spark):
+    from ocr_spark.operators import textops
+
+    base = " ".join(f"w{i}" for i in range(25))  # 25 unique tokens
+    other = " ".join(f"x{i}" for i in range(30))
+    rows = [(0, base), (1, base), (2, other), (3, "short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.dup_span_detect(df).collect()}
+    # 25 tokens -> one window at position 1 (next start 11 needs 30)
+    assert got[0]["n_spans"] == 1 and got[0]["n_dup_spans"] == 1
+    assert got[1]["is_duplicated"] and got[1]["dup_span_frac"] == 1.0
+    # 30 tokens -> windows at 1 and 11, both unique
+    assert got[2]["n_spans"] == 2 and got[2]["n_dup_spans"] == 0
+    assert not got[2]["is_duplicated"]
+    # < 20 tokens -> no windows at all
+    assert got[3]["n_spans"] == 0 and got[3]["dup_span_frac"] == 0.0
+
+
+def test_dup_span_detect_counts_within_doc_repeats(spark):
+    from ocr_spark.operators import textops
+
+    # 40 tokens = the same 10-token phrase four times: windows at 1, 11,
+    # 21 are all the identical 20-token string -> every span duplicated
+    phrase = " ".join(f"p{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, " ".join([phrase] * 4))], "doc_id long, text string"
+    )
+    r = textops.dup_span_detect(df).collect()[0]
+    assert r["n_spans"] == 3 and r["n_dup_spans"] == 3
+    assert r["dup_span_frac"] == 1.0
+
+
+def test_semdedup_drops_lower_id_in_cell_neighbors(spark):
+    import numpy as np
+
+    from ocr_spark.operators import dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0, same cell
+        (2, [0.7, 0.7, 0.0, 0.0]),     # same cell as 0, not a dup at 0.99
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.001]),   # near-dup of 3, same cell
+        (5, [0.0, 0.0, 0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]], dtype=np.float64
+    )
+    got = {
+        r["vec_id"]: r
+        for r in dedup.semdedup(df, threshold=0.99, centroids=cents).collect()
+    }
+    assert len(got) == 6
+    assert got[0]["kept"] and not got[1]["kept"]       # lowest id kept
+    assert got[2]["kept"]                              # similar, below t
+    assert got[3]["kept"] and not got[4]["kept"]
+    assert got[5]["kept"]
+    # cells follow the supplied centroids
+    assert got[0]["cell"] == got[1]["cell"] == got[2]["cell"]
+    assert got[3]["cell"] == got[4]["cell"] == got[5]["cell"]
+    assert got[0]["cell"] != got[3]["cell"]

@@ -426,3 +426,55 @@ def test_pack_sequences_single_exchange_on_shard(spark):
     blocks = _exchange_blocks(plan)
     assert len(blocks) == 1
     assert "text#" not in blocks[0]
+
+
+def test_dup_span_detect_shuffles_hashes_never_text(spark):
+    # spans travel as md5 hashes: the global count exchange and the
+    # dup-set join carry (hash, count) / (hash, doc_id) only -- the
+    # document text must never cross an exchange at any stage
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.dup_span_detect(docs))
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_line_dedup_count_exchange_carries_no_text(spark):
+    # the line-occurrence count aggregates on md5(line) with map-side
+    # partial agg -- only (hash, count) crosses that exchange; the one
+    # exchange allowed to carry line text is the per-doc reassembly
+    # (collect_list), which is keyed by the id column
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.line_dedup(docs))
+    blocks = _exchange_blocks(plan)
+    # the count aggregate's exchange is (hash, partial count) only --
+    # raw line text and doc ids never ride it
+    count_blocks = [b for b in blocks if "lh#" in b]
+    assert count_blocks
+    for b in count_blocks:
+        assert "line#" not in b and "doc_id#" not in b
+    # line text crosses exactly once, inside the reassembly exchange's
+    # partial collect_list buffer keyed by the doc id
+    reasm = [b for b in blocks if "doc_id#" in b]
+    assert len(reasm) == 1 and "buf#" in reasm[0]
+
+
+def test_semdedup_pairwise_is_cell_keyed_never_nested_loop(spark):
+    # the quadratic must be contained per k-means cell: the self-join is
+    # an equi-join on the int cell key (hash-partitioned or broadcast),
+    # never a BroadcastNestedLoopJoin / cartesian all-pairs
+    import numpy as np
+
+    from ocr_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = np.round(
+        np.eye(4, 64, dtype=np.float64), 6
+    )  # fixed quantizer: plan shape only
+    plan = _plan(dedup.semdedup(emb, centroids=cents))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cell#" in plan
