@@ -87,8 +87,28 @@ _SPAN_BLOCK_B = (
 )
 assert len(_SPAN_BLOCK_A.split(" ")) == 20 and len(_SPAN_BLOCK_B.split(" ")) == 20
 
+#: gopher_rules numeric-injection block (doc_id%7==4): ≥50 words but
+#: mostly digit tokens, so the alphabetic-word and mean-word-length
+#: rules fail while the word-count rule passes. Shared with the oracle.
+_GOPHER_NUM_BLOCK = (
+    " ".join(str(i) for i in range(100, 155)) + " the a of and to in is"
+)
+
+#: quality_tiers duplicate-class text (doc_id%101==5): every such doc
+#: carries it verbatim — an exact-duplicate class for the discard tier.
+_TIER_DUP_BLOCK = (
+    "data pipelines repeat common boilerplate so the tier extraction"
+    " funnel must detect and discard exact duplicates before training"
+    " while keeping the first copy for coverage and it does this with a"
+    " hash of the full document text grouped across the corpus so only"
+    " one representative survives into the final mixture stage of the"
+    " run"
+)
+assert len(_TIER_DUP_BLOCK.split(" ")) >= 50
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ocr_spark import sources as src
     from ocr_spark.operators import dedup, relational, similarity, textops
     from ocr_spark.operators import extraction_queries as xq
     from ocr_spark.operators import multimodal
@@ -721,6 +741,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-units so the oracle replays bit-for-bit
         return textops.domain_mix(_docs(spark, sf))
 
+    def gopher_rules(spark, sf):
+        # Gopher rule filter (Rae et al. Table A1) with deterministic
+        # rule-class injection by doc_id%7: symbol-heavy / bullet lines
+        # / ellipsis lines / numeric block / truncated / doubled / raw —
+        # every rule fires somewhere in the corpus. The oracle replays
+        # injection AND all eight rules.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 7
+        w = F.split(F.col("text"), " ")
+        injected = d.select(
+            "doc_id",
+            F.when(m == 1, F.concat(F.col("text"), F.lit(" # # # # # # # #")))
+            .when(
+                m == 2,
+                F.concat(
+                    F.lit("- "), F.regexp_replace(F.col("text"), " ", "\n- ")
+                ),
+            )
+            .when(m == 3, F.regexp_replace(F.col("text"), " ", "...\n"))
+            .when(m == 4, F.lit(_GOPHER_NUM_BLOCK))
+            .when(m == 5, F.concat_ws(" ", F.slice(w, 1, 3)))
+            .when(m == 0, F.concat_ws(" ", F.col("text"), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.gopher_rules(injected)
+
+    def ngram_lm_score(spark, sf):
+        # corpus-trained bigram LM fluency scoring in exact integer
+        # micro-probability units (CCNet-style quality signal)
+        return textops.ngram_lm_score(_docs(spark, sf))
+
+    def dsir_weights(spark, sf):
+        # DSIR importance weights: target distribution = the lang='en'
+        # slice, raw = the whole corpus; hashed unigram buckets,
+        # per-doc integer log-weight sum and the selection flag
+        d = _docs(spark, sf)
+        return textops.dsir_weights(d, d.filter(F.col("lang") == "en"))
+
+    def quality_tiers(spark, sf):
+        # tier extraction: the composed C4→Gopher→FineWeb-style funnel.
+        # doc_id%101==5 docs share one verbatim text (exact-duplicate
+        # class → discard tier); doc_id%97==0 docs are the eval set for
+        # the contamination leg. The oracle replays injection and all
+        # four signals plus the tier CASE.
+        d = _docs(spark, sf)
+        injected = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 101 == 5, F.lit(_TIER_DUP_BLOCK))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        bench = injected.filter(F.col("doc_id") % 97 == 0)
+        return textops.quality_tiers(injected, bench)
+
+    def warc_roundtrip(spark, sf):
+        # WARC/1.0 (Common Crawl) source: shard the corpus into 32
+        # multi-record WARC files (per-record gzip members), then parse
+        # them back with the kernel reader — doc id, HTTP status,
+        # Content-Length, and body all recovered from the container
+        return src.warc_roundtrip(_docs(spark, sf))
+
     def line_dedup(spark, sf):
         # C4-style corpus-level line dedup: deterministic boilerplate
         # injection by doc_id%5 (nav header / social footer / rights
@@ -1131,20 +1213,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "domain_mix": domain_mix,
         "quantize_embeddings": quantize_embeddings,
+        # ---- round-4 additions (registered inside the driver window) ----
+        "gopher_rules": gopher_rules,
+        "ngram_lm_score": ngram_lm_score,
+        "dsir_weights": dsir_weights,
+        "quality_tiers": quality_tiers,
+        "warc_roundtrip": warc_roundtrip,
         # ---- reference §2 extraction slugs ----
         "extract_html": extract_html,
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
         "conversation_assembly": conversation_assembly,
-        "null_token_clean": null_token_clean,
         "page_range_filter": page_range_filter,
-        "limit_first_n_pages": limit_first_n_pages,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
-        "page_count_scan": page_count_scan,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
-        "empty_result_filter": empty_result_filter,
-        "extension_predicate": extension_predicate,
         "source_file_scan": source_file_scan,
         "pdf_page_explode": pdf_page_explode,
         "pdf_text_extract": pdf_text_extract,
@@ -1161,6 +1244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
+        "null_token_clean": null_token_clean,
+        "limit_first_n_pages": limit_first_n_pages,
+        "page_count_scan": page_count_scan,
+        "empty_result_filter": empty_result_filter,
+        "extension_predicate": extension_predicate,
         "token_count": token_count,
         "lang_id": lang_id,
         "tfidf_top_terms": tfidf_top_terms,
@@ -1202,6 +1290,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOPLIST = "'the','a','of','and','to','in','is','it','for','on','with','as','at','by','an'"
+
+# gopher_rules oracle fragments (over CTE b(doc_id, t, w, l)); the
+# pass predicate reuses the UNROUNDED rationals exactly like the
+# operator does.
+_G_MEAN = "CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)/len(w)"
+_G_SYM = (
+    "CAST((len(t) - len(replace(t,'#',''))) +"
+    " len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)/len(w)"
+)
+_G_BULLET = (
+    "CAST(len(list_filter(l, x -> x LIKE '- %' OR x LIKE '* %'))"
+    " AS DOUBLE)/len(l)"
+)
+_G_ELL = "CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)/len(l)"
+_G_ALPHA = (
+    "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))"
+    " AS DOUBLE)/len(w)"
+)
+_G_NSTOP = f"len(list_filter([{_STOPLIST}], s -> list_contains(w, s)))"
+_G_PASS = (
+    f"(len(w) >= 50 AND len(w) <= 100000"
+    f" AND {_G_MEAN} >= 3.0 AND {_G_MEAN} <= 10.0"
+    f" AND {_G_SYM} < 0.1 AND {_G_BULLET} < 0.9 AND {_G_ELL} < 0.3"
+    f" AND {_G_ALPHA} > 0.8 AND {_G_NSTOP} >= 2)"
+)
+
+# gopher_rules / quality_tiers injection CASEs (match the Spark side
+# verbatim)
+_G_INJ = (
+    "CASE"
+    " WHEN doc_id%7=1 THEN text || ' # # # # # # # #'"
+    " WHEN doc_id%7=2 THEN '- ' || replace(text, ' ', chr(10) || '- ')"
+    " WHEN doc_id%7=3 THEN replace(text, ' ', '...' || chr(10))"
+    f" WHEN doc_id%7=4 THEN '{_GOPHER_NUM_BLOCK}'"
+    " WHEN doc_id%7=5 THEN"
+    "  array_to_string(list_slice(string_split(text,' '),1,3),' ')"
+    " WHEN doc_id%7=0 THEN text || ' ' || text"
+    " ELSE text END"
+)
+_TIER_INJ = (
+    f"CASE WHEN doc_id%101=5 THEN '{_TIER_DUP_BLOCK}' ELSE text END"
+)
 
 _SHINGLES = (
     "list_distinct(list_transform("
@@ -2090,6 +2220,130 @@ def oracle_sql() -> dict[str, str]:
             "  AS dup_span_frac,"
             " COALESCE(n_dup, 0) > 0 AS is_duplicated"
             " FROM sp LEFT JOIN hits USING (doc_id)"
+        ),
+        # Gopher rule filter: injection by doc_id%7, eight Table-A1
+        # rules replayed on the unrounded rationals
+        "gopher_rules": (
+            f"WITH inj AS (SELECT doc_id, {_G_INJ} AS t FROM documents),"
+            " b AS (SELECT doc_id, t, string_split(t,' ') AS w,"
+            "  string_split(t, chr(10)) AS l FROM inj)"
+            " SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,"
+            f" ROUND({_G_MEAN}, 4) AS mean_word_len,"
+            f" ROUND({_G_SYM}, 4) AS symbol_ratio,"
+            f" ROUND({_G_BULLET}, 4) AS bullet_frac,"
+            f" ROUND({_G_ELL}, 4) AS ellipsis_frac,"
+            f" ROUND({_G_ALPHA}, 4) AS alpha_frac,"
+            f" CAST({_G_NSTOP} AS BIGINT) AS n_stopwords,"
+            f" {_G_PASS} AS gopher_pass"
+            " FROM b"
+        ),
+        # corpus bigram LM scoring: conditional probabilities in exact
+        # integer micro-units (integer division both engines)
+        "ngram_lm_score": (
+            "WITH toks AS (SELECT doc_id, string_split(text,' ') AS w"
+            "  FROM documents),"
+            " pairs AS (SELECT doc_id,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)])) AS w1,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1])) AS bg"
+            "  FROM toks WHERE len(w) >= 2),"
+            " c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),"
+            " c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs GROUP BY bg),"
+            " agg AS (SELECT doc_id, COUNT(*) AS n,"
+            "  SUM((1000000 * c2.c2) // c1.c1) AS s"
+            "  FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(COALESCE(n,0) AS BIGINT) AS n_bigrams,"
+            " CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro,"
+            " COALESCE(s // n, 0) >= 20000 AS is_fluent"
+            " FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        # DSIR importance weights: md5 low-byte buckets (md5_number is
+        # the signed little-endian int128 — ((x%64)+64)%64 == byte0%64,
+        # matching Spark's conv(substring(md5,1,2),16,10)%64), add-one
+        # smoothed log-likelihood ratio floored to micro-units per
+        # bucket, exact integer per-doc sum
+        "dsir_weights": (
+            "WITH tok AS (SELECT doc_id,"
+            "  ((md5_number(x) % 64) + 64) % 64 AS bucket"
+            "  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS x"
+            "   FROM documents)),"
+            " ttok AS (SELECT ((md5_number(x) % 64) + 64) % 64 AS bucket"
+            "  FROM (SELECT unnest(string_split(text,' ')) AS x"
+            "   FROM documents WHERE lang='en')),"
+            " s_tab AS (SELECT bucket, COUNT(*) AS s_cnt FROM tok"
+            "  GROUP BY bucket),"
+            " t_tab AS (SELECT bucket, COUNT(*) AS t_cnt FROM ttok"
+            "  GROUP BY bucket),"
+            " s_tot AS (SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_total"
+            "  FROM s_tab),"
+            " t_tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_total"
+            "  FROM t_tab),"
+            " lr AS (SELECT bucket, CAST(floor(ln("
+            "   CAST((COALESCE(t_cnt,0)+1) * (s_total+64) AS DOUBLE)"
+            "   / CAST((s_cnt+1) * (t_total+64) AS DOUBLE)) * 1000000)"
+            "  AS BIGINT) AS term_micro"
+            "  FROM s_tab LEFT JOIN t_tab USING (bucket), s_tot, t_tot),"
+            " per AS (SELECT doc_id, COUNT(*) AS n_tokens,"
+            "  SUM(term_micro) AS s FROM tok JOIN lr USING (bucket)"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(COALESCE(n_tokens,0) AS BIGINT) AS n_tokens,"
+            " CAST(COALESCE(s,0) AS BIGINT) AS dsir_logw_micro,"
+            " COALESCE(s,0) > 0 AS selected"
+            " FROM documents d LEFT JOIN per USING (doc_id)"
+        ),
+        # tier extraction: duplicate-class injection (doc_id%101==5),
+        # Gopher rules + repetition + exact-dup + contamination →
+        # discard/low/medium/high
+        "quality_tiers": (
+            f"WITH inj AS (SELECT doc_id, {_TIER_INJ} AS t0"
+            "  FROM documents),"
+            " b AS (SELECT doc_id, t0 AS t, string_split(t0,' ') AS w,"
+            "  string_split(t0, chr(10)) AS l FROM inj),"
+            " gr AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,"
+            f"  {_G_PASS} AS gopher_pass FROM b),"
+            " rep AS (SELECT doc_id,"
+            "  ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4)"
+            "   AS dup_word_frac,"
+            "  (1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)) > 0.3"
+            "   AS is_repetitive FROM b),"
+            " dup AS (SELECT doc_id,"
+            "  doc_id > MIN(doc_id) OVER (PARTITION BY md5(t)) AS is_dup"
+            "  FROM b),"
+            " g5 AS (SELECT doc_id,"
+            "  CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])"
+            "   ELSE list_distinct(list_transform(range(1, len(w) - 3),"
+            "    i -> array_to_string(list_slice(w, CAST(i AS INT),"
+            "     CAST(i AS INT)+4), ' '))) END AS grams FROM b),"
+            " bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g5"
+            "  WHERE doc_id % 97 = 0),"
+            " dg AS (SELECT doc_id, unnest(grams) AS gram FROM g5),"
+            " hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM dg"
+            "  JOIN bench USING (gram) GROUP BY doc_id),"
+            " cont AS (SELECT g5.doc_id, COALESCE(n_hit,0) > 0"
+            "  AS contaminated FROM g5 LEFT JOIN hits USING (doc_id))"
+            " SELECT gr.doc_id, gr.n_words, gr.gopher_pass,"
+            " rep.is_repetitive, dup.is_dup, cont.contaminated,"
+            " CASE WHEN cont.contaminated OR dup.is_dup THEN 'discard'"
+            "  WHEN NOT gr.gopher_pass OR rep.is_repetitive THEN 'low'"
+            "  WHEN rep.dup_word_frac = 0.0 THEN 'high'"
+            "  ELSE 'medium' END AS tier"
+            " FROM gr JOIN rep USING (doc_id) JOIN dup USING (doc_id)"
+            " JOIN cont USING (doc_id)"
+        ),
+        # WARC round-trip: everything the parser recovers from the
+        # container is arithmetic in doc_id/text (HTTP 200, byte
+        # Content-Length, body identity, records per shard)
+        "warc_roundtrip": (
+            "SELECT doc_id,"
+            " 'http://corpus.example.com/doc/' || doc_id AS url,"
+            " CAST(200 AS INT) AS http_status,"
+            " CAST(strlen(text) AS BIGINT) AS content_length,"
+            " text AS body,"
+            " COUNT(*) OVER (PARTITION BY doc_id % 32) AS n_in_file"
+            " FROM documents"
         ),
         "minhash_signature": (
             "WITH shing0 AS (SELECT doc_id, "

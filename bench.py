@@ -101,6 +101,14 @@ HEADLINE_QUERIES = [
     "line_dedup",
     "dup_span_detect",
     "semdedup",
+    # late round-4: Gopher rule filter, corpus bigram-LM scoring, DSIR
+    # importance weights, the composed tier-extraction funnel, and the
+    # WARC (Common Crawl) source round-trip
+    "gopher_rules",
+    "ngram_lm_score",
+    "dsir_weights",
+    "quality_tiers",
+    "warc_roundtrip",
 ]
 
 

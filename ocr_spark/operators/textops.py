@@ -356,6 +356,306 @@ def tfidf_topk(
     )
 
 
+#: gopher_rules thresholds (Rae et al., arXiv:2112.11446 Table A1 —
+#: the Gopher quality-filter heuristics). Fixed — operator contract;
+#: the oracle replays every rule verbatim.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher quality-rule filter (Rae et al., arXiv:2112.11446 Table A1)
+    — the rule-based document filter every web-scale pretraining corpus
+    runs before model-based scoring: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (``#`` and ``...``), bullet-line and
+    ellipsis-line fractions, fraction of words containing an alphabetic
+    character, and a minimum stopword count.
+
+    Entirely JVM higher-order array expressions — whole-stage codegen,
+    no shuffle, no Python. Pass/fail compares the UNROUNDED rationals
+    (exact integer ratios divide identically under IEEE in both
+    engines); the reported fractions are rounded to 4 decimals for
+    display only."""
+    w = _tokens(col)
+    n_words = F.size(w).cast("long")
+    nw_d = n_words.cast("double")
+    mean_len = (
+        F.expr(f"aggregate(split({col},' '), 0L, (a, x) -> a + length(x))")
+        .cast("double")
+        / nw_d
+    )
+    n_hash = F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), "#", ""))
+    n_ellipsis = F.size(F.expr(f"regexp_extract_all({col}, '\\\\.\\\\.\\\\.', 0)"))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw_d
+    lines = F.split(F.col(col), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.expr(
+            f"size(filter(split({col},'\\n'),"
+            " l -> l like '- %' or l like '* %'))"
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.expr(f"size(filter(split({col},'\\n'), l -> l like '%...'))").cast(
+            "double"
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.expr(f"size(filter(split({col},' '), x -> x rlike '[a-z]'))").cast(
+            "double"
+        )
+        / nw_d
+    )
+    stop_arr = ",".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(array({stop_arr}), s -> array_contains(split({col},' '), s)))"
+    ).cast("long")
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac < GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac > GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        passes.alias("gopher_pass"),
+    )
+
+
+#: ngram_lm_score fluency flag threshold (micro-probability units).
+#: Fixed — operator contract.
+LM_FLUENT_MIN_MICRO = 20_000
+
+
+def ngram_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus bigram-LM document scoring — the CCNet-style (Wenzek et
+    al., arXiv:1911.00359) fluency signal: train bigram conditional
+    probabilities P(w2|w1) = c(w1 w2) / c(w1 ·) on the WHOLE corpus,
+    then score each document by the mean probability of its bigrams.
+
+    Cross-engine exactness: probabilities stay in integer micro-units —
+    per-bigram ``prob_micro = (1e6 · c2) div c1`` and per-document
+    ``lm_score_micro = Σ prob_micro div n_bigrams`` use integer
+    division, so the DuckDB oracle replays bit-for-bit (no log, no
+    float summation order).
+
+    Scale shape: bigrams travel as md5 hashes — (hash, count) only
+    crosses the two count exchanges, never text; the count tables are
+    vocabulary-bounded (≪ corpus) so AQE broadcasts them into the probe
+    joins; the per-doc aggregation is one exchange on doc_id with
+    map-side partials."""
+    toks = df.select("doc_id", _tokens(col).alias("__w"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1),"
+                    " i -> struct("
+                    "  md5(element_at(__w, i)) as h1,"
+                    "  md5(concat_ws(' ', element_at(__w, i),"
+                    "   element_at(__w, i + 1))) as h2))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<h1:string,h2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.h1").alias("h1"), F.col("bg.h2").alias("h2"))
+    c1 = pairs.groupBy("h1").agg(F.count("*").alias("c1"))
+    c2 = pairs.groupBy("h2").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(c2, "h2")
+        .join(c1, "h1")
+        .select(
+            "doc_id",
+            F.expr("div(1000000 * c2, c1)").alias("prob_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum("prob_micro").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_bigrams"),
+            F.expr("div(__s, __n)").cast("long").alias("lm_score_micro"),
+        )
+    )
+    base = df.select("doc_id")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.col("lm_score_micro"), F.lit(0).cast("long")).alias(
+            "lm_score_micro"
+        ),
+        (F.coalesce(F.col("lm_score_micro"), F.lit(0)) >= LM_FLUENT_MIN_MICRO).alias(
+            "is_fluent"
+        ),
+    )
+
+
+#: dsir_weights hashed-feature bucket count. Fixed — operator contract.
+DSIR_BUCKETS = 64
+
+
+def _md5_bucket(expr: str, n: int = DSIR_BUCKETS) -> str:
+    """SQL for the cross-engine hash bucket: low byte of the md5 digest
+    mod n. DuckDB's ``md5_number`` is the signed little-endian int128
+    of the digest, so ``((md5_number(t) % n) + n) % n`` equals byte 0
+    mod n — which is ``conv(substring(md5(t),1,2),16,10) % n`` here
+    (requires n ≤ 256 dividing 256)."""
+    return f"pmod(cast(conv(substring(md5({expr}), 1, 2), 16, 10) as int), {n})"
+
+
+def dsir_weights(
+    df: DataFrame, target_df: DataFrame, col: str = "text"
+) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): estimate
+    target and raw feature distributions over hashed unigram buckets,
+    then give every raw document an importance log-weight — the sum
+    over its tokens of the bucket's add-one-smoothed log-likelihood
+    ratio. Documents scoring >0 look more target-like than raw-like
+    (DSIR resamples by these weights; the flag is the selection
+    signal).
+
+    Determinism: the ratio inside ln() is a double quotient of exact
+    integer products (< 2^53, identical bits both engines), ln is the
+    only libm call and is quantized to integer micro-units per BUCKET
+    (≤64 values) before the exact per-document integer sum — no float
+    summation order anywhere.
+
+    Scale shape: the bucket table is ≤64 rows (two aggregates with
+    map-side partials, token text reduced to a 1-byte-derived bucket
+    int before the exchange), broadcast back onto the token stream;
+    the per-doc sum is one exchange on doc_id."""
+    b = DSIR_BUCKETS
+    bucket = F.expr(_md5_bucket("x"))
+    tok = df.select(
+        "doc_id", F.explode(_tokens(col)).alias("x")
+    ).select("doc_id", bucket.alias("bucket"))
+    ttok = target_df.select(F.explode(_tokens(col)).alias("x")).select(
+        bucket.alias("bucket")
+    )
+    s_tab = tok.groupBy("bucket").agg(F.count("*").alias("s_cnt"))
+    t_tab = ttok.groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    s_tot = s_tab.agg(F.sum("s_cnt").alias("s_total"))
+    t_tot = t_tab.agg(F.sum("t_cnt").alias("t_total"))
+    lr = (
+        s_tab.join(t_tab, "bucket", "left")
+        .crossJoin(F.broadcast(s_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+                        * (F.col("s_total") + b)
+                    ).cast("double")
+                    / ((F.col("s_cnt") + 1) * (F.col("t_total") + b)).cast(
+                        "double"
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("term_micro").cast("long").alias("dsir_logw_micro"),
+        )
+    )
+    return df.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("dsir_logw_micro"), F.lit(0).cast("long")).alias(
+            "dsir_logw_micro"
+        ),
+        (F.coalesce(F.col("dsir_logw_micro"), F.lit(0)) > 0).alias("selected"),
+    )
+
+
+def quality_tiers(df: DataFrame, bench_df: DataFrame, col: str = "text") -> DataFrame:
+    """Tier extraction — the composed quality funnel of a production
+    pretraining pipeline (C4 → Gopher → FineWeb lineage): every
+    document gets its rule-filter verdict, exact-duplicate flag,
+    benchmark-contamination flag, and repetition signal, composed into
+    a tier: ``discard`` (contaminated or exact duplicate), ``low``
+    (fails the Gopher rules or repetitive), ``medium`` (passes rules),
+    ``high`` (passes rules with zero duplicated words). The per-signal
+    columns are kept so downstream mixing can re-weight tiers instead
+    of re-running the funnel.
+
+    Scale shape: composition of already-scale-safe parts — the rule
+    signals are per-row JVM expressions, exact-dup is an md5 groupBy
+    (hash+id exchange only), contamination broadcasts the bounded
+    eval-set gram table; one final exchange keys everything back on
+    doc_id."""
+    from pyspark.sql.window import Window
+
+    g = gopher_rules(df, col).select(
+        "doc_id", "n_words", "gopher_pass"
+    )
+    rep = repetition_score(df, col).select(
+        "doc_id", "dup_word_frac", "is_repetitive"
+    )
+    dup = (
+        df.select("doc_id", F.md5(F.col(col)).alias("__h"))
+        .withColumn(
+            "is_dup",
+            F.col("doc_id") > F.min("doc_id").over(Window.partitionBy("__h")),
+        )
+        .select("doc_id", "is_dup")
+    )
+    cont = decontaminate(df, bench_df, col).select("doc_id", "contaminated")
+    tier = (
+        F.when(F.col("contaminated") | F.col("is_dup"), F.lit("discard"))
+        .when(~F.col("gopher_pass") | F.col("is_repetitive"), F.lit("low"))
+        .when(F.col("dup_word_frac") == 0.0, F.lit("high"))
+        .otherwise(F.lit("medium"))
+    )
+    return (
+        g.join(rep, "doc_id")
+        .join(dup, "doc_id")
+        .join(cont, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "gopher_pass",
+            "is_repetitive",
+            "is_dup",
+            "contaminated",
+            tier.alias("tier"),
+        )
+    )
+
+
 #: line_dedup drops lines occurring more than this many times corpus-wide.
 #: Fixed — part of the operator contract (the oracle replays it verbatim).
 LINE_DEDUP_MAX_COUNT = 2

@@ -67,3 +67,89 @@ def listed_payloads(
     return route_by_extension(binary_dir_source(spark, input_dir, glob)).filter(
         F.col("route") != "unsupported"
     )
+
+
+#: Number of WARC files the warc_roundtrip operator shards a corpus into.
+#: Fixed — operator contract (the oracle replays doc_id % WARC_SHARDS).
+WARC_SHARDS = 32
+
+#: URI prefix for corpus documents inside generated WARC files.
+WARC_URI_PREFIX = "http://corpus.example.com/doc/"
+
+
+def warc_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = WARC_SHARDS,
+) -> DataFrame:
+    """WARC (ISO 28500 / Common Crawl) source round-trip: shard the
+    corpus into ``shards`` WARC files (``doc_id % shards``), write each
+    as a real multi-record WARC — warcinfo + one HTTP-response record
+    per document, every record its own gzip member, the Common Crawl
+    layout — then PARSE the files back with the kernel reader and emit
+    one row per response record with everything recovered from the
+    container itself: the doc id from the WARC-Target-URI, the HTTP
+    status, the Content-Length header, and the response body.
+
+    This is the ingestion front door of a web-scale corpus: at 100 TB
+    the parallel axis is WARC files (Common Crawl ships ~90k files per
+    crawl), each file parsed independently inside one Arrow-batched
+    grouped-map stage — one exchange on the shard key, no further
+    shuffle, text never leaves the stage except as result rows.
+
+    kernels/warc.py is spec-derived (stdlib gzip/zlib only); a
+    truncated or malformed file contributes only its complete records
+    (skip-and-continue).
+    """
+    import pandas as pd
+
+    from ocr_spark.kernels import warc as W
+
+    def assemble_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        recs = [
+            (int(r[id_col]), WARC_URI_PREFIX + str(int(r[id_col])),
+             str(r[text_col]).encode("utf-8"))
+            for _, r in pdf.iterrows()
+        ]
+        data = W.build_warc(recs, compress=True)
+        parsed = W.parse_warc(data)
+        resp = [r for r in parsed if r.type == "response"]
+        rows = []
+        for r in resp:
+            uri = r.uri or ""
+            try:
+                did = int(uri.rsplit("/", 1)[-1])
+            except ValueError:
+                continue
+            rows.append(
+                (
+                    did,
+                    uri,
+                    int(r.http_status or 0),
+                    int(r.http_headers.get("content-length", "0")),
+                    r.body.decode("utf-8", errors="replace"),
+                    len(resp),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "url", "http_status", "content_length",
+                "body", "n_in_file",
+            ],
+        )
+
+    shard = (F.col(id_col) % shards).alias("__warc")
+    return (
+        df.select(F.col(id_col), F.col(text_col), shard)
+        .groupBy("__warc")
+        .applyInPandas(
+            assemble_and_parse,
+            schema=(
+                "doc_id long, url string, http_status int,"
+                " content_length long, body string, n_in_file long"
+            ),
+        )
+    )

@@ -478,3 +478,61 @@ def test_semdedup_pairwise_is_cell_keyed_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "cell#" in plan
+
+
+def test_gopher_rules_is_pure_codegen_map(spark):
+    # the Gopher rule filter is per-row arithmetic: ZERO exchanges,
+    # no Python workers — at 100 TB it runs at scan speed
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.gopher_rules(docs))
+    assert not _exchange_blocks(plan)
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # one Project over the scan; the higher-order lambdas stay JVM-side
+    # (they sit outside whole-stage codegen but never leave the executor)
+    assert "codegen id" in plan
+
+
+def test_ngram_lm_score_shuffles_hashes_never_text(spark):
+    # bigram/context counts aggregate on md5 hashes with map-side
+    # partials; document text must never cross an exchange, and the
+    # whole query is JVM-side (no Python stage anywhere)
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.ngram_lm_score(docs))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_dsir_weights_broadcasts_ratio_table(spark):
+    # the bucket likelihood-ratio table is ≤64 rows — it must ride a
+    # broadcast into the token probe; text never crosses an exchange
+    # (tokens are reduced to an int bucket before any shuffle)
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.dsir_weights(docs, docs.filter(F.col("lang") == "en")))
+    # the token-stream probe joins the ratio table hash-broadcast; the
+    # only nested-loop joins are the 1-row totals attached to the
+    # ≤64-row bucket table (bounded by construction, like domain_mix)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_warc_roundtrip_single_exchange_single_python_stage(spark):
+    # parallel axis = WARC files: one hash exchange on the shard key
+    # feeds one grouped-map stage that writes AND parses the container;
+    # nothing shuffles after it
+    from ocr_spark import sources
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import re
+
+    plan = _plan(sources.warc_roundtrip(docs))
+    assert len(_exchange_blocks(plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1

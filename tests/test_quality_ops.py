@@ -1,0 +1,164 @@
+"""Round-4 quality-pipeline operators: Gopher rules, bigram LM score,
+DSIR importance weights, composed quality tiers."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import textops
+
+
+def _docs(spark, texts, langs=None):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": langs or ["en"] * len(texts),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs back to"
+    " the barn with friends while evening winds blow gently across"
+    " open fields where farmers gather their final harvest of golden"
+    " wheat before night falls on quiet valleys and distant hills"
+    " glow softly under fading light tonight"
+)
+
+#: ≥50 words, ALL distinct, passes every Gopher rule → "high" tier.
+HIGH_DOC = (
+    "the a of and to in is it for on with as at by an sapphire"
+    " meadow crystal lantern voyage thunder marble quiet ember"
+    " harbor willow summit falcon orchard velvet canyon breeze"
+    " timber signal motive branch copper drift ledger anchor"
+    " prism tunnel garden hollow spiral vivid magnet jungle"
+    " saddle rocket mirror planet forest candle"
+)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    assert len(GOOD.split(" ")) >= 50
+    texts = [
+        GOOD,                                        # 0: passes
+        "too short",                                 # 1: n_words < 50
+        GOOD + " #" * 20,                            # 2: symbol ratio
+        "\n".join("- " + w for w in GOOD.split(" ")),  # 3: bullet lines
+        "\n".join(w + "..." for w in GOOD.split(" ")),  # 4: ellipsis lines
+        # 5: numeric-heavy — alpha-word fraction below 0.8
+        " ".join(["1234"] * 45 + ["the", "a", "of", "and", "to"]),
+    ]
+    out = (
+        textops.gopher_rules(_docs(spark, texts))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "gopher_pass"])
+    assert not bool(out.loc[1, "gopher_pass"]) and out.loc[1, "n_words"] < 50
+    assert not bool(out.loc[2, "gopher_pass"]) and out.loc[2, "symbol_ratio"] >= 0.1
+    assert not bool(out.loc[3, "gopher_pass"]) and out.loc[3, "bullet_frac"] >= 0.9
+    assert not bool(out.loc[4, "gopher_pass"]) and out.loc[4, "ellipsis_frac"] >= 0.3
+    assert not bool(out.loc[5, "gopher_pass"]) and out.loc[5, "alpha_frac"] <= 0.8
+
+
+def test_gopher_rules_stopword_and_mean_len(spark):
+    no_stop = " ".join(["zebra", "maple", "crow", "stone"] * 15)
+    short_words = " ".join(["ab"] * 60)
+    out = (
+        textops.gopher_rules(_docs(spark, [no_stop, short_words]))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not bool(out.loc[0, "gopher_pass"]) and out.loc[0, "n_stopwords"] < 2
+    assert not bool(out.loc[1, "gopher_pass"]) and out.loc[1, "mean_word_len"] < 3.0
+
+
+def test_ngram_lm_score_exact_integer_math(spark):
+    # corpus: "a b" x3 and "a c" — P(b|a)=3/4, P(c|a)=1/4
+    out = (
+        textops.ngram_lm_score(_docs(spark, ["a b", "a b", "a b", "a c"]))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_bigrams"] == 1
+    assert out.loc[0, "lm_score_micro"] == 750000
+    assert out.loc[3, "lm_score_micro"] == 250000
+    assert bool(out.loc[0, "is_fluent"]) and bool(out.loc[3, "is_fluent"])
+
+
+def test_ngram_lm_score_short_doc_zero(spark):
+    out = (
+        textops.ngram_lm_score(_docs(spark, ["solo", "a b"]))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_bigrams"] == 0 and out.loc[0, "lm_score_micro"] == 0
+    assert not bool(out.loc[0, "is_fluent"])
+
+
+def test_dsir_bucket_matches_md5_low_byte(spark):
+    df = _docs(spark, ["spark"])
+    got = df.select(
+        F.expr(textops._md5_bucket("text")).alias("b")
+    ).collect()[0]["b"]
+    want = hashlib.md5(b"spark").digest()[0] % textops.DSIR_BUCKETS
+    assert got == want
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target tokens {x y z}, raw background tokens {p q r}
+    target_like = " ".join(["x", "y", "z"] * 20)
+    raw_like = " ".join(["p", "q", "r"] * 20)
+    texts = [target_like] * 3 + [raw_like] * 3
+    langs = ["en", "en", "en", "de", "de", "de"]
+    df = _docs(spark, texts, langs)
+    out = (
+        textops.dsir_weights(df, df.filter(F.col("lang") == "en"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out.loc[:2, "dsir_logw_micro"] > out.loc[3:, "dsir_logw_micro"].max()).all()
+    assert out.loc[0, "selected"] and not bool(out.loc[3, "selected"])
+    assert (out["n_tokens"] == 60).all()
+
+
+def test_quality_tiers_assigns_expected_tiers(spark):
+    repetitive = " ".join(["loop"] * 80)
+    short = "tiny doc"
+    texts = [HIGH_DOC, GOOD, GOOD, repetitive, short]
+    df = _docs(spark, texts)
+    bench = df.filter(F.col("doc_id") == 99)  # empty eval set
+    out = (
+        textops.quality_tiers(df, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "tier"] == "high"  # all-distinct words, rules pass
+    # first copy of the dup pair is kept with its quality tier;
+    # GOOD repeats 'the'/'and' so its dup_word_frac > 0 -> medium
+    assert out.loc[1, "tier"] == "medium" and not bool(out.loc[1, "is_dup"])
+    assert out.loc[2, "tier"] == "discard" and bool(out.loc[2, "is_dup"])
+    assert out.loc[3, "tier"] == "low" and bool(out.loc[3, "is_repetitive"])
+    assert out.loc[4, "tier"] == "low"  # fails Gopher word count
+
+
+def test_quality_tiers_contamination_discards(spark):
+    df = _docs(spark, [GOOD, GOOD + " unrelated tail"])
+    bench = df.filter(F.col("doc_id") == 0)
+    out = (
+        textops.quality_tiers(df, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 shares 5-grams with the bench doc -> contaminated
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "tier"] == "discard"

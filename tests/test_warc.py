@@ -1,0 +1,92 @@
+"""WARC/1.0 kernel (ISO 28500) + the warc_roundtrip source operator."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark import sources
+from ocr_spark.kernels import warc as W
+
+RECS = [
+    (7, "http://x.example.com/7", b"hello world"),
+    (9, "http://x.example.com/9", "café body".encode("utf-8")),
+]
+
+
+def test_roundtrip_gzip_members():
+    data = W.build_warc(RECS, compress=True)
+    # Common Crawl layout: one gzip member per record (warcinfo + 2)
+    assert data[:2] == b"\x1f\x8b" and data.count(b"\x1f\x8b\x08") == 3
+    recs = W.parse_warc(data)
+    assert [r.type for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1].http_status == 200
+    assert recs[1].body == b"hello world"
+    assert recs[1].uri == "http://x.example.com/7"
+    assert recs[2].body.decode("utf-8") == "café body"
+    assert int(recs[2].http_headers["content-length"]) == len(recs[2].body)
+
+
+def test_roundtrip_uncompressed():
+    plain = W.build_warc(RECS, compress=False)
+    recs = W.parse_warc(plain)
+    assert len(recs) == 3 and recs[0].type == "warcinfo"
+
+
+def test_truncated_stream_keeps_complete_records():
+    plain = W.build_warc(RECS, compress=False)
+    got = W.parse_warc(plain[: len(plain) - 40])
+    bodies = [r.body for r in got if r.type == "response"]
+    assert bodies == [b"hello world"]
+
+
+def test_deterministic_bytes():
+    assert W.build_warc(RECS) == W.build_warc(RECS)
+
+
+def test_foreign_warc_lf_headers_and_case():
+    # a record we didn't write: LF-only header lines, mixed-case names
+    body = b"HTTP/1.1 404 Not Found\r\n\r\nmissing"
+    rec = (
+        b"WARC/1.0\n"
+        b"warc-type: response\n"
+        b"WARC-TARGET-URI: http://y/z\n"
+        b"content-type: application/http; msgtype=response\n"
+        + b"content-length: " + str(len(body)).encode() + b"\n\n"
+        + body
+    )
+    got = W.parse_warc(rec)
+    assert len(got) == 1
+    assert got[0].uri == "http://y/z"
+    assert got[0].http_status == 404
+    assert got[0].body == b"missing"
+
+
+def test_single_member_gzip_whole_file():
+    # whole-file gzip (valid WARC too, just not per-record members)
+    plain = W.build_warc(RECS, compress=False)
+    recs = W.parse_warc(gzip.compress(plain))
+    assert len(recs) == 3
+
+
+def test_warc_roundtrip_operator(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(40), "text": [f"doc body {i}" for i in range(40)]}
+        )
+    )
+    out = (
+        sources.warc_roundtrip(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 40
+    assert (out["http_status"] == 200).all()
+    assert out.loc[17, "body"] == "doc body 17"
+    assert out.loc[17, "url"].endswith("/17")
+    assert (out["content_length"] == out["body"].str.len()).all()
+    # 40 docs over 32 shards: shards 0-7 hold 2 records, the rest 1
+    assert out.loc[5, "n_in_file"] == 2 and out.loc[31, "n_in_file"] == 1
