@@ -44,8 +44,13 @@ class WarcRecord:
     body: bytes = b""
 
 
-def _record_id(key: int) -> str:
-    return f"<urn:uuid:00000000-0000-4000-8000-{key & 0xFFFFFFFFFFFF:012x}>"
+def _record_id(key: int, kind: int = 0) -> str:
+    """Deterministic RFC-4122-shaped record id; ``kind`` keeps the
+    warcinfo record's id distinct from response key 0."""
+    return (
+        f"<urn:uuid:0000000{kind:01x}-0000-4000-8000-"
+        f"{key & 0xFFFFFFFFFFFF:012x}>"
+    )
 
 
 def build_response_record(uri: str, body: bytes, key: int,
@@ -78,7 +83,7 @@ def build_warcinfo_record(filename: str = "ocr_spark.warc.gz") -> bytes:
     head = (
         b"WARC/1.0" + _CRLF
         + b"WARC-Type: warcinfo" + _CRLF
-        + b"WARC-Record-ID: " + _record_id(0).encode("ascii") + _CRLF
+        + b"WARC-Record-ID: " + _record_id(0, kind=1).encode("ascii") + _CRLF
         + b"WARC-Date: " + WARC_DATE.encode("ascii") + _CRLF
         + b"WARC-Filename: " + filename.encode("ascii") + _CRLF
         + b"Content-Type: application/warc-fields" + _CRLF

@@ -46,6 +46,12 @@ def test_deterministic_bytes():
     assert W.build_warc(RECS) == W.build_warc(RECS)
 
 
+def test_record_ids_unique_across_record_types():
+    recs = W.parse_warc(W.build_warc([(0, "http://x/0", b"zero")] + RECS))
+    ids = [r.record_id for r in recs]
+    assert len(ids) == len(set(ids)) == 4
+
+
 def test_foreign_warc_lf_headers_and_case():
     # a record we didn't write: LF-only header lines, mixed-case names
     body = b"HTTP/1.1 404 Not Found\r\n\r\nmissing"
