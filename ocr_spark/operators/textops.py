@@ -481,10 +481,12 @@ def ngram_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
             ).otherwise(F.expr("array()").cast("array<struct<h1:string,h2:string>>"))
         ).alias("bg"),
     ).select("doc_id", F.col("bg.h1").alias("h1"), F.col("bg.h2").alias("h2"))
-    c1 = pairs.groupBy("h1").agg(F.count("*").alias("c1"))
-    c2 = pairs.groupBy("h2").agg(F.count("*").alias("c2"))
+    # context counts derive from the (vocabulary-bounded) bigram count
+    # table — c(w1 ·) = Σ_w2 c(w1 w2) — instead of a third corpus scan
+    c2 = pairs.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
     scored = (
-        pairs.join(c2, "h2")
+        pairs.join(c2, ["h1", "h2"])
         .join(c1, "h1")
         .select(
             "doc_id",

@@ -109,9 +109,8 @@ def warc_roundtrip(
     def assemble_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
         recs = [
-            (int(r[id_col]), WARC_URI_PREFIX + str(int(r[id_col])),
-             str(r[text_col]).encode("utf-8"))
-            for _, r in pdf.iterrows()
+            (int(i), WARC_URI_PREFIX + str(int(i)), str(t).encode("utf-8"))
+            for i, t in zip(pdf[id_col], pdf[text_col])
         ]
         data = W.build_warc(recs, compress=True)
         parsed = W.parse_warc(data)
