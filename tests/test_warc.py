@@ -46,6 +46,38 @@ def test_deterministic_bytes():
     assert W.build_warc(RECS) == W.build_warc(RECS)
 
 
+def test_bodies_with_warc_markers_roundtrip():
+    # Content-Length framing must protect bodies that contain WARC
+    # header text, record separators, or blank lines
+    nasty = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        b"Content-Length: 9999\r\n\r\n\r\n\r\n",
+        b"\n\nHTTP/1.1 500 Oops\r\n\r\n",
+        b"\x00\x01\x02\xff" * 7,
+        b"",
+    ]
+    recs = [(i + 1, f"http://n/{i}", b) for i, b in enumerate(nasty)]
+    parsed = [r for r in W.parse_warc(W.build_warc(recs)) if r.type == "response"]
+    assert [r.body for r in parsed] == nasty
+
+
+def test_hypothesis_random_bodies_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.binary(max_size=300), min_size=1, max_size=6))
+    def run(bodies):
+        recs = [(i, f"http://h/{i}", b) for i, b in enumerate(bodies)]
+        parsed = [
+            r for r in W.parse_warc(W.build_warc(recs)) if r.type == "response"
+        ]
+        assert [r.body for r in parsed] == bodies
+        assert all(r.http_status == 200 for r in parsed)
+
+    run()
+
+
 def test_record_ids_unique_across_record_types():
     recs = W.parse_warc(W.build_warc([(0, "http://x/0", b"zero")] + RECS))
     ids = [r.record_id for r in recs]
