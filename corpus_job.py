@@ -48,14 +48,18 @@ def main(argv: list[str] | None = None) -> int:
     bench = docs.filter(F.col("doc_id") % args.bench_mod == 0)
     tiers = textops.quality_tiers(docs, bench)
 
+    # with --signals, materialize the funnel ONCE: write the signal
+    # table first and read it back for the tiered write, so the
+    # funnel's corpus scans and joins never run a second time
+    if args.signals:
+        tiers.write.mode("overwrite").parquet(args.signals)
+        tiers = spark.read.parquet(args.signals)
+
     # the funnel's product: the corpus keyed by tier; the join back to
     # text is one exchange per side on doc_id, the write partitions by
     # the (low-cardinality) tier so readers prune whole tiers
     tiered = docs.join(tiers.select("doc_id", "tier"), "doc_id")
     tiered.write.mode("overwrite").partitionBy("tier").parquet(args.output)
-
-    if args.signals:
-        tiers.write.mode("overwrite").parquet(args.signals)
 
     counts = {
         r["tier"]: int(r["n"])

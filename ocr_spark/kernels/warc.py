@@ -118,12 +118,29 @@ def _gunzip_members(data: bytes) -> bytes:
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt member region — keep what decoded
         if not d.eof:  # truncated final member — keep complete ones
             break
         data = d.unused_data
     return b"".join(out)
+
+
+def _find_blank_line(buf: bytes, start: int = 0) -> "tuple[int, int]":
+    """(offset, separator length) of the earliest header-terminating
+    blank line, or (-1, 0). Earliest of \\r\\n\\r\\n vs \\n\\n wins so
+    LF-only headers over a block that itself contains \\r\\n\\r\\n never
+    split inside the block."""
+    e_crlf = buf.find(b"\r\n\r\n", start)
+    e_lf = buf.find(b"\n\n", start)
+    if e_crlf == -1 and e_lf == -1:
+        return -1, 0
+    if e_lf == -1 or (e_crlf != -1 and e_crlf < e_lf):
+        return e_crlf, 4
+    return e_lf, 2
 
 
 def _split_headers(raw: bytes) -> dict[str, str]:
@@ -153,21 +170,16 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
             pos += 1
         if not data[pos : pos + 5] == b"WARC/":
             break
-        # earliest blank line wins: LF-only headers over an HTTP block
-        # that itself contains \r\n\r\n must not split inside the block
-        e_crlf = data.find(b"\r\n\r\n", pos)
-        e_lf = data.find(b"\n\n", pos)
-        if e_crlf == -1 and e_lf == -1:
+        hdr_end, sep = _find_blank_line(data, pos)
+        if hdr_end == -1:
             break
-        if e_lf == -1 or (e_crlf != -1 and e_crlf < e_lf):
-            hdr_end, sep = e_crlf, 4
-        else:
-            hdr_end, sep = e_lf, 2
         headers = _split_headers(data[pos:hdr_end])
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if clen < 0:
+            break  # bogus negative length would rewind the scan
         block = data[hdr_end + sep : hdr_end + sep + clen]
         if len(block) < clen:
             break  # truncated record
@@ -189,14 +201,9 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
 
 def _parse_http(rec: WarcRecord) -> None:
     block = rec.block
-    e_crlf = block.find(b"\r\n\r\n")
-    e_lf = block.find(b"\n\n")
-    if e_crlf == -1 and e_lf == -1:
+    split, sep = _find_blank_line(block)
+    if split == -1:
         return
-    if e_lf == -1 or (e_crlf != -1 and e_crlf < e_lf):
-        split, sep = e_crlf, 4
-    else:
-        split, sep = e_lf, 2
     head, rec.body = block[:split], block[split + sep :]
     lines = head.split(b"\n")
     status_line = lines[0].rstrip(b"\r").split(b" ")

@@ -545,7 +545,13 @@ def dsir_weights(
     integer products (< 2^53, identical bits both engines), ln is the
     only libm call and is quantized to integer micro-units per BUCKET
     (≤64 values) before the exact per-document integer sum — no float
-    summation order anywhere.
+    summation order anywhere. ln() is NOT correctly-rounded in either
+    engine (the CLAUDE.md sqrt-vs-pow hazard class), so floor(ln·1e6)
+    could in principle flip at a micro-unit boundary; with |ln|≈O(1),
+    1-ulp ≈ 2e-16 and a 1e-6 quantum that is P ≈ 2e-10 per bucket,
+    ≈ 1e-8 per run over 64 buckets — the same accepted-risk class as
+    tfidf's round(·,4) over 15k values, kept because Σ log-ratio IS the
+    DSIR weight (a rational-only Σ ratio would change the estimator).
 
     Scale shape: the bucket table is ≤64 rows (two aggregates with
     map-side partials, token text reduced to a 1-byte-derived bucket

@@ -78,6 +78,24 @@ def test_hypothesis_random_bodies_roundtrip():
     run()
 
 
+def test_negative_content_length_terminates():
+    # a bogus negative length must not rewind the scan into a loop
+    bad = b"WARC/1.0\nContent-Length: -30\n\n"
+    assert W.parse_warc(bad) == []
+    plain = W.build_warc(RECS, compress=False)
+    got = W.parse_warc(plain + bad)
+    assert [r.body for r in got if r.type == "response"] == [
+        b"hello world", "café body".encode("utf-8")
+    ]
+
+
+def test_corrupt_gzip_member_keeps_decoded_prefix():
+    # garbage after a complete member region degrades, never raises
+    data = W.build_warc(RECS, compress=True) + b"NOT-GZIP-GARBAGE"
+    got = W.parse_warc(data)
+    assert [r.type for r in got] == ["warcinfo", "response", "response"]
+
+
 def test_record_ids_unique_across_record_types():
     recs = W.parse_warc(W.build_warc([(0, "http://x/0", b"zero")] + RECS))
     ids = [r.record_id for r in recs]
