@@ -803,6 +803,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Content-Length, and body all recovered from the container
         return src.warc_roundtrip(_docs(spark, sf))
 
+    def corpus_shuffle(spark, sf):
+        # deterministic training-order shuffle: md5(salt:doc_id) shard
+        # + per-shard position; new salt = new epoch, no global sort
+        return textops.corpus_shuffle(_docs(spark, sf))
+
+    def mixture_sample(spark, sf):
+        # mixture weights APPLIED as one epoch: floor(w) copies + one
+        # Bernoulli(frac(w)) via a deterministic md5 uniform. The
+        # corpus's sources are uniform (weights would all be 1.0), so
+        # doc_id%10<6 docs collapse into one dominant 'common' domain —
+        # downsampled w<1 AND upsampled w>1 branches both fire.
+        d = _docs(spark, sf)
+        injected = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 6, F.lit("common"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+        return textops.mixture_sample(injected)
+
     def line_dedup(spark, sf):
         # C4-style corpus-level line dedup: deterministic boilerplate
         # injection by doc_id%5 (nav header / social footer / rights
@@ -1244,6 +1264,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
+        # late round-4 tail additions (outside the 50-entry driver
+        # window by design — proven every pytest run by the in-gate
+        # sf0.001 replay and locally at sf0.01/0.1)
+        "corpus_shuffle": corpus_shuffle,
+        "mixture_sample": mixture_sample,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2332,6 +2357,43 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE 'medium' END AS tier"
             " FROM gr JOIN rep USING (doc_id) JOIN dup USING (doc_id)"
             " JOIN cont USING (doc_id)"
+        ),
+        # deterministic epoch shuffle: md5_number low byte ≡ Spark's
+        # conv(substring(md5,1,2)) for the shard, hex-string order for
+        # the in-shard position
+        "corpus_shuffle": (
+            "WITH k AS (SELECT doc_id, md5('epoch0:' || doc_id) AS key,"
+            " CAST(((md5_number('epoch0:' || doc_id) % 64) + 64) % 64"
+            "  AS INT) AS shard FROM documents)"
+            " SELECT doc_id, shard,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key)"
+            "  AS BIGINT) AS pos FROM k"
+        ),
+        # mixture application: domain_mix weights + md5-uniform
+        # Bernoulli (little-endian low 4 digest bytes / 2^32 — matches
+        # Spark's byte-wise conv reassembly); domain-skew injection
+        "mixture_sample": (
+            "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 10 < 6"
+            "  THEN 'common' ELSE source END AS source FROM documents),"
+            " tot AS (SELECT COUNT(*) AS n_total FROM inj),"
+            " per AS (SELECT source, COUNT(*) AS n_domain FROM inj"
+            "  GROUP BY source),"
+            " mu AS (SELECT source, n_domain, n_total,"
+            "  CAST(floor(sqrt(CAST(n_domain AS DOUBLE)/n_total) * 1000000)"
+            "   AS BIGINT) AS mu FROM per, tot),"
+            " z AS (SELECT CAST(SUM(mu) AS BIGINT) AS z FROM mu),"
+            " w AS (SELECT d.doc_id, d.source,"
+            "  ROUND((CAST(m.mu AS DOUBLE)/z.z) /"
+            "   (CAST(m.n_domain AS DOUBLE)/m.n_total), 6) AS mix_weight"
+            "  FROM inj d JOIN mu m USING (source), z),"
+            " s AS (SELECT doc_id, source, mix_weight,"
+            "  CAST(floor(mix_weight) + CASE WHEN"
+            "   CAST(((md5_number('epoch0:' || doc_id) % 4294967296)"
+            "    + 4294967296) % 4294967296 AS DOUBLE) / 4294967296"
+            "   < mix_weight - floor(mix_weight) THEN 1 ELSE 0 END"
+            "   AS BIGINT) AS n_copies FROM w)"
+            " SELECT doc_id, source, mix_weight, n_copies,"
+            " n_copies > 0 AS sampled FROM s"
         ),
         # WARC round-trip: everything the parser recovers from the
         # container is arithmetic in doc_id/text (HTTP 200, byte

@@ -109,6 +109,8 @@ HEADLINE_QUERIES = [
     "dsir_weights",
     "quality_tiers",
     "warc_roundtrip",
+    "corpus_shuffle",
+    "mixture_sample",
 ]
 
 

@@ -287,6 +287,82 @@ def domain_mix(df: DataFrame, domain_col: str = "source") -> DataFrame:
     )
 
 
+#: corpus_shuffle / mixture_sample epoch salt. Fixed — operator contract.
+EPOCH_SALT = "epoch0"
+
+
+def corpus_shuffle(
+    df: DataFrame, shards: int = 64, salt: str = EPOCH_SALT
+) -> DataFrame:
+    """Deterministic corpus shuffle — the training-order pass: every
+    document gets a pseudo-random shard and position from
+    ``md5(salt:doc_id)``, so a dataloader reads shards independently
+    yet every epoch (new salt) reshuffles reproducibly across engines
+    and reruns.
+
+    Scale shape: the one exchange carries (doc_id, shard, hash) — never
+    text; position is a per-shard row_number window, shards sized to
+    the cluster so no global sort exists anywhere."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    # shard = low byte of the digest mod shards (DuckDB: md5_number
+    # int128 ≡ byte0 mod shards, shards ≤ 256 dividing 256)
+    shard = F.expr(
+        f"pmod(cast(conv(substring(md5(concat('{salt}:', cast(doc_id as string))),"
+        f" 1, 2), 16, 10) as int), {shards})"
+    )
+    w = Window.partitionBy("shard").orderBy("key")
+    return (
+        df.select("doc_id", shard.alias("shard"), key.alias("key"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame, domain_col: str = "source", salt: str = EPOCH_SALT
+) -> DataFrame:
+    """Apply the temperature mixture (domain_mix) to build one epoch:
+    each document is repeated ``floor(w)`` times plus one more with
+    probability ``frac(w)`` — the standard weighted-epoch scheme, so
+    E[Σ copies] = corpus size while rare domains upsample and dominant
+    ones downsample. The Bernoulli draw is a deterministic md5-derived
+    uniform (low 4 digest bytes / 2^32), so the epoch is reproducible
+    and the DuckDB oracle replays it exactly: the uniform is an exact
+    dyadic rational and ``mix_weight`` is the same rounded double in
+    both engines, so the comparison is bit-deterministic.
+
+    Scale shape: the weight table is domain-bounded and broadcast (from
+    domain_mix); the md5 draw is per-row JVM arithmetic — the corpus
+    never shuffles."""
+    weights = domain_mix(df, domain_col).select("doc_id", domain_col, "mix_weight")
+    # little-endian low 4 digest bytes, matching DuckDB's
+    # ((md5_number(x) % 2^32) + 2^32) % 2^32 (md5_number is the signed
+    # LITTLE-endian int128 of the digest; hex chars 2i-1..2i are byte i)
+    h = f"md5(concat('{salt}:', cast(doc_id as string)))"
+    b = [f"cast(conv(substring({h}, {2 * i + 1}, 2), 16, 10) as bigint)" for i in range(4)]
+    u = (
+        F.expr(f"{b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]}").cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    base = F.floor(F.col("mix_weight")).cast("long")
+    frac = F.col("mix_weight") - F.floor(F.col("mix_weight"))
+    n_copies = base + F.when(u < frac, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return weights.select(
+        "doc_id",
+        domain_col,
+        "mix_weight",
+        n_copies.alias("n_copies"),
+        (n_copies > 0).alias("sampled"),
+    )
+
+
 def top_terms_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 20
 ) -> DataFrame:

@@ -151,6 +151,53 @@ def test_quality_tiers_assigns_expected_tiers(spark):
     assert out.loc[4, "tier"] == "low"  # fails Gopher word count
 
 
+def test_corpus_shuffle_is_a_permutation_and_salt_reshuffles(spark):
+    from ocr_spark.operators.textops import corpus_shuffle
+
+    df = _docs(spark, [f"doc {i}" for i in range(200)])
+    a = corpus_shuffle(df).toPandas()
+    assert len(a) == 200 and a["doc_id"].nunique() == 200
+    # positions are 1..count within every shard
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # deterministic across runs, different under a new epoch salt
+    b = corpus_shuffle(df).toPandas().sort_values("doc_id")
+    assert (a.sort_values("doc_id").values == b.values).all()
+    c = corpus_shuffle(df, salt="epoch1").toPandas().sort_values("doc_id")
+    assert not (
+        a.sort_values("doc_id")[["shard", "pos"]].values
+        == c[["shard", "pos"]].values
+    ).all()
+
+
+def test_mixture_sample_copies_and_conservation(spark):
+    from pyspark.sql import functions as F2
+
+    from ocr_spark.operators.textops import mixture_sample
+
+    # 900 common docs vs 100 rare: w_common < 1 < w_rare
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "text": ["x"] * 1000,
+            "source": ["common"] * 900 + ["rare"] * 100,
+        }
+    )
+    out = mixture_sample(spark.createDataFrame(pdf)).toPandas()
+    w = out.groupby("source")["mix_weight"].first()
+    assert w["common"] < 1.0 < w["rare"]
+    g = out.groupby("source")["n_copies"]
+    # downsampled domain (w≈0.83): copies in {0,1}; upsampled
+    # (w≈2.5): floor(w)=2 plus the Bernoulli → {2,3}
+    assert set(out[out.source == "common"]["n_copies"]) <= {0, 1}
+    assert set(out[out.source == "rare"]["n_copies"]) <= {2, 3}
+    # conservation: E[sum copies] = N; the deterministic draw should
+    # land within a loose binomial envelope
+    total = out["n_copies"].sum()
+    assert 900 <= total <= 1100
+    assert (out["sampled"] == (out["n_copies"] > 0)).all()
+
+
 def test_quality_tiers_contamination_discards(spark):
     df = _docs(spark, [GOOD, GOOD + " unrelated tail"])
     bench = df.filter(F.col("doc_id") == 0)
