@@ -536,3 +536,27 @@ def test_warc_roundtrip_single_exchange_single_python_stage(spark):
     plan = _plan(sources.warc_roundtrip(docs))
     assert len(_exchange_blocks(plan)) == 1
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+
+
+def test_corpus_shuffle_single_exchange_no_text(spark):
+    # the epoch shuffle is one hash exchange on the shard key feeding a
+    # per-shard row_number window — text never crosses, no global sort
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.corpus_shuffle(docs))
+    blocks = _exchange_blocks(plan)
+    assert len(blocks) == 1 and "text#" not in blocks[0]
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    # weights broadcast (domain-bounded table); the corpus side reaches
+    # the draw without an exchange carrying doc rows
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.mixture_sample(docs))
+    assert "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b and "doc_id#" not in b
