@@ -305,21 +305,23 @@ def corpus_shuffle(
     the cluster so no global sort exists anywhere."""
     from pyspark.sql.window import Window
 
-    key = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
-    # shard = low byte of the digest mod shards (DuckDB: md5_number
-    # int128 ≡ byte0 mod shards, shards ≤ 256 dividing 256)
-    shard = F.expr(
-        f"pmod(cast(conv(substring(md5(concat('{salt}:', cast(doc_id as string))),"
-        f" 1, 2), 16, 10) as int), {shards})"
-    )
-    w = Window.partitionBy("shard").orderBy("key")
-    return (
-        df.select("doc_id", shard.alias("shard"), key.alias("key"))
-        .select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("long").alias("pos"),
+    if 256 % shards != 0:
+        raise ValueError(
+            f"shards must divide 256 (got {shards}): the shard is the "
+            "digest's byte 0 mod shards, which is uniform only for "
+            "divisors of 256"
         )
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    keyed = df.select("doc_id", key.alias("key"))
+    # shard = low byte of the digest mod shards, derived from the key
+    # COLUMN (one md5, no salt in SQL literals; DuckDB: md5_number
+    # int128 ≡ byte0 mod shards for shards dividing 256)
+    shard = F.expr(f"pmod(cast(conv(substring(key, 1, 2), 16, 10) as int), {shards})")
+    w = Window.partitionBy("shard").orderBy("key")
+    return keyed.select("doc_id", shard.alias("shard"), "key").select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
     )
 
 
@@ -342,9 +344,15 @@ def mixture_sample(
     weights = domain_mix(df, domain_col).select("doc_id", domain_col, "mix_weight")
     # little-endian low 4 digest bytes, matching DuckDB's
     # ((md5_number(x) % 2^32) + 2^32) % 2^32 (md5_number is the signed
-    # LITTLE-endian int128 of the digest; hex chars 2i-1..2i are byte i)
-    h = f"md5(concat('{salt}:', cast(doc_id as string)))"
-    b = [f"cast(conv(substring({h}, {2 * i + 1}, 2), 16, 10) as bigint)" for i in range(4)]
+    # LITTLE-endian int128 of the digest; hex chars 2i-1..2i are byte
+    # i). The digest is a COLUMN so the salt never rides a SQL literal.
+    weights = weights.withColumn(
+        "__h", F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    )
+    b = [
+        f"cast(conv(substring(__h, {2 * i + 1}, 2), 16, 10) as bigint)"
+        for i in range(4)
+    ]
     u = (
         F.expr(f"{b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]}").cast(
             "double"

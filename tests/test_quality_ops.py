@@ -170,9 +170,26 @@ def test_corpus_shuffle_is_a_permutation_and_salt_reshuffles(spark):
     ).all()
 
 
-def test_mixture_sample_copies_and_conservation(spark):
-    from pyspark.sql import functions as F2
+def test_corpus_shuffle_guards_and_odd_salts(spark):
+    import pytest as _pytest
 
+    from ocr_spark.operators.textops import corpus_shuffle, mixture_sample
+
+    df = _docs(spark, ["a b", "c d", "e f"])
+    with _pytest.raises(ValueError, match="divide 256"):
+        corpus_shuffle(df, shards=100)
+    # quotes/backslashes in the epoch salt must not break or diverge
+    # (the salt rides F.lit, never a SQL literal)
+    out = corpus_shuffle(df, salt="o'clock\\x").toPandas()
+    assert len(out) == 3 and out["doc_id"].nunique() == 3
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a", "b"], "source": ["s", "s"]})
+    )
+    out2 = mixture_sample(df2, salt="o'clock\\x").toPandas()
+    assert len(out2) == 2 and "__h" not in out2.columns
+
+
+def test_mixture_sample_copies_and_conservation(spark):
     from ocr_spark.operators.textops import mixture_sample
 
     # 900 common docs vs 100 rare: w_common < 1 < w_rare
@@ -186,7 +203,6 @@ def test_mixture_sample_copies_and_conservation(spark):
     out = mixture_sample(spark.createDataFrame(pdf)).toPandas()
     w = out.groupby("source")["mix_weight"].first()
     assert w["common"] < 1.0 < w["rare"]
-    g = out.groupby("source")["n_copies"]
     # downsampled domain (w≈0.83): copies in {0,1}; upsampled
     # (w≈2.5): floor(w)=2 plus the Bernoulli → {2,3}
     assert set(out[out.source == "common"]["n_copies"]) <= {0, 1}
