@@ -869,8 +869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
-        # in-cell neighbor at cosine >= 0.35
-        return dedup.semdedup(_tbl(spark, sf, "embeddings"))
+        # in-cell neighbor at cosine >= threshold. 0.35 is passed
+        # EXPLICITLY (the operator's default is the paper-regime 0.9):
+        # the synthetic embeddings are near-orthogonal, so a low
+        # threshold is what actually exercises drops here.
+        return dedup.semdedup(_tbl(spark, sf, "embeddings"), threshold=0.35)
 
     def minhash_signature(spark, sf):
         sigs = dedup.minhash_signatures(_docs(spark, sf))
@@ -2135,7 +2138,8 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT) AS n_urls,"
             # DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
             " COALESCE(array_to_string(doms, '|'), '') AS domains,"
-            " len(list_filter(doms, x -> x LIKE '%tracker.net')) > 0 AS blocked"
+            " len(list_filter(doms, x -> x = 'tracker.net'"
+            "  OR x LIKE '%.tracker.net')) > 0 AS blocked"
             " FROM d"
         ),
         # benchmark decontamination: doc_id%97==0 docs are the eval set;

@@ -467,7 +467,13 @@ def decode_g4(
             bits.pos = (bits.pos + 7) & ~7
         if bits.peek_str(24) == EOFB:
             return out
-        cur = _decode_2d_row(bits, ref_changes, w)
+        try:
+            cur = _decode_2d_row(bits, ref_changes, w)
+        except EOFError:
+            # stream ended before /Rows lines without an EOFB — common
+            # in scanner/TIFF-origin G4; keep the decoded rows, the
+            # remainder stays white (same degrade as decode_g3)
+            return out
         out[y] = _paint_row(cur, w)
         ref_changes = [min(x, w) for x in cur] + [w, w]
     return out

@@ -769,16 +769,30 @@ class PdfDoc:
         if not isinstance(parms, dict):
             parms = {}
         k = int(self.resolve(parms.get("K", 0)))
-        columns = int(self.resolve(parms.get("Columns", 1728)))
-        rows = int(self.resolve(parms.get("Rows", d.get("Height", 0))))
+        width = int(self.resolve(d.get("Width", 0)))
+        height = int(self.resolve(d.get("Height", 0)))
+        # /Columns governs the CODED line width (spec default 1728);
+        # when absent, the image dict's /Width is the better default —
+        # decoding a Width-20 scan at 1728 shifts every run boundary
+        columns = int(self.resolve(parms.get("Columns", width or 1728)))
+        rows = int(self.resolve(parms.get("Rows", 0))) or height
         if rows <= 0:
-            rows = int(self.resolve(d["Height"]))
+            raise ValueError("CCITT image without /Rows or /Height")
         black_is_1 = bool(self.resolve(parms.get("BlackIs1", False)))
         byte_align = bool(self.resolve(parms.get("EncodedByteAlign", False)))
         if k < 0:
             bm = decode_g4(raw, columns, rows, byte_align=byte_align)
         else:
             bm = decode_g3(raw, columns, rows, k=k, byte_align=byte_align)
+        # the image dict geometry is authoritative for rendering:
+        # crop/pad the decoded bitmap to (Height, Width) — padding is
+        # 0 in bm space (no black), i.e. white
+        if height > 0 and width > 0 and bm.shape != (height, width):
+            fixed = np.zeros((height, width), dtype=bm.dtype)
+            h = min(height, bm.shape[0])
+            w2 = min(width, bm.shape[1])
+            fixed[:h, :w2] = bm[:h, :w2]
+            bm = fixed
         # filter-output samples: 0 = black unless /BlackIs1; DeviceGray
         # then maps sample→intensity (0 = black), /Decode [1 0] inverts
         samples = bm if black_is_1 else (1 - bm)
@@ -1446,6 +1460,11 @@ def build_pdf_images(
             + b"\nendstream"
         )
         bpc = 8
+        if ccitt and rgb:
+            raise ValueError(
+                "ccitt=True requires 2-D grayscale inputs (CCITT is a "
+                "bilevel codec); got an RGB array"
+            )
         if ccitt and not rgb:
             from ocr_spark.kernels.ccitt import encode_g3, encode_g4
 

@@ -594,7 +594,7 @@ def simhash_candidate_groups(
 
 def semdedup(
     emb: DataFrame,
-    threshold: float = 0.35,
+    threshold: float = 0.9,
     nlist: int = 16,
     sample_n: int = 2048,
     iters: int = 10,
@@ -608,7 +608,12 @@ def semdedup(
     pairwise cosine check ONLY within each cluster and drop every vector
     that has a lower-id in-cell neighbor at cosine ≥ ``threshold``
     (lowest id kept — a deterministic stand-in for the paper's
-    keep-farthest-from-centroid rule).
+    keep-farthest-from-centroid rule). The default 0.9 targets the
+    paper's near-duplicate regime on real text embeddings, where
+    unrelated documents routinely score cosine 0.3–0.5; lower it only
+    for corpora whose similarity distribution warrants it (the contract
+    query passes 0.35 explicitly for the near-orthogonal synthetic
+    vectors).
 
     Scale shape: the quadratic is contained per cell (nlist grows with
     the corpus, so cells stay bounded — the paper's own containment);

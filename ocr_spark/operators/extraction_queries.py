@@ -129,7 +129,15 @@ def extract_grid_query(df: DataFrame) -> DataFrame:
 # -- PDF embedded-image grid extraction ------------------------------------
 
 
-def _pdf_image_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _pdf_image_roundtrip_batches(
+    it: Iterator[pd.DataFrame],
+    header: "list[str]",
+    build_kwargs,
+) -> Iterator[pd.DataFrame]:
+    """Shared body of the embedded-image round-trip queries: grid image
+    of [first, last] words under ``header`` → image XObject inside a
+    built PDF (codec chosen by ``build_kwargs(doc_id)``) → container
+    parse → decode → grid layout parse → key=value cell text."""
     import numpy as np
 
     from ocr_spark.kernels.grid import read_grid_cells, render_grid
@@ -139,52 +147,40 @@ def _pdf_image_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             words = text.split(" ")
-            cells = [["r", "s"], [words[0], words[-1]]]
+            cells = [header, [words[0], words[-1]]]
             img = (render_grid(cells) * 255).astype(np.uint8)
-            # DCTDecode page scan — the daat12221.pdf layout
-            data = build_pdf_images([img], jpeg=True, quality=90)
+            data = build_pdf_images([img], **build_kwargs(int(doc_id)))
             got = []
             for _page, _name, arr in extract_images(data):
                 mask = (arr > 127).astype(np.uint8)
                 rows = read_grid_cells(mask)
-                header, body = rows[0], rows[1:]
+                head, body = rows[0], rows[1:]
                 for r in body:
-                    got.extend(f"{k}={v}" for k, v in zip(header, r))
+                    got.extend(f"{k}={v}" for k, v in zip(head, r))
             out.append((doc_id, "|".join(got)))
         yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def _pdf_image_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # DCTDecode page scan — the daat12221.pdf layout
+    return _pdf_image_roundtrip_batches(
+        it, ["r", "s"], lambda _doc_id: {"jpeg": True, "quality": 90}
+    )
 
 
 def _pdf_ccitt_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import numpy as np
+    # doc_id%4 walks the fax family: G4, G4 /EncodedByteAlign, G3 pure
+    # 1-D (/K 0), G3 mixed 2-D (/K 4, EOL framing) — all four
+    # real-world CCITT bit layouts exercised
+    def kwargs(doc_id: int):
+        m = doc_id % 4
+        return {
+            "ccitt": True,
+            "byte_align": m == 1,
+            "ccitt_k": -1 if m < 2 else (0 if m == 2 else 4),
+        }
 
-    from ocr_spark.kernels.grid import read_grid_cells, render_grid
-    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
-
-    for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = text.split(" ")
-            cells = [["f", "l"], [words[0], words[-1]]]
-            img = (render_grid(cells) * 255).astype(np.uint8)
-            # doc_id%4 walks the fax family: G4, G4 /EncodedByteAlign,
-            # G3 pure 1-D (/K 0), G3 mixed 2-D (/K 4, EOL framing) —
-            # all four real-world CCITT bit layouts exercised
-            m = int(doc_id) % 4
-            data = build_pdf_images(
-                [img],
-                ccitt=True,
-                byte_align=m == 1,
-                ccitt_k=-1 if m < 2 else (0 if m == 2 else 4),
-            )
-            got = []
-            for _page, _name, arr in extract_images(data):
-                mask = (arr > 127).astype(np.uint8)
-                rows = read_grid_cells(mask)
-                header, body = rows[0], rows[1:]
-                for r in body:
-                    got.extend(f"{k}={v}" for k, v in zip(header, r))
-            out.append((doc_id, "|".join(got)))
-        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+    return _pdf_image_roundtrip_batches(it, ["f", "l"], kwargs)
 
 
 def pdf_ccitt_image_extract_query(df: DataFrame) -> DataFrame:

@@ -158,9 +158,12 @@ def url_extract(df: DataFrame, col: str = "text") -> DataFrame:
         "doc_id",
         F.expr(f"size({urls})").cast("long").alias("n_urls"),
         F.expr(f"concat_ws('|', {doms})").alias("domains"),
-        F.expr(f"exists({doms}, d -> d like '%{BLOCKED_DOMAIN_SUFFIX}')").alias(
-            "blocked"
-        ),
+        # label-anchored suffix match: the domain itself or a true
+        # subdomain — 'nottracker.net' must NOT match 'tracker.net'
+        F.expr(
+            f"exists({doms}, d -> d = '{BLOCKED_DOMAIN_SUFFIX}'"
+            f" or d like '%.{BLOCKED_DOMAIN_SUFFIX}')"
+        ).alias("blocked"),
     )
 
 
@@ -188,19 +191,23 @@ def decontaminate(
         f"  sequence(1, size(split({col},' ')) - {n - 1}),"
         f"  i -> concat_ws(' ', slice(split({col},' '), i, {n})))) end"
     )
+    from ocr_spark.operators.dedup import _own_caches
+
     bench_grams = (
         bench_df.select(F.explode(F.expr(grams)).alias("gram")).distinct()
     )
-    doc_grams = df.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    # the corpus-side gram arrays feed BOTH the probe explode and the
+    # per-doc size — persist so the expensive shingling runs once
+    # (GC-tied release, the dedup.py cache-ownership pattern)
+    g = df.select("doc_id", F.expr(grams).alias("grams")).persist()
+    doc_grams = g.select("doc_id", F.explode("grams").alias("gram"))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
-    base = df.select(
-        "doc_id", F.expr(f"size({grams})").cast("long").alias("n_grams")
-    )
-    return base.join(hits, "doc_id", "left").select(
+    base = g.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    result = base.join(hits, "doc_id", "left").select(
         "doc_id",
         "n_grams",
         F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
@@ -208,6 +215,7 @@ def decontaminate(
         ),
         (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
     )
+    return _own_caches(result, [g])
 
 
 def pack_sequences(
@@ -774,10 +782,15 @@ def line_dedup(
     shuffle is the unavoidable reassembly exchange on (id, line_idx,
     line).
     """
+    from ocr_spark.operators.dedup import _own_caches
+
+    # the exploded (id, idx, line, hash) frame feeds both the count
+    # side and the probe side — persist so the corpus splits+hashes
+    # once (GC-tied release, the dedup.py cache-ownership pattern)
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(col), "\n")).alias("line_idx", "line"),
-    ).withColumn("lh", F.md5(F.col("line")))
+    ).withColumn("lh", F.md5(F.col("line"))).persist()
     bad = (
         lines.groupBy("lh")
         .count()
@@ -788,7 +801,7 @@ def line_dedup(
     survivor = F.when(
         F.col("is_bad").isNull(), F.struct("line_idx", "line")
     )
-    return marked.groupBy(id_col).agg(
+    result = marked.groupBy(id_col).agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -798,6 +811,7 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.count("is_bad").alias("n_dropped"),
     )
+    return _own_caches(result, [lines])
 
 
 #: dup_span_detect window geometry. Fixed — operator contract.
@@ -834,16 +848,21 @@ def dup_span_detect(
             lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, width))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from ocr_spark.operators.dedup import _own_caches
+
+    # the hashed-window arrays feed the count side, the probe side,
+    # and the final per-doc stats — persist so the tokenize+md5 pass
+    # runs once (hash-only frame, no text; GC-tied release)
     base = df.select(F.col(id_col), grams.alias("hs")).select(
         id_col, "hs", F.size("hs").cast("long").alias("n_spans")
-    )
+    ).persist()
     ex = base.select(id_col, F.explode("hs").alias("h"))
     dup = ex.groupBy("h").count().filter(F.col("count") > 1).select("h")
     hits = ex.join(dup, "h").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n_dup")
     )
     n_dup = F.coalesce(F.col("__n_dup"), F.lit(0)).cast("long")
-    return (
+    result = (
         base.drop("hs")
         .join(hits, id_col, "left")
         .select(
@@ -860,3 +879,4 @@ def dup_span_detect(
             (n_dup > 0).alias("is_duplicated"),
         )
     )
+    return _own_caches(result, [base])

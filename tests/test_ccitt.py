@@ -300,3 +300,55 @@ def test_pdf_ccitt_group3_roundtrip():
             assert [(p, n) for p, n, _ in out] == [(1, "Im0"), (2, "Im0")]
             for (_, _, arr), src in zip(out, [a, b]):
                 assert np.array_equal(arr, src)
+
+
+def test_g4_without_eofb_returns_partial_plus_white_tail():
+    # scanner/TIFF-origin G4 streams commonly omit EOFB: decoding with
+    # an over-declared /Rows must keep the decoded rows and leave the
+    # remainder white instead of raising EOFError
+    import numpy as np
+
+    from ocr_spark.kernels.ccitt import decode_g4, encode_g4
+
+    rng = np.random.default_rng(11)
+    bm = (rng.random((6, 40)) < 0.3).astype(np.uint8)
+    data = encode_g4(bm)
+    # strip the EOFB (24 bits + final-byte pad live in the last 4 bytes)
+    out = decode_g4(data[:-4], 40, rows=10)
+    assert out.shape == (10, 40)
+    # at least the first 5 rows decoded exactly; the tail is white
+    assert (out[:5] == bm[:5]).all()
+    assert (out[8:] == 0).all()
+
+
+def test_ccitt_image_defaults_columns_to_width_and_crops_to_dict():
+    # a CCITT image whose DecodeParms omit /Columns must decode at the
+    # image dict's /Width (the spec default 1728 shreds run boundaries),
+    # and the returned array must match (/Height, /Width)
+    import numpy as np
+
+    from ocr_spark.kernels.pdf import build_pdf_images, extract_images
+
+    img = np.zeros((8, 20), dtype=np.uint8)
+    img[2:6, 4:16] = 255
+    data = build_pdf_images([img], ccitt=True)
+    # same-length key corruption keeps every xref offset valid while
+    # removing the /Columns entry from the parser's point of view
+    assert data.count(b"/Columns 20") == 1
+    broken = data.replace(b"/Columns 20", b"/Colxmns 20")
+    imgs = extract_images(broken)
+    assert len(imgs) == 1
+    arr = imgs[0][2]
+    assert arr.shape == (8, 20)
+    assert (arr == img).all()
+
+
+def test_build_pdf_images_rejects_rgb_with_ccitt():
+    import numpy as np
+    import pytest
+
+    from ocr_spark.kernels.pdf import build_pdf_images
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="bilevel"):
+        build_pdf_images([rgb], ccitt=True)

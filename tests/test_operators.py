@@ -622,6 +622,7 @@ def test_url_extract_domains_and_blocklist(spark):
             (1, "go to http://a.example.com/x and https://bad.tracker.net/y now"),
             (2, "no links here"),
             (3, "dup http://a.example.com/x then http://a.example.com/z"),
+            (4, "see http://nottracker.net/a and http://tracker.net/b"),
         ],
         "doc_id long, text string",
     )
@@ -633,6 +634,15 @@ def test_url_extract_domains_and_blocklist(spark):
     # distinct domains: two URLs, one domain, not blocked
     assert rows[3]["n_urls"] == 2 and rows[3]["domains"] == "a.example.com"
     assert not rows[3]["blocked"]
+    # label-anchored suffix: the exact domain blocks, a registrable
+    # domain that merely ENDS in the string must not
+    assert rows[4]["blocked"]
+    only_not = textops.url_extract(
+        spark.createDataFrame(
+            [(5, "x http://nottracker.net/a y")], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert not only_not["blocked"]
 
 
 def test_decontaminate_flags_ngram_overlap(spark):
