@@ -23,6 +23,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: constant duplicate payload for the bloom_dedup contract query —
+#: injected verbatim in BOTH engines, so the id families sharing it are
+#: true duplicates the filter must flag.
+_BLOOM_DUP_TEXT = "mirrored boilerplate passage served on every host"
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned to the session's full parallelism before
     CPU-bound per-document Python work.
@@ -629,6 +635,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf):
         return dedup.exact_dedup(_docs(spark, sf))
 
+    def bloom_dedup(spark, sf):
+        # deterministic duplicate injection: two id families share one
+        # constant payload, so the lowest id in each md5-position orbit
+        # survives and every later copy raises is_duplicate. The oracle
+        # replays injection AND the k=4 bit positions (md5_number mod m
+        # ≡ the little-endian low-3-byte reduction for m | 2^24).
+        d = _docs(spark, sf)
+        injected = d.select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 17).isin(3, 8), F.lit(_BLOOM_DUP_TEXT)
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return dedup.bloom_dedup(injected)
+
+    def url_canonicalize(spark, sf):
+        # five injected spellings of two logical pages (uppercase host +
+        # default port + fragment + shuffled params; bare vs '/' path)
+        # must collapse to the same canonical URLs in both engines.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 7
+        t = F.col("text")
+        injected = d.select(
+            "doc_id",
+            F.when(
+                m == 1,
+                F.concat(t, F.lit(" ref http://Example.COM:80/a/b?b=2&a=1#frag")),
+            )
+            .when(m == 2, F.concat(t, F.lit(" ref http://example.com/a/b?a=1&b=2")))
+            .when(m == 3, F.concat(t, F.lit(" ref https://cdn.example.com:443/")))
+            .when(m == 4, F.concat(t, F.lit(" ref https://cdn.example.com/")))
+            .when(
+                m == 5,
+                F.concat(
+                    t, F.lit(" ref https://Mixed.Example.com/Path/?z=1&y=2&x=3")
+                ),
+            )
+            .otherwise(t)
+            .alias("text"),
+        )
+        return textops.url_canonicalize(injected)
+
+    def text_sanitize(spark, sf):
+        # injected mess by doc_id%6: decomposed combining accents (NFC
+        # must compose), CRLF + lone CR, C0 control chars, and the
+        # U+212B Å singleton; the oracle replays injection via chr()
+        # and sanitation via regexp_replace + nfc_normalize.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 6
+        t = F.col("text")
+        injected = d.select(
+            "doc_id",
+            F.when(m == 1, F.concat(t, F.lit(" cafe\u0301 nai\u0308ve")))
+            .when(m == 2, F.concat(t, F.lit("\r\nline2\rline3")))
+            .when(m == 3, F.concat(t, F.lit(" bad\x01ctrl\x07here")))
+            .when(m == 4, F.concat(t, F.lit(" \u212bngstrom")))
+            .otherwise(t)
+            .alias("text"),
+        )
+        return textops.text_sanitize(injected)
+
     def token_count(spark, sf):
         return textops.token_count(_docs(spark, sf))
 
@@ -1207,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "dedup_exact": dedup_exact,
+        "bloom_dedup": bloom_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_clusters": dedup_clusters,
@@ -1224,14 +1294,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_video_frames": multimodal_video_frames,
-        "retry_backoff": retry_backoff,
-        "quality_score": quality_score,
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
-        "doc_fingerprint": doc_fingerprint,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
+        "url_canonicalize": url_canonicalize,
+        "text_sanitize": text_sanitize,
         "decontaminate": decontaminate,
         "pack_sequences": pack_sequences,
         "domain_mix": domain_mix,
@@ -1267,6 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
+        "retry_backoff": retry_backoff,
+        "quality_score": quality_score,
+        "doc_fingerprint": doc_fingerprint,
         # late round-4 tail additions (outside the 50-entry driver
         # window by design — proven every pytest run by the in-gate
         # sf0.001 replay and locally at sf0.01/0.1)
@@ -2045,6 +2117,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups"
             " FROM documents GROUP BY md5(text)"
         ),
+        # Bloom-filter dedup: k=4 positions per doc from md5('i:'||text)
+        # reduced mod m=2^20 (md5_number int128 ≡ little-endian low-3-
+        # byte value mod m for m dividing 2^24); a doc is a duplicate
+        # iff EVERY position was also set by a lower-id doc.
+        "bloom_dedup": (
+            "WITH inj AS (SELECT doc_id, CASE WHEN doc_id%17 IN (3,8)"
+            f" THEN '{_BLOOM_DUP_TEXT}' ELSE text END AS t FROM documents),"
+            " pos AS (SELECT DISTINCT doc_id,"
+            "  ((md5_number(CAST(h.i AS VARCHAR) || ':' || t) % 1048576)"
+            "   + 1048576) % 1048576 AS p"
+            "  FROM inj CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) h),"
+            " firsts AS (SELECT p, MIN(doc_id) AS first_id"
+            "  FROM pos GROUP BY p)"
+            " SELECT pos.doc_id, COUNT(*) AS n_bits,"
+            " CAST(SUM(CASE WHEN f.first_id < pos.doc_id THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_prior_bits,"
+            " SUM(CASE WHEN f.first_id < pos.doc_id THEN 1 ELSE 0 END)"
+            "  = COUNT(*) AS is_duplicate"
+            " FROM pos JOIN firsts f USING (p) GROUP BY pos.doc_id"
+        ),
         "token_count": (
             "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
             " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words FROM documents"
@@ -2141,6 +2233,65 @@ def oracle_sql() -> dict[str, str]:
             " len(list_filter(doms, x -> x = 'tracker.net'"
             "  OR x LIKE '%.tracker.net')) > 0 AS blocked"
             " FROM d"
+        ),
+        # URL canonicalization: same split_part/substring algebra as the
+        # operator (empty string on absent parts in both engines; binary
+        # collation sorts the query params identically)
+        "url_canonicalize": (
+            "WITH inj AS (SELECT doc_id, CASE CAST(doc_id%7 AS INT)"
+            " WHEN 1 THEN text ||"
+            "  ' ref http://Example.COM:80/a/b?b=2&a=1#frag'"
+            " WHEN 2 THEN text || ' ref http://example.com/a/b?a=1&b=2'"
+            " WHEN 3 THEN text || ' ref https://cdn.example.com:443/'"
+            " WHEN 4 THEN text || ' ref https://cdn.example.com/'"
+            " WHEN 5 THEN text ||"
+            "  ' ref https://Mixed.Example.com/Path/?z=1&y=2&x=3'"
+            " ELSE text END AS t FROM documents),"
+            " u AS (SELECT doc_id, unnest(regexp_extract_all(t,"
+            "  'https?://[A-Za-z0-9.:/_?&=#%-]+')) AS url FROM inj),"
+            " p1 AS (SELECT doc_id, url,"
+            "  split_part(split_part(url, '#', 1), '?', 1) AS base,"
+            "  split_part(split_part(url, '#', 1), '?', 2) AS q FROM u),"
+            " p2 AS (SELECT *, split_part(base, '://', 1) AS scheme,"
+            "  split_part(split_part(base, '://', 2), '/', 1) AS hp"
+            "  FROM p1),"
+            " p3 AS (SELECT *, lower(split_part(hp, ':', 1)) AS host,"
+            "  split_part(hp, ':', 2) AS port,"
+            "  substring(base, length(scheme) + 3 + length(hp) + 1) AS path"
+            "  FROM p2),"
+            " c AS (SELECT doc_id, url, scheme || '://' ||"
+            "  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')"
+            "    OR (scheme = 'https' AND port = '443')"
+            "   THEN host ELSE host || ':' || port END ||"
+            "  CASE WHEN path = '/' THEN '' ELSE path END ||"
+            "  CASE WHEN q = '' THEN '' ELSE '?' ||"
+            "   array_to_string(list_sort(string_split(q, '&')), '&') END"
+            "  AS canon_url FROM p3)"
+            " SELECT canon_url, COUNT(*) AS n_refs,"
+            " CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,"
+            " MIN(doc_id) AS first_doc FROM c GROUP BY canon_url"
+        ),
+        # text sanitation: CRLF/CR -> LF, strip C0 controls (keep \t\n),
+        # then NFC — utf8proc's nfc_normalize agrees with Python's
+        # unicodedata; injection replayed via chr() code points
+        "text_sanitize": (
+            "WITH inj AS (SELECT doc_id, CASE CAST(doc_id%6 AS INT)"
+            " WHEN 1 THEN text || ' cafe' || chr(769) || ' nai'"
+            "  || chr(776) || 've'"
+            " WHEN 2 THEN text || chr(13) || chr(10) || 'line2'"
+            "  || chr(13) || 'line3'"
+            " WHEN 3 THEN text || ' bad' || chr(1) || 'ctrl'"
+            "  || chr(7) || 'here'"
+            " WHEN 4 THEN text || ' ' || chr(8491) || 'ngstrom'"
+            " ELSE text END AS t FROM documents),"
+            " s AS (SELECT doc_id, t, regexp_replace(regexp_replace("
+            "  regexp_replace(t, '\\r\\n', chr(10), 'g'),"
+            "  '\\r', chr(10), 'g'),"
+            "  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g') AS st"
+            "  FROM inj)"
+            " SELECT doc_id, nfc_normalize(st) AS text_clean,"
+            " CAST(length(t) - length(st) AS BIGINT) AS n_removed,"
+            " t != nfc_normalize(st) AS changed FROM s"
         ),
         # benchmark decontamination: doc_id%97==0 docs are the eval set;
         # word-5-gram overlap counts + flag

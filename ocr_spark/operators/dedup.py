@@ -657,3 +657,81 @@ def semdedup(
         id_col, "cell", F.col("__dup").isNull().alias("kept")
     )
     return _own_caches(out, [assigned])
+
+
+BLOOM_BITS = 1 << 20  # m — must divide 2^24 (positions use 3 digest bytes)
+BLOOM_HASHES = 4  # k
+
+
+def bloom_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom-filter document dedup — the bounded-memory dedup pass
+    (the Dolma "BFF" shape, Soldaini et al., arXiv:2402.00159 §2.3:
+    a Bloom filter replaces the exact digest table so memory stays
+    fixed no matter how many documents stream through, at the price
+    of a tunable false-positive rate).
+
+    Order-free distributed formulation: the sequential filter inserts
+    documents in id order and flags a document whose ``k`` bits are
+    all already set (its own bits are inserted either way, as BFF
+    does). Equivalently — and with no sequential state at all — a
+    document is flagged iff EACH of its ``k`` bit positions is also
+    set by at least one lower-id document (by any of that document's
+    hashes). That join-formulation is exactly what runs here, so the
+    result is independent of partitioning and parallelism while
+    matching the sequential filter bit-for-bit.
+
+    Bit position i = little-endian low-3-bytes of md5(f"{i}:text")
+    mod ``m`` — DuckDB's ``md5_number`` (signed little-endian int128)
+    reduces to the same value for any ``m`` dividing 2^24, so the
+    oracle replays every position exactly.
+
+    Scale shape: text is hashed map-side into ``k`` ints; only
+    (id, position) pairs cross the exchange; the per-position
+    first-setter is a map-side-partial min; the flag is a per-doc
+    aggregate over ints. A 100-TB corpus sizes ``m`` up (2^33 bits =
+    1 GiB of filter per the sequential equivalent) — here ``m`` only
+    widens the position ints, the shuffle stays (id, int) pairs.
+    """
+    if (1 << 24) % m != 0:
+        raise ValueError(
+            f"m must divide 2^24 (got {m}): positions reduce the low 3 "
+            "digest bytes, which is uniform only for divisors of 2^24"
+        )
+    pos_exprs = [
+        f"pmod(cast(conv(substring(md5(concat('{i}:', {text_col})), 1, 2), 16, 10) as bigint)"
+        f" + 256 * cast(conv(substring(md5(concat('{i}:', {text_col})), 3, 2), 16, 10) as bigint)"
+        f" + 65536 * cast(conv(substring(md5(concat('{i}:', {text_col})), 5, 2), 16, 10) as bigint)"
+        f", {m})"
+        for i in range(k)
+    ]
+    bits = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.expr(f"array({', '.join(pos_exprs)})"))).alias(
+                "pos"
+            ),
+        )
+    )
+    first = bits.groupBy("pos").agg(F.min(id_col).alias("first_id"))
+    per_doc = (
+        bits.join(first, "pos")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bits"),
+            F.sum(
+                F.when(F.col("first_id") < F.col(id_col), 1).otherwise(0)
+            ).alias("n_prior_bits"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_bits").cast("long").alias("n_bits"),
+        F.col("n_prior_bits").cast("long").alias("n_prior_bits"),
+        (F.col("n_prior_bits") == F.col("n_bits")).alias("is_duplicate"),
+    )

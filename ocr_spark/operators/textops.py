@@ -7,6 +7,7 @@ applies, and every formula is replicated verbatim in the DuckDB oracle SQL
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -170,6 +171,125 @@ def url_extract(df: DataFrame, col: str = "text") -> DataFrame:
 #: domain suffix treated as blocklisted by url_extract. Fixed — part of
 #: the operator's contract (the oracle SQL replays it verbatim).
 BLOCKED_DOMAIN_SUFFIX = "tracker.net"
+
+#: broad URL token pattern for canonicalization — RE2-compatible char
+#: class (no backtracking constructs) so Spark and DuckDB match the
+#: identical spans byte-for-byte.
+URL_CANON_RE = "https?://[A-Za-z0-9.:/_?&=#%-]+"
+
+
+#: C0 controls except \t (09) and \n (0A); \r handled separately.
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def text_sanitize(df: DataFrame, col: str = "text") -> DataFrame:
+    """Text sanitation — the ingest-normalization pass every pipeline
+    runs before hashing or tokenizing: newline canonicalization
+    (CRLF/CR → LF), C0 control-character removal (keeping tab and
+    newline), and Unicode NFC composition so the same visible text
+    always hashes identically (decomposed 'e'+U+0301 vs composed é
+    would otherwise defeat exact dedup and fingerprints).
+
+    The newline/control steps are JVM ``regexp_replace`` expressions;
+    NFC is the one Python step — an Arrow-batched pandas UDF (there is
+    no JVM NFC builtin), kept last so it runs on already-shrunk text.
+    DuckDB's ``nfc_normalize`` (utf8proc) and Python's ``unicodedata``
+    agree on NFC, so the oracle replays the result byte-for-byte.
+
+    Scale shape: per-row expressions + one vectorized UDF — no
+    shuffle, no driver involvement; the parallel axis is documents."""
+    import unicodedata
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col(col), "\r\n", "\n"), "\r", "\n"),
+        _CTRL_CLASS,
+        "",
+    )
+    s = df.select(
+        "doc_id", F.col(col).alias("__orig"), stripped.alias("__stripped")
+    )
+    return s.select(
+        "doc_id",
+        _nfc(F.col("__stripped")).alias("text_clean"),
+        (F.length("__orig") - F.length("__stripped")).cast("long").alias(
+            "n_removed"
+        ),
+        (F.col("__orig") != _nfc(F.col("__stripped"))).alias("changed"),
+    )
+
+
+def url_canonicalize(df: DataFrame, col: str = "text") -> DataFrame:
+    """URL canonicalization + crawl-frontier dedup counts — the
+    web-corpus primitive that collapses the many spellings of one page
+    (uppercase hosts, default ports, fragments, shuffled query params,
+    bare-vs-'/' paths) before fetch-dedup or per-page grouping.
+
+    Canonical form: lowercase host, default port dropped (http:80 /
+    https:443), fragment dropped, query params sorted byte-wise, a
+    lone '/' path dropped. Everything is split_part / substring /
+    array_sort string algebra with identical semantics in Spark and
+    DuckDB (empty string on absent parts, binary collation sorts), so
+    the oracle replays the canon byte-for-byte.
+
+    Scale shape: extraction and canonicalization are per-row
+    whole-stage-codegen expressions; the one exchange is the groupBy
+    on the canonical URL — URL-sized keys with map-side partial
+    aggregation, never document text."""
+    urls = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all({col}, '{URL_CANON_RE}', 0)")
+        ).alias("url"),
+    )
+    s1 = urls.select(
+        "doc_id",
+        "url",
+        F.expr("split_part(split_part(url, '#', 1), '?', 1)").alias("base"),
+        F.expr("split_part(split_part(url, '#', 1), '?', 2)").alias("q"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "url",
+        "base",
+        "q",
+        F.expr("split_part(base, '://', 1)").alias("scheme"),
+        F.expr("split_part(split_part(base, '://', 2), '/', 1)").alias("hp"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "url",
+        "q",
+        "scheme",
+        F.expr("lower(split_part(hp, ':', 1))").alias("host"),
+        F.expr("split_part(hp, ':', 2)").alias("port"),
+        F.expr(
+            "substring(base, length(scheme) + 3 + length(hp) + 1)"
+        ).alias("path"),
+    )
+    canon = (
+        "concat(scheme, '://',"
+        " case when port = '' or (scheme = 'http' and port = '80')"
+        "   or (scheme = 'https' and port = '443')"
+        "  then host else concat(host, ':', port) end,"
+        " case when path = '/' then '' else path end,"
+        " case when q = '' then ''"
+        "  else concat('?', concat_ws('&', array_sort(split(q, '&')))) end)"
+    )
+    return (
+        s3.select("doc_id", "url", F.expr(canon).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
 
 
 def decontaminate(

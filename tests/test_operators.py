@@ -803,3 +803,47 @@ def test_semdedup_drops_lower_id_in_cell_neighbors(spark):
     assert got[0]["cell"] == got[1]["cell"] == got[2]["cell"]
     assert got[3]["cell"] == got[4]["cell"] == got[5]["cell"]
     assert got[0]["cell"] != got[3]["cell"]
+
+
+def test_bloom_dedup_flags_later_copies_only(docs):
+    out = dedup.bloom_dedup(docs).toPandas().set_index("doc_id")
+    # doc 2 duplicates doc 0: all its bits were first set by doc 0
+    assert bool(out.loc[2, "is_duplicate"])
+    assert not bool(out.loc[0, "is_duplicate"])  # first copy survives
+    # unique docs are not flagged (m=2^20 >> 4 bits/doc here)
+    assert not out.loc[[1, 3, 4], "is_duplicate"].any()
+    # every doc carries k=4 distinct positions (no in-doc collisions at
+    # this m) and the duplicate's prior-bit count equals its bit count
+    assert (out["n_bits"] == 4).all()
+    assert out.loc[2, "n_prior_bits"] == out.loc[2, "n_bits"]
+    assert out.loc[0, "n_prior_bits"] == 0
+
+
+def test_bloom_dedup_matches_sequential_filter(docs):
+    # the join formulation must equal the literal sequential Bloom
+    # filter inserted in id order (flagged docs still set their bits)
+    import hashlib
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    m, k = dedup.BLOOM_BITS, dedup.BLOOM_HASHES
+    bits: set[int] = set()
+    expect = {}
+    for _, row in pdf.iterrows():
+        pos = {
+            int.from_bytes(
+                hashlib.md5(f"{i}:{row['text']}".encode()).digest()[:3],
+                "little",
+            )
+            % m
+            for i in range(k)
+        }
+        expect[row["doc_id"]] = all(p in bits for p in pos)
+        bits |= pos
+    got = dedup.bloom_dedup(docs).toPandas().set_index("doc_id")["is_duplicate"]
+    for doc_id, flagged in expect.items():
+        assert bool(got.loc[doc_id]) == flagged
+
+
+def test_bloom_dedup_rejects_bad_m(docs):
+    with pytest.raises(ValueError, match="divide"):
+        dedup.bloom_dedup(docs, m=1000)

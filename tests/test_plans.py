@@ -560,3 +560,41 @@ def test_mixture_sample_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     for b in _exchange_blocks(plan):
         assert "text#" not in b and "doc_id#" not in b
+
+
+def test_bloom_dedup_shuffles_positions_never_text(spark):
+    # text reduces map-side to k int bit positions; both exchanges (the
+    # per-position first-setter agg and the per-doc flag agg) carry only
+    # ids + ints — never document text
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.bloom_dedup(docs))
+    blocks = _exchange_blocks(plan)
+    assert blocks, "expected shuffle exchanges"
+    for b in blocks:
+        assert "text#" not in b
+
+
+def test_url_canonicalize_exchanges_carry_urls_not_docs(spark):
+    # extraction + canonicalization are per-row codegen; only URL-sized
+    # keys reach the aggregation exchanges
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.url_canonicalize(docs))
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_text_sanitize_no_shuffle_single_python_stage(spark):
+    # per-row JVM regexps + ONE Arrow-batched NFC UDF — no exchange
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.text_sanitize(docs))
+    assert not _exchange_blocks(plan)
+    import re
+
+    # both _nfc references collapse into ONE ArrowEvalPython node
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1

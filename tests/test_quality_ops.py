@@ -225,3 +225,63 @@ def test_quality_tiers_contamination_discards(spark):
     )
     # doc 1 shares 5-grams with the bench doc -> contaminated
     assert bool(out.loc[1, "contaminated"]) and out.loc[1, "tier"] == "discard"
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    docs = _docs(
+        spark,
+        [
+            "see http://Example.COM:80/a/b?b=2&a=1#frag here",
+            "see http://example.com/a/b?a=1&b=2 too",
+            "root https://cdn.example.com:443/ page",
+            "root https://cdn.example.com/ page",
+            "odd https://host.example.com:8080/x?b=1 keep-port",
+        ],
+    )
+    out = (
+        textops.url_canonicalize(docs)
+        .toPandas()
+        .set_index("canon_url")
+        .sort_index()
+    )
+    assert out.loc["http://example.com/a/b?a=1&b=2", "n_refs"] == 2
+    assert out.loc["http://example.com/a/b?a=1&b=2", "n_variants"] == 2
+    assert out.loc["http://example.com/a/b?a=1&b=2", "first_doc"] == 0
+    assert out.loc["https://cdn.example.com", "n_refs"] == 2
+    # non-default port and path case are preserved
+    assert "https://host.example.com:8080/x?b=1" in out.index
+    assert len(out) == 3
+
+
+def test_url_canonicalize_path_and_query_preserved(spark):
+    docs = _docs(
+        spark,
+        ["u https://a.example.com/Path/Sub?z=9&a=1&m=5 v"],
+    )
+    out = textops.url_canonicalize(docs).toPandas()
+    # params byte-sorted, path case untouched, trailing path slash kept
+    assert out["canon_url"].iloc[0] == "https://a.example.com/Path/Sub?a=1&m=5&z=9"
+
+
+def test_text_sanitize_nfc_ctrl_and_newlines(spark):
+    docs = _docs(
+        spark,
+        [
+            "plain ascii text",
+            "combining cafe\u0301 accent",
+            "dos\r\nline and mac\rline",
+            "ctrl\x01chars\x07here keep\ttab",
+            "angstrom \u212b sign",
+        ],
+    )
+    out = textops.text_sanitize(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "text_clean"] == "plain ascii text"
+    assert not bool(out.loc[0, "changed"]) and out.loc[0, "n_removed"] == 0
+    assert out.loc[1, "text_clean"] == "combining caf\u00e9 accent"
+    assert bool(out.loc[1, "changed"])
+    assert out.loc[1, "n_removed"] == 0  # NFC composes, removal count is 0
+    assert out.loc[2, "text_clean"] == "dos\nline and mac\nline"
+    assert out.loc[2, "n_removed"] == 1  # the CRLF pair lost one char
+    assert out.loc[3, "text_clean"] == "ctrlcharshere keep\ttab"
+    assert out.loc[3, "n_removed"] == 2
+    assert out.loc[4, "text_clean"] == "angstrom \u00c5 sign"
