@@ -872,6 +872,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Content-Length, and body all recovered from the container
         return src.warc_roundtrip(_docs(spark, sf))
 
+    def vocab_oov(spark, sf):
+        # top-256 corpus vocabulary (count desc, token asc total order)
+        # then per-doc out-of-vocabulary token fraction
+        return textops.vocab_oov(_docs(spark, sf))
+
+    def split_assign(spark, sf):
+        # deterministic train/val/test by md5(salt:doc_id) uniform —
+        # the oracle replays the exact dyadic uniform via md5_number
+        return textops.split_assign(_docs(spark, sf))
+
     def corpus_shuffle(spark, sf):
         # deterministic training-order shuffle: md5(salt:doc_id) shard
         # + per-shard position; new salt = new epoch, no global sort
@@ -1344,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001 replay and locally at sf0.01/0.1)
         "corpus_shuffle": corpus_shuffle,
         "mixture_sample": mixture_sample,
+        "vocab_oov": vocab_oov,
+        "split_assign": split_assign,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2516,6 +2528,34 @@ def oracle_sql() -> dict[str, str]:
         # deterministic epoch shuffle: md5_number low byte ≡ Spark's
         # conv(substring(md5,1,2)) for the shard, hex-string order for
         # the in-shard position
+        # top-256 vocabulary by term frequency (count desc, token asc
+        # total order makes the cut deterministic) + per-doc OOV rate
+        "vocab_oov": (
+            "WITH toks AS (SELECT doc_id,"
+            "  unnest(string_split(text, ' ')) AS token FROM documents),"
+            " vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c"
+            "  FROM toks GROUP BY token"
+            "  ORDER BY c DESC, token ASC LIMIT 256)),"
+            " per AS (SELECT t.doc_id, COUNT(*) AS n_tokens,"
+            "  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_oov"
+            "  FROM toks t LEFT JOIN vocab v USING (token)"
+            "  GROUP BY t.doc_id)"
+            " SELECT doc_id, n_tokens, n_oov,"
+            " ROUND(n_oov::DOUBLE / n_tokens, 4) AS oov_frac FROM per"
+        ),
+        # stable train/val/test split: the same little-endian low-4-byte
+        # md5 uniform as mixture_sample (md5_number mod 2^32), thresholds
+        # 0.98 / 0.99
+        "split_assign": (
+            "SELECT doc_id,"
+            " CASE WHEN u < 0.98 THEN 'train'"
+            "  WHEN u < 0.99 THEN 'val' ELSE 'test' END AS split, u"
+            " FROM (SELECT doc_id,"
+            "  (((md5_number('split0:' || CAST(doc_id AS VARCHAR))"
+            "     % 4294967296) + 4294967296) % 4294967296)::DOUBLE"
+            "   / 4294967296.0 AS u FROM documents)"
+        ),
         "corpus_shuffle": (
             "WITH k AS (SELECT doc_id, md5('epoch0:' || doc_id) AS key,"
             " CAST(((md5_number('epoch0:' || doc_id) % 64) + 64) % 64"

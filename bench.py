@@ -111,6 +111,13 @@ HEADLINE_QUERIES = [
     "warc_roundtrip",
     "corpus_shuffle",
     "mixture_sample",
+    # round-4 continuation: Bloom-filter dedup, URL canonicalization,
+    # NFC text sanitation, vocabulary/OOV coverage, train/val/test split
+    "bloom_dedup",
+    "url_canonicalize",
+    "text_sanitize",
+    "vocab_oov",
+    "split_assign",
 ]
 
 

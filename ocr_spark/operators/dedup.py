@@ -723,14 +723,15 @@ def bloom_dedup(
         f", {m})"
         for i in range(k)
     ]
-    bits = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(F.expr(f"array({', '.join(pos_exprs)})"))).alias(
-                "pos"
-            ),
-        )
-    )
+    # (id, pos) feeds BOTH the first-setter agg and the probe join —
+    # persist so the text scan + k md5 passes run once (GC-tied release;
+    # the cached frame is ints only, tiny next to the corpus)
+    bits = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(f"array({', '.join(pos_exprs)})"))).alias(
+            "pos"
+        ),
+    ).persist()
     first = bits.groupBy("pos").agg(F.min(id_col).alias("first_id"))
     per_doc = (
         bits.join(first, "pos")
@@ -742,9 +743,10 @@ def bloom_dedup(
             ).alias("n_prior_bits"),
         )
     )
-    return per_doc.select(
+    out = per_doc.select(
         id_col,
         F.col("n_bits").cast("long").alias("n_bits"),
         F.col("n_prior_bits").cast("long").alias("n_prior_bits"),
         (F.col("n_prior_bits") == F.col("n_bits")).alias("is_duplicate"),
     )
+    return _own_caches(out, [bits])

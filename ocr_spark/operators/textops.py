@@ -217,7 +217,9 @@ def text_sanitize(df: DataFrame, col: str = "text") -> DataFrame:
 
     @pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
 
     stripped = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(F.col(col), "\r\n", "\n"), "\r", "\n"),
@@ -536,6 +538,95 @@ def top_terms_df(
         F.count("*").cast("long").alias("doc_freq")
     )
     return counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
+
+
+def vocab_oov(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 256
+) -> DataFrame:
+    """Vocabulary construction + per-document out-of-vocabulary rate —
+    the coverage check run before committing to a tokenizer/vocab: build
+    the top-``k`` corpus vocabulary by term frequency (ties broken by
+    token ascending, so the cut is a total order and reproducible), then
+    score every document by the fraction of its tokens outside it.
+
+    Scale shape: the explode carries (id, token) with map-side partial
+    aggregation into the term counts; top-k is a distributed
+    TakeOrdered (never a single-partition window); the k-row vocab
+    broadcasts into the probe; the per-doc aggregate is one exchange on
+    the id."""
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("oov_frac"),
+    )
+
+
+#: train/val/test fractions for split_assign — part of the operator
+#: contract (the oracle replays the thresholds verbatim).
+SPLIT_FRACS = (0.98, 0.01, 0.01)
+SPLIT_SALT = "split0"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    fracs: "tuple[float, float, float]" = SPLIT_FRACS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the held-out split
+    every pipeline needs to be stable across reruns, machines, and
+    engine versions: a document's split follows only md5(salt:id), so
+    re-ingesting or repartitioning the corpus never moves a document
+    across the split boundary (which would leak eval data into train).
+
+    The uniform is the little-endian low-4-bytes of the digest / 2^32 —
+    an exact dyadic rational, equal to DuckDB's md5_number mod 2^32, so
+    the oracle replays every assignment bit-for-bit (the
+    mixture_sample pattern). Per-row JVM arithmetic, zero exchanges."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    b = [
+        f"cast(conv(substring(__h, {2 * i + 1}, 2), 16, 10) as bigint)"
+        for i in range(4)
+    ]
+    u = (
+        F.expr(f"{b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]}").cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    t_train, t_val = fracs[0], fracs[0] + fracs[1]
+    split = (
+        F.when(u < t_train, F.lit("train"))
+        .when(u < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return keyed.select(id_col, split.alias("split"), u.alias("u"))
 
 
 def tfidf_topk(

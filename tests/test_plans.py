@@ -598,3 +598,24 @@ def test_text_sanitize_no_shuffle_single_python_stage(spark):
 
     # both _nfc references collapse into ONE ArrowEvalPython node
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_vocab_oov_broadcasts_vocab(spark):
+    # the k-row vocabulary broadcasts into the probe join; the count
+    # exchange carries (token, count) — never document text
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.vocab_oov(docs))
+    assert "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_split_assign_no_shuffle(spark):
+    # per-row md5 arithmetic only — zero exchanges
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.split_assign(docs))
+    assert not _exchange_blocks(plan)

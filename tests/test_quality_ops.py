@@ -285,3 +285,45 @@ def test_text_sanitize_nfc_ctrl_and_newlines(spark):
     assert out.loc[3, "text_clean"] == "ctrlcharshere keep\ttab"
     assert out.loc[3, "n_removed"] == 2
     assert out.loc[4, "text_clean"] == "angstrom \u00c5 sign"
+
+
+def test_vocab_oov_rates_and_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [
+            "alpha beta alpha beta",   # all in-vocab at k=2
+            "alpha beta gamma delta",  # 2 of 4 OOV
+            "omega psi chi phi",       # all OOV
+        ],
+    )
+    out = textops.vocab_oov(docs, k=2).toPandas().set_index("doc_id")
+    # counts: alpha=3, beta=3, others=1 → vocab {alpha, beta}
+    assert out.loc[0, "n_oov"] == 0 and out.loc[0, "oov_frac"] == 0.0
+    assert out.loc[1, "n_oov"] == 2 and out.loc[1, "oov_frac"] == 0.5
+    assert out.loc[2, "n_oov"] == 4 and out.loc[2, "oov_frac"] == 1.0
+    # tie-break: every token count=1 → token-ascending decides the cut
+    tie = _docs(spark, ["delta charlie bravo alpha"])
+    t = textops.vocab_oov(tie, k=2).toPandas()
+    # vocab = {alpha, bravo}; charlie+delta are OOV
+    assert t["n_oov"].iloc[0] == 2
+
+
+def test_split_assign_stable_and_mostly_train(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = textops.split_assign(docs).toPandas().set_index("doc_id")
+    b = textops.split_assign(docs).toPandas().set_index("doc_id")
+    assert (a["split"] == b["split"]).all()  # rerun-stable
+    frac_train = (a["split"] == "train").mean()
+    assert 0.96 < frac_train < 0.995
+    assert set(a["split"].unique()) <= {"train", "val", "test"}
+    # a different salt reshuffles the assignment
+    c = textops.split_assign(docs, salt="split1").toPandas().set_index("doc_id")
+    assert (a["split"] != c["split"]).any()
+    # uniform is the exact dyadic md5-derived value
+    import hashlib
+
+    did = int(a.index[7])
+    u = int.from_bytes(
+        hashlib.md5(f"split0:{did}".encode()).digest()[:4], "little"
+    ) / 2**32
+    assert a.loc[did, "u"] == u
