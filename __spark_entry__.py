@@ -945,6 +945,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.dup_span_detect(injected)
 
+    def substring_dedup_cut(spark, sf):
+        # Lee-et-al exact-substring dedup with REMOVAL: same injection
+        # classes as dup_span_detect (block A shared by doc_id%6 in
+        # (0,1), block B by %6==2); 8-token stride-1 windows hashed
+        # corpus-wide, keep-first under (doc_id, pos), every covered
+        # token of a redundant occurrence cut, text reassembled. The
+        # first doc of each class keeps its block; the rest lose it.
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 6
+        injected = d.select(
+            "doc_id",
+            F.when(m.isin(0, 1), F.concat(F.lit(_SPAN_BLOCK_A + " "), F.col("text")))
+            .when(m == 2, F.concat(F.lit(_SPAN_BLOCK_B + " "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.substring_dedup_cut(injected)
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -1306,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal_video_frames,
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
+        "substring_dedup_cut": substring_dedup_cut,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1326,7 +1345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
         "conversation_assembly": conversation_assembly,
-        "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
@@ -1346,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
+        "page_range_filter": page_range_filter,
         "retry_backoff": retry_backoff,
         "quality_score": quality_score,
         "doc_fingerprint": doc_fingerprint,
@@ -2412,6 +2431,46 @@ def oracle_sql() -> dict[str, str]:
             "  AS dup_span_frac,"
             " COALESCE(n_dup, 0) > 0 AS is_duplicated"
             " FROM sp LEFT JOIN hits USING (doc_id)"
+        ),
+        # exact-substring dedup with removal: 8-token stride-1 windows,
+        # keep-first under (doc_id, pos) ⇔ ROW_NUMBER()=1 per hash,
+        # covered token indices cut, text reassembled in index order
+        "substring_dedup_cut": (
+            "WITH inj AS MATERIALIZED (SELECT doc_id, CASE"
+            f" WHEN doc_id%6 IN (0,1) THEN '{_SPAN_BLOCK_A} ' || text"
+            f" WHEN doc_id%6 = 2 THEN '{_SPAN_BLOCK_B} ' || text"
+            " ELSE text END AS t FROM documents),"
+            " toks AS MATERIALIZED (SELECT doc_id,"
+            "  string_split(t, ' ') AS ts FROM inj),"
+            " wins AS MATERIALIZED (SELECT doc_id, CAST(u.i AS INT) AS i,"
+            "  md5(array_to_string(list_slice(ts, CAST(u.i AS INT),"
+            "   CAST(u.i AS INT) + 7), ' ')) AS h"
+            "  FROM toks, LATERAL unnest(range(1, len(ts) - 6)) u(i)"
+            "  WHERE len(ts) >= 8),"
+            " ranked AS MATERIALIZED (SELECT doc_id, i,"
+            "  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,"
+            "  COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins),"
+            " covered AS MATERIALIZED (SELECT DISTINCT doc_id,"
+            "  CAST(u.idx AS INT) AS idx"
+            "  FROM ranked, LATERAL unnest(range(i, i + 8)) u(idx)"
+            "  WHERE rn >= 2),"
+            " cuts AS (SELECT doc_id, COUNT(*) AS n_cut FROM covered"
+            "  GROUP BY doc_id),"
+            " pertok AS MATERIALIZED (SELECT doc_id,"
+            "  CAST(u.idx AS INT) AS idx, ts[CAST(u.idx AS INT)] AS tok"
+            "  FROM toks, LATERAL unnest(range(1, len(ts) + 1)) u(idx)),"
+            " kept AS (SELECT p.doc_id,"
+            "  string_agg(p.tok, ' ' ORDER BY p.idx) AS clean_text"
+            "  FROM pertok p LEFT JOIN covered c"
+            "  ON p.doc_id = c.doc_id AND p.idx = c.idx"
+            "  WHERE c.idx IS NULL GROUP BY p.doc_id)"
+            " SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,"
+            " CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,"
+            " ROUND(COALESCE(c.n_cut, 0)::DOUBLE / len(t.ts), 4)"
+            "  AS cut_frac,"
+            " COALESCE(k.clean_text, '') AS clean_text"
+            " FROM toks t LEFT JOIN cuts c USING (doc_id)"
+            " LEFT JOIN kept k USING (doc_id)"
         ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals

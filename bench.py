@@ -114,6 +114,7 @@ HEADLINE_QUERIES = [
     # round-4 continuation: Bloom-filter dedup, URL canonicalization,
     # NFC text sanitation, vocabulary/OOV coverage, train/val/test split
     "bloom_dedup",
+    "substring_dedup_cut",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

@@ -1112,3 +1112,98 @@ def dup_span_detect(
         )
     )
     return _own_caches(result, [base])
+
+
+#: substring_dedup_cut window width (tokens). Fixed — operator contract.
+SUBSTR_CUT_WIDTH = 8
+
+
+def substring_dedup_cut(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    width: int = SUBSTR_CUT_WIDTH,
+) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL — the second half of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499): where :func:`dup_span_detect` only
+    scores duplication, this operator CUTS every duplicated span out of
+    the corpus while keeping exactly one canonical copy. Every
+    ``width``-token window (stride 1) is hashed; a window occurrence is
+    *redundant* when its hash occurs more than once corpus-wide and the
+    occurrence is not the global minimum under (doc_id, position) — the
+    keep-first rule, so the earliest document retains the text. Each
+    document's tokens covered by any redundant window are removed and
+    the document is reassembled from the survivors in original order.
+
+    Scale shape: window hashing is a per-row higher-order transform over
+    a hoisted token array (the split runs once per document, never per
+    gram). The canonical-occurrence aggregate shuffles (id, position,
+    md5) — never text; redundant coverage is (id, int) pairs collapsed
+    to one int-set per document; document text itself crosses no
+    exchange until the final probe join, where the covered side is the
+    rare-duplicate set (AQE broadcasts it when small). Reassembly is a
+    JVM two-arg ``filter`` lambda over the already-hoisted token array —
+    no explode of text tokens, no text reshuffle.
+    """
+    from ocr_spark.operators.dedup import _own_caches
+
+    # hoisted token array: feeds window hashing AND final reassembly
+    base = df.select(F.col(id_col), _tokens(col).alias("__ts")).persist()
+    n = F.size("__ts")
+    hs = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - width + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__ts"), i, width))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    wins = base.select(F.col(id_col), F.posexplode(hs).alias("pos0", "h")).select(
+        id_col, (F.col("pos0") + 1).alias("i"), "h"
+    )
+    canon = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("i").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    redundant = (
+        wins.join(canon, "h")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("i") == F.col("__first.p"))
+            )
+        )
+        .select(id_col, "i")
+    )
+    covered = (
+        redundant.select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + (width - 1))).alias(
+                "__idx"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__cut"))
+    )
+    joined = base.join(covered, id_col, "left").withColumn(
+        "__cutset", F.coalesce(F.col("__cut"), F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    kept = F.filter(
+        F.col("__ts"),
+        lambda t, p: ~F.array_contains(F.col("__cutset"), p + F.lit(1)),
+    )
+    n_tokens = F.size("__ts").cast("long")
+    n_cut = F.size("__cutset").cast("long")
+    result = joined.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_cut.alias("n_cut"),
+        F.round(
+            n_cut.cast("double") / n_tokens.cast("double"), 4
+        ).alias("cut_frac"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+    return _own_caches(result, [base])

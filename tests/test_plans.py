@@ -9,6 +9,8 @@ the extraction exchange hashes on the salted part key.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -619,3 +621,23 @@ def test_split_assign_no_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(textops.split_assign(docs))
     assert not _exchange_blocks(plan)
+
+
+def test_substring_dedup_cut_hash_exchanges_only(spark):
+    # window occurrences travel as (doc_id, pos, md5); the token arrays
+    # cross at most the final probe-join exchange (AQE broadcasts the
+    # rare-duplicate covered side away at runtime); raw text never rides
+    # any exchange
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.substring_dedup_cut(docs))
+    blocks = _exchange_blocks(plan)
+    assert blocks
+    for b in blocks:
+        assert "text#" not in b
+    ts_blocks = [b for b in blocks if "__ts#" in b]
+    assert len(ts_blocks) <= 1
+    # the canonical-occurrence aggregate shuffles hash + ints only
+    h_blocks = [b for b in blocks if re.search(r"\bh#", b) and "__ts#" not in b]
+    assert h_blocks

@@ -327,3 +327,48 @@ def test_split_assign_stable_and_mostly_train(spark):
         hashlib.md5(f"split0:{did}".encode()).digest()[:4], "little"
     ) / 2**32
     assert a.loc[did, "u"] == u
+
+
+def test_substring_dedup_cut_keep_first_and_coverage(spark):
+    block = "a b c d e f g h"  # exactly one 8-token window
+    docs = _docs(
+        spark,
+        [
+            block + " unique zero tail",          # canonical — keeps all
+            block + " other one tail",            # loses the block
+            "totally different text with no duplicated window at all",
+            "short doc",                          # < width → untouched
+            block + " " + block,                  # seam windows unique but
+        ],                                        # coverage unions to all 16
+    )
+    out = (
+        textops.substring_dedup_cut(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_cut"] == 0
+    assert out.loc[0, "clean_text"].startswith("a b c d e f g h unique")
+    assert out.loc[1, "n_cut"] == 8
+    assert out.loc[1, "clean_text"] == "other one tail"
+    assert out.loc[2, "n_cut"] == 0 and out.loc[3, "n_cut"] == 0
+    assert out.loc[4, "n_cut"] == 16 and out.loc[4, "clean_text"] == ""
+    assert out.loc[4, "cut_frac"] == 1.0
+    # token accounting: n_tokens is pre-cut size
+    assert out.loc[1, "n_tokens"] == 11
+
+
+def test_substring_dedup_cut_overlap_union(spark):
+    # two redundant windows overlapping by 4 tokens cut their UNION,
+    # not 2x width
+    shared = "p q r s t u v w x y z a"  # 12 tokens → windows at 1..5
+    docs = _docs(spark, [shared + " first", shared + " second"])
+    out = (
+        textops.substring_dedup_cut(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_cut"] == 0            # canonical doc intact
+    assert out.loc[1, "n_cut"] == 12           # union of 5 windows = 12
+    assert out.loc[1, "clean_text"] == "second"
