@@ -100,6 +100,19 @@ _GOPHER_NUM_BLOCK = (
     " ".join(str(i) for i in range(100, 155)) + " the a of and to in is"
 )
 
+#: bm25_topk query set — fixed contract, shared verbatim with the
+#: oracle (terms drawn from the synthetic corpus vocabulary).
+_BM25_QUERIES = (
+    "fast table scan",
+    "window order line",
+    "customer query value",
+)
+_BM25_QTERMS = sorted(
+    {(qi, t) for qi, q in enumerate(_BM25_QUERIES) for t in q.split(" ")}
+)
+_BM25_VALUES = ", ".join(f"({qi}, '{t}')" for qi, t in _BM25_QTERMS)
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in sorted({t for _, t in _BM25_QTERMS}))
+
 #: quality_tiers duplicate-class text (doc_id%101==5): every such doc
 #: carries it verbatim — an exact-duplicate class for the discard tier.
 _TIER_DUP_BLOCK = (
@@ -872,6 +885,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Content-Length, and body all recovered from the container
         return src.warc_roundtrip(_docs(spark, sf))
 
+    def jsonl_roundtrip(spark, sf):
+        # gzip-sharded JSONL interchange: write 32 .jsonl.gz shards and
+        # re-parse them in one grouped-map stage — id, shard, line
+        # index, per-shard count, and all payload fields recovered from
+        # the container itself
+        return src.jsonl_roundtrip(_docs(spark, sf))
+
     def vocab_oov(spark, sf):
         # top-256 corpus vocabulary (count desc, token asc total order)
         # then per-doc out-of-vocabulary token fraction
@@ -962,6 +982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("text"),
         )
         return textops.substring_dedup_cut(injected)
+
+    def bm25_topk(spark, sf):
+        # inverted-index BM25 retrieval: top-10 docs per query under
+        # (score desc, doc_id asc); per-term scores in exact integer
+        # micro-units (decimal(38,0) DIV ≡ HUGEINT //), one ln() per
+        # distinct query term
+        return textops.bm25_topk(_docs(spark, sf), _BM25_QUERIES)
 
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
@@ -1325,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
         "substring_dedup_cut": substring_dedup_cut,
+        "bm25_topk": bm25_topk,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1340,13 +1368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": dsir_weights,
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
         # ---- reference §2 extraction slugs ----
         "extract_html": extract_html,
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
         "conversation_assembly": conversation_assembly,
-        "schema_align_union": schema_align_union,
-        "row_order_reconstruct": row_order_reconstruct,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "source_file_scan": source_file_scan,
         "pdf_page_explode": pdf_page_explode,
@@ -1365,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
         "page_range_filter": page_range_filter,
+        "schema_align_union": schema_align_union,
+        "row_order_reconstruct": row_order_reconstruct,
         "retry_backoff": retry_backoff,
         "quality_score": quality_score,
         "doc_fingerprint": doc_fingerprint,
@@ -2472,6 +2501,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM toks t LEFT JOIN cuts c USING (doc_id)"
             " LEFT JOIN kept k USING (doc_id)"
         ),
+        # BM25 top-k retrieval: per-term integer micro-unit scores
+        # (HUGEINT // ≡ Spark decimal DIV), Lucene +1 idf with one ln()
+        # per distinct query term, final rank (score desc, doc_id asc)
+        "bm25_topk": (
+            "WITH toks AS MATERIALIZED (SELECT doc_id,"
+            "  string_split(text, ' ') AS ts FROM documents),"
+            " st AS MATERIALIZED (SELECT COUNT(*) AS n,"
+            "  CAST(SUM(len(ts)) AS BIGINT) AS s FROM toks),"
+            f" qt AS (SELECT * FROM (VALUES {_BM25_VALUES})"
+            "  v(query_id, term)),"
+            " tfb AS MATERIALIZED (SELECT t.doc_id, len(t.ts) AS dl,"
+            "  u.term, COUNT(*) AS tf"
+            "  FROM toks t, LATERAL unnest(ts) u(term)"
+            f"  WHERE u.term IN ({_BM25_TERMS_IN})"
+            "  GROUP BY t.doc_id, len(t.ts), u.term),"
+            " idf AS (SELECT term, CAST(floor(1000000.0 *"
+            "  ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0))"
+            "  AS BIGINT) AS idf_u FROM (SELECT term, COUNT(*) AS df"
+            "  FROM tfb GROUP BY term), st),"
+            " sc AS (SELECT q.query_id, f.doc_id,"
+            "  (CAST(idf_u AS HUGEINT) * f.tf * 22 * s) //"
+            "  (CAST(10 AS HUGEINT) * s * f.tf + 3 * s + 9 * f.dl * n)"
+            "   AS term_score"
+            "  FROM tfb f JOIN qt q USING (term) JOIN idf USING (term)"
+            "  CROSS JOIN st),"
+            " tot AS (SELECT query_id, doc_id,"
+            "  CAST(SUM(term_score) AS BIGINT) AS score_micro"
+            "  FROM sc GROUP BY query_id, doc_id)"
+            " SELECT CAST(query_id AS INT) AS query_id, doc_id,"
+            " CAST(rank AS INT) AS rank, score_micro"
+            " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+            "  ORDER BY score_micro DESC, doc_id) AS rank FROM tot)"
+            " WHERE rank <= 10"
+        ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals
         "gopher_rules": (
@@ -2660,6 +2723,17 @@ def oracle_sql() -> dict[str, str]:
             " text AS body,"
             " COUNT(*) OVER (PARTITION BY doc_id % 32) AS n_in_file"
             " FROM documents"
+        ),
+        # gzip-sharded JSONL interchange: the roundtrip is an identity
+        # on (id, lang, source, text); shard layout and line order are
+        # doc_id % 32 and doc_id-ascending within shard
+        "jsonl_roundtrip": (
+            "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
+            "  ORDER BY doc_id) - 1 AS BIGINT) AS line_idx,"
+            " CAST(COUNT(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)"
+            "  AS n_in_shard,"
+            " lang, source, text FROM documents"
         ),
         "minhash_signature": (
             "WITH shing0 AS (SELECT doc_id, "

@@ -115,6 +115,8 @@ HEADLINE_QUERIES = [
     # NFC text sanitation, vocabulary/OOV coverage, train/val/test split
     "bloom_dedup",
     "substring_dedup_cut",
+    "bm25_topk",
+    "jsonl_roundtrip",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

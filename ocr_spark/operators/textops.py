@@ -1207,3 +1207,109 @@ def substring_dedup_cut(
         F.concat_ws(" ", kept).alias("clean_text"),
     )
     return _own_caches(result, [base])
+
+
+#: BM25 parameters — fixed operator contract (k1=1.2, b=0.75, Lucene
+#: +1 idf so scores are always positive; 1e6 micro-unit quantization).
+BM25_K1_X10 = 12
+BM25_B_X100 = 75
+BM25_MICRO = 1_000_000
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: "tuple[str, ...]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Inverted-index BM25 retrieval (Robertson et al., Okapi TREC-3;
+    the Lucene ``+1`` idf variant) — the search leg of a training-data
+    pipeline (retrieval-based decontamination, corpus exploration):
+    score every document against each query and return the top ``k``
+    per query under the total order (score desc, doc_id asc).
+
+    Cross-engine determinism: the per-term score is computed in EXACT
+    integer arithmetic. With S = Σ document lengths, N = corpus size,
+    idf_micro = floor(1e6·ln((N−df+0.5)/(df+0.5)+1)) — the only
+    transcendental, one call per distinct query term — the k1=1.2,
+    b=0.75 term score is the single integer division
+
+        idf_micro·tf·22·S  div  (10·S·tf + 3·S + 9·dl·N)
+
+    evaluated in decimal(38,0) on the JVM and HUGEINT in the oracle, so
+    no intermediate overflows at any corpus size and per-doc sums are
+    order-free integer sums.
+
+    Scale shape: only tokens matching the (literal, broadcast) query
+    term set survive the explode, so the tf aggregate shuffles
+    (id, term, count) for matching terms only; the df/idf table is
+    term-sized and broadcasts; top-k is TWO-phase — per (query, shard)
+    row_number prune to k, then a final rank over ≤ shards·k survivors
+    — never a single-partition window over the full match set.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qterms = sorted(
+        {(qi, t) for qi, q in enumerate(queries) for t in q.split(" ") if t}
+    )
+    term_list = sorted({t for _, t in qterms})
+    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+
+    base = df.select(
+        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(term_list))
+    tf = base.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # corpus constants: one single-row aggregate (the TF-IDF broadcast-
+    # aggregate precedent) — N docs, S total tokens
+    n_docs, sum_dl = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(_tokens(text_col))).alias("s"),
+        ).collect()[0]
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_u = F.floor(
+        F.lit(float(BM25_MICRO))
+        * F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    ).cast("long")
+    idf = idf.select("term", idf_u.alias("idf_u"))
+
+    term_score = F.expr(
+        f"CAST((CAST(idf_u AS DECIMAL(38,0)) * tf * 22 * {sum_dl}) DIV "
+        f"(CAST(10 AS DECIMAL(38,0)) * {sum_dl} * tf + 3 * {sum_dl}"
+        f" + 9 * dl * {n_docs}) AS BIGINT)"
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(term_score).alias("score_micro"))
+    )
+    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
+    w1 = Window.partitionBy("query_id", "__shard").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    pruned = (
+        scored.withColumn("__shard", shard)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score_micro")
+    )

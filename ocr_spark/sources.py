@@ -152,3 +152,107 @@ def warc_roundtrip(
             ),
         )
     )
+
+
+#: jsonl_roundtrip shard count — fixed operator contract.
+JSONL_SHARDS = 32
+
+
+def jsonl_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    shards: int = JSONL_SHARDS,
+) -> DataFrame:
+    """gzip-sharded JSONL round-trip — the standard training-data
+    interchange (one JSON object per line, ``.jsonl.gz`` shards, the
+    layout of The Pile / RedPajama / Dolma releases): shard the corpus
+    by ``doc_id % shards``, serialize each shard to a real gzip member
+    (``mtime=0`` so bytes are deterministic), then decompress and
+    re-parse it, emitting one row per recovered line with the doc id,
+    shard, line index, per-shard line count, and every payload field
+    recovered FROM THE CONTAINER — so any encode/decode defect
+    (escaping, unicode, field order) surfaces as an oracle mismatch.
+
+    Scale shape: one exchange on the shard key into an Arrow-batched
+    grouped-map stage that writes AND parses in-stage; at 100 TB the
+    parallel axis is shards (real exports use tens of thousands), text
+    never leaves the stage except as result rows. A malformed line
+    skips and parsing continues (the WARC reader's tolerance contract).
+    """
+    import gzip
+    import io
+    import json
+
+    import pandas as pd
+
+    def write_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        lines = [
+            json.dumps(
+                {
+                    "id": int(i),
+                    "lang": str(lg),
+                    "source": str(sc),
+                    "text": str(tx),
+                },
+                sort_keys=True,
+                ensure_ascii=False,
+            )
+            for i, lg, sc, tx in zip(
+                pdf[id_col], pdf[lang_col], pdf[source_col], pdf[text_col]
+            )
+        ]
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(("\n".join(lines) + "\n").encode("utf-8"))
+        data = buf.getvalue()
+        rows = []
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            decoded = gz.read().decode("utf-8").splitlines()
+        for li, line in enumerate(decoded):
+            if not line:
+                continue
+            try:
+                o = json.loads(line)
+            except ValueError:
+                continue  # skip-and-continue on a malformed line
+            rows.append(
+                (
+                    int(o["id"]),
+                    li,
+                    len(decoded),
+                    str(o["lang"]),
+                    str(o["source"]),
+                    str(o["text"]),
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "line_idx", "n_in_shard", "lang", "source", "text",
+            ],
+        )
+        out["shard"] = (out["doc_id"] % shards).astype("int64")
+        return out[
+            ["doc_id", "shard", "line_idx", "n_in_shard",
+             "lang", "source", "text"]
+        ]
+
+    shard = (F.col(id_col) % shards).alias("__jl")
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), F.col(lang_col),
+            F.col(source_col), shard,
+        )
+        .groupBy("__jl")
+        .applyInPandas(
+            write_and_parse,
+            schema=(
+                "doc_id long, shard long, line_idx long, n_in_shard long,"
+                " lang string, source string, text string"
+            ),
+        )
+    )

@@ -641,3 +641,32 @@ def test_substring_dedup_cut_hash_exchanges_only(spark):
     # the canonical-occurrence aggregate shuffles hash + ints only
     h_blocks = [b for b in blocks if re.search(r"\bh#", b) and "__ts#" not in b]
     assert h_blocks
+
+
+def test_bm25_topk_broadcasts_and_prunes_two_phase(spark):
+    # query-term and idf tables broadcast; exchanges carry (id, term,
+    # counts) for matching terms only — never document text; top-k is
+    # two-phase (per-shard prune window, then the final rank)
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.bm25_topk(docs, ("fast table scan",), k=5))
+    assert "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    # the prune phase shuffles on (query_id, shard) — the full match set
+    # never funnels into one partition per query
+    assert "hashpartitioning(query_id" in plan
+    assert "__shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_jsonl_roundtrip_single_exchange(spark):
+    # one exchange on the shard key into one grouped-map stage — the
+    # write-and-parse runs in-stage, text shuffles once and only once
+    from ocr_spark import sources
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sources.jsonl_roundtrip(docs))
+    assert len(_exchange_blocks(plan)) == 1
+    assert plan.count("FlatMapGroupsInPandas") >= 1

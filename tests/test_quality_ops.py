@@ -372,3 +372,44 @@ def test_substring_dedup_cut_overlap_union(spark):
     assert out.loc[0, "n_cut"] == 0            # canonical doc intact
     assert out.loc[1, "n_cut"] == 12           # union of 5 windows = 12
     assert out.loc[1, "clean_text"] == "second"
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    import math
+
+    texts = [
+        "fast fast fast table",                      # high tf, short
+        "fast table scan scan table fast extra pad words here now",
+        "table value line order window fast",
+        "nothing relevant here at all whatsoever",
+        "scan scan scan scan scan",
+    ]
+    docs = _docs(spark, texts)
+    queries = ("fast table scan",)
+    out = (
+        textops.bm25_topk(docs, queries, k=3)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # independent replay of the exact integer contract
+    toks = [t.split(" ") for t in texts]
+    n, s = len(toks), sum(len(w) for w in toks)
+    terms = sorted(set(queries[0].split(" ")))
+    scores = {}
+    for d, w in enumerate(toks):
+        total = 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            df = sum(1 for ww in toks if t in ww)
+            idf_u = math.floor(1e6 * math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+            total += (idf_u * tf * 22 * s) // (10 * s * tf + 3 * s + 9 * len(w) * n)
+        if total:
+            scores[d] = total
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(out["doc_id"], out["score_micro"]))
+    assert got == [(d, sc) for d, sc in want]
+    assert list(out["rank"]) == [1, 2, 3]
+    assert list(out["query_id"].unique()) == [0]

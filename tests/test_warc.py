@@ -146,3 +146,59 @@ def test_warc_roundtrip_operator(spark):
     assert (out["content_length"] == out["body"].str.len()).all()
     # 40 docs over 32 shards: shards 0-7 hold 2 records, the rest 1
     assert out.loc[5, "n_in_file"] == 2 and out.loc[31, "n_in_file"] == 1
+
+
+def test_jsonl_roundtrip_operator_unicode_and_escaping(spark):
+    texts = [
+        'plain body',
+        'quotes "and" \\backslashes\\ here',
+        'newline\nand\ttab inside',
+        'unicode éÅ中文 \U0001f600',
+        '',
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+            }
+        )
+    )
+    out = (
+        sources.jsonl_roundtrip(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        assert out.loc[i, "text"] == t          # escaping survives
+    assert (out["shard"] == out.index % 32).all()
+    assert (out["n_in_shard"] == 1).all()
+    assert (out["line_idx"] == 0).all()
+
+
+def test_jsonl_roundtrip_shard_layout(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(70),
+                "text": [f"body {i}" for i in range(70)],
+                "lang": ["en"] * 70,
+                "source": ["web"] * 70,
+            }
+        )
+    )
+    out = (
+        sources.jsonl_roundtrip(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # 70 docs over 32 shards: shards 0-5 hold 3 lines, rest 2
+    assert out.loc[0, "n_in_shard"] == 3 and out.loc[31, "n_in_shard"] == 2
+    # line order inside a shard is doc_id ascending: shard 0 holds
+    # docs 0, 32, 64 at line_idx 0, 1, 2
+    assert out.loc[32, "line_idx"] == 1 and out.loc[64, "line_idx"] == 2
