@@ -113,6 +113,13 @@ _BM25_QTERMS = sorted(
 _BM25_VALUES = ", ".join(f"({qi}, '{t}')" for qi, t in _BM25_QTERMS)
 _BM25_TERMS_IN = ", ".join(f"'{t}'" for t in sorted({t for _, t in _BM25_QTERMS}))
 
+#: classifier_score literal weight table, shared verbatim with the
+#: oracle (see ocr_spark/operators/textops.py CLF_WEIGHTS_MICRO).
+from ocr_spark.operators.textops import CLF_BIAS_MICRO as _CLF_BIAS  # noqa: E402
+from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E402
+
+_CLF_W_LIST = "[" + ", ".join(str(int(x)) for x in _CLF_W) + "]"
+
 #: quality_tiers duplicate-class text (doc_id%101==5): every such doc
 #: carries it verbatim — an exact-duplicate class for the discard tier.
 _TIER_DUP_BLOCK = (
@@ -990,6 +997,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct query term
         return textops.bm25_topk(_docs(spark, sf), _BM25_QUERIES)
 
+    def classifier_score(spark, sf):
+        # linear quality-classifier inference over hashed bag-of-words:
+        # 64 literal micro-weights, md5-low-byte buckets, exact integer
+        # logit — one per-row JVM aggregate, zero exchanges
+        return textops.classifier_score(_docs(spark, sf))
+
+    def cross_snapshot_dedup(spark, sf):
+        # dedup against the previously released snapshot (docs with
+        # doc_id%3==0 stand in for vN-1): digest-only left join
+        d = _docs(spark, sf)
+        return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
+
+    def domain_cap(spark, sf):
+        # per-domain cap: keep <= 10 docs per source under the
+        # deterministic md5(cap0:doc_id) order, two-phase rank (k=10 so
+        # the cap binds even at sf0.01's 25-docs-per-source layout)
+        return textops.domain_cap(_docs(spark, sf), k=10)
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -1353,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_detect": dup_span_detect,
         "substring_dedup_cut": substring_dedup_cut,
         "bm25_topk": bm25_topk,
+        "classifier_score": classifier_score,
+        "cross_snapshot_dedup": cross_snapshot_dedup,
+        "domain_cap": domain_cap,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1373,10 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": extract_html,
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
-        "conversation_assembly": conversation_assembly,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
-        "source_file_scan": source_file_scan,
-        "pdf_page_explode": pdf_page_explode,
         "pdf_text_extract": pdf_text_extract,
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -1394,6 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
+        "conversation_assembly": conversation_assembly,
+        "source_file_scan": source_file_scan,
+        "pdf_page_explode": pdf_page_explode,
         "retry_backoff": retry_backoff,
         "quality_score": quality_score,
         "doc_fingerprint": doc_fingerprint,
@@ -2534,6 +2562,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
             "  ORDER BY score_micro DESC, doc_id) AS rank FROM tot)"
             " WHERE rank <= 10"
+        ),
+        # hashed-bag-of-words linear classifier: literal 64-weight
+        # table, md5_number low-byte buckets, exact integer logit
+        "classifier_score": (
+            "SELECT doc_id, n_tokens, logit_micro,"
+            " logit_micro > 0 AS label FROM ("
+            " SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,"
+            f" CAST({_CLF_BIAS} + COALESCE(list_sum(list_transform(ts,"
+            f"  t -> ({_CLF_W_LIST})["
+            "   CAST(((md5_number(t) % 64) + 64) % 64 AS INT) + 1])), 0)"
+            "  AS BIGINT) AS logit_micro"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents))"
+        ),
+        # cross-release dedup: vN-1 = docs with doc_id%3==0; digest join
+        "cross_snapshot_dedup": (
+            "SELECT d.doc_id, (p.h IS NOT NULL) AS in_prior FROM"
+            " (SELECT doc_id, md5(text) AS h FROM documents) d"
+            " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
+            "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
+        ),
+        # per-domain cap: deterministic md5(cap0:id) order, <= 10/domain
+        "domain_cap": (
+            "SELECT source AS domain, doc_id, CAST(rn AS INT) AS rank"
+            " FROM (SELECT source, doc_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY source ORDER BY"
+            "  md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+            "  FROM documents) WHERE rn <= 10"
         ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals

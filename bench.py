@@ -117,6 +117,9 @@ HEADLINE_QUERIES = [
     "substring_dedup_cut",
     "bm25_topk",
     "jsonl_roundtrip",
+    "classifier_score",
+    "cross_snapshot_dedup",
+    "domain_cap",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

@@ -750,3 +750,30 @@ def bloom_dedup(
         (F.col("n_prior_bits") == F.col("n_bits")).alias("is_duplicate"),
     )
     return _own_caches(out, [bits])
+
+
+def cross_snapshot_dedup(
+    df: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot deduplication — Dolma's cross-version rule: when
+    releasing corpus vN, flag every document whose exact content digest
+    already appeared in the previously released vN−1, so re-crawled or
+    carried-over documents don't enter training twice across releases.
+
+    Scale shape: both sides reduce to md5 digests before the join (the
+    prior side also distinct-aggregates, map-side partial), so the
+    exchange carries (16-byte digest[, id]) only — never text; at 100 TB
+    the prior-release digest set is itself huge, so this is a shuffled
+    digest join, not a broadcast."""
+    ph = (
+        prior.select(F.md5(F.col(text_col)).alias("__h"))
+        .distinct()
+        .withColumn("__in_prior", F.lit(True))
+    )
+    cur = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    return cur.join(ph, "__h", "left").select(
+        id_col, F.col("__in_prior").isNotNull().alias("in_prior")
+    )

@@ -1313,3 +1313,99 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score_micro")
     )
+
+
+#: classifier_score fixed model — 64 integer micro-weights over hashed
+#: unigram buckets + a bias, in 1e-6 logit units. The weights are a
+#: deterministic stand-in (Knuth multiplicative scatter): the operator
+#: contract is the INFERENCE plumbing — hashed bag-of-words features,
+#: integer dot product — not the training. Both engines consume the
+#: same literal table, so scores are bit-exact by construction.
+CLF_BUCKETS = 64
+CLF_BIAS_MICRO = -150_000
+CLF_WEIGHTS_MICRO = tuple(
+    ((b * 2654435761) % 1_000_003) % 200_001 - 100_000
+    for b in range(CLF_BUCKETS)
+)
+
+
+def classifier_score(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality-classifier inference — the FineWeb-Edu / DCLM
+    shape: a model filter scoring every document with a linear layer
+    over hashed bag-of-words features (fastText's hashing trick). Each
+    token hashes to one of 64 buckets (md5 low byte — the DSIR bucket,
+    replayable via DuckDB ``md5_number``), the bucket's integer
+    micro-weight accumulates, and the document's logit is
+    bias + Σ w[bucket(tok)] — an exact integer, so label boundaries
+    are bit-stable across engines and reruns.
+
+    Scale shape: the weight table is a 64-element literal array and the
+    whole score is ONE per-row higher-order aggregate over the hoisted
+    token array — zero exchanges, whole-stage codegen, no Python. This
+    is the plan a model-based filter needs at 100 TB: classifier
+    inference must be embarrassingly parallel or it dominates the run.
+    """
+    w_arr = "array(" + ", ".join(str(int(x)) for x in CLF_WEIGHTS_MICRO) + ")"
+    per_tok = (
+        f"transform(__ts, t -> element_at({w_arr},"
+        f" {_md5_bucket('t', CLF_BUCKETS)} + 1))"
+    )
+    logit = F.expr(
+        f"{CLF_BIAS_MICRO}L + aggregate({per_tok}, 0L, (a, x) -> a + x)"
+    )
+    return df.select(F.col(id_col), _tokens(col).alias("__ts")).select(
+        id_col,
+        F.size("__ts").cast("long").alias("n_tokens"),
+        logit.alias("logit_micro"),
+        (logit > 0).alias("label"),
+    )
+
+
+#: domain_cap parameters — fixed operator contract.
+DOMAIN_CAP_K = 50
+DOMAIN_CAP_SALT = "cap0"
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = DOMAIN_CAP_K,
+    salt: str = DOMAIN_CAP_SALT,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Per-domain document cap — the anti-skew sampler every web corpus
+    runs (no single domain may dominate the mixture): keep at most
+    ``k`` documents per domain, chosen by the deterministic
+    pseudo-random order (md5(salt:doc_id) asc, doc_id asc) so the cap
+    is a uniform sample that is stable across reruns and engines.
+
+    Scale shape: only (domain, id, 32-byte key) ever shuffles, and the
+    cap is TWO-phase — a per-(domain, shard) row_number prune to k,
+    then the final rank over ≤ shards·k survivors per domain — so a
+    head domain with billions of documents never funnels into one
+    partition."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    base = df.select(F.col(domain_col).alias("domain"), F.col(id_col)).withColumn(
+        "__key", key
+    )
+    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
+    w1 = Window.partitionBy("domain", "__shard").orderBy(
+        F.asc("__key"), F.asc(id_col)
+    )
+    pruned = (
+        base.withColumn("__shard", shard)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.asc("__key"), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("domain", id_col, "rank")
+    )

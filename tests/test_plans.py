@@ -670,3 +670,36 @@ def test_jsonl_roundtrip_single_exchange(spark):
     plan = _plan(sources.jsonl_roundtrip(docs))
     assert len(_exchange_blocks(plan)) == 1
     assert plan.count("FlatMapGroupsInPandas") >= 1
+
+
+def test_classifier_score_zero_exchanges(spark):
+    # inference is one per-row JVM aggregate over the hoisted token
+    # array — embarrassingly parallel, zero exchanges, no Python
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.classifier_score(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cross_snapshot_dedup_joins_digests_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dedup.cross_snapshot_dedup(docs, docs.filter(F.col("doc_id") % 3 == 0))
+    )
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+
+
+def test_domain_cap_two_phase_no_single_partition(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.domain_cap(docs, k=5))
+    assert "Exchange SinglePartition" not in plan
+    assert "__shard" in plan
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b

@@ -413,3 +413,61 @@ def test_bm25_topk_matches_pure_python(spark):
     assert got == [(d, sc) for d, sc in want]
     assert list(out["rank"]) == [1, 2, 3]
     assert list(out["query_id"].unique()) == [0]
+
+
+def test_classifier_score_matches_pure_python(spark):
+    import hashlib
+
+    texts = ["the quick brown fox", "data pipeline quality filter", "x"]
+    docs = _docs(spark, texts)
+    out = textops.classifier_score(docs).toPandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        logit = textops.CLF_BIAS_MICRO
+        for tok in t.split(" "):
+            b = hashlib.md5(tok.encode()).digest()[0] % textops.CLF_BUCKETS
+            logit += textops.CLF_WEIGHTS_MICRO[b]
+        assert out.loc[i, "logit_micro"] == logit
+        assert out.loc[i, "label"] == (logit > 0)
+        assert out.loc[i, "n_tokens"] == len(t.split(" "))
+
+
+def test_cross_snapshot_dedup_flags_prior_content(spark):
+    from ocr_spark.operators import dedup
+
+    cur = _docs(spark, ["alpha beta", "gamma delta", "epsilon zeta", "alpha beta"])
+    prior = _docs(spark, ["gamma delta", "unrelated prior doc"])
+    out = (
+        dedup.cross_snapshot_dedup(cur, prior)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert not out.loc[0, "in_prior"]
+    assert out.loc[1, "in_prior"]           # exact content carried over
+    assert not out.loc[2, "in_prior"]
+    assert not out.loc[3, "in_prior"]       # dup within current ≠ prior
+    assert len(out) == 4                    # join never duplicates rows
+
+
+def test_domain_cap_binds_and_is_deterministic(spark):
+    import hashlib
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": ["t"] * 100,
+            "source": [f"dom{i % 4}" for i in range(100)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    out = textops.domain_cap(docs, k=7).toPandas()
+    assert len(out) == 4 * 7
+    assert out.groupby("domain")["rank"].max().eq(7).all()
+    # replay the deterministic order in pandas: per domain, the 7 kept
+    # ids are the smallest under (md5('cap0:'+id), id)
+    for dom, grp in out.groupby("domain"):
+        ids = sorted(
+            (i for i in range(100) if f"dom{i % 4}" == dom),
+            key=lambda i: (hashlib.md5(f"cap0:{i}".encode()).hexdigest(), i),
+        )[:7]
+        assert sorted(grp["doc_id"]) == sorted(ids)
