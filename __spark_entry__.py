@@ -120,6 +120,59 @@ from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E40
 
 _CLF_W_LIST = "[" + ", ".join(str(int(x)) for x in _CLF_W) + "]"
 
+#: script_detect injection phrases — quote/backslash-free so they embed
+#: verbatim in single-quoted SQL literals for BOTH engines.
+_SCRIPT_PHRASES = {
+    "cyrillic": "привет мир данные",
+    "cjk": "数据清洗流水线",
+    "arabic": "بيانات التدريب",
+    "greek": "δεδομένα εκπαίδευσης",
+}
+
+
+def _script_detect_oracle_sql() -> str:
+    """DuckDB replay of the script_detect contract query: the doc_id%5
+    injection, the seven explicit-range counts, and the string-encoded
+    argmax — built from the same SCRIPT_RANGES tuple the operator uses
+    so the two can never drift."""
+    from ocr_spark.operators.textops import SCRIPT_RANGES
+
+    inj = (
+        "CASE"
+        + "".join(
+            f" WHEN doc_id % 5 = {m} THEN text || ' ' ||"
+            f" repeat('{_SCRIPT_PHRASES[s]} ', 40)"
+            for m, s in ((1, "cyrillic"), (2, "cjk"), (3, "arabic"), (4, "greek"))
+        )
+        + " ELSE text END"
+    )
+    counts = ", ".join(
+        f"CAST(length(regexp_replace(text, '[^{rng}]', '', 'g')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    nscripts = len(SCRIPT_RANGES)
+    keys = ", ".join(
+        f"lpad(CAST(n_{name} AS VARCHAR), 8, '0') ||"
+        f" '{nscripts - i:02d}' || '{name}'"
+        for i, (name, _) in enumerate(SCRIPT_RANGES)
+    )
+    names = ", ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    return (
+        f"WITH inj AS (SELECT doc_id, {inj} AS text FROM documents),"
+        f" c AS (SELECT doc_id, {counts} FROM inj),"
+        f" w AS (SELECT doc_id, {names}, {total} AS total,"
+        f"  greatest({keys}) AS win FROM c)"
+        f" SELECT doc_id, {names},"
+        " CASE WHEN total = 0 THEN 'unknown' ELSE substr(win, 11) END"
+        "  AS script,"
+        " CASE WHEN total = 0 THEN 0.0 ELSE"
+        "  round(CAST(substr(win, 1, 8) AS DOUBLE) / CAST(total AS DOUBLE), 4)"
+        "  END AS script_conf"
+        " FROM w"
+    )
+
 #: quality_tiers duplicate-class text (doc_id%101==5): every such doc
 #: carries it verbatim — an exact-duplicate class for the discard tier.
 _TIER_DUP_BLOCK = (
@@ -1015,6 +1068,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cap binds even at sf0.01's 25-docs-per-source layout)
         return textops.domain_cap(_docs(spark, sf), k=10)
 
+    def winnow_fingerprint(spark, sf):
+        # MOSS winnowing: min 4-gram hash per 4-gram window, positional
+        # fingerprints; per-doc lambdas only, zero exchanges
+        return textops.winnow_fingerprint(_docs(spark, sf))
+
+    def chunk_overlap(spark, sf):
+        # trainer sequence prep: 64-token chunks on a 48-token stride
+        # (16-token overlap); one transform + posexplode, zero exchanges
+        return textops.chunk_overlap(_docs(spark, sf))
+
+    def script_detect(spark, sf):
+        # Unicode-script counts + dominant-script label; scripts other
+        # than Latin are injected deterministically by doc_id%5 (a
+        # repeated phrase long enough to flip the label) so every
+        # branch of the argmax fires — the oracle replays the injection
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 5
+        injected = d.select(
+            "doc_id",
+            F.when(
+                m == 1, F.concat(F.col("text"), F.lit(" "), F.expr(f"repeat('{_SCRIPT_PHRASES['cyrillic']} ', 40)"))
+            )
+            .when(
+                m == 2, F.concat(F.col("text"), F.lit(" "), F.expr(f"repeat('{_SCRIPT_PHRASES['cjk']} ', 40)"))
+            )
+            .when(
+                m == 3, F.concat(F.col("text"), F.lit(" "), F.expr(f"repeat('{_SCRIPT_PHRASES['arabic']} ', 40)"))
+            )
+            .when(
+                m == 4, F.concat(F.col("text"), F.lit(" "), F.expr(f"repeat('{_SCRIPT_PHRASES['greek']} ', 40)"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.script_detect(injected)
+
+    def snapshot_diff(spark, sf):
+        # release diff: prior = docs with doc_id%3==0 (text amended for
+        # %6==0 → 'changed'), current drops ids ≡3 (mod 12) → 'removed';
+        # digest-only full outer join on the id
+        d = _docs(spark, sf)
+        prior = d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        cur = d.filter(F.col("doc_id") % 12 != 3)
+        return dedup.snapshot_diff(cur, prior)
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -1381,6 +1486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": classifier_score,
         "cross_snapshot_dedup": cross_snapshot_dedup,
         "domain_cap": domain_cap,
+        "winnow_fingerprint": winnow_fingerprint,
+        "chunk_overlap": chunk_overlap,
+        "script_detect": script_detect,
+        "snapshot_diff": snapshot_diff,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1398,10 +1507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         # ---- reference §2 extraction slugs ----
-        "extract_html": extract_html,
-        "extract_json_salvage": extract_json_salvage,
-        "extract_grid": extract_grid,
-        "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "pdf_text_extract": pdf_text_extract,
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -1470,6 +1575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": tumbling_window_counts,
         "session_window_agg": session_window_agg,
         "udtf_sentence_split": udtf_sentence_split,
+        "extract_html": extract_html,
+        "extract_json_salvage": extract_json_salvage,
+        "extract_grid": extract_grid,
+        "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
     }
 
 
@@ -2590,6 +2699,52 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY source ORDER BY"
             "  md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn"
             "  FROM documents) WHERE rn <= 10"
+        ),
+        # MOSS winnowing (k=4, w=4): per-window min of md5||lpad(pos,8)
+        "winnow_fingerprint": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, CASE WHEN len(ts) >= 4 THEN"
+            "   list_transform(range(1, len(ts) - 4 + 2),"
+            "    i -> md5(array_to_string(ts[i:i+3], ' ')))"
+            "  ELSE CAST([] AS VARCHAR[]) END AS gs FROM t),"
+            " k AS (SELECT doc_id, len(gs) AS ng,"
+            "   list_transform(range(1, len(gs) + 1),"
+            "    i -> gs[i] || lpad(CAST(i AS VARCHAR), 8, '0')) AS kg"
+            "  FROM g)"
+            " SELECT DISTINCT doc_id, CAST(w.fp[33:40] AS INT) AS pos,"
+            "  w.fp[1:32] AS gram_hash"
+            " FROM k, LATERAL (SELECT list_min(kg[j:j+3]) AS fp"
+            "  FROM unnest(range(1, greatest(ng - 3, 1) + 1)) u(j)) w"
+            " WHERE ng >= 1"
+        ),
+        # trainer chunking: 64-token chunks on a 48-token stride
+        "chunk_overlap": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
+            "  len(string_split(text, ' ')) AS n FROM documents)"
+            " SELECT doc_id, CAST(u.j - 1 AS INT) AS chunk_idx,"
+            "  CAST((u.j - 1) * 48 + 1 AS INT) AS start_tok,"
+            "  CAST(least(64, n - ((u.j - 1) * 48 + 1) + 1) AS INT)"
+            "   AS n_chunk_tokens,"
+            "  array_to_string(ts[((u.j - 1) * 48 + 1):((u.j - 1) * 48 + 64)],"
+            "   ' ') AS chunk_text"
+            " FROM t, LATERAL unnest("
+            "  range(1, (greatest(n, 1) - 1) // 48 + 2)) u(j)"
+        ),
+        # Unicode-script counts + argmax label (injection replayed)
+        "script_detect": _script_detect_oracle_sql(),
+        # release diff: digest full-outer-join classification
+        "snapshot_diff": (
+            "SELECT doc_id,"
+            " CASE WHEN c.h IS NULL THEN 'removed'"
+            "  WHEN p.h IS NULL THEN 'added'"
+            "  WHEN c.h = p.h THEN 'unchanged'"
+            "  ELSE 'changed' END AS status"
+            " FROM (SELECT doc_id, md5(text) AS h FROM documents"
+            "  WHERE doc_id % 12 <> 3) c"
+            " FULL JOIN (SELECT doc_id, md5(CASE WHEN doc_id % 6 = 0"
+            "   THEN text || ' [v1]' ELSE text END) AS h FROM documents"
+            "  WHERE doc_id % 3 = 0) p USING (doc_id)"
         ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals

@@ -120,6 +120,10 @@ HEADLINE_QUERIES = [
     "classifier_score",
     "cross_snapshot_dedup",
     "domain_cap",
+    "winnow_fingerprint",
+    "chunk_overlap",
+    "script_detect",
+    "snapshot_diff",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

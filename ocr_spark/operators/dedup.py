@@ -777,3 +777,32 @@ def cross_snapshot_dedup(
     return cur.join(ph, "__h", "left").select(
         id_col, F.col("__in_prior").isNotNull().alias("in_prior")
     )
+
+
+def snapshot_diff(
+    cur: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release-to-release corpus diff — the audit report every corpus
+    release ships (Dolma's changelog shape): classify every document id
+    across two snapshots as ``added`` (new id), ``removed`` (id gone),
+    ``changed`` (same id, different content digest) or ``unchanged``.
+    Where :func:`cross_snapshot_dedup` asks "did this CONTENT exist
+    before, under any id", this asks "what happened to each ID".
+
+    Scale shape: both sides reduce to (id, 16-byte md5) before a full
+    outer join on the id — text never crosses an exchange, and the join
+    key is the already-unique id so there is no skew to salt."""
+    c = cur.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hc"))
+    p = prior.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hp"))
+    status = (
+        F.when(F.col("__hc").isNull(), F.lit("removed"))
+        .when(F.col("__hp").isNull(), F.lit("added"))
+        .when(F.col("__hc") == F.col("__hp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return c.join(p, id_col, "full_outer").select(
+        id_col, status.alias("status")
+    )

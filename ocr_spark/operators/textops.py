@@ -1409,3 +1409,185 @@ def domain_cap(
         .filter(F.col("rank") <= k)
         .select("domain", id_col, "rank")
     )
+
+
+#: winnowing parameters — fixed operator contract (Schleimer et al.,
+#: SIGMOD 2003 "Winnowing: Local Algorithms for Document Fingerprinting"):
+#: k-gram size 4 tokens, window 4 grams ⇒ guarantee threshold
+#: t = w + k − 1 = 7 tokens (any shared run of ≥7 tokens is detected).
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS algorithm: hash every
+    ``k``-token gram, slide a ``w``-gram window, and keep each window's
+    minimal hash (ties by leftmost position) as a positional
+    fingerprint. Guarantees every shared token run of length
+    ≥ w + k − 1 contributes at least one common fingerprint between the
+    two documents, with a fingerprint density of ~2/(w+1) — the classic
+    copy-detection sketch that sits between exact-substring dedup
+    (every window) and MinHash (no positions).
+
+    Engine parity: the per-window argmin is encoded as the plain string
+    minimum of ``md5_hex || lpad(position, 8)`` — 32 lowercase hex
+    chars then a zero-padded decimal — so Spark's ``array_min`` and
+    DuckDB's ``list_min`` agree byte-for-byte with no struct-ordering
+    semantics in play.
+
+    Scale shape: everything up to the final explode is per-row
+    higher-order lambdas over hoisted arrays (token array → gram-hash
+    array → keyed array → window-min array) — zero exchanges, no
+    Python. Docs shorter than ``k`` tokens emit nothing; docs with
+    1 ≤ n_grams < w emit one whole-array fingerprint (the standard
+    short-document degeneration)."""
+    base = df.select(F.col(id_col), _tokens(col).alias("__ts"))
+    n = F.size("__ts")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__ts"), i, k))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    g = base.select(F.col(id_col), grams.alias("__gs")).select(
+        id_col,
+        F.size("__gs").alias("__ng"),
+        F.transform(
+            F.col("__gs"),
+            lambda h, i: F.concat(
+                h, F.lpad((i + 1).cast("string"), 8, "0")
+            ),
+        ).alias("__kg"),
+    )
+    wins = F.when(
+        F.col("__ng") >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("__ng") - (w - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice(F.col("__kg"), j, w)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return g.select(F.col(id_col), F.explode(wins).alias("__fp")).select(
+        id_col,
+        F.substring("__fp", 33, 8).cast("int").alias("pos"),
+        F.substring("__fp", 1, 32).alias("gram_hash"),
+    )
+
+
+#: chunking parameters — fixed operator contract: 64-token chunks on a
+#: 48-token stride (16-token overlap between consecutive chunks).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Context-window chunking — the sequence-prep step between a
+    cleaned corpus and the trainer (and the passage splitter for
+    retrieval): cut each document into ``size``-token chunks on a
+    ``stride``-token grid so consecutive chunks overlap by
+    ``size − stride`` tokens and no token span longer than the overlap
+    is lost at a boundary. Chunk starts are 1, 1+stride, … ≤ n_tokens,
+    so the tail chunk may be short; single-token and empty documents
+    emit exactly one chunk.
+
+    Scale shape: one per-row transform over the hoisted token array
+    plus a posexplode — zero exchanges, no Python; the parallel axis is
+    documents and the output is ~n/stride rows per doc."""
+    base = df.select(F.col(id_col), _tokens(col).alias("__ts"))
+    n = F.size("__ts")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: F.struct(
+            s.cast("int").alias("start_tok"),
+            F.least(F.lit(size), n - s + 1).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("__ts"), s, size)).alias("chunk_text"),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__c.start_tok"),
+        F.col("__c.n_chunk_tokens"),
+        F.col("__c.chunk_text"),
+    )
+
+
+#: Unicode script ranges — explicit codepoint intervals (NOT \\p{...}
+#: classes, whose membership tables differ between Java regex and RE2),
+#: so Spark and DuckDB count the exact same characters. Order fixes the
+#: deterministic tie-break: earlier script wins equal counts.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿"),
+    ("hangul", "가-힯"),
+)
+
+
+def script_detect(df: DataFrame, col: str = "text") -> DataFrame:
+    """Unicode-script detection — the scaffolding under any real
+    language-ID stage (fastText-style lang-id first separates scripts,
+    then disambiguates within one): count characters in seven explicit
+    script ranges and label each document with the dominant script
+    (ties broken by the fixed SCRIPT_RANGES order, ``unknown`` when no
+    script character occurs). ``script_conf`` is the winner's share of
+    all script characters, rounded to 4 decimals.
+
+    The argmax is encoded engine-neutrally as the string maximum of
+    ``lpad(count, 8) || lpad(priority, 2) || name`` — no struct
+    comparison semantics involved. Entirely JVM regexp counts — zero
+    exchanges, no Python."""
+    counts = {
+        name: F.length(F.regexp_replace(F.col(col), f"[^{rng}]", "")).cast(
+            "long"
+        )
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    nscripts = len(SCRIPT_RANGES)
+    keys = [
+        F.concat(
+            F.lpad(c.cast("string"), 8, "0"),
+            F.lpad(F.lit(str(nscripts - i)), 2, "0"),
+            F.lit(name),
+        )
+        for i, (name, c) in enumerate(counts.items())
+    ]
+    winner = F.greatest(*keys)
+    label = F.when(total == 0, F.lit("unknown")).otherwise(
+        F.substring(winner, 11, 16)
+    )
+    conf = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.substring(winner, 1, 8).cast("double") / total.cast("double"), 4
+        )
+    )
+    return df.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        label.alias("script"),
+        conf.alias("script_conf"),
+    )

@@ -703,3 +703,46 @@ def test_domain_cap_two_phase_no_single_partition(spark):
     assert "__shard" in plan
     for b in _exchange_blocks(plan):
         assert "text#" not in b
+
+
+def test_winnow_fingerprint_zero_exchanges(spark):
+    # token->gram->keyed->window-min arrays are all per-row lambdas;
+    # the explode is narrow — nothing shuffles, no Python
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.winnow_fingerprint(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_overlap_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.chunk_overlap(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_script_detect_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.script_detect(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_joins_digests_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dedup.snapshot_diff(
+            docs.filter(F.col("doc_id") % 12 != 3),
+            docs.filter(F.col("doc_id") % 3 == 0),
+        )
+    )
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b

@@ -471,3 +471,121 @@ def test_domain_cap_binds_and_is_deterministic(spark):
             key=lambda i: (hashlib.md5(f"cap0:{i}".encode()).hexdigest(), i),
         )[:7]
         assert sorted(grp["doc_id"]) == sorted(ids)
+
+
+def _py_winnow(text, k=4, w=4):
+    toks = text.split(" ")
+    gs = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    kg = [h + f"{i + 1:08d}" for i, h in enumerate(gs)]
+    fps = {
+        min(kg[j : j + w]) for j in range(max(len(kg) - w + 1, 1)) if kg[j : j + w]
+    }
+    return {(int(fp[32:]), fp[:32]) for fp in fps}
+
+
+def test_winnow_fingerprint_matches_pure_python(spark):
+    texts = [
+        "a b c d e f g h i j",                      # 10 toks, 7 grams
+        "one two three four",                       # exactly k tokens
+        "short doc",                                # < k → no fingerprints
+        "x y z x y z x y z x y z",                  # repetition → dedup
+    ]
+    out = textops.winnow_fingerprint(_docs(spark, texts)).toPandas()
+    for i, t in enumerate(texts):
+        got = {
+            (r.pos, r.gram_hash)
+            for r in out[out.doc_id == i].itertuples()
+        }
+        want = _py_winnow(t) if len(t.split(" ")) >= 4 else set()
+        assert got == want, f"doc {i}"
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # Schleimer guarantee: a shared token run of >= w+k-1 = 7 tokens
+    # must contribute at least one COMMON (hash) fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    a = f"left filler words {shared} tail one"
+    b = f"completely different prefix here {shared} other suffix"
+    out = textops.winnow_fingerprint(_docs(spark, [a, b])).toPandas()
+    h0 = set(out[out.doc_id == 0].gram_hash)
+    h1 = set(out[out.doc_id == 1].gram_hash)
+    assert h0 & h1
+
+
+def test_chunk_overlap_matches_pure_python(spark):
+    texts = [
+        " ".join(f"t{i}" for i in range(150)),   # 3 chunks, short tail
+        " ".join(f"t{i}" for i in range(64)),    # exactly one full chunk
+        "solo",                                   # single token
+        "",                                       # empty text
+    ]
+    out = textops.chunk_overlap(_docs(spark, texts)).toPandas()
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        n = len(toks)
+        starts = list(range(1, max(n, 1) + 1, 48))
+        rows = out[out.doc_id == d].sort_values("chunk_idx")
+        assert list(rows.chunk_idx) == list(range(len(starts)))
+        for (_, r), s in zip(rows.iterrows(), starts):
+            assert r.start_tok == s
+            assert r.n_chunk_tokens == min(64, n - s + 1)
+            assert r.chunk_text == " ".join(toks[s - 1 : s - 1 + 64])
+    # overlap invariant: chunk i's last 16 tokens == chunk i+1's first 16
+    rows = out[out.doc_id == 0].sort_values("chunk_idx")
+    c0, c1 = rows.iloc[0].chunk_text.split(" "), rows.iloc[1].chunk_text.split(" ")
+    assert c0[-16:] == c1[:16]
+
+
+def test_script_detect_labels_and_counts(spark):
+    texts = [
+        "plain english words only",
+        "привет мир это тест данных",          # cyrillic dominant
+        "mix of latin and 数据清洗流水线处理管道系统设计与实现方案评估",  # cjk wins
+        "",                                     # no script chars
+        "…!!??",                                # punctuation only
+    ]
+    out = textops.script_detect(_docs(spark, texts)).toPandas().set_index("doc_id")
+    assert out.loc[0, "script"] == "latin" and out.loc[0, "n_latin"] == 21
+    assert out.loc[1, "script"] == "cyrillic" and out.loc[1, "n_latin"] == 0
+    assert out.loc[2, "script"] == "cjk"
+    assert out.loc[2, "n_cjk"] == 22 and out.loc[2, "n_latin"] == 13
+    assert out.loc[3, "script"] == "unknown" and out.loc[3, "script_conf"] == 0.0
+    assert out.loc[4, "script"] == "unknown"
+    assert out.loc[1, "script_conf"] == 1.0
+    assert 0 < out.loc[2, "script_conf"] < 1
+
+
+def test_script_detect_tie_breaks_by_fixed_order(spark):
+    # equal latin and cyrillic counts -> earlier range (latin) wins
+    out = (
+        textops.script_detect(_docs(spark, ["abc где"]))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_latin"] == 3 and out.loc[0, "n_cyrillic"] == 3
+    assert out.loc[0, "script"] == "latin"
+
+
+def test_snapshot_diff_all_four_classes(spark):
+    from ocr_spark.operators import dedup
+
+    cur = _docs(spark, ["same", "edited v2", "brand new"])          # ids 0,1,2
+    prior_pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 9],
+            "text": ["same", "edited v1", "dropped doc"],
+            "lang": ["en"] * 3,
+        }
+    )
+    prior = spark.createDataFrame(prior_pdf)
+    out = (
+        dedup.snapshot_diff(cur, prior).toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "status"] == "unchanged"
+    assert out.loc[1, "status"] == "changed"
+    assert out.loc[2, "status"] == "added"
+    assert out.loc[9, "status"] == "removed"
+    assert len(out) == 4
