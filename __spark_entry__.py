@@ -130,6 +130,41 @@ _SCRIPT_PHRASES = {
 }
 
 
+def _ahash_oracle_cte() -> str:
+    """Shared CTE chain replaying image_ahash in DuckDB: md5-pixel
+    bytes (the encode_fake_image scheme), the %97 injection families,
+    integer mean-floor threshold bits, hex signature, 4×16-bit bands."""
+    byte = (
+        "(strpos('0123456789abcdef', substr(md5('img:' || bid || ':' ||"
+        " CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5('img:' || bid || ':' ||"
+        " CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 2, 1)) - 1)"
+    )
+    bands = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 16),"
+        f" t -> b[16 * {k} + t + 1] * (1 << (15 - CAST(t AS INT)))))"
+        f" AS INT) AS band{k}"
+        for k in range(4)
+    )
+    return (
+        "WITH m AS (SELECT vec_id,"
+        " CAST(CASE WHEN vec_id % 97 IN (3, 5) THEN 7 ELSE vec_id END"
+        "  AS VARCHAR) AS bid,"
+        " (vec_id % 97 = 5) AS pert, vec_id % 251 AS p0 FROM embeddings),"
+        " pxt AS (SELECT vec_id, list_transform(range(0, 64), i ->"
+        f" CASE WHEN pert AND i = 0 THEN p0 ELSE {byte} END) AS px FROM m),"
+        " bt AS (SELECT vec_id, px, list_sum(px) // 64 AS mn FROM pxt),"
+        " bits AS (SELECT vec_id, list_transform(px,"
+        "  p -> CASE WHEN p > mn THEN 1 ELSE 0 END) AS b FROM bt),"
+        " h AS (SELECT vec_id,"
+        " array_to_string(list_transform(range(0, 16), j ->"
+        "  substr('0123456789abcdef', CAST(b[4 * j + 1] * 8"
+        "   + b[4 * j + 2] * 4 + b[4 * j + 3] * 2 + b[4 * j + 4] + 1"
+        "   AS INT), 1)), '') AS ahash_hex,"
+        f" {bands} FROM bits)"
+    )
+
+
 def _script_detect_oracle_sql() -> str:
     """DuckDB replay of the script_detect contract query: the doc_id%5
     injection, the seven explicit-range counts, and the string-encoded
@@ -1232,6 +1267,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.image_features(emb.mapInPandas(enc, schema), target=(4, 4))
 
+    def _ahash_payloads(spark, sf):
+        # 8x8 md5-pixel fixture images with two injected near-dup
+        # families the oracle replays: vec_id%97==3 -> the EXACT base
+        # image (id 7); %97==5 -> base image with pixel 0 overwritten
+        # by vec_id%251 (a one-byte perturbation, hamming-small)
+        emb = _tbl(spark, sf, "embeddings").select("vec_id")
+
+        def enc(it):
+            import pandas as pd
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    if v % 97 == 3:
+                        p = multimodal.encode_fake_image(7, 8, 8)
+                    elif v % 97 == 5:
+                        b = bytearray(multimodal.encode_fake_image(7, 8, 8))
+                        b[9] = v % 251  # first pixel byte (9-byte header)
+                        p = bytes(b)
+                    else:
+                        p = multimodal.encode_fake_image(v, 8, 8)
+                    payloads.append(p)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "payload": payloads}
+                )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return emb.mapInPandas(enc, schema)
+
+    def image_ahash(spark, sf):
+        # perceptual average-hash signatures over the fixture images
+        return multimodal.image_ahash(_ahash_payloads(spark, sf))
+
+    def image_ahash_candidates(spark, sf):
+        # banded near-dup pairs (hamming <= 3) over the same images:
+        # the injected exact/one-byte-perturbed families must pair up
+        return multimodal.image_ahash_candidates(
+            multimodal.image_ahash(_ahash_payloads(spark, sf))
+        )
+
     def ann_cosine_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -1490,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": chunk_overlap,
         "script_detect": script_detect,
         "snapshot_diff": snapshot_diff,
+        "image_ahash": image_ahash,
+        "image_ahash_candidates": image_ahash_candidates,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1498,7 +1583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "pack_sequences": pack_sequences,
         "domain_mix": domain_mix,
-        "quantize_embeddings": quantize_embeddings,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1507,7 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         # ---- reference §2 extraction slugs ----
-        "pdf_text_extract": pdf_text_extract,
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
         "pdf_ccitt_image_extract": pdf_ccitt_image_extract,
@@ -1579,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_json_salvage": extract_json_salvage,
         "extract_grid": extract_grid,
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
+        "quantize_embeddings": quantize_embeddings,
+        "pdf_text_extract": pdf_text_extract,
     }
 
 
@@ -2733,6 +2818,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Unicode-script counts + argmax label (injection replayed)
         "script_detect": _script_detect_oracle_sql(),
+        # average-hash signatures over the md5-pixel fixture images
+        "image_ahash": (
+            _ahash_oracle_cte()
+            + " SELECT vec_id, ahash_hex, band0, band1, band2, band3 FROM h"
+        ),
+        # banded near-dup pairs, exact hamming <= 3 filter
+        "image_ahash_candidates": (
+            _ahash_oracle_cte()
+            + ", bq AS (SELECT vec_id, u.k AS band_idx,"
+            "  CASE u.k WHEN 0 THEN band0 WHEN 1 THEN band1"
+            "   WHEN 2 THEN band2 ELSE band3 END AS band_val"
+            "  FROM h, LATERAL unnest(range(0, 4)) u(k)),"
+            " p AS (SELECT DISTINCT l.vec_id AS keeper, r.vec_id AS dup_id"
+            "  FROM bq l JOIN bq r ON l.band_idx = r.band_idx"
+            "   AND l.band_val = r.band_val AND l.vec_id < r.vec_id)"
+            " SELECT keeper, dup_id,"
+            "  CAST(bit_count(xor(a.band0, c.band0))"
+            "   + bit_count(xor(a.band1, c.band1))"
+            "   + bit_count(xor(a.band2, c.band2))"
+            "   + bit_count(xor(a.band3, c.band3)) AS INT) AS hamming"
+            " FROM p JOIN h a ON a.vec_id = keeper"
+            "  JOIN h c ON c.vec_id = dup_id"
+            " WHERE bit_count(xor(a.band0, c.band0))"
+            "  + bit_count(xor(a.band1, c.band1))"
+            "  + bit_count(xor(a.band2, c.band2))"
+            "  + bit_count(xor(a.band3, c.band3)) <= 3"
+        ),
         # release diff: digest full-outer-join classification
         "snapshot_diff": (
             "SELECT doc_id,"

@@ -124,6 +124,8 @@ HEADLINE_QUERIES = [
     "chunk_overlap",
     "script_detect",
     "snapshot_diff",
+    "image_ahash",
+    "image_ahash_candidates",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

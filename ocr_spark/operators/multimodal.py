@@ -397,3 +397,139 @@ def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             ).astype({"frame_idx": "int32", "width": "int32", "height": "int32"})
 
     return df.select("vec_id", "payload").mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (average hash) — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+        T.StructField("band0", T.IntegerType()),
+        T.StructField("band1", T.IntegerType()),
+        T.StructField("band2", T.IntegerType()),
+        T.StructField("band3", T.IntegerType()),
+    ]
+)
+
+
+def ahash_bits(img: np.ndarray, grid: int = AHASH_GRID) -> np.ndarray:
+    """64 average-hash bits (row-major uint8 0/1), integer-exact so any
+    engine replays them: grayscale is the per-pixel channel sum // c,
+    the downscale cell (y, x) is the integer mean (sum // size) of the
+    block rows [y·H//g, (y+1)·H//g) × cols [x·W//g, (x+1)·W//g), and a
+    bit is set iff its cell is STRICTLY greater than the floor of the
+    64-cell mean. Requires H ≥ grid and W ≥ grid."""
+    h, w = img.shape[0], img.shape[1]
+    if h < grid or w < grid:
+        raise ValueError(f"image {h}x{w} smaller than the {grid}x{grid} grid")
+    gray = img.astype(np.int64).reshape(h, w, -1)
+    c = gray.shape[2]
+    gray = gray.sum(axis=2) // c
+    cells = np.empty((grid, grid), dtype=np.int64)
+    for y in range(grid):
+        y0, y1 = (y * h) // grid, ((y + 1) * h) // grid
+        for x in range(grid):
+            x0, x1 = (x * w) // grid, ((x + 1) * w) // grid
+            blk = gray[y0:y1, x0:x1]
+            cells[y, x] = int(blk.sum()) // blk.size
+    mean = int(cells.sum()) // (grid * grid)
+    return (cells.ravel() > mean).astype(np.uint8)
+
+
+def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Average-hash perceptual fingerprint — the image analogue of
+    SimHash: a 64-bit signature that is stable under small pixel edits,
+    emitted as a 16-hex-char string plus four 16-bit bands (hex char j
+    = bits 4j..4j+3 MSB-first; band k = bits 16k..16k+15) so near-dup
+    candidate pairing can reuse the pigeonhole banding trick.
+
+    Scale shape: one Arrow-batched mapInPandas over (vec_id, payload) —
+    the parallel axis is images, decode runs once per image, nothing
+    shuffles here (banding shuffles int keys downstream)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hexd = "0123456789abcdef"
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                bits = ahash_bits(decode_image(bytes(p), fake=fake))
+                hexstr = "".join(
+                    hexd[int(bits[4 * j] * 8 + bits[4 * j + 1] * 4
+                             + bits[4 * j + 2] * 2 + bits[4 * j + 3])]
+                    for j in range(16)
+                )
+                bands = [int(hexstr[4 * k : 4 * k + 4], 16) for k in range(4)]
+                rows.append((int(vec_id), hexstr, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "ahash_hex", "band0", "band1", "band2",
+                         "band3"],
+            ).astype(
+                {"band0": "int32", "band1": "int32", "band2": "int32",
+                 "band3": "int32"}
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
+
+
+def image_ahash_candidates(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs from average hashes via banding — the
+    hamming analogue of MinHash LSH on the image side: with 4 bands of
+    16 bits, any pair within hamming distance 3 leaves at least one
+    band untouched (pigeonhole), so band-equality buckets are a
+    COMPLETE candidate generator for hamming ≤ 3; the exact hamming
+    filter then removes random band collisions.
+
+    Scale shape: only (band_idx, band_val, vec_id) ints cross the
+    banding shuffle — ONE posexplode, hex strings stay behind; the
+    4-band signatures re-attach to the DISTINCT pair list by id, and
+    the hamming check is 4 xor+bit_count JVM ops per pair. The hash
+    frame is persisted because three plan branches read it (bands +
+    both re-attach sides) — without the cache the upstream decode UDF
+    would run three times."""
+    from ocr_spark.operators.dedup import _own_caches
+
+    hashes = hashes.persist()
+    bands = hashes.select(
+        "vec_id",
+        F.posexplode(
+            F.array("band0", "band1", "band2", "band3")
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.select("band_idx", "band_val", F.col("vec_id").alias("keeper"))
+    right = bands.select("band_idx", "band_val", F.col("vec_id").alias("dup_id"))
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("keeper") < F.col("dup_id"))
+        .select("keeper", "dup_id")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("vec_id").alias("keeper"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("vec_id").alias("dup_id"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")).cast("long")
+        )
+        for k in range(4)
+    ).cast("int")
+    out = (
+        pairs.join(ha, "keeper")
+        .join(hb, "dup_id")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("keeper", "dup_id", "hamming")
+    )
+    return _own_caches(out, [hashes])

@@ -847,3 +847,88 @@ def test_bloom_dedup_matches_sequential_filter(docs):
 def test_bloom_dedup_rejects_bad_m(docs):
     with pytest.raises(ValueError, match="divide"):
         dedup.bloom_dedup(docs, m=1000)
+
+
+def _py_ahash(img):
+    """Pure-python replay of ahash_bits (hex + bands)."""
+    h, w = img.shape[0], img.shape[1]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w, c).astype(int)
+    gray = [[sum(px[y][x]) // c for x in range(w)] for y in range(h)]
+    cells = []
+    for y in range(8):
+        for x in range(8):
+            y0, y1 = y * h // 8, (y + 1) * h // 8
+            x0, x1 = x * w // 8, (x + 1) * w // 8
+            blk = [gray[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)]
+            cells.append(sum(blk) // len(blk))
+    mean = sum(cells) // 64
+    bits = [1 if v > mean else 0 for v in cells]
+    hexstr = "".join(
+        "0123456789abcdef"[bits[4 * j] * 8 + bits[4 * j + 1] * 4
+                           + bits[4 * j + 2] * 2 + bits[4 * j + 3]]
+        for j in range(16)
+    )
+    bands = [int(hexstr[4 * k : 4 * k + 4], 16) for k in range(4)]
+    return hexstr, bands
+
+
+def test_image_ahash_matches_pure_python_fake_and_real_png(spark):
+    import numpy as np
+    from ocr_spark.kernels.png import encode_png
+
+    fake = multimodal.encode_fake_image(11, 8, 8)
+    grad = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    png = encode_png(grad)
+    pdf = pd.DataFrame({"vec_id": [0, 1], "payload": [fake, png]})
+    out = (
+        multimodal.image_ahash(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for vid, img in ((0, multimodal.decode_image(fake, fake=True)), (1, grad)):
+        hexstr, bands = _py_ahash(img)
+        assert out.loc[vid, "ahash_hex"] == hexstr
+        assert [out.loc[vid, f"band{k}"] for k in range(4)] == bands
+
+
+def test_image_ahash_stable_under_one_pixel_edit(spark):
+    base = multimodal.encode_fake_image(7, 8, 8)
+    pert = bytearray(base)
+    pert[9] = (pert[9] + 40) % 256
+    pdf = pd.DataFrame({"vec_id": [0, 1], "payload": [base, bytes(pert)]})
+    out = (
+        multimodal.image_ahash(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    ham = sum(
+        bin(out.loc[0, f"band{k}"] ^ out.loc[1, f"band{k}"]).count("1")
+        for k in range(4)
+    )
+    assert ham <= 3  # one-byte edit moves at most a few threshold bits
+
+
+def test_image_ahash_candidates_pigeonhole_and_filter(spark):
+    # hand-built signatures: 0/1 differ in exactly 3 bits spread over 3
+    # bands (must pair — pigeonhole leaves band3 intact); 2 differs from
+    # 0 in 8 bits of one band (bucketed by the other 3 bands BUT cut by
+    # the hamming filter); 3 shares no band with anyone
+    rows = [
+        (0, "x", 0x0001, 0x0002, 0x0004, 0x1111),
+        (1, "x", 0x0000, 0x0000, 0x0000, 0x1111),
+        (2, "x", 0x00FF, 0x0002, 0x0004, 0x1111),
+        (3, "x", 0xAAAA, 0xBBBB, 0xCCCC, 0xDDDD),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["vec_id", "ahash_hex", "band0", "band1", "band2",
+                           "band3"]
+        )
+    )
+    out = multimodal.image_ahash_candidates(df).toPandas()
+    got = {(r.keeper, r.dup_id, r.hamming) for r in out.itertuples()}
+    assert (0, 1, 3) in got
+    assert all(k != 3 and d != 3 for k, d, _ in got)
+    assert all(h <= 3 for _, _, h in got)
+    assert (0, 2, 7) not in got and not [p for p in got if p[0] == 0 and p[1] == 2]

@@ -746,3 +746,22 @@ def test_snapshot_diff_joins_digests_not_text(spark):
     )
     for b in _exchange_blocks(plan):
         assert "text#" not in b
+
+
+def test_image_ahash_candidates_shuffles_ints_not_hex_or_payload(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import multimodal
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(20),
+            "payload": [
+                multimodal.encode_fake_image(v, 8, 8) for v in range(20)
+            ],
+        }
+    )
+    hashes = multimodal.image_ahash(spark.createDataFrame(pdf))
+    plan = _plan(multimodal.image_ahash_candidates(hashes))
+    for b in _exchange_blocks(plan):
+        assert "ahash_hex#" not in b and "payload#" not in b
