@@ -1315,6 +1315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.image_ahash(_ahash_payloads(spark, sf))
         )
 
+    def embedding_outliers(spark, sf):
+        # per-label centroid-direction cosine (integer micro-unit
+        # quantization, HUGEINT-exact dot/norms, broadcast centroids)
+        return similarity.embedding_outliers(_tbl(spark, sf, "embeddings"))
+
     def ann_cosine_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -1543,7 +1548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
-        "dedup_exact": dedup_exact,
         "bloom_dedup": bloom_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_verified_pairs": dedup_verified_pairs,
@@ -1575,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": snapshot_diff,
         "image_ahash": image_ahash,
         "image_ahash_candidates": image_ahash_candidates,
+        "embedding_outliers": embedding_outliers,
         "pii_scrub": pii_scrub,
         "repetition_score": repetition_score,
         "url_extract": url_extract,
@@ -1664,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_anti_join": checkpoint_resume_anti_join,
         "quantize_embeddings": quantize_embeddings,
         "pdf_text_extract": pdf_text_extract,
+        "dedup_exact": dedup_exact,
     }
 
 
@@ -2844,6 +2850,33 @@ def oracle_sql() -> dict[str, str]:
             "  + bit_count(xor(a.band1, c.band1))"
             "  + bit_count(xor(a.band2, c.band2))"
             "  + bit_count(xor(a.band3, c.band3)) <= 3"
+        ),
+        # per-label centroid-direction cosine: micro-unit ints, HUGEINT
+        # dot/norms (order-free), one double cast + sqrt + div + round
+        "embedding_outliers": (
+            "WITH v AS (SELECT vec_id, label,"
+            "  list_transform(embedding::DOUBLE[],"
+            "   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm"
+            "  FROM embeddings),"
+            " e AS (SELECT label, u.i AS d, vm[CAST(u.i AS INT)] AS x"
+            "  FROM v, LATERAL unnest(range(1, len(vm) + 1)) u(i)),"
+            " s AS (SELECT label, d, SUM(x) AS sx FROM e GROUP BY 1, 2),"
+            " c AS (SELECT label, list(sx ORDER BY d) AS cv FROM s"
+            "  GROUP BY 1),"
+            " z AS (SELECT vec_id, v.label,"
+            "  list_sum(list_transform(range(1, len(vm) + 1),"
+            "   i -> vm[CAST(i AS INT)]::HUGEINT"
+            "    * cv[CAST(i AS INT)]::HUGEINT)) AS dot,"
+            "  list_sum(list_transform(vm, x -> x::HUGEINT * x::HUGEINT))"
+            "   AS nv,"
+            "  list_sum(list_transform(cv, x -> x::HUGEINT * x::HUGEINT))"
+            "   AS nc"
+            "  FROM v JOIN c USING (label))"
+            " SELECT vec_id, label, cosr AS cos_centroid,"
+            "  cosr < 0.0 AS is_outlier FROM ("
+            "  SELECT vec_id, label, CASE WHEN nv = 0 OR nc = 0 THEN 0.0"
+            "   ELSE round(CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE))"
+            "    * sqrt(CAST(nc AS DOUBLE))), 4) END AS cosr FROM z)"
         ),
         # release diff: digest full-outer-join classification
         "snapshot_diff": (

@@ -126,6 +126,7 @@ HEADLINE_QUERIES = [
     "snapshot_diff",
     "image_ahash",
     "image_ahash_candidates",
+    "embedding_outliers",
     "url_canonicalize",
     "text_sanitize",
     "vocab_oov",

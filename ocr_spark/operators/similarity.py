@@ -628,3 +628,75 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_r")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding outlier score — the corpus-quality screen
+    that catches mislabeled / off-topic documents before training: each
+    vector's cosine to its own group's centroid DIRECTION (the centroid
+    includes the vector itself; a low or negative cosine flags the
+    vector as an outlier for its group).
+
+    Cross-engine exactness: vectors quantize to integer micro-units
+    (floor(x·1e6 + 0.5) — floor, not round, so Spark and DuckDB agree
+    on every value), the centroid direction is the per-dimension SUM
+    (the 1/n cancels in cosine, so no division ever happens on the
+    aggregate), and dot/norms accumulate in decimal(38,0) ≡ HUGEINT —
+    order-free integer sums. Only the final cosine touches doubles:
+    one cast, two sqrt, one divide, round(4) — bit-identical IEEE on
+    both engines.
+
+    Scale shape: the per-dimension sum shuffles (label, dim, int64)
+    only — never vectors; the centroid table is |labels|·1 rows and
+    BROADCASTS back, so the corpus side never exchanges. At 100 TB this
+    is one map-side-combined agg + one broadcast join."""
+    vm = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)),
+    )
+    base = df.select(F.col(id_col), F.col(label_col), vm.alias("__v"))
+    sums = (
+        base.select(label_col, F.posexplode("__v").alias("__d", "__x"))
+        .groupBy(label_col, "__d")
+        .agg(F.sum("__x").alias("__s"))
+    )
+    cent = sums.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__s"))),
+            lambda t: t["__s"],
+        ).alias("__c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    dot = F.aggregate(
+        F.zip_with("__v", "__c", lambda a, b: dec(a) * dec(b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.transform("__v", lambda a: dec(a) * dec(a)), zero, lambda acc, x: acc + x
+    )
+    nc = F.aggregate(
+        F.transform("__c", lambda a: dec(a) * dec(a)), zero, lambda acc, x: acc + x
+    )
+    cos = F.when((nv == zero) | (nc == zero), F.lit(0.0)).otherwise(
+        F.round(
+            dot.cast("double") / (F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double"))),
+            4,
+        )
+    )
+    return (
+        base.join(F.broadcast(cent), label_col)
+        .withColumn("cos_centroid", cos)
+        .select(
+            id_col,
+            label_col,
+            "cos_centroid",
+            (F.col("cos_centroid") < 0.0).alias("is_outlier"),
+        )
+    )

@@ -932,3 +932,56 @@ def test_image_ahash_candidates_pigeonhole_and_filter(spark):
     assert all(k != 3 and d != 3 for k, d, _ in got)
     assert all(h <= 3 for _, _, h in got)
     assert (0, 2, 7) not in got and not [p for p in got if p[0] == 0 and p[1] == 2]
+
+
+def test_embedding_outliers_matches_pure_python(spark):
+    import math
+
+    from ocr_spark.operators import similarity
+
+    vecs = {
+        0: ([1.0, 0.0], 0),
+        1: ([0.9, 0.1], 0),
+        2: ([-1.0, -0.05], 0),   # opposes its group centroid
+        3: ([0.0, 0.5], 1),      # singleton group -> cosine 1.0
+    }
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [v for v, _ in vecs.values()],
+            "label": [l for _, l in vecs.values()],
+        }
+    )
+    out = (
+        similarity.embedding_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    qm = {k: [math.floor(x * 1e6 + 0.5) for x in v] for k, (v, _) in vecs.items()}
+    cents = {}
+    for k, (_, l) in vecs.items():
+        cents.setdefault(l, [0, 0])
+        for i, x in enumerate(qm[k]):
+            cents[l][i] += x
+    for k, (_, l) in vecs.items():
+        c = cents[l]
+        dot = sum(a * b for a, b in zip(qm[k], c))
+        want = round(
+            dot / (math.sqrt(sum(a * a for a in qm[k])) * math.sqrt(sum(b * b for b in c))),
+            4,
+        )
+        assert out.loc[k, "cos_centroid"] == want
+        assert out.loc[k, "is_outlier"] == (want < 0.0)
+    assert out.loc[3, "cos_centroid"] == 1.0
+    assert bool(out.loc[2, "is_outlier"])
+
+
+def test_embedding_outliers_zero_vector_guard(spark):
+    from ocr_spark.operators import similarity
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0], "embedding": [[0.0, 0.0]], "label": [0]}
+    )
+    out = similarity.embedding_outliers(spark.createDataFrame(pdf)).toPandas()
+    assert out.loc[0, "cos_centroid"] == 0.0
+    assert not out.loc[0, "is_outlier"]

@@ -765,3 +765,15 @@ def test_image_ahash_candidates_shuffles_ints_not_hex_or_payload(spark):
     plan = _plan(multimodal.image_ahash_candidates(hashes))
     for b in _exchange_blocks(plan):
         assert "ahash_hex#" not in b and "payload#" not in b
+
+
+def test_embedding_outliers_broadcasts_centroids_no_vector_shuffle(spark):
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.embedding_outliers(emb))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    for b in _exchange_blocks(plan):
+        # only (label, dim, partial-sum) ints may shuffle; the corpus
+        # side attaches to the broadcast centroid table in place
+        assert "embedding#" not in b and "__v#" not in b
