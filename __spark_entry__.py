@@ -189,7 +189,7 @@ def _script_detect_oracle_sql() -> str:
     total = " + ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
     nscripts = len(SCRIPT_RANGES)
     keys = ", ".join(
-        f"lpad(CAST(n_{name} AS VARCHAR), 8, '0') ||"
+        f"lpad(CAST(n_{name} AS VARCHAR), 12, '0') ||"
         f" '{nscripts - i:02d}' || '{name}'"
         for i, (name, _) in enumerate(SCRIPT_RANGES)
     )
@@ -200,10 +200,10 @@ def _script_detect_oracle_sql() -> str:
         f" w AS (SELECT doc_id, {names}, {total} AS total,"
         f"  greatest({keys}) AS win FROM c)"
         f" SELECT doc_id, {names},"
-        " CASE WHEN total = 0 THEN 'unknown' ELSE substr(win, 11) END"
+        " CASE WHEN total = 0 THEN 'unknown' ELSE substr(win, 15) END"
         "  AS script,"
         " CASE WHEN total = 0 THEN 0.0 ELSE"
-        "  round(CAST(substr(win, 1, 8) AS DOUBLE) / CAST(total AS DOUBLE), 4)"
+        "  round(CAST(substr(win, 1, 12) AS DOUBLE) / CAST(total AS DOUBLE), 4)"
         "  END AS script_conf"
         " FROM w"
     )
@@ -2801,9 +2801,9 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE CAST([] AS VARCHAR[]) END AS gs FROM t),"
             " k AS (SELECT doc_id, len(gs) AS ng,"
             "   list_transform(range(1, len(gs) + 1),"
-            "    i -> gs[i] || lpad(CAST(i AS VARCHAR), 8, '0')) AS kg"
+            "    i -> gs[i] || lpad(CAST(i AS VARCHAR), 12, '0')) AS kg"
             "  FROM g)"
-            " SELECT DISTINCT doc_id, CAST(w.fp[33:40] AS INT) AS pos,"
+            " SELECT DISTINCT doc_id, CAST(w.fp[33:44] AS INT) AS pos,"
             "  w.fp[1:32] AS gram_hash"
             " FROM k, LATERAL (SELECT list_min(kg[j:j+3]) AS fp"
             "  FROM unnest(range(1, greatest(ng - 3, 1) + 1)) u(j)) w"
@@ -2821,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
             "   ' ') AS chunk_text"
             " FROM t, LATERAL unnest("
             "  range(1, (greatest(n, 1) - 1) // 48 + 2)) u(j)"
+            " WHERE u.j = 1 OR (u.j - 1) * 48 + 1 <= n - 16"
         ),
         # Unicode-script counts + argmax label (injection replayed)
         "script_detect": _script_detect_oracle_sql(),

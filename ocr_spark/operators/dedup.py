@@ -794,13 +794,24 @@ def snapshot_diff(
 
     Scale shape: both sides reduce to (id, 16-byte md5) before a full
     outer join on the id — text never crosses an exchange, and the join
-    key is the already-unique id so there is no skew to salt."""
-    c = cur.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hc"))
-    p = prior.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hp"))
+    key is the already-unique id so there is no skew to salt. Presence
+    is tracked with explicit flags (not digest nullness) so a document
+    whose TEXT is NULL still classifies by its id; two NULL texts under
+    the same id compare as unchanged (null-safe digest equality)."""
+    c = cur.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__hc"),
+        F.lit(True).alias("__pc"),
+    )
+    p = prior.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__hp"),
+        F.lit(True).alias("__pp"),
+    )
     status = (
-        F.when(F.col("__hc").isNull(), F.lit("removed"))
-        .when(F.col("__hp").isNull(), F.lit("added"))
-        .when(F.col("__hc") == F.col("__hp"), F.lit("unchanged"))
+        F.when(F.col("__pc").isNull(), F.lit("removed"))
+        .when(F.col("__pp").isNull(), F.lit("added"))
+        .when(F.col("__hc").eqNullSafe(F.col("__hp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return c.join(p, id_col, "full_outer").select(

@@ -457,7 +457,12 @@ def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in it:
             rows = []
             for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
-                bits = ahash_bits(decode_image(bytes(p), fake=fake))
+                try:
+                    bits = ahash_bits(decode_image(bytes(p), fake=fake))
+                except Exception:
+                    # module convention: one undecodable / too-small /
+                    # NULL payload skips that image, never the job
+                    continue
                 hexstr = "".join(
                     hexd[int(bits[4 * j] * 8 + bits[4 * j + 1] * 4
                              + bits[4 * j + 2] * 2 + bits[4 * j + 3])]

@@ -1436,8 +1436,10 @@ def winnow_fingerprint(
     (every window) and MinHash (no positions).
 
     Engine parity: the per-window argmin is encoded as the plain string
-    minimum of ``md5_hex || lpad(position, 8)`` — 32 lowercase hex
-    chars then a zero-padded decimal — so Spark's ``array_min`` and
+    minimum of ``md5_hex || lpad(position, 12)`` — 32 lowercase hex
+    chars then a zero-padded decimal (12 digits because lpad TRUNCATES
+    beyond its width in both engines; Spark's 2 GB string cap bounds
+    token positions well below 1e12) — so Spark's ``array_min`` and
     DuckDB's ``list_min`` agree byte-for-byte with no struct-ordering
     semantics in play.
 
@@ -1462,7 +1464,7 @@ def winnow_fingerprint(
         F.transform(
             F.col("__gs"),
             lambda h, i: F.concat(
-                h, F.lpad((i + 1).cast("string"), 8, "0")
+                h, F.lpad((i + 1).cast("string"), 12, "0")
             ),
         ).alias("__kg"),
     )
@@ -1479,7 +1481,7 @@ def winnow_fingerprint(
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     return g.select(F.col(id_col), F.explode(wins).alias("__fp")).select(
         id_col,
-        F.substring("__fp", 33, 8).cast("int").alias("pos"),
+        F.substring("__fp", 33, 12).cast("int").alias("pos"),
         F.substring("__fp", 1, 32).alias("gram_hash"),
     )
 
@@ -1504,7 +1506,10 @@ def chunk_overlap(
     ``size − stride`` tokens and no token span longer than the overlap
     is lost at a boundary. Chunk starts are 1, 1+stride, … ≤ n_tokens,
     so the tail chunk may be short; single-token and empty documents
-    emit exactly one chunk.
+    emit exactly one chunk. A trailing start whose chunk would be
+    entirely contained in the previous chunk (tail ≤ the overlap, i.e.
+    start > n − (size − stride)) is dropped — it would double-feed
+    those tokens to the trainer with zero new content.
 
     Scale shape: one per-row transform over the hoisted token array
     plus a posexplode — zero exchanges, no Python; the parallel axis is
@@ -1512,7 +1517,10 @@ def chunk_overlap(
     base = df.select(F.col(id_col), _tokens(col).alias("__ts"))
     n = F.size("__ts")
     chunks = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+            lambda s: (s == 1) | (s <= n - (size - stride)),
+        ),
         lambda s: F.struct(
             s.cast("int").alias("start_tok"),
             F.least(F.lit(size), n - s + 1).cast("int").alias("n_chunk_tokens"),
@@ -1545,7 +1553,9 @@ SCRIPT_RANGES = (
 )
 
 
-def script_detect(df: DataFrame, col: str = "text") -> DataFrame:
+def script_detect(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Unicode-script detection — the scaffolding under any real
     language-ID stage (fastText-style lang-id first separates scripts,
     then disambiguates within one): count characters in seven explicit
@@ -1555,9 +1565,11 @@ def script_detect(df: DataFrame, col: str = "text") -> DataFrame:
     all script characters, rounded to 4 decimals.
 
     The argmax is encoded engine-neutrally as the string maximum of
-    ``lpad(count, 8) || lpad(priority, 2) || name`` — no struct
-    comparison semantics involved. Entirely JVM regexp counts — zero
-    exchanges, no Python."""
+    ``lpad(count, 12) || lpad(priority, 2) || name`` — no struct
+    comparison semantics involved (12 digits: lpad TRUNCATES beyond its
+    width in both engines, and Spark's 2 GB string cap bounds counts
+    below 1e10). Entirely JVM regexp counts — zero exchanges, no
+    Python."""
     counts = {
         name: F.length(F.regexp_replace(F.col(col), f"[^{rng}]", "")).cast(
             "long"
@@ -1570,7 +1582,7 @@ def script_detect(df: DataFrame, col: str = "text") -> DataFrame:
     nscripts = len(SCRIPT_RANGES)
     keys = [
         F.concat(
-            F.lpad(c.cast("string"), 8, "0"),
+            F.lpad(c.cast("string"), 12, "0"),
             F.lpad(F.lit(str(nscripts - i)), 2, "0"),
             F.lit(name),
         )
@@ -1578,15 +1590,15 @@ def script_detect(df: DataFrame, col: str = "text") -> DataFrame:
     ]
     winner = F.greatest(*keys)
     label = F.when(total == 0, F.lit("unknown")).otherwise(
-        F.substring(winner, 11, 16)
+        F.substring(winner, 15, 16)
     )
     conf = F.when(total == 0, F.lit(0.0)).otherwise(
         F.round(
-            F.substring(winner, 1, 8).cast("double") / total.cast("double"), 4
+            F.substring(winner, 1, 12).cast("double") / total.cast("double"), 4
         )
     )
     return df.select(
-        "doc_id",
+        id_col,
         *[c.alias(f"n_{name}") for name, c in counts.items()],
         label.alias("script"),
         conf.alias("script_conf"),

@@ -985,3 +985,19 @@ def test_embedding_outliers_zero_vector_guard(spark):
     out = similarity.embedding_outliers(spark.createDataFrame(pdf)).toPandas()
     assert out.loc[0, "cos_centroid"] == 0.0
     assert not out.loc[0, "is_outlier"]
+
+
+def test_image_ahash_skips_bad_payloads(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "payload": [
+                multimodal.encode_fake_image(0, 8, 8),
+                b"garbage not an image",
+                multimodal.encode_fake_image(2, 4, 4),  # smaller than grid
+                multimodal.encode_fake_image(3, 8, 8),
+            ],
+        }
+    )
+    out = multimodal.image_ahash(spark.createDataFrame(pdf)).toPandas()
+    assert sorted(out.vec_id) == [0, 3]

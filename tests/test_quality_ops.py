@@ -479,7 +479,7 @@ def _py_winnow(text, k=4, w=4):
         hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
         for i in range(len(toks) - k + 1)
     ]
-    kg = [h + f"{i + 1:08d}" for i, h in enumerate(gs)]
+    kg = [h + f"{i + 1:012d}" for i, h in enumerate(gs)]
     fps = {
         min(kg[j : j + w]) for j in range(max(len(kg) - w + 1, 1)) if kg[j : j + w]
     }
@@ -526,7 +526,11 @@ def test_chunk_overlap_matches_pure_python(spark):
     for d, t in enumerate(texts):
         toks = t.split(" ")
         n = len(toks)
-        starts = list(range(1, max(n, 1) + 1, 48))
+        starts = [
+            s
+            for s in range(1, max(n, 1) + 1, 48)
+            if s == 1 or s <= n - 16
+        ]
         rows = out[out.doc_id == d].sort_values("chunk_idx")
         assert list(rows.chunk_idx) == list(range(len(starts)))
         for (_, r), s in zip(rows.iterrows(), starts):
@@ -589,3 +593,43 @@ def test_snapshot_diff_all_four_classes(spark):
     assert out.loc[2, "status"] == "added"
     assert out.loc[9, "status"] == "removed"
     assert len(out) == 4
+
+
+def test_chunk_overlap_drops_fully_contained_tail(spark):
+    # n=64: start 49 would cover tokens 49..64 — all inside chunk 0 —
+    # so exactly ONE chunk; n=65 keeps the tail (token 65 is new)
+    t64 = " ".join(f"t{i}" for i in range(64))
+    t65 = " ".join(f"t{i}" for i in range(65))
+    out = textops.chunk_overlap(_docs(spark, [t64, t65])).toPandas()
+    assert len(out[out.doc_id == 0]) == 1
+    rows = out[out.doc_id == 1].sort_values("chunk_idx")
+    assert len(rows) == 2 and rows.iloc[1].n_chunk_tokens == 17
+
+
+def test_snapshot_diff_null_text_classifies_by_id(spark):
+    from pyspark.sql import types as T
+
+    from ocr_spark.operators import dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cur = spark.createDataFrame([(0, None), (1, "now text"), (2, None)], schema)
+    prior = spark.createDataFrame([(0, "had text"), (1, None), (2, None)], schema)
+    out = (
+        dedup.snapshot_diff(cur, prior).toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "status"] == "changed"     # text -> NULL is a change
+    assert out.loc[1, "status"] == "changed"     # NULL -> text is a change
+    assert out.loc[2, "status"] == "unchanged"   # NULL == NULL (null-safe)
+
+
+def test_script_detect_custom_id_col(spark):
+    pdf = pd.DataFrame({"vec_id": [7], "text": ["hello world"]})
+    out = textops.script_detect(
+        spark.createDataFrame(pdf), id_col="vec_id"
+    ).toPandas()
+    assert out.loc[0, "vec_id"] == 7 and out.loc[0, "script"] == "latin"
