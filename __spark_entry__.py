@@ -1139,6 +1139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.script_detect(injected)
 
+    def cross_snapshot_novelty(spark, sf):
+        # per-doc fraction of 8-token windows unseen in the prior
+        # release (docs with doc_id%3==0): prior docs score 0.0, new
+        # docs score ~1.0 minus shared-boilerplate overlap
+        d = _docs(spark, sf)
+        return dedup.cross_snapshot_novelty(
+            d, d.filter(F.col("doc_id") % 3 == 0)
+        )
+
     def snapshot_diff(spark, sf):
         # release diff: prior = docs with doc_id%3==0 (text amended for
         # %6==0 → 'changed'), current drops ids ≡3 (mod 12) → 'removed';
@@ -1552,7 +1561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_clusters": dedup_clusters,
-        "dedup_simhash": dedup_simhash,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "semdedup": semdedup,
@@ -1572,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "classifier_score": classifier_score,
         "cross_snapshot_dedup": cross_snapshot_dedup,
+        "cross_snapshot_novelty": cross_snapshot_novelty,
         "domain_cap": domain_cap,
         "winnow_fingerprint": winnow_fingerprint,
         "chunk_overlap": chunk_overlap,
@@ -1670,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         "pdf_text_extract": pdf_text_extract,
         "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
     }
 
 
@@ -2790,6 +2800,27 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY source ORDER BY"
             "  md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn"
             "  FROM documents) WHERE rn <= 10"
+        ),
+        # release novelty: fraction of 8-token windows unseen in vN-1
+        "cross_snapshot_novelty": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents),"
+            " w AS (SELECT doc_id, CASE WHEN len(ts) >= 8 THEN"
+            "   list_transform(range(1, len(ts) - 8 + 2),"
+            "    i -> md5(array_to_string(ts[i:i+7], ' ')))"
+            "  ELSE CAST([] AS VARCHAR[]) END AS hs FROM t),"
+            " p AS (SELECT DISTINCT unnest(hs) AS h FROM w"
+            "  WHERE doc_id % 3 = 0),"
+            " e AS (SELECT doc_id, unnest(hs) AS h FROM w),"
+            " c AS (SELECT e.doc_id, COUNT(*) AS nw,"
+            "   SUM(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS nn"
+            "  FROM e LEFT JOIN p ON e.h = p.h GROUP BY 1)"
+            " SELECT w.doc_id,"
+            "  CAST(COALESCE(nw, 0) AS BIGINT) AS n_windows,"
+            "  CAST(COALESCE(nn, 0) AS BIGINT) AS n_novel,"
+            "  CASE WHEN COALESCE(nw, 0) = 0 THEN 1.0"
+            "   ELSE round(CAST(nn AS DOUBLE) / nw, 4) END AS novelty"
+            " FROM w LEFT JOIN c USING (doc_id)"
         ),
         # MOSS winnowing (k=4, w=4): per-window min of md5||lpad(pos,8)
         "winnow_fingerprint": (

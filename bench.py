@@ -119,6 +119,7 @@ HEADLINE_QUERIES = [
     "jsonl_roundtrip",
     "classifier_score",
     "cross_snapshot_dedup",
+    "cross_snapshot_novelty",
     "domain_cap",
     "winnow_fingerprint",
     "chunk_overlap",

@@ -817,3 +817,80 @@ def snapshot_diff(
     return c.join(p, id_col, "full_outer").select(
         id_col, status.alias("status")
     )
+
+
+def cross_snapshot_novelty(
+    df: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Release novelty — per-document fraction of ``width``-token
+    windows (stride 1) whose hash occurs NOWHERE in the prior release:
+    the metric a corpus changelog reports as "how much genuinely new
+    content does vN add", and the soft counterpart of
+    :func:`cross_snapshot_dedup` (which only flags whole-document
+    digests) — a re-crawl that prepends one line to every page scores
+    near-zero novelty here while passing exact dedup entirely.
+    Documents shorter than ``width`` tokens have no windows and score
+    novelty 1.0 by convention.
+
+    Scale shape: window hashing is a per-row transform over hoisted
+    token arrays on BOTH sides; the join carries (id, 16-byte md5)
+    against the prior side's DISTINCT digest set (map-side partial),
+    and the per-doc count is an int agg — text never crosses an
+    exchange."""
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def win(d: DataFrame) -> DataFrame:
+        base = d.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ts"))
+        n = F.size("__ts")
+        hs = F.when(
+            n >= width,
+            F.transform(
+                F.sequence(F.lit(1), n - width + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__ts"), i, width))
+                ),
+            ),
+        ).otherwise(empty)
+        return base.select(F.col(id_col), hs.alias("__hs"))
+
+    cw = win(df)
+    ph = (
+        win(prior)
+        .select(F.explode("__hs").alias("__h"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    ex = cw.select(F.col(id_col), F.explode("__hs").alias("__h"))
+    counts = (
+        ex.join(ph, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nw"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
+                "__nn"
+            ),
+        )
+    )
+    j = cw.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__nw", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("__nn", F.lit(0)).cast("long").alias("n_novel"),
+    )
+    return j.select(
+        id_col,
+        "n_windows",
+        "n_novel",
+        F.when(F.col("n_windows") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_windows").cast("double"),
+                4,
+            )
+        )
+        .alias("novelty"),
+    )

@@ -777,3 +777,14 @@ def test_embedding_outliers_broadcasts_centroids_no_vector_shuffle(spark):
         # only (label, dim, partial-sum) ints may shuffle; the corpus
         # side attaches to the broadcast centroid table in place
         assert "embedding#" not in b and "__v#" not in b
+
+
+def test_cross_snapshot_novelty_shuffles_digests_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dedup.cross_snapshot_novelty(docs, docs.filter(F.col("doc_id") % 3 == 0))
+    )
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b and "__ts#" not in b

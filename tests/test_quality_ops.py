@@ -633,3 +633,40 @@ def test_script_detect_custom_id_col(spark):
         spark.createDataFrame(pdf), id_col="vec_id"
     ).toPandas()
     assert out.loc[0, "vec_id"] == 7 and out.loc[0, "script"] == "latin"
+
+
+def test_cross_snapshot_novelty_matches_pure_python(spark):
+    from ocr_spark.operators import dedup
+
+    prior_t = " ".join(f"p{i}" for i in range(20))
+    cur_texts = [
+        prior_t,                                          # fully seen -> 0.0
+        " ".join(f"n{i}" for i in range(20)),             # fully new -> 1.0
+        prior_t + " tail of fresh content appended here", # partial
+        "short doc",                                      # < 8 toks -> 1.0
+    ]
+    cur = _docs(spark, cur_texts)
+    prior = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [prior_t], "lang": ["en"]})
+    )
+    out = (
+        dedup.cross_snapshot_novelty(cur, prior)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    prior_wins = {
+        " ".join(prior_t.split(" ")[i : i + 8]) for i in range(20 - 8 + 1)
+    }
+    for d, t in enumerate(cur_texts):
+        toks = t.split(" ")
+        wins = [" ".join(toks[i : i + 8]) for i in range(max(len(toks) - 7, 0))]
+        novel = sum(1 for w in wins if w not in prior_wins)
+        assert out.loc[d, "n_windows"] == len(wins)
+        assert out.loc[d, "n_novel"] == novel
+        want = 1.0 if not wins else round(novel / len(wins), 4)
+        assert out.loc[d, "novelty"] == want
+    assert out.loc[0, "novelty"] == 0.0
+    assert out.loc[1, "novelty"] == 1.0
+    assert 0.0 < out.loc[2, "novelty"] < 1.0
+    assert out.loc[3, "novelty"] == 1.0 and out.loc[3, "n_windows"] == 0
