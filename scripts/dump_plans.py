@@ -25,7 +25,14 @@ def main() -> int:
 
     from ocr_spark.fixtures import make_transcripts
     from ocr_spark.kernels.pdf import build_pdf
-    from ocr_spark.operators import dedup, pages, relational, similarity
+    from ocr_spark.operators import (
+        dedup,
+        multimodal,
+        pages,
+        relational,
+        similarity,
+        textops,
+    )
     from ocr_spark.pipeline import extract_stage
     from ocr_spark.session import get_spark
 
@@ -188,6 +195,38 @@ def main() -> int:
             similarity.ivf_pq_topk(
                 emb, emb.filter(F.col("vec_id") < 3), k=3, rerank=8
             ),
+        ),
+        (
+            "Winnowing fingerprints (`winnow_fingerprint`)",
+            "ZERO exchanges: token → gram-hash → keyed → window-min arrays are "
+            "all per-row higher-order lambdas over hoisted columns; the explode "
+            "is narrow and no Python stage exists anywhere in the plan.",
+            textops.winnow_fingerprint(docs),
+        ),
+        (
+            "Image near-dup banding (`image_ahash_candidates`)",
+            "The banding shuffle carries (band_idx, band_val, vec_id) ints only "
+            "— hex signatures and payloads stay behind and re-attach to the "
+            "DISTINCT pair list by id; the persisted hash frame keeps the decode "
+            "UDF to ONE run across the three plan branches that read it.",
+            multimodal.image_ahash_candidates(
+                multimodal.image_ahash(
+                    spark.createDataFrame(
+                        [
+                            (int(v), multimodal.encode_fake_image(int(v), 8, 8))
+                            for v in range(12)
+                        ],
+                        "vec_id long, payload binary",
+                    )
+                )
+            ),
+        ),
+        (
+            "Per-group embedding outliers (`embedding_outliers`)",
+            "The centroid agg shuffles (label, dim, int64) triples with map-side "
+            "partial sums; the |labels|-row centroid table broadcasts back, so "
+            "the corpus side — vectors included — never crosses an exchange.",
+            similarity.embedding_outliers(emb),
         ),
         (
             "Real-PDF page explode (`pdf_pages_from_bytes`)",
