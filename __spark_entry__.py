@@ -2822,7 +2822,7 @@ def oracle_sql() -> dict[str, str]:
             "   ELSE round(CAST(nn AS DOUBLE) / nw, 4) END AS novelty"
             " FROM w LEFT JOIN c USING (doc_id)"
         ),
-        # MOSS winnowing (k=4, w=4): per-window min of md5||lpad(pos,8)
+        # MOSS winnowing (k=4, w=4): per-window min of md5||lpad(pos,12)
         "winnow_fingerprint": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
             "  FROM documents),"
@@ -2910,18 +2910,19 @@ def oracle_sql() -> dict[str, str]:
             "   ELSE round(CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE))"
             "    * sqrt(CAST(nc AS DOUBLE))), 4) END AS cosr FROM z)"
         ),
-        # release diff: digest full-outer-join classification
+        # release diff: presence flags + null-safe digest equality
+        # (mirrors the operator exactly, incl. NULL-text documents)
         "snapshot_diff": (
             "SELECT doc_id,"
-            " CASE WHEN c.h IS NULL THEN 'removed'"
-            "  WHEN p.h IS NULL THEN 'added'"
-            "  WHEN c.h = p.h THEN 'unchanged'"
+            " CASE WHEN c.pc IS NULL THEN 'removed'"
+            "  WHEN p.pp IS NULL THEN 'added'"
+            "  WHEN c.h IS NOT DISTINCT FROM p.h THEN 'unchanged'"
             "  ELSE 'changed' END AS status"
-            " FROM (SELECT doc_id, md5(text) AS h FROM documents"
+            " FROM (SELECT doc_id, md5(text) AS h, 1 AS pc FROM documents"
             "  WHERE doc_id % 12 <> 3) c"
             " FULL JOIN (SELECT doc_id, md5(CASE WHEN doc_id % 6 = 0"
-            "   THEN text || ' [v1]' ELSE text END) AS h FROM documents"
-            "  WHERE doc_id % 3 = 0) p USING (doc_id)"
+            "   THEN text || ' [v1]' ELSE text END) AS h, 1 AS pp"
+            "  FROM documents WHERE doc_id % 3 = 0) p USING (doc_id)"
         ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals

@@ -841,21 +841,15 @@ def cross_snapshot_novelty(
     against the prior side's DISTINCT digest set (map-side partial),
     and the per-doc count is an int agg — text never crosses an
     exchange."""
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    from ocr_spark.operators.textops import _window_hash_col
 
     def win(d: DataFrame) -> DataFrame:
-        base = d.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ts"))
-        n = F.size("__ts")
-        hs = F.when(
-            n >= width,
-            F.transform(
-                F.sequence(F.lit(1), n - width + 1),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__ts"), i, width))
-                ),
-            ),
-        ).otherwise(empty)
-        return base.select(F.col(id_col), hs.alias("__hs"))
+        base = d.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__ts")
+        )
+        return base.select(
+            F.col(id_col), _window_hash_col("__ts", width).alias("__hs")
+        )
 
     cw = win(df)
     ph = (

@@ -844,6 +844,25 @@ def ngram_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
 DSIR_BUCKETS = 64
 
 
+def _window_hash_col(tok_col: str, width: int, stride: int = 1) -> Column:
+    """md5 hashes of ``width``-token windows starting every ``stride``
+    tokens (1-based starts) over an ALREADY-HOISTED token-array column;
+    hoisting is the caller's job so the split never re-runs inside the
+    lambda (the O(words²) trap). Shared by dup_span_detect,
+    substring_dedup_cut, and dedup.cross_snapshot_novelty — one copy of
+    the engine-parity-critical hashing, one place to change it."""
+    n = F.size(tok_col)
+    return F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col(tok_col), i, width))
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
 def _md5_bucket(expr: str, n: int = DSIR_BUCKETS) -> str:
     """SQL for the cross-engine hash bucket: low byte of the md5 digest
     mod n. DuckDB's ``md5_number`` is the signed little-endian int128
@@ -1071,23 +1090,21 @@ def dup_span_detect(
     back hash-to-hash (AQE broadcasts it when small), and document text
     never crosses an exchange.
     """
-    w = _tokens(col)
-    n = F.size(w)
-    grams = F.when(
-        n >= width,
-        F.transform(
-            F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, width))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     from ocr_spark.operators.dedup import _own_caches
 
     # the hashed-window arrays feed the count side, the probe side,
     # and the final per-doc stats — persist so the tokenize+md5 pass
-    # runs once (hash-only frame, no text; GC-tied release)
-    base = df.select(F.col(id_col), grams.alias("hs")).select(
-        id_col, "hs", F.size("hs").cast("long").alias("n_spans")
-    ).persist()
+    # runs once (hash-only frame, no text; GC-tied release). Tokens are
+    # hoisted so the window lambda slices a column, not a per-element
+    # re-split of the text.
+    base = (
+        df.select(F.col(id_col), _tokens(col).alias("__ts"))
+        .select(
+            F.col(id_col), _window_hash_col("__ts", width, stride).alias("hs")
+        )
+        .select(id_col, "hs", F.size("hs").cast("long").alias("n_spans"))
+        .persist()
+    )
     ex = base.select(id_col, F.explode("hs").alias("h"))
     dup = ex.groupBy("h").count().filter(F.col("count") > 1).select("h")
     hits = ex.join(dup, "h").groupBy(id_col).agg(
@@ -1150,14 +1167,7 @@ def substring_dedup_cut(
 
     # hoisted token array: feeds window hashing AND final reassembly
     base = df.select(F.col(id_col), _tokens(col).alias("__ts")).persist()
-    n = F.size("__ts")
-    hs = F.when(
-        n >= width,
-        F.transform(
-            F.sequence(F.lit(1), n - width + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__ts"), i, width))),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    hs = _window_hash_col("__ts", width)
     wins = base.select(F.col(id_col), F.posexplode(hs).alias("pos0", "h")).select(
         id_col, (F.col("pos0") + 1).alias("i"), "h"
     )
