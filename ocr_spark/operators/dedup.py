@@ -851,14 +851,13 @@ def cross_snapshot_novelty(
             F.col(id_col), _window_hash_col("__ts", width).alias("__hs")
         )
 
-    cw = win(df)
     ph = (
         win(prior)
         .select(F.explode("__hs").alias("__h"))
         .distinct()
         .withColumn("__seen", F.lit(True))
     )
-    ex = cw.select(F.col(id_col), F.explode("__hs").alias("__h"))
+    ex = win(df).select(F.col(id_col), F.explode("__hs").alias("__h"))
     counts = (
         ex.join(ph, "__h", "left")
         .groupBy(id_col)
@@ -869,7 +868,11 @@ def cross_snapshot_novelty(
             ),
         )
     )
-    j = cw.select(id_col).join(counts, id_col, "left").select(
+    # the id list for the final left join comes straight from the
+    # source (ids only — column-pruned scan), NOT from win(df): reusing
+    # the window frame here would re-run the whole tokenize+md5 pass a
+    # second time just to enumerate ids
+    j = df.select(F.col(id_col)).join(counts, id_col, "left").select(
         F.col(id_col),
         F.coalesce("__nw", F.lit(0)).cast("long").alias("n_windows"),
         F.coalesce("__nn", F.lit(0)).cast("long").alias("n_novel"),
