@@ -987,6 +987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the container itself
         return src.jsonl_roundtrip(_docs(spark, sf))
 
+    def orc_roundtrip(spark, sf):
+        # ORC columnar interchange: write 32 real in-memory ORC shards
+        # (pyarrow stripes/encodings/footer) and read them back in the
+        # same grouped-map stage — id, shard, read-back row order, and
+        # all payload fields recovered from the container
+        return src.orc_roundtrip(_docs(spark, sf))
+
     def vocab_oov(spark, sf):
         # top-256 corpus vocabulary (count desc, token asc total order)
         # then per-doc out-of-vocabulary token fraction
@@ -1568,7 +1575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_pq": ann_ivf_pq,
-        "multimodal_meta": multimodal_meta,
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "multimodal_features": multimodal_features,
         "multimodal_audio_meta": multimodal_audio_meta,
@@ -1604,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -1680,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": pdf_text_extract,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
+        "multimodal_meta": multimodal_meta,
     }
 
 
@@ -3120,6 +3128,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
             " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
             "  ORDER BY doc_id) - 1 AS BIGINT) AS line_idx,"
+            " CAST(COUNT(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)"
+            "  AS n_in_shard,"
+            " lang, source, text FROM documents"
+        ),
+        # ORC interchange: read-back order = write order = id-sorted
+        # within the shard, so the container round-trip replays as a
+        # per-shard ROW_NUMBER over the source rows
+        "orc_roundtrip": (
+            "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
+            "  ORDER BY doc_id) - 1 AS BIGINT) AS row_idx,"
             " CAST(COUNT(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)"
             "  AS n_in_shard,"
             " lang, source, text FROM documents"

@@ -117,6 +117,7 @@ HEADLINE_QUERIES = [
     "substring_dedup_cut",
     "bm25_topk",
     "jsonl_roundtrip",
+    "orc_roundtrip",
     "classifier_score",
     "cross_snapshot_dedup",
     "cross_snapshot_novelty",

@@ -256,3 +256,77 @@ def jsonl_roundtrip(
             ),
         )
     )
+
+
+#: orc_roundtrip shard count — fixed operator contract.
+ORC_SHARDS = 32
+
+
+def orc_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    shards: int = ORC_SHARDS,
+) -> DataFrame:
+    """ORC-sharded columnar round-trip — the second interchange format
+    next to :func:`jsonl_roundtrip` (ORC is what Hive/Trino-era corpus
+    exports ship): shard the corpus by ``doc_id % shards``, write each
+    shard to a REAL in-memory ORC file (pyarrow.orc — stripes, column
+    encodings, footer), then read it back and emit one row per
+    recovered record with the shard, the row's position in read-back
+    order, the per-shard count, and every payload field recovered FROM
+    THE CONTAINER — so a string-encoding or column-order defect in the
+    round-trip surfaces as an oracle mismatch, exactly like the JSONL
+    and WARC sources.
+
+    Scale shape: one exchange on the shard key into an Arrow-batched
+    grouped-map stage that writes AND reads in-stage; the parallel axis
+    is shards and text never leaves the stage except as result rows."""
+
+    def write_and_read(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyarrow import orc
+
+        pdf = pdf.sort_values(id_col)
+        table = pa.table(
+            {
+                "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
+                "lang": pa.array([str(x) for x in pdf[lang_col]], pa.string()),
+                "source": pa.array(
+                    [str(x) for x in pdf[source_col]], pa.string()
+                ),
+                "text": pa.array([str(x) for x in pdf[text_col]], pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        orc.write_table(table, buf)
+        back = orc.ORCFile(io.BytesIO(buf.getvalue())).read()
+        out = back.to_pandas().rename(columns={"id": "doc_id"})
+        out["shard"] = (out["doc_id"] % shards).astype("int64")
+        out["row_idx"] = range(len(out))
+        out["n_in_shard"] = len(out)
+        return out[
+            ["doc_id", "shard", "row_idx", "n_in_shard",
+             "lang", "source", "text"]
+        ].astype({"row_idx": "int64", "n_in_shard": "int64"})
+
+    shard = (F.col(id_col) % shards).alias("__os")
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), F.col(lang_col),
+            F.col(source_col), shard,
+        )
+        .groupBy("__os")
+        .applyInPandas(
+            write_and_read,
+            schema=(
+                "doc_id long, shard long, row_idx long, n_in_shard long,"
+                " lang string, source string, text string"
+            ),
+        )
+    )

@@ -788,3 +788,12 @@ def test_cross_snapshot_novelty_shuffles_digests_not_text(spark):
     )
     for b in _exchange_blocks(plan):
         assert "text#" not in b and "__ts#" not in b
+
+
+def test_orc_roundtrip_single_exchange(spark):
+    from ocr_spark import sources
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sources.orc_roundtrip(docs))
+    assert len(_exchange_blocks(plan)) == 1
+    assert plan.count("FlatMapGroupsInPandas") >= 1

@@ -127,3 +127,55 @@ def test_pdf_job_page_range(spark, tmp_path):
     assert summary["pages"] == 4
     got = spark.read.parquet(str(out)).toPandas().sort_values("page_idx")
     assert got["page_text"].tolist() == ["p2", "p3", "p4", "p5"]
+
+
+def test_orc_roundtrip_recovers_everything(spark):
+    import pandas as pd
+
+    from ocr_spark import sources
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [5, 37, 69, 1],          # 5/37/69 share shard 5
+            "text": ["plain", "üñíçødé 数据 π", "", "tab\tand\nnewline"],
+            "lang": ["en", "de", "en", "fr"],
+            "source": ["web", "web", "books", "web"],
+        }
+    )
+    out = (
+        sources.orc_roundtrip(spark.createDataFrame(pdf), shards=32)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    for _, r in pdf.iterrows():
+        row = out.loc[r.doc_id]
+        assert row.text == r.text and row.lang == r.lang
+        assert row.source == r.source
+        assert row.shard == r.doc_id % 32
+    grp = out[out.shard == 5].sort_values("row_idx")
+    # read-back order within a shard is id-sorted write order
+    assert list(grp.index) == [5, 37, 69]
+    assert (grp.n_in_shard == 3).all()
+    solo = out[out.shard == 1]
+    assert (solo.n_in_shard == 1).all() and (solo.row_idx == 0).all()
+
+
+def test_orc_roundtrip_deterministic(spark):
+    import pandas as pd
+
+    from ocr_spark import sources
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [f"doc {i} körper" for i in range(50)],
+            "lang": ["en"] * 50,
+            "source": ["web"] * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = sources.orc_roundtrip(df).toPandas().sort_values("doc_id")
+    b = sources.orc_roundtrip(df).toPandas().sort_values("doc_id")
+    assert (a.values == b.values).all()
