@@ -1251,8 +1251,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.embedding_cosine_dedup_lsh(_tbl(spark, sf, "embeddings"))
 
     def dedup_embedding_cosine_exact(spark, sf):
-        # toy-scale all-pairs exactness baseline (the verify-stage oracle)
-        return dedup.embedding_cosine_pairs(_tbl(spark, sf, "embeddings"))
+        # all-pairs exactness baseline (the verify-stage oracle),
+        # CAPPED to a fixed deterministic sample (vec_id < 256 →
+        # ≤32,640 pairs at ANY scale factor) so the registered query
+        # can never grow an O(n²) plan with the corpus — r4 VERDICT
+        # item 4. The uncapped recall comparison vs the LSH form
+        # lives in tests/test_operators.py.
+        return dedup.embedding_cosine_pairs(
+            _tbl(spark, sf, "embeddings").filter(F.col("vec_id") < 256)
+        )
 
     def multimodal_features(spark, sf):
         emb = _tbl(spark, sf, "embeddings").select("vec_id", "label")
@@ -1563,6 +1570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        # ---- round-5 window head: the four queries that have never sat
+        # inside a driver correctness window (r1-r4 windows missed them;
+        # VERDICT.md r4 "Next round" item 1) ----
+        "corpus_shuffle": corpus_shuffle,
+        "mixture_sample": mixture_sample,
+        "vocab_oov": vocab_oov,
+        "split_assign": split_assign,
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "bloom_dedup": bloom_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1595,14 +1609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": image_ahash,
         "image_ahash_candidates": image_ahash_candidates,
         "embedding_outliers": embedding_outliers,
-        "pii_scrub": pii_scrub,
-        "repetition_score": repetition_score,
-        "url_extract": url_extract,
         "url_canonicalize": url_canonicalize,
         "text_sanitize": text_sanitize,
         "decontaminate": decontaminate,
         "pack_sequences": pack_sequences,
-        "domain_mix": domain_mix,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1634,13 +1644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": retry_backoff,
         "quality_score": quality_score,
         "doc_fingerprint": doc_fingerprint,
-        # late round-4 tail additions (outside the 50-entry driver
-        # window by design — proven every pytest run by the in-gate
-        # sf0.001 replay and locally at sf0.01/0.1)
-        "corpus_shuffle": corpus_shuffle,
-        "mixture_sample": mixture_sample,
-        "vocab_oov": vocab_oov,
-        "split_assign": split_assign,
+        # rotated out of the driver window round 5 on multi-round-green
+        # evidence (r3+r4 driver green; in-gate contract replay keeps
+        # proving them every pytest run)
+        "pii_scrub": pii_scrub,
+        "repetition_score": repetition_score,
+        "url_extract": url_extract,
+        "domain_mix": domain_mix,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2851,7 +2861,8 @@ def oracle_sql() -> dict[str, str]:
         # trainer chunking: 64-token chunks on a 48-token stride
         "chunk_overlap": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
-            "  len(string_split(text, ' ')) AS n FROM documents)"
+            "  len(string_split(text, ' ')) AS n FROM documents"
+            "  WHERE text IS NOT NULL)"
             " SELECT doc_id, CAST(u.j - 1 AS INT) AS chunk_idx,"
             "  CAST((u.j - 1) * 48 + 1 AS INT) AS start_tok,"
             "  CAST(least(64, n - ((u.j - 1) * 48 + 1) + 1) AS INT)"
@@ -3218,7 +3229,8 @@ def oracle_sql() -> dict[str, str]:
             "  >= 0.35"
         ),
         "dedup_embedding_cosine_exact": (
-            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+            "  WHERE vec_id < 256)"
             " SELECT a.vec_id AS keeper, b.vec_id AS dup_id,"
             " ROUND(list_dot_product(a.v, b.v) /"
             "  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"

@@ -1523,8 +1523,14 @@ def chunk_overlap(
 
     Scale shape: one per-row transform over the hoisted token array
     plus a posexplode — zero exchanges, no Python; the parallel axis is
-    documents and the output is ~n/stride rows per doc."""
-    base = df.select(F.col(id_col), _tokens(col).alias("__ts"))
+    documents and the output is ~n/stride rows per doc.
+
+    NULL-text documents emit nothing (split(NULL) is NULL, size() = -1
+    — without the filter the doc would still emit one chunk row with
+    n_chunk_tokens = -1, diverging from the oracle's NULL arithmetic)."""
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col), _tokens(col).alias("__ts")
+    )
     n = F.size("__ts")
     chunks = F.transform(
         F.filter(

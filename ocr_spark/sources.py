@@ -108,6 +108,14 @@ def warc_roundtrip(
 
     def assemble_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
+        # A WARC response body cannot represent NULL — reject explicitly
+        # rather than let str(None) silently write the literal 'None'.
+        if pdf[text_col].isna().any():
+            bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
+            raise ValueError(
+                f"warc_roundtrip: NULL {text_col!r} for {id_col}={bad};"
+                " filter NULL-text rows before the WARC sink"
+            )
         recs = [
             (int(i), WARC_URI_PREFIX + str(int(i)), str(t).encode("utf-8"))
             for i, t in zip(pdf[id_col], pdf[text_col])
@@ -190,13 +198,16 @@ def jsonl_roundtrip(
 
     def write_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
+        # NULL payload fields ride through as JSON null (str() would
+        # turn None into the literal 'None'); the read-back keeps them
+        # as NULL result cells — a true round-trip.
         lines = [
             json.dumps(
                 {
                     "id": int(i),
-                    "lang": str(lg),
-                    "source": str(sc),
-                    "text": str(tx),
+                    "lang": None if pd.isna(lg) else str(lg),
+                    "source": None if pd.isna(sc) else str(sc),
+                    "text": None if pd.isna(tx) else str(tx),
                 },
                 sort_keys=True,
                 ensure_ascii=False,
@@ -224,9 +235,9 @@ def jsonl_roundtrip(
                     int(o["id"]),
                     li,
                     len(decoded),
-                    str(o["lang"]),
-                    str(o["source"]),
-                    str(o["text"]),
+                    o["lang"] if o["lang"] is None else str(o["lang"]),
+                    o["source"] if o["source"] is None else str(o["source"]),
+                    o["text"] if o["text"] is None else str(o["text"]),
                 )
             )
         out = pd.DataFrame(
@@ -293,14 +304,15 @@ def orc_roundtrip(
         from pyarrow import orc
 
         pdf = pdf.sort_values(id_col)
+        # NO str() coercion on the payload columns: pa.array over the
+        # raw pandas values preserves NULLs as ORC nulls (str(None)
+        # would silently write the literal string 'None').
         table = pa.table(
             {
                 "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
-                "lang": pa.array([str(x) for x in pdf[lang_col]], pa.string()),
-                "source": pa.array(
-                    [str(x) for x in pdf[source_col]], pa.string()
-                ),
-                "text": pa.array([str(x) for x in pdf[text_col]], pa.string()),
+                "lang": pa.array(pdf[lang_col], pa.string()),
+                "source": pa.array(pdf[source_col], pa.string()),
+                "text": pa.array(pdf[text_col], pa.string()),
             }
         )
         buf = io.BytesIO()

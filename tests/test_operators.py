@@ -1001,3 +1001,27 @@ def test_image_ahash_skips_bad_payloads(spark):
     )
     out = multimodal.image_ahash(spark.createDataFrame(pdf)).toPandas()
     assert sorted(out.vec_id) == [0, 3]
+
+
+def test_embedding_dedup_lsh_recall_vs_uncapped_exact(spark):
+    """Recall-baseline evidence for the embedding near-dup LSH (r4 VERDICT
+    item 4): the registered contract query caps the all-pairs exact scan
+    to vec_id < 256, so the UNCAPPED exact-vs-LSH comparison lives here.
+    The LSH form must recover every exact pair it buckets together at the
+    0.35 threshold with a meaningful overall recall floor."""
+    from ocr_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["keeper"], r["dup_id"])
+        for r in dedup.embedding_cosine_pairs(emb).collect()
+    }
+    approx = {
+        (r["keeper"], r["dup_id"])
+        for r in dedup.embedding_cosine_dedup_lsh(emb).collect()
+    }
+    assert exact, "fixture produced no exact pairs — threshold drifted"
+    # LSH verify stage scores real cosines, so no false positives
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"embedding-dedup LSH recall collapsed: {recall}"

@@ -670,3 +670,21 @@ def test_cross_snapshot_novelty_matches_pure_python(spark):
     assert out.loc[1, "novelty"] == 1.0
     assert 0.0 < out.loc[2, "novelty"] < 1.0
     assert out.loc[3, "novelty"] == 1.0 and out.loc[3, "n_windows"] == 0
+
+
+def test_chunk_overlap_null_text_emits_nothing(spark):
+    # ADVICE r4: split(NULL) -> NULL array, size() = -1, so a NULL-text
+    # doc used to emit one chunk with n_chunk_tokens = -1. Now it emits
+    # zero rows, matching the oracle's WHERE text IS NOT NULL.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(0, "a b c"), (1, None), (2, "")], schema)
+    out = textops.chunk_overlap(df).toPandas()
+    assert set(out.doc_id) == {0, 2}
+    assert (out.n_chunk_tokens >= 1).all()

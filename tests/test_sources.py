@@ -179,3 +179,23 @@ def test_orc_roundtrip_deterministic(spark):
     a = sources.orc_roundtrip(df).toPandas().sort_values("doc_id")
     b = sources.orc_roundtrip(df).toPandas().sort_values("doc_id")
     assert (a.values == b.values).all()
+
+
+def test_orc_roundtrip_preserves_nulls(spark):
+    # ADVICE r4: str() coercion turned NULL lang/source/text into the
+    # literal 'None'; pa.array over the raw pandas values keeps ORC nulls.
+    from ocr_spark import sources
+
+    schema = "doc_id long, text string, lang string, source string"
+    df = spark.createDataFrame(
+        [(0, "body", None, "web"), (1, None, "en", None)], schema=schema
+    )
+    out = (
+        sources.orc_roundtrip(df, shards=32)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "lang"] is None and out.loc[0, "text"] == "body"
+    assert out.loc[1, "text"] is None and out.loc[1, "source"] is None
+    assert out.loc[1, "lang"] == "en"

@@ -5,6 +5,7 @@ from __future__ import annotations
 import gzip
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark import sources
@@ -202,3 +203,37 @@ def test_jsonl_roundtrip_shard_layout(spark):
     # line order inside a shard is doc_id ascending: shard 0 holds
     # docs 0, 32, 64 at line_idx 0, 1, 2
     assert out.loc[32, "line_idx"] == 1 and out.loc[64, "line_idx"] == 2
+
+
+def test_jsonl_roundtrip_preserves_nulls(spark):
+    # ADVICE r4: str() coercion silently turned NULL payload fields into
+    # the literal string 'None' — NULLs must ride through as JSON null.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["body", None],
+            "lang": [None, "en"],
+            "source": ["web", None],
+        }
+    )
+    schema = "doc_id long, text string, lang string, source string"
+    docs = spark.createDataFrame(pdf, schema=schema)
+    out = (
+        sources.jsonl_roundtrip(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text"] is None and out.loc[0, "text"] == "body"
+    assert out.loc[0, "lang"] is None and out.loc[1, "lang"] == "en"
+    assert out.loc[1, "source"] is None
+    assert "None" not in set(out["text"].dropna())
+
+
+def test_warc_roundtrip_rejects_null_text(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["ok", None]})
+    docs = spark.createDataFrame(
+        pdf, schema="doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL 'text'"):
+        sources.warc_roundtrip(docs).collect()
