@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_grid(spark, sf):
         return xq.extract_grid_query(_docs(spark, sf))
 
+    def extract_borderless(spark, sf):
+        return xq.extract_borderless_query(_docs(spark, sf))
+
     def null_token_clean(spark, sf):
         return xq.null_clean_query(_docs(spark, sf))
 
@@ -1612,7 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,
         "text_sanitize": text_sanitize,
         "decontaminate": decontaminate,
-        "pack_sequences": pack_sequences,
+        # ---- round-5 additions (registered inside the driver window) ----
+        "extract_borderless": extract_borderless,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1651,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": repetition_score,
         "url_extract": url_extract,
         "domain_mix": domain_mix,
+        "pack_sequences": pack_sequences,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2101,6 +2106,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM d WHERE conv_has_n"
         ),
         "extract_grid": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
+            " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # same round-trip contract as extract_grid — a borderless render
+        # must recover the identical cells via whitespace layout analysis
+        "extract_borderless": (
             "SELECT doc_id,"
             " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
             " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"

@@ -209,6 +209,105 @@ def _decode_cell(cell: np.ndarray) -> str:
     return "".join(chars)
 
 
+# -- Borderless layout analysis --------------------------------------------
+#
+# The reference's vision model reads tables with NO ruling lines at all
+# (scripts/ExtractX_OCR.py:325-330 — "identify table structures even
+# without clear borders"). This is the classic whitespace layout-analysis
+# fallback: rows come from horizontal ink-projection bands, columns from
+# clustering the blank gaps of the vertical ink projection. It engages
+# whenever rule-line detection finds no grid.
+#
+# Geometry contract that makes the split unambiguous: the inter-glyph gap
+# is exactly 1 px (GLYPH_PITCH = GLYPH_W + 1) and every charset glyph —
+# including ' ' — inks its bottom anchor row, so intra-cell whitespace
+# never opens a blank run wider than 1 px. Any blank run of
+# >= _COL_SPLIT_GAP px in the global column projection is therefore an
+# inter-column gutter. The renderer leaves BORDERLESS_COL_GAP >=
+# _COL_SPLIT_GAP blank px between column slots.
+
+BORDERLESS_COL_GAP = 6
+BORDERLESS_ROW_GAP = 5
+_COL_SPLIT_GAP = 4
+#: A text line can ink as few as two of its five glyph rows (e.g. a line
+#: of 'y' glyphs inks only row 2 and the anchor), leaving internal blank
+#: runs of up to GLYPH_H - 2 = 3 rows — so row bands merge across gaps
+#: < _ROW_SPLIT_GAP and the renderer separates lines by more than that.
+_ROW_SPLIT_GAP = 4
+_BORDERLESS_MARGIN = 2
+
+
+def render_borderless(cells: list[list[str]]) -> np.ndarray:
+    """Render an R×C grid of cell texts WITHOUT rule lines: left-aligned
+    column slots sized to the longest cell of each column, separated by
+    BORDERLESS_COL_GAP blank px; rows separated by BORDERLESS_ROW_GAP
+    blank rows."""
+    nrows = len(cells)
+    ncols = max(len(r) for r in cells)
+    col_w = []
+    for c in range(ncols):
+        longest = max(
+            (len(row[c]) for row in cells if c < len(row)), default=1
+        )
+        col_w.append(GLYPH_PITCH * max(longest, 1) - 1)
+    height = 2 * _BORDERLESS_MARGIN + nrows * GLYPH_H
+    height += (nrows - 1) * BORDERLESS_ROW_GAP
+    width = 2 * _BORDERLESS_MARGIN + sum(col_w)
+    width += (ncols - 1) * BORDERLESS_COL_GAP
+    img = np.zeros((height, width), dtype=np.uint8)
+    for r, row in enumerate(cells):
+        y = _BORDERLESS_MARGIN + r * (GLYPH_H + BORDERLESS_ROW_GAP)
+        x = _BORDERLESS_MARGIN
+        for c in range(ncols):
+            if c < len(row) and row[c]:
+                g = _render_text(row[c])
+                img[y : y + GLYPH_H, x : x + g.shape[1]] = g
+            x += col_w[c] + BORDERLESS_COL_GAP
+    return img
+
+
+def _ink_bands(mask_1d: np.ndarray, split_gap: int) -> list[tuple[int, int]]:
+    """(start, end) extents of ink runs, merging runs whose blank
+    separation is < ``split_gap`` px."""
+    idx = np.flatnonzero(mask_1d)
+    if idx.size == 0:
+        return []
+    runs = np.split(idx, np.flatnonzero(np.diff(idx) >= split_gap + 1) + 1)
+    return [(int(r[0]), int(r[-1])) for r in runs]
+
+
+def detect_borderless_layout(
+    img: np.ndarray,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """(row bands, column spans) from ink projections: blank runs >=
+    _ROW_SPLIT_GAP split text lines (smaller blanks are intra-line, see
+    _ROW_SPLIT_GAP note); gutters >= _COL_SPLIT_GAP split columns."""
+    rows = _ink_bands(img.sum(axis=1) > 0, split_gap=_ROW_SPLIT_GAP)
+    cols = _ink_bands(img.sum(axis=0) > 0, split_gap=_COL_SPLIT_GAP)
+    return rows, cols
+
+
+def read_borderless_cells(img: np.ndarray) -> list[list[str]]:
+    """Whitespace layout parse: projection bands → cell slices → glyph
+    recognition. Every glyph's bottom anchor row is the lowest ink of its
+    text line, so a band's END anchors the glyph box even when the index
+    rows are blank (e.g. a line of all-'a' glyphs inks ONLY the anchor
+    row and its detected band is 1 px tall)."""
+    row_bands, col_spans = detect_borderless_layout(img)
+    if not row_bands or not col_spans:
+        return []
+    out: list[list[str]] = []
+    for _r0, r1 in row_bands:
+        y0 = max(0, r1 - (GLYPH_H - 1))
+        out.append(
+            [
+                _decode_cell(img[y0 : r1 + 1, c0 : c1 + 1])
+                for c0, c1 in col_spans
+            ]
+        )
+    return out
+
+
 def read_grid_cells(img: np.ndarray) -> list[list[str]]:
     """Full layout parse: lines → cell bboxes → glyph recognition."""
     h_rows, v_cols = detect_grid(img)
@@ -224,11 +323,23 @@ def read_grid_cells(img: np.ndarray) -> list[list[str]]:
     return out
 
 
+def read_any_cells(img: np.ndarray) -> list[list[str]]:
+    """Layout dispatch: rule-line grid parse first; when line detection
+    finds no grid (a borderless table — the reference's vision model reads
+    those too, scripts/ExtractX_OCR.py:325-330), fall back to whitespace
+    layout analysis."""
+    cells = read_grid_cells(img)
+    if cells:
+        return cells
+    return read_borderless_cells(img)
+
+
 def extract_grid_table(payload: str) -> dict:
     """GRIDv1 payload → reference-shaped extraction result.
 
     First grid row is the header; remaining rows become ``table_data``
-    records keyed by header text in column order. Any failure degrades to
+    records keyed by header text in column order. Ruled and borderless
+    layouts both parse (read_any_cells). Any failure degrades to
     the empty sentinel — a bad page never fails the job
     (scripts/ExtractX_OCR.py:282-284, 397).
     """
@@ -237,7 +348,7 @@ def extract_grid_table(payload: str) -> dict:
     try:
         img, rot = decode_grid_payload(payload)
         img = rot90_payload(img, rot)
-        cells = read_grid_cells(img)
+        cells = read_any_cells(img)
     except Exception:
         return _sentinel()
     if len(cells) < 2:

@@ -126,6 +126,44 @@ def extract_grid_query(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "text").mapInPandas(_grid_roundtrip, schema)
 
 
+def _borderless_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_spark.kernels.grid import render_borderless
+
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")[:GRID_WORDS]
+            cells = [["a", "b", "c"], words[:3], words[3:6]]
+            payload = encode_grid_payload(
+                render_borderless(cells), rot=int(doc_id) % 4 * 90
+            )
+            res = extract_grid_table(payload)
+            got = []
+            for rec in res.get("table_data", []):
+                got.extend([f"{k}={v}" for k, v in rec.items()])
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def extract_borderless_query(df: DataFrame) -> DataFrame:
+    """Same 6-word round-trip as :func:`extract_grid_query`, but the
+    rendered table has NO ruling lines — the reference's vision model
+    reads those too (scripts/ExtractX_OCR.py:325-330). Routed through the
+    SAME extract_grid_table dispatch, so this query proves the rule-line
+    detector correctly yields to whitespace layout analysis (row bands
+    from the horizontal ink projection, column spans from gutter-gap
+    clustering of the vertical projection) end to end."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(
+        _borderless_roundtrip, schema
+    )
+
+
 # -- PDF embedded-image grid extraction ------------------------------------
 
 

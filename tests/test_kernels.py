@@ -207,3 +207,81 @@ class TestExtractTurn:
     def test_never_raises(self):
         r = extract_turn(None, "grid")
         assert r["status"] in ("empty", "error")
+
+
+class TestBorderless:
+    """Whitespace layout analysis: tables with NO ruling lines (the
+    reference's vision model reads those too, ExtractX_OCR.py:325-330)."""
+
+    CELLS = [
+        ["name", "qty", "note"],
+        ["alpha", "12", "ok"],
+        ["bravo", "7", "x y"],
+    ]
+
+    def test_render_read_roundtrip(self):
+        from ocr_spark.kernels.grid import read_borderless_cells, render_borderless
+
+        img = render_borderless(self.CELLS)
+        assert read_borderless_cells(img) == self.CELLS
+
+    def test_no_rule_lines_in_render(self):
+        # the ruled detector must find NOTHING (that's what triggers the
+        # fallback): no full-span line in either axis
+        from ocr_spark.kernels.grid import detect_grid, render_borderless
+
+        h_rows, v_cols = detect_grid(render_borderless(self.CELLS))
+        assert h_rows == [] and v_cols == []
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    def test_dispatch_falls_back_and_rotates(self, rot):
+        from ocr_spark.kernels.grid import render_borderless
+
+        payload = encode_grid_payload(render_borderless(self.CELLS), rot=rot)
+        res = extract_grid_table(payload)
+        assert res["table_data"] == [
+            {"name": "alpha", "qty": "12", "note": "ok"},
+            {"name": "bravo", "qty": "7", "note": "x y"},
+        ]
+
+    def test_anchor_only_glyph_rows(self):
+        # a text line of all-'a' glyphs (charset index 0) inks ONLY the
+        # anchor row — its projection band is 1 px tall; the cell slice
+        # must still extend a full glyph box upward
+        from ocr_spark.kernels.grid import read_borderless_cells, render_borderless
+
+        cells = [["a", "aa"], ["aaa", "a"]]
+        assert read_borderless_cells(render_borderless(cells)) == cells
+
+    def test_empty_and_ragged_cells(self):
+        from ocr_spark.kernels.grid import read_borderless_cells, render_borderless
+
+        cells = [["col one", "c2", "z"], ["x", "", ":/%"], ["", "yy"]]
+        img = render_borderless(cells)
+        # ragged short row reads back padded with empty cells
+        want = [["col one", "c2", "z"], ["x", "", ":/%"], ["", "yy", ""]]
+        assert read_borderless_cells(img) == want
+
+    def test_intra_cell_space_never_splits_column(self):
+        # ' ' is a charset glyph with an inked anchor row, so a spaced
+        # cell ("x y") stays one column
+        from ocr_spark.kernels.grid import detect_borderless_layout, render_borderless
+
+        img = render_borderless([["a b c d", "e"], ["x y", "z"]])
+        _rows, cols = detect_borderless_layout(img)
+        assert len(cols) == 2
+
+    def test_blank_image_is_sentinel(self):
+        from ocr_spark.kernels.grid import read_borderless_cells
+
+        assert read_borderless_cells(np.zeros((20, 40), dtype=np.uint8)) == []
+        payload = encode_grid_payload(np.zeros((20, 40), dtype=np.uint8))
+        assert extract_grid_table(payload) == EMPTY_SENTINEL
+
+    def test_ruled_still_wins_dispatch(self):
+        # a ruled render keeps going through the line detector (same
+        # cells, rule-line geometry) — fallback only fires on no-grid
+        from ocr_spark.kernels.grid import read_any_cells, render_borderless
+
+        assert read_any_cells(render_grid(self.CELLS)) == self.CELLS
+        assert read_any_cells(render_borderless(self.CELLS)) == self.CELLS

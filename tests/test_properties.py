@@ -109,3 +109,47 @@ def test_checksum_sum_is_order_insensitive(rows, rnd):
     assert int(np.add.reduce(a.astype(np.uint64))) == int(
         np.add.reduce(b.astype(np.uint64))
     )
+
+
+_GRID_CELL = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyz0123456789 .,-_:/%+()"
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(  # header: non-empty cells so every column has ink
+        st.text(
+            alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789"),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(st.lists(_GRID_CELL, min_size=1, max_size=4), min_size=1, max_size=4),
+)
+def test_borderless_roundtrip_any_charset_cells(header, body):
+    """Whitespace layout analysis recovers ANY charset table rendered
+    without rule lines — ragged rows pad with '', spaces inside cells
+    never split a column, sparse-ink glyph lines never split a row. An
+    all-empty row leaves no ink, so it is invisible to projection
+    analysis (inherent to the method) and drops from the read-back."""
+    from ocr_spark.kernels.grid import read_borderless_cells, render_borderless
+
+    cells = [header] + [row[: len(header)] for row in body]
+    img = render_borderless(cells)
+    ncols = len(header)
+    want = [
+        row
+        for row in (
+            [(r[c] if c < len(r) else "") for c in range(ncols)]
+            for r in cells
+        )
+        if any(row)
+    ]
+    assert read_borderless_cells(img) == want
