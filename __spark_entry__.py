@@ -242,6 +242,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_borderless(spark, sf):
         return xq.extract_borderless_query(_docs(spark, sf))
 
+    def bpe_encode(spark, sf):
+        from ocr_spark.operators import bpe as B
+
+        return B.bpe_encode(_docs(spark, sf))
+
+    def bpe_pack_sequences(spark, sf):
+        # pack_sequences on the REAL subword token axis: same shard +
+        # running-window packing, token counts from the BPE merge chain
+        from ocr_spark.operators import bpe as B
+
+        return textops.pack_sequences(
+            _docs(spark, sf), token_count=B.bpe_token_count_expr("text")
+        )
+
     def null_token_clean(spark, sf):
         return xq.null_clean_query(_docs(spark, sf))
 
@@ -1593,8 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_pq": ann_ivf_pq,
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
-        "multimodal_features": multimodal_features,
-        "multimodal_audio_meta": multimodal_audio_meta,
+        # (multimodal_features + multimodal_audio_meta rotated out round
+        # 5: green in both the r3 AND r4 driver windows)
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_video_frames": multimodal_video_frames,
         "line_dedup": line_dedup,
@@ -1617,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         # ---- round-5 additions (registered inside the driver window) ----
         "extract_borderless": extract_borderless,
+        "bpe_encode": bpe_encode,
+        "bpe_pack_sequences": bpe_pack_sequences,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1656,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_extract": url_extract,
         "domain_mix": domain_mix,
         "pack_sequences": pack_sequences,
+        "multimodal_features": multimodal_features,
+        "multimodal_audio_meta": multimodal_audio_meta,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2077,8 +2095,22 @@ _LSH_VERIFY_PREFIX = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_spark.operators import bpe as _B
+
     sh_a = _SHINGLES.format(col="text_a")
     sh_b = _SHINGLES.format(col="text_b")
+    # BPE oracle fragments: the SAME literal merge table unrolled into a
+    # DuckDB replace chain (one replace per rank — identical single-pass
+    # left-to-right semantics as the Spark expression chain)
+    _bpe_spaced = (
+        "' ' || array_to_string(string_split(replace(text, ' ', '|'), ''),"
+        " ' ') || ' '"
+    )
+    _bpe_toks = (
+        "list_filter(string_split(trim("
+        + _B.oracle_merge_chain_sql(_bpe_spaced)
+        + "), ' '), x -> x <> '|' AND x <> '')"
+    )
     return {
         "extract_html": "SELECT doc_id, text AS main_text FROM documents",
         "extract_json_salvage": (
@@ -2645,6 +2677,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         # sequence packing: per-shard (doc_id%64) running token offsets,
         # windows cut every 512 tokens — all-integer, exact replay
+        # subword tokenization: the literal merge table as a replace chain
+        "bpe_encode": (
+            "WITH t AS (SELECT doc_id, " + _bpe_toks + " AS toks"
+            "  FROM documents),"
+            " e AS (SELECT doc_id, u.i AS i, toks[u.i] AS token FROM t,"
+            "  LATERAL unnest(range(1, len(toks) + 1)) u(i))"
+            " SELECT e.doc_id, CAST(e.i - 1 AS INT) AS tok_pos, e.token,"
+            "  CAST(COALESCE(v.id, -1) AS INT) AS token_id"
+            " FROM e LEFT JOIN (VALUES " + _B.oracle_vocab_values_sql() + ")"
+            "  v(tok, id) ON v.tok = e.token"
+        ),
+        # pack_sequences on the BPE token axis
+        "bpe_pack_sequences": (
+            "WITH b AS (SELECT doc_id, doc_id % 64 AS shard,"
+            "  CAST(len(" + _bpe_toks + ") AS BIGINT) AS n_tokens"
+            "  FROM documents),"
+            " o AS (SELECT doc_id, shard, n_tokens,"
+            "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
+            "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   1 PRECEDING), 0) AS BIGINT) AS start_off FROM b)"
+            " SELECT doc_id, shard, n_tokens, start_off,"
+            " CAST(floor(start_off / 512) AS BIGINT) AS seq_idx,"
+            " CAST(start_off % 512 AS BIGINT) AS pos_in_seq FROM o"
+        ),
         "pack_sequences": (
             "WITH b AS (SELECT doc_id, doc_id % 64 AS shard,"
             "  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens"

@@ -362,7 +362,11 @@ def decontaminate(
 
 
 def pack_sequences(
-    df: DataFrame, col: str = "text", budget: int = 512, shards: int = 64
+    df: DataFrame,
+    col: str = "text",
+    budget: int = 512,
+    shards: int = 64,
+    token_count: "Column | None" = None,
 ) -> DataFrame:
     """Sequence packing (the training-batch assembly op): documents are
     concatenated in doc_id order and cut every ``budget`` tokens — each
@@ -374,10 +378,18 @@ def pack_sequences(
     shards``) — one exchange on the shard key, a running-sum window
     inside each shard, shards sized to the cluster. Integer arithmetic
     end-to-end (token counts, offsets), so the DuckDB oracle replays
-    exactly."""
+    exactly.
+
+    ``token_count`` swaps the token axis: default is whitespace words;
+    pass e.g. ``bpe.bpe_token_count_expr(col)`` to pack real subword
+    tokens (what a trainer's dataloader actually budgets by)."""
     from pyspark.sql.window import Window
 
-    toks = F.size(_tokens(col)).cast("long")
+    toks = (
+        token_count
+        if token_count is not None
+        else F.size(_tokens(col)).cast("long")
+    )
     base = df.select(
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),

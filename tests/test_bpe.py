@@ -1,0 +1,130 @@
+"""BPE tokenizer: fixed literal merge table, JVM replace-chain encode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import bpe
+
+
+def test_merge_table_validity_invariant():
+    # every operand must be a base char or an earlier merge's output —
+    # the property that makes rank-order single-pass application match
+    # lowest-rank-first BPE (enforced at import by _build_vocab)
+    seen = set(bpe.BASE_ALPHABET)
+    for a, b in bpe.MERGES:
+        assert a in seen and b in seen, (a, b)
+        seen.add(a + b)
+
+
+def test_vocab_ids_are_stable():
+    assert bpe.VOCAB["a"] == 0 and bpe.VOCAB["z"] == 25
+    assert bpe.VOCAB["th"] == 26  # first merge
+    assert bpe.VOCAB["the"] == 27
+    assert bpe.VOCAB["ers"] == 25 + len(bpe.MERGES)  # last merge
+    assert len(bpe.VOCAB) == 26 + len(bpe.MERGES)
+
+
+@pytest.mark.parametrize(
+    "word,want",
+    [
+        ("the", ["the"]),
+        ("thinking", ["th", "in", "k", "ing"]),
+        ("understand", ["u", "n", "d", "er", "st", "and"]),
+        ("errors", ["er", "r", "or", "s"]),
+        ("a", ["a"]),
+        ("", []),
+        ("zebra7", ["z", "e", "b", "r", "a", "7"]),  # digit = UNK char
+    ],
+)
+def test_encode_word_reference(word, want):
+    assert bpe.encode_word(word) == want
+
+
+def test_chained_merges_apply_in_rank_order():
+    # 'and' needs (a,n) first; 'ing' needs (i,n); 'ers' needs (e,r)
+    assert bpe.encode_word("and") == ["and"]
+    assert bpe.encode_word("ing") == ["ing"]
+    assert bpe.encode_word("ers") == ["ers"]
+
+
+def test_spark_encode_matches_python_reference(spark):
+    texts = [
+        "the quick thinking fox jumps over errors",
+        "understand tokens and their order",
+        "a",
+        "",
+        "  double  spaces  survive",
+        "qqq xyzzy 123",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = bpe.bpe_encode(df).orderBy("doc_id", "tok_pos").collect()
+    got: dict[int, list] = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.tok_pos, r.token, r.token_id))
+    for i, t in enumerate(texts):
+        want_toks = [tok for w in t.split(" ") for tok in bpe.encode_word(w)]
+        rows = got.get(i, [])
+        assert [tok for _, tok, _ in rows] == want_toks, t
+        assert [p for p, _, _ in rows] == list(range(len(want_toks)))
+        for _, tok, tid in rows:
+            assert tid == bpe.VOCAB.get(tok, -1)
+
+
+def test_unknown_chars_are_unk_ids(spark):
+    df = spark.createDataFrame([(0, "x9y")], "doc_id long, text string")
+    out = bpe.bpe_encode(df).orderBy("tok_pos").collect()
+    assert [(r.token, r.token_id) for r in out] == [
+        ("x", 23),
+        ("9", -1),
+        ("y", 24),
+    ]
+
+
+def test_token_count_expr_matches_encode(spark):
+    texts = ["the errors of the understanding", "", "a b the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = (
+        df.select("doc_id", bpe.bpe_token_count_expr("text").alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r, t in zip(out, texts):
+        assert r.n == sum(len(bpe.encode_word(w)) for w in t.split(" "))
+
+
+def test_pack_sequences_on_bpe_axis(spark):
+    from ocr_spark.operators import textops
+
+    texts = ["the " * 40, "understand " * 30, "a " * 5]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = (
+        textops.pack_sequences(
+            df, budget=64, shards=1, token_count=bpe.bpe_token_count_expr("text")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    # doc 0: 40 'the' = 40 tokens; doc 1: 'understand'×30 = 6 tok × 30
+    assert out[0].n_tokens == 40 and out[0].start_off == 0
+    assert out[1].n_tokens == 180 and out[1].start_off == 40
+    assert out[1].seq_idx == 0 and out[1].pos_in_seq == 40
+    assert out[2].start_off == 220 and out[2].seq_idx == 3
+    assert out[2].pos_in_seq == 220 % 64
+
+
+def test_bpe_encode_zero_exchanges_no_python(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = docs.sparkSession._sc._jvm.PythonSQLUtils.explainString(
+        bpe.bpe_encode(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
