@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return B.bpe_encode(_docs(spark, sf))
 
+    def taxonomy_tag(spark, sf):
+        return textops.taxonomy_tag(_docs(spark, sf))
+
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
         # running-window packing, token counts from the BPE merge chain
@@ -1442,7 +1445,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         np.add.outer(np.arange(h) * 3, np.arange(w) * 2) + int(v),
                         255,
                     ).astype(np.uint8)
-                    payloads.append(encode_jpeg(img, quality=90))
+                    # component matrix: vec_id%3 walks gray / RGB / CMYK
+                    # (the CMYK leg stores YCCK behind an APP14 Adobe
+                    # marker — the office-scanner shape, kernels/jpeg.py)
+                    m = int(v) % 3
+                    if m == 1:
+                        img = np.stack([img, img // 2, 255 - img], axis=2)
+                    elif m == 2:
+                        img = np.stack(
+                            [img, 255 - img, img // 2, img // 3], axis=2
+                        )
+                    payloads.append(
+                        encode_jpeg(img, quality=90, adobe_transform=2)
+                    )
                 yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
 
         schema = T.StructType(
@@ -1597,8 +1612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "bloom_dedup": bloom_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_clusters": dedup_clusters,
+        # (dedup_verified_pairs rotated out round 5: green in r3 AND r4
+        # driver windows; still proven by the in-gate contract replay)
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "semdedup": semdedup,
@@ -1633,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_borderless": extract_borderless,
         "bpe_encode": bpe_encode,
         "bpe_pack_sequences": bpe_pack_sequences,
+        "taxonomy_tag": taxonomy_tag,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1674,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "multimodal_features": multimodal_features,
         "multimodal_audio_meta": multimodal_audio_meta,
+        "dedup_verified_pairs": dedup_verified_pairs,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2096,6 +2114,7 @@ _LSH_VERIFY_PREFIX = (
 
 def oracle_sql() -> dict[str, str]:
     from ocr_spark.operators import bpe as _B
+    from ocr_spark.operators.textops import TAXONOMY as _TAXONOMY
 
     sh_a = _SHINGLES.format(col="text_a")
     sh_b = _SHINGLES.format(col="text_b")
@@ -2677,6 +2696,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         # sequence packing: per-shard (doc_id%64) running token offsets,
         # windows cut every 512 tokens — all-integer, exact replay
+        # keyword-taxonomy tagging: literal topic table, per-doc hit
+        # counts, primary = max hits with earlier-topic tie-break
+        "taxonomy_tag": (
+            "WITH b AS (SELECT doc_id, string_split(text, ' ') AS w"
+            "  FROM documents),"
+            " tx(topic, kws, ord) AS (VALUES "
+            + ", ".join(
+                "('{t}', [{k}], {o})".format(
+                    t=t, k=", ".join(f"'{x}'" for x in kws), o=o
+                )
+                for o, (t, kws) in enumerate(_TAXONOMY)
+            )
+            + "),"
+            " h AS (SELECT doc_id, topic, ord,"
+            "  CAST(len(list_filter(w, x -> list_contains(kws, x)))"
+            "   AS INT) AS n_hits FROM b, tx),"
+            " r AS (SELECT doc_id, topic, n_hits,"
+            "  ROW_NUMBER() OVER (PARTITION BY doc_id"
+            "   ORDER BY n_hits DESC, ord) AS rn FROM h)"
+            " SELECT doc_id, topic, n_hits, rn = 1 AS is_primary"
+            " FROM r WHERE n_hits > 0"
+        ),
         # subword tokenization: the literal merge table as a replace chain
         "bpe_encode": (
             "WITH t AS (SELECT doc_id, " + _bpe_toks + " AS toks"
@@ -3337,7 +3378,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, 'JPEG' AS fmt,"
             " CAST(vec_id % 24 + 8 AS INTEGER) AS width,"
             " CAST(vec_id % 16 + 8 AS INTEGER) AS height,"
-            " CAST(1 AS INTEGER) AS channels,"
+            " CAST(CASE vec_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3"
+            "  ELSE 4 END AS INTEGER) AS channels,"
             " TRUE AS valid FROM embeddings WHERE vec_id < 200"
         ),
         # WAV header fields are pure functions of vec_id → the oracle

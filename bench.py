@@ -133,6 +133,13 @@ HEADLINE_QUERIES = [
     "text_sanitize",
     "vocab_oov",
     "split_assign",
+    # round-5: borderless layout analysis, BPE subword tokenization (the
+    # whole merge chain is JVM replace expressions), BPE-axis packing,
+    # keyword-taxonomy tagging
+    "extract_borderless",
+    "bpe_encode",
+    "bpe_pack_sequences",
+    "taxonomy_tag",
 ]
 
 

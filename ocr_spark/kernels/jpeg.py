@@ -294,7 +294,9 @@ def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, c) uint8 (c = 1 gray or 3 RGB)."""
+    """Baseline JPEG → (h, w, c) uint8 (c = 1 gray, 3 RGB, or 4 CMYK —
+    Adobe APP14 transform 2 = YCCK and 0/absent = direct CMYK both
+    decode; office scanners embed these in PDFs)."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -302,9 +304,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart = 0
     sos = None
     sos_end = None
+    adobe = None
     for marker, start, ln in _segments(data):
         seg = data[start : start + ln]
-        if marker == 0xDB:  # DQT
+        if marker == 0xEE and seg[:5] == b"Adobe":  # APP14 (TN #5116)
+            adobe = seg[11] if len(seg) >= 12 else None
+        elif marker == 0xDB:  # DQT
             _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, huff_dc, huff_ac)
@@ -389,12 +394,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         k += 1
                     planes_coef[ci][my * c["v"] + v, mx * c["h"] + hh] = coef
 
-    return _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax)
+    return _reconstruct(
+        planes_coef, comps, qt, w, h, hmax, vmax, adobe_transform=adobe
+    )
 
 
-def _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+def _reconstruct(
+    planes_coef, comps, qt, w, h, hmax, vmax, adobe_transform=None
+) -> np.ndarray:
     """Shared tail for baseline and progressive: dequantize + un-zigzag +
-    IDCT (vectorized per component plane), chroma upsample, color."""
+    IDCT (vectorized per component plane), chroma upsample, color.
+
+    ``adobe_transform`` is the APP14 "Adobe" color-transform byte
+    (Adobe TN #5116): for 4-component frames, 2 = YCCK (first three
+    channels are the YCbCr of the inverted CMY inks, K passes through)
+    and 0/absent = direct CMYK. 4-component output is (h, w, 4) CMYK."""
     planes = []
     for ci, c in enumerate(comps):
         by, bx, _ = planes_coef[ci].shape
@@ -419,6 +433,18 @@ def _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax) -> np.ndarray:
             [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
             axis=2,
         )
+    elif len(comps) == 4:
+        if adobe_transform == 2:  # YCCK → CMYK
+            y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            out = np.stack([255.0 - r, 255.0 - g, 255.0 - b, out[:, :, 3]], axis=2)
+        elif adobe_transform not in (None, 0):
+            raise NotImplementedError(
+                f"APP14 Adobe transform {adobe_transform} on 4 components"
+            )
+        # transform 0 / no APP14: components already CMYK
     elif len(comps) != 1:
         raise NotImplementedError(f"JPEG with {len(comps)} components")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
@@ -459,6 +485,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     restart = 0
     planes_coef: "list[np.ndarray] | None" = None
     saw_scan = False
+    adobe = None
     pos = 2
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -472,7 +499,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             break
         ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
         seg = data[pos + 4 : pos + 2 + ln]
-        if marker == 0xDB:
+        if marker == 0xEE and seg[:5] == b"Adobe":  # APP14 (TN #5116)
+            adobe = seg[11] if len(seg) >= 12 else None
+        elif marker == 0xDB:
             _parse_dqt(seg, qt)
         elif marker == 0xC4:
             _parse_dht(seg, huff_dc, huff_ac)
@@ -523,7 +552,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     if sof is None or planes_coef is None or not saw_scan:
         raise ValueError("JPEG missing SOF/scan data")
     w, h, comps = sof
-    return _reconstruct(planes_coef, comps, qt, w, h, hmax, vmax)
+    return _reconstruct(
+        planes_coef, comps, qt, w, h, hmax, vmax, adobe_transform=adobe
+    )
 
 
 def _refine_nonzero(r: _BitReader, coef: np.ndarray, zz_idx: int, al: int) -> None:
@@ -759,7 +790,7 @@ def _write_block(wtr: _BitWriter, coefs: np.ndarray, pred: int, dct, act) -> int
     return dc
 
 
-def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool):
+def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool, adobe_transform: int = 0):
     """Shared encoder front half: color transform, subsample, pad, DCT,
     quantize. Returns (coef_grids[(by,bx,64) zigzag], samp, ql, qc,
     h, w, c, mcux, mcuy, hmax, vmax)."""
@@ -767,8 +798,8 @@ def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool):
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    if c not in (1, 3):
-        raise ValueError("JPEG encoder takes gray or RGB")
+    if c not in (1, 3, 4):
+        raise ValueError("JPEG encoder takes gray, RGB, or CMYK")
     sub = subsample and c == 3
     ql = _quality_scale(QT_LUMA, quality)
     qc = _quality_scale(QT_CHROMA, quality)
@@ -780,6 +811,23 @@ def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool):
         planes = [y, cb, cr]
         qtabs = [ql, qc, qc]
         samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    elif c == 4:
+        # CMYK input; the caller picks the stored representation via
+        # encode_jpeg(adobe_transform=): 2 stores YCCK (YCbCr of the
+        # inverted inks + K), 0 stores the inks directly. All four
+        # components use the luma quant/Huffman tables (legal per T.81;
+        # table choice is an encoder freedom).
+        rf = a.astype(np.float64)
+        if adobe_transform == 2:  # store YCCK: YCbCr of inverted inks + K
+            r, g, b = 255.0 - rf[:, :, 0], 255.0 - rf[:, :, 1], 255.0 - rf[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            planes = [y, cb, cr, rf[:, :, 3]]
+        else:  # transform 0: store the inks directly
+            planes = [rf[:, :, 0], rf[:, :, 1], rf[:, :, 2], rf[:, :, 3]]
+        qtabs = [ql] * 4
+        samp = [(1, 1)] * 4
     else:
         planes = [a[:, :, 0].astype(np.float64)]
         qtabs = [ql]
@@ -810,19 +858,29 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    adobe_transform: int = 2,
 ) -> bytes:
-    """(h, w[, c]) uint8 (c ∈ {1, 3}, RGB) → baseline JFIF bytes.
+    """(h, w[, c]) uint8 (c ∈ {1, 3, 4}; 3 = RGB, 4 = CMYK) → baseline
+    JFIF bytes.
 
     ``subsample=True`` emits 4:2:0 (box-averaged chroma, 2×2 luma
     sampling); ``restart_interval`` > 0 emits DRI + RSTn markers every N
     MCUs. Both exist mainly so the decoder's subsampling/restart paths
-    have deterministic fixtures."""
+    have deterministic fixtures. 4-channel input writes an APP14 "Adobe"
+    marker (TN #5116): ``adobe_transform=2`` stores YCCK (the office-
+    scanner convention), ``0`` stores the inks directly; ignored for
+    c != 4."""
+    c_in = np.asarray(arr).shape[2] if np.asarray(arr).ndim == 3 else 1
     coef_grids, samp, ql, qc, h, w, c, mcux, mcuy, hmax, vmax = _prepare_planes(
-        arr, quality, subsample
+        arr, quality, subsample, adobe_transform if c_in == 4 else 0
     )
 
     dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * (c == 3) * 2
+    if c == 4:  # luma tables for every component (encoder freedom)
+        dc_tabs = [_huff_codes(*HT_DC_LUMA)] * 4
     ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * (c == 3) * 2
+    if c == 4:
+        ac_tabs = [_huff_codes(*HT_AC_LUMA)] * 4
     pred = [0] * len(samp)
     chunks: list[bytes] = []
     wtr = _BitWriter()
@@ -850,6 +908,12 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    if c == 4:  # APP14 Adobe marker: version 100, flags 0, transform byte
+        out += seg(
+            0xEE,
+            b"Adobe" + (100).to_bytes(2, "big") + bytes(4)
+            + bytes([adobe_transform]),
+        )
     out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].tolist()))
     if c == 3:
         out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
@@ -858,7 +922,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, c)
     for i in range(c):
         sh, sv = samp[i]
-        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+        sof += bytes([i + 1, (sh << 4) | sv, 1 if (c == 3 and i > 0) else 0])
     out += seg(0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -870,7 +934,7 @@ def encode_jpeg(
         out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
     sos = bytes([c])
     for i in range(c):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+        sos += bytes([i + 1, 0x11 if (c == 3 and i > 0) else 0x00])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy

@@ -1631,3 +1631,71 @@ def script_detect(
         label.alias("script"),
         conf.alias("script_conf"),
     )
+
+
+#: Fixed literal keyword taxonomy (classifier_score's rule-based
+#: sibling): topic → disjoint keyword tuple, ORDER IS CONTRACT (the
+#: primary-tag tie-break prefers earlier topics).
+TAXONOMY: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("joins", ("join", "merge", "hash", "key")),
+    ("scan_io", ("scan", "filter", "line", "part")),
+    ("aggregation", ("agg", "group", "window", "sort", "order")),
+    ("streaming", ("stream", "batch")),
+    ("layout", ("row", "column", "table", "vector")),
+    ("performance", ("fast", "slow", "small", "big")),
+)
+
+
+def taxonomy_tag(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keyword-taxonomy topic tagging — the rule-based labeler that
+    seeds every model classifier (and the cheap topic axis for mixture
+    balancing): count each topic's keyword hits over the token array,
+    emit one row per (doc, topic) with hits ≥ 1, and flag the primary
+    topic (max hits; ties prefer the earlier topic in the literal
+    taxonomy order).
+
+    Scale shape: the taxonomy is a literal baked into the plan, every
+    count is a per-row higher-order filter over the hoisted token
+    array, and the primary flag is array arithmetic on the same row —
+    ZERO exchanges, no Python, no keyword-table join anywhere. That is
+    the only shape a tagger can afford at 100 TB: anything that joins
+    docs against a keyword table re-shuffles the corpus."""
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(topic).alias("topic"),
+                F.expr(
+                    "size(filter(__ts, t -> t in ("
+                    + ", ".join(f"'{k}'" for k in kws)
+                    + ")))"
+                )
+                .cast("int")
+                .alias("n_hits"),
+            )
+            for topic, kws in TAXONOMY
+        ]
+    )
+    base = df.select(F.col(id_col), _tokens(col).alias("__ts")).select(
+        F.col(id_col), hits.alias("__h")
+    )
+    # first index (1-based) holding the max hit count = primary topic
+    primary_idx = F.expr(
+        "array_position(transform(__h, x -> x.n_hits),"
+        " array_max(transform(__h, x -> x.n_hits)))"
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            primary_idx.alias("__p"),
+            F.posexplode("__h").alias("__i", "__x"),
+        )
+        .filter(F.col("__x.n_hits") > 0)
+        .select(
+            id_col,
+            F.col("__x.topic").alias("topic"),
+            F.col("__x.n_hits").alias("n_hits"),
+            (F.col("__i") + 1 == F.col("__p")).alias("is_primary"),
+        )
+    )

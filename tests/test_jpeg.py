@@ -192,3 +192,74 @@ def test_multi_scan_baseline_raises_cleanly():
     patched = data[:i] + new_sos + data[i + 2 + ln :]
     with pytest.raises(NotImplementedError):
         decode_jpeg(patched)
+
+
+# -- 4-component CMYK / YCCK (Adobe APP14, TN #5116) -------------------------
+
+
+def _cmyk(h, w):
+    base = np.add.outer(np.arange(h) * 2, np.arange(w)).astype(np.int64)
+    return np.stack(
+        [(base + ch * 30) % 200 + 20 for ch in range(4)], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_roundtrip_both_transforms(transform):
+    img = _cmyk(24, 40)
+    data = encode_jpeg(img, quality=95, adobe_transform=transform)
+    assert parse_dims(data) == (40, 24, 4, False)
+    dec = decode_jpeg(data)
+    assert dec.shape == (24, 40, 4)
+    # linear-gradient blocks survive q95 nearly exactly; YCCK adds the
+    # color transform's rounding
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_app14_marker_layout():
+    # APP14 'Adobe' + version + 2 flag words + transform byte (TN #5116)
+    data = encode_jpeg(_cmyk(8, 8), adobe_transform=2)
+    idx = data.find(b"\xff\xee")
+    assert idx > 0
+    seg_len = int.from_bytes(data[idx + 2 : idx + 4], "big")
+    payload = data[idx + 4 : idx + 2 + seg_len]
+    assert payload[:5] == b"Adobe" and payload[11] == 2
+    data0 = encode_jpeg(_cmyk(8, 8), adobe_transform=0)
+    i0 = data0.find(b"\xff\xee")
+    assert data0[i0 + 4 : i0 + 9] == b"Adobe"
+    assert data0[i0 + 15] == 0
+
+
+def test_cmyk_without_app14_decodes_as_direct_cmyk():
+    # strip the APP14 marker from a transform-0 file: per TN #5116 the
+    # decoder must fall back to direct CMYK — identical pixels
+    img = _cmyk(16, 16)
+    data = encode_jpeg(img, quality=95, adobe_transform=0)
+    idx = data.find(b"\xff\xee")
+    seg_len = int.from_bytes(data[idx + 2 : idx + 4], "big")
+    stripped = data[:idx] + data[idx + 2 + seg_len :]
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(data))
+
+
+def test_ycck_transform_actually_changes_stored_planes():
+    # same pixels, different stored representation — entropy bytes differ
+    img = _cmyk(16, 16)
+    a = encode_jpeg(img, quality=95, adobe_transform=0)
+    b = encode_jpeg(img, quality=95, adobe_transform=2)
+    assert a != b
+    assert np.abs(
+        decode_jpeg(a).astype(int) - decode_jpeg(b).astype(int)
+    ).max() <= 4
+
+
+def test_parse_dims_reports_four_components():
+    w, h, n, prog = parse_dims(encode_jpeg(_cmyk(10, 12)))
+    assert (w, h, n, prog) == (12, 10, 4, False)
+
+
+def test_unsupported_adobe_transform_raises():
+    data = bytearray(encode_jpeg(_cmyk(8, 8), adobe_transform=2))
+    idx = data.find(b"\xff\xee")
+    data[idx + 15] = 7  # bogus transform byte
+    with pytest.raises(NotImplementedError, match="transform 7"):
+        decode_jpeg(bytes(data))

@@ -797,3 +797,69 @@ def test_orc_roundtrip_single_exchange(spark):
     plan = _plan(sources.orc_roundtrip(docs))
     assert len(_exchange_blocks(plan)) == 1
     assert plan.count("FlatMapGroupsInPandas") >= 1
+
+
+def test_taxonomy_tag_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.taxonomy_tag(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join evidence (SKEW.md §2): a join where one conv_id owns
+    2/3 of the rows gets rewritten to SortMergeJoin(skew=true) in the
+    final adaptive plan when skewJoin is enabled — the runtime safety net
+    under the engine's explicit salting."""
+    import re
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }.items():
+            spark.conf.set(k, v)
+        n_hot, n_cold, n_convs = 40000, 20000, 64
+        left = spark.range(n_hot + n_cold).select(
+            F.when(F.col("id") < n_hot, F.lit("conv-hot"))
+            .otherwise(
+                F.concat(F.lit("conv-"), (F.col("id") % n_convs).cast("string"))
+            )
+            .alias("conv_id"),
+            F.col("id").alias("turn_idx"),
+            F.repeat(F.lit("x"), 64).alias("text"),
+        )
+        right = spark.range(n_convs + 1).select(
+            F.when(F.col("id") == n_convs, F.lit("conv-hot"))
+            .otherwise(F.concat(F.lit("conv-"), F.col("id").cast("string")))
+            .alias("conv_id"),
+            F.col("id").alias("conv_meta"),
+        )
+        j = left.join(right, "conv_id")
+        assert len(j.collect()) == n_hot + n_cold
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"SortMergeJoin\(skew=true\)", plan), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

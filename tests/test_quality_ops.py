@@ -688,3 +688,30 @@ def test_chunk_overlap_null_text_emits_nothing(spark):
     out = textops.chunk_overlap(df).toPandas()
     assert set(out.doc_id) == {0, 2}
     assert (out.n_chunk_tokens >= 1).all()
+
+
+def test_taxonomy_tag_counts_and_primary(spark):
+    texts = [
+        "join merge hash scan agg",          # joins 3, scan_io 1, agg 1
+        "stream batch stream fast join",     # streaming 3 primary
+        "nothing matches here ever",         # no tags at all
+        "scan join",                         # tie 1:1 -> earlier topic wins
+    ]
+    out = textops.taxonomy_tag(_docs(spark, texts)).toPandas()
+    d0 = out[out.doc_id == 0].set_index("topic")
+    assert d0.loc["joins", "n_hits"] == 3 and bool(d0.loc["joins", "is_primary"])
+    assert d0.loc["scan_io", "n_hits"] == 1 and not d0.loc["scan_io", "is_primary"]
+    assert set(d0.index) == {"joins", "scan_io", "aggregation"}
+    d1 = out[out.doc_id == 1].set_index("topic")
+    assert d1.loc["streaming", "n_hits"] == 3 and bool(d1.loc["streaming", "is_primary"])
+    assert len(out[out.doc_id == 2]) == 0
+    d3 = out[out.doc_id == 3].set_index("topic")
+    # 1-1 tie between joins and scan_io: taxonomy order prefers joins
+    assert bool(d3.loc["joins", "is_primary"]) and not d3.loc["scan_io", "is_primary"]
+
+
+def test_taxonomy_keywords_disjoint():
+    seen = set()
+    for _topic, kws in textops.TAXONOMY:
+        assert not (set(kws) & seen)
+        seen |= set(kws)
