@@ -26,6 +26,7 @@ def main() -> int:
     from ocr_spark.fixtures import make_transcripts
     from ocr_spark.kernels.pdf import build_pdf
     from ocr_spark.operators import (
+        bpe,
         dedup,
         multimodal,
         pages,
@@ -238,6 +239,22 @@ def main() -> int:
                     [(0, build_pdf(["x"]))], "doc_id long, payload binary"
                 )
             ),
+        ),
+        (
+            "BPE subword tokenization (`bpe_encode`)",
+            "The entire 24-rank merge chain is nested JVM `replace` "
+            "expressions inside ONE WholeStageCodegen span — ZERO exchanges, "
+            "zero Python; the posexplode and the literal vocab-map lookup are "
+            "per-row projections on the same stage.",
+            bpe.bpe_encode(docs),
+        ),
+        (
+            "Keyword-taxonomy tagging (`taxonomy_tag`)",
+            "The taxonomy is a literal array of structs baked into the plan; "
+            "hit counts, the primary-topic argmax, and the explode are all "
+            "per-row expressions — ZERO exchanges, no keyword-table join "
+            "anywhere.",
+            textops.taxonomy_tag(docs),
         ),
     ]
 
