@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_borderless(spark, sf):
         return xq.extract_borderless_query(_docs(spark, sf))
 
+    def extract_multi_table(spark, sf):
+        return xq.extract_multi_table_query(_docs(spark, sf))
+
     def bpe_encode(spark, sf):
         from ocr_spark.operators import bpe as B
 
@@ -1618,7 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "semdedup": semdedup,
-        "ann_cosine_topk": ann_cosine_topk,
+        # (ann_cosine_topk rotated out round 5: green in r3 AND r4
+        # driver windows; in-gate contract replay keeps proving it)
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_pq": ann_ivf_pq,
@@ -1647,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         # ---- round-5 additions (registered inside the driver window) ----
         "extract_borderless": extract_borderless,
+        "extract_multi_table": extract_multi_table,
         "bpe_encode": bpe_encode,
         "bpe_pack_sequences": bpe_pack_sequences,
         "taxonomy_tag": taxonomy_tag,
@@ -1692,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_audio_meta": multimodal_audio_meta,
         "dedup_verified_pairs": dedup_verified_pairs,
+        "ann_cosine_topk": ann_cosine_topk,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2160,6 +2166,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
             " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # two stacked tables (ruled over borderless, distinct headers)
+        # combine into one record stream in page order
+        "extract_multi_table": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
+            " '|d=' || w[4] || '|e=' || w[5] || '|f=' || w[6] AS cells_text"
             " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
         ),
         # same round-trip contract as extract_grid — a borderless render

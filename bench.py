@@ -137,6 +137,7 @@ HEADLINE_QUERIES = [
     # whole merge chain is JVM replace expressions), BPE-axis packing,
     # keyword-taxonomy tagging
     "extract_borderless",
+    "extract_multi_table",
     "bpe_encode",
     "bpe_pack_sequences",
     "taxonomy_tag",

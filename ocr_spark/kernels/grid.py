@@ -298,12 +298,16 @@ def read_borderless_cells(img: np.ndarray) -> list[list[str]]:
         return []
     out: list[list[str]] = []
     for _r0, r1 in row_bands:
-        y0 = max(0, r1 - (GLYPH_H - 1))
+        top = r1 - (GLYPH_H - 1)
+        band = img[max(0, top) : r1 + 1]
+        if top < 0:
+            # image cropped mid-glyph-box (e.g. a page band starting at
+            # the first ink row of a line whose glyphs leave their upper
+            # index rows blank): the missing rows are provably blank —
+            # no ink exists above the crop — so restore them as blanks
+            band = np.pad(band, ((-top, 0), (0, 0)))
         out.append(
-            [
-                _decode_cell(img[y0 : r1 + 1, c0 : c1 + 1])
-                for c0, c1 in col_spans
-            ]
+            [_decode_cell(band[:, c0 : c1 + 1]) for c0, c1 in col_spans]
         )
     return out
 
@@ -323,6 +327,35 @@ def read_grid_cells(img: np.ndarray) -> list[list[str]]:
     return out
 
 
+#: Blank-row run separating stacked tables on one page. Must exceed any
+#: intra-table blank: ruled grids have NO fully-blank rows (the vertical
+#: rule lines ink every row), borderless tables blank at most
+#: BORDERLESS_ROW_GAP = 5 rows between lines.
+TABLE_SPLIT_GAP = 12
+
+
+def split_table_bands(img: np.ndarray) -> list[tuple[int, int]]:
+    """(y0, y1) extents of vertically separated content bands — one per
+    stacked table (or other ink block) on the page."""
+    return _ink_bands(img.sum(axis=1) > 0, split_gap=TABLE_SPLIT_GAP)
+
+
+def render_page(
+    tables: list[np.ndarray], gap: int = 2 * TABLE_SPLIT_GAP
+) -> np.ndarray:
+    """Stack pre-rendered table images vertically with ``gap`` blank rows
+    (fixture generator for multi-table pages)."""
+    width = max(t.shape[1] for t in tables)
+    padded = [
+        np.pad(t, ((0, 0), (0, width - t.shape[1]))) for t in tables
+    ]
+    blank = np.zeros((gap, width), dtype=np.uint8)
+    rows = [padded[0]]
+    for t in padded[1:]:
+        rows += [blank, t]
+    return np.concatenate(rows, axis=0)
+
+
 def read_any_cells(img: np.ndarray) -> list[list[str]]:
     """Layout dispatch: rule-line grid parse first; when line detection
     finds no grid (a borderless table — the reference's vision model reads
@@ -337,10 +370,14 @@ def read_any_cells(img: np.ndarray) -> list[list[str]]:
 def extract_grid_table(payload: str) -> dict:
     """GRIDv1 payload → reference-shaped extraction result.
 
-    First grid row is the header; remaining rows become ``table_data``
-    records keyed by header text in column order. Ruled and borderless
-    layouts both parse (read_any_cells). Any failure degrades to
-    the empty sentinel — a bad page never fails the job
+    Each stacked table on the page (blank bands >= TABLE_SPLIT_GAP rows
+    separate them) parses independently — ruled or borderless
+    (read_any_cells) — with its first row as the header; records from
+    every table concatenate in page order, keyed by each table's own
+    header ("if there are multiple tables, combine them logically",
+    scripts/ExtractX_OCR.py:328-330). ``total_columns`` counts distinct
+    keys across the combined records in first-seen order. Any failure
+    degrades to the empty sentinel — a bad page never fails the job
     (scripts/ExtractX_OCR.py:282-284, 397).
     """
     from ocr_spark.kernels.salvage import _sentinel
@@ -348,20 +385,27 @@ def extract_grid_table(payload: str) -> dict:
     try:
         img, rot = decode_grid_payload(payload)
         img = rot90_payload(img, rot)
-        cells = read_any_cells(img)
+        records: list[dict] = []
+        keys: dict[str, None] = {}
+        for y0, y1 in split_table_bands(img):
+            cells = read_any_cells(img[y0 : y1 + 1])
+            if len(cells) < 2:  # header-only / non-table ink block
+                continue
+            header = cells[0]
+            keys.update({k: None for k in header})
+            records += [
+                {header[c]: row[c] for c in range(len(header))}
+                for row in cells[1:]
+            ]
     except Exception:
         return _sentinel()
-    if len(cells) < 2:
+    if not records:
         return _sentinel()
-    header = cells[0]
-    records = [
-        {header[c]: row[c] for c in range(len(header))} for row in cells[1:]
-    ]
     return {
         "table_data": records,
         "summary": {
             "total_rows": len(records),
-            "total_columns": len(header),
+            "total_columns": len(keys),
             "confidence": "high",
         },
     }

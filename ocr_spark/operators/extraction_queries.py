@@ -145,6 +145,44 @@ def _borderless_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
 
 
+def _multi_table_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_spark.kernels.grid import render_borderless, render_page
+
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")[:GRID_WORDS]
+            ruled = render_grid([["a", "b", "c"], words[:3]])
+            borderless = render_borderless([["d", "e", "f"], words[3:6]])
+            payload = encode_grid_payload(
+                render_page([ruled, borderless]), rot=int(doc_id) % 4 * 90
+            )
+            res = extract_grid_table(payload)
+            got = []
+            for rec in res.get("table_data", []):
+                got.extend([f"{k}={v}" for k, v in rec.items()])
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def extract_multi_table_query(df: DataFrame) -> DataFrame:
+    """A PAGE with two stacked tables — a ruled grid over a borderless
+    one, different headers — must combine into one record stream in page
+    order ("if there are multiple tables, combine them logically",
+    scripts/ExtractX_OCR.py:328-330): blank-band table splitting, then
+    per-band ruled-or-borderless dispatch, all inside the same
+    extract_grid_table entry point."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(
+        _multi_table_roundtrip, schema
+    )
+
+
 def extract_borderless_query(df: DataFrame) -> DataFrame:
     """Same 6-word round-trip as :func:`extract_grid_query`, but the
     rendered table has NO ruling lines — the reference's vision model

@@ -285,3 +285,82 @@ class TestBorderless:
 
         assert read_any_cells(render_grid(self.CELLS)) == self.CELLS
         assert read_any_cells(render_borderless(self.CELLS)) == self.CELLS
+
+
+class TestMultiTablePage:
+    """Stacked tables on one page combine into one record stream
+    (reference: 'if there are multiple tables, combine them logically')."""
+
+    def _page(self):
+        from ocr_spark.kernels.grid import render_borderless, render_page
+
+        ruled = render_grid([["a", "b"], ["x1", "y1"]])
+        borderless = render_borderless(
+            [["c", "d"], ["x2", "y2"], ["x3", "y3"]]
+        )
+        return render_page([ruled, borderless])
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    def test_mixed_layouts_combine_in_page_order(self, rot):
+        payload = encode_grid_payload(self._page(), rot=rot)
+        res = extract_grid_table(payload)
+        assert res["table_data"] == [
+            {"a": "x1", "b": "y1"},
+            {"c": "x2", "d": "y2"},
+            {"c": "x3", "d": "y3"},
+        ]
+        assert res["summary"] == {
+            "total_rows": 3,
+            "total_columns": 4,
+            "confidence": "high",
+        }
+
+    def test_shared_headers_count_distinct_columns(self):
+        from ocr_spark.kernels.grid import render_page
+
+        ts = [
+            render_grid([["k", "v"], [f"r{i}", f"s{i}"]]) for i in range(3)
+        ]
+        res = extract_grid_table(encode_grid_payload(render_page(ts)))
+        assert res["table_data"] == [
+            {"k": f"r{i}", "v": f"s{i}"} for i in range(3)
+        ]
+        assert res["summary"]["total_columns"] == 2
+
+    def test_header_only_band_skipped(self):
+        from ocr_spark.kernels.grid import render_borderless, render_page
+
+        page = render_page(
+            [
+                render_borderless([["solo"]]),
+                render_grid([["a", "b"], ["x", "y"]]),
+            ]
+        )
+        res = extract_grid_table(encode_grid_payload(page))
+        assert res["table_data"] == [{"a": "x", "b": "y"}]
+
+    def test_all_bands_header_only_is_sentinel(self):
+        from ocr_spark.kernels.grid import render_borderless, render_page
+
+        page = render_page(
+            [render_borderless([["only"]]), render_borderless([["head"]])]
+        )
+        assert extract_grid_table(encode_grid_payload(page)) == EMPTY_SENTINEL
+
+    def test_band_starting_mid_glyph_box_decodes(self):
+        # a band whose first line inks only its lower glyph rows (e.g.
+        # 'c d') starts mid-glyph-box after the page split — the decoder
+        # must pad the provably-blank rows back, not emit '?'
+        from ocr_spark.kernels.grid import render_borderless, render_page
+
+        page = render_page(
+            [
+                render_grid([["a", "b"], ["x", "y"]]),
+                render_borderless([["c", "d"], ["u", "v"]]),
+            ]
+        )
+        res = extract_grid_table(encode_grid_payload(page))
+        assert res["table_data"] == [
+            {"a": "x", "b": "y"},
+            {"c": "u", "d": "v"},
+        ]
