@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_multi_table(spark, sf):
         return xq.extract_multi_table_query(_docs(spark, sf))
 
+    def extract_merged_cells(spark, sf):
+        return xq.extract_merged_cells_query(_docs(spark, sf))
+
     def bpe_encode(spark, sf):
         from ocr_spark.operators import bpe as B
 
@@ -1625,7 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver windows; in-gate contract replay keeps proving it)
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_pq": ann_ivf_pq,
+        # (ann_ivf_pq rotated out round 5: green in r3 AND r4 windows)
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         # (multimodal_features + multimodal_audio_meta rotated out round
         # 5: green in both the r3 AND r4 driver windows)
@@ -1652,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 additions (registered inside the driver window) ----
         "extract_borderless": extract_borderless,
         "extract_multi_table": extract_multi_table,
+        "extract_merged_cells": extract_merged_cells,
         "bpe_encode": bpe_encode,
         "bpe_pack_sequences": bpe_pack_sequences,
         "taxonomy_tag": taxonomy_tag,
@@ -1698,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": multimodal_audio_meta,
         "dedup_verified_pairs": dedup_verified_pairs,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_pq": ann_ivf_pq,
         "null_token_clean": null_token_clean,
         "limit_first_n_pages": limit_first_n_pages,
         "page_count_scan": page_count_scan,
@@ -2166,6 +2171,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
             " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # merged first data cell spans a+b: value repeats into BOTH
+        # columns; second data row unmerged
+        "extract_merged_cells": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[1] || '|c=' || w[2] ||"
+            " '|a=' || w[3] || '|b=' || w[4] || '|c=' || w[5] AS cells_text"
             " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
         ),
         # two stacked tables (ruled over borderless, distinct headers)

@@ -138,6 +138,7 @@ HEADLINE_QUERIES = [
     # keyword-taxonomy tagging
     "extract_borderless",
     "extract_multi_table",
+    "extract_merged_cells",
     "bpe_encode",
     "bpe_pack_sequences",
     "taxonomy_tag",

@@ -64,8 +64,15 @@ def _render_text(text: str) -> np.ndarray:
     return out
 
 
-def render_grid(cells: list[list[str]]) -> np.ndarray:
-    """Render an R×C grid of cell texts into a 0/1 ink mask with rule lines."""
+def render_grid(
+    cells: list[list[str]],
+    merges: "dict[tuple[int, int], int] | None" = None,
+) -> np.ndarray:
+    """Render an R×C grid of cell texts into a 0/1 ink mask with rule
+    lines. ``merges`` maps (row, col) → span: that cell spans ``span``
+    columns — the interior vertical rule segments inside the span are
+    erased (the covered cells' texts should be ''), producing the
+    merged-cell geometry real tables have."""
     nrows = len(cells)
     ncols = max(len(r) for r in cells)
     maxlen = max(1, max(len(c) for row in cells for c in row))
@@ -76,6 +83,10 @@ def render_grid(cells: list[list[str]]) -> np.ndarray:
     img = np.zeros((height, width), dtype=np.uint8)
     img[:: cell_h + 1, :] = 1  # horizontal rules
     img[:, :: cell_w + 1] = 1  # vertical rules
+    for (r, c0), span in (merges or {}).items():
+        y0 = r * (cell_h + 1) + 1
+        for k in range(c0 + 1, c0 + span):
+            img[y0 : y0 + cell_h, k * (cell_w + 1)] = 0
     for r, row in enumerate(cells):
         for c, text in enumerate(row):
             glyphs = _render_text(text)
@@ -313,16 +324,39 @@ def read_borderless_cells(img: np.ndarray) -> list[list[str]]:
 
 
 def read_grid_cells(img: np.ndarray) -> list[list[str]]:
-    """Full layout parse: lines → cell bboxes → glyph recognition."""
+    """Full layout parse: lines → cell bboxes → glyph recognition.
+
+    Merged cells (a vertical rule segment absent within one row's band)
+    decode once across the merged span and REPEAT the value into every
+    covered column — the reference's merged-cell contract ("handle
+    merged cells by repeating values appropriately",
+    scripts/ExtractX_OCR.py:327). Ordinary grids ink every interior
+    segment, so their behavior is unchanged."""
     h_rows, v_cols = detect_grid(img)
     if len(h_rows) < 2 or len(v_cols) < 2:
         return []
+    ncols = len(v_cols) - 1
+
+    def segment_present(r: int, k: int) -> bool:
+        return bool(
+            img[h_rows[r] + 1 : h_rows[r + 1], v_cols[k]].max(initial=0)
+        )
+
     out: list[list[str]] = []
     for r in range(len(h_rows) - 1):
         row: list[str] = []
-        for c in range(len(v_cols) - 1):
-            cell = img[h_rows[r] + 1 : h_rows[r + 1], v_cols[c] + 1 : v_cols[c + 1]]
-            row.append(_decode_cell(cell))
+        c = 0
+        while c < ncols:
+            end = c
+            while end + 1 < ncols and not segment_present(r, end + 1):
+                end += 1
+            cell = img[
+                h_rows[r] + 1 : h_rows[r + 1],
+                v_cols[c] + 1 : v_cols[end + 1],
+            ]
+            text = _decode_cell(cell)
+            row.extend([text] * (end - c + 1))
+            c = end + 1
         out.append(row)
     return out
 

@@ -165,6 +165,43 @@ def _multi_table_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
 
 
+def _merged_cells_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")[:GRID_WORDS]
+            # data row 1: words[0] spans columns a+b (merged), words[1]
+            # in c; data row 2 unmerged
+            cells = [["a", "b", "c"], [words[0], "", words[1]], words[2:5]]
+            payload = encode_grid_payload(
+                render_grid(cells, merges={(1, 0): 2}),
+                rot=int(doc_id) % 4 * 90,
+            )
+            res = extract_grid_table(payload)
+            got = []
+            for rec in res.get("table_data", []):
+                got.extend([f"{k}={v}" for k, v in rec.items()])
+            out.append((doc_id, "|".join(got)))
+        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+
+
+def extract_merged_cells_query(df: DataFrame) -> DataFrame:
+    """A ruled grid whose first data cell SPANS columns a+b (its interior
+    rule segment erased) must repeat the value into both columns —
+    the reference's merged-cell contract ("handle merged cells by
+    repeating values appropriately", scripts/ExtractX_OCR.py:327) — while
+    the unmerged second data row round-trips normally."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(
+        _merged_cells_roundtrip, schema
+    )
+
+
 def extract_multi_table_query(df: DataFrame) -> DataFrame:
     """A PAGE with two stacked tables — a ruled grid over a borderless
     one, different headers — must combine into one record stream in page

@@ -364,3 +364,44 @@ class TestMultiTablePage:
             {"a": "x", "b": "y"},
             {"c": "u", "d": "v"},
         ]
+
+
+class TestMergedCells:
+    """Merged-cell repeat (reference: 'handle merged cells by repeating
+    values appropriately')."""
+
+    def test_merged_data_cell_repeats_value(self):
+        cells = [["a", "b", "c"], ["v", "", "w"]]
+        img = render_grid(cells, merges={(1, 0): 2})
+        assert read_grid_cells(img) == [["a", "b", "c"], ["v", "v", "w"]]
+
+    def test_three_wide_merge(self):
+        img = render_grid(
+            [["h1", "h2", "h3"], ["all", "", ""]], merges={(1, 0): 3}
+        )
+        assert read_grid_cells(img) == [
+            ["h1", "h2", "h3"],
+            ["all", "all", "all"],
+        ]
+
+    def test_merge_in_one_row_leaves_others_intact(self):
+        cells = [["a", "b", "c"], ["m", "", "z"], ["x", "y", "q"]]
+        img = render_grid(cells, merges={(1, 0): 2})
+        assert read_grid_cells(img) == [
+            ["a", "b", "c"],
+            ["m", "m", "z"],
+            ["x", "y", "q"],
+        ]
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    def test_full_extract_path_with_rotation(self, rot):
+        cells = [["a", "b", "c"], ["v", "", "w"]]
+        payload = encode_grid_payload(
+            render_grid(cells, merges={(1, 0): 2}), rot=rot
+        )
+        res = extract_grid_table(payload)
+        assert res["table_data"] == [{"a": "v", "b": "v", "c": "w"}]
+
+    def test_plain_grid_unchanged(self):
+        cells = [["a", "b"], ["x", "y"], ["", "q"]]
+        assert read_grid_cells(render_grid(cells)) == cells
