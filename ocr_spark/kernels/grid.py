@@ -394,7 +394,17 @@ def read_any_cells(img: np.ndarray) -> list[list[str]]:
     """Layout dispatch: rule-line grid parse first; when line detection
     finds no grid (a borderless table — the reference's vision model reads
     those too, scripts/ExtractX_OCR.py:325-330), fall back to whitespace
-    layout analysis."""
+    layout analysis.
+
+    The image is first cropped to its ink bounding box: detect_grid's
+    line test is a FRACTION of image width/height, so a table narrower
+    than half a padded page (e.g. a render_page band padded to a wider
+    sibling's width) would otherwise fail rule detection and silently
+    lose its records (round-5 review finding, repro'd)."""
+    ys, xs = np.nonzero(img)
+    if ys.size == 0:
+        return []
+    img = img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
     cells = read_grid_cells(img)
     if cells:
         return cells

@@ -427,12 +427,20 @@ def _reconstruct(
             plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(plane[: h, : w])
     out = np.stack(planes, axis=2)
-    if len(comps) == 3:  # YCbCr → RGB (JFIF)
-        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
-        out = np.stack(
-            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-            axis=2,
-        )
+    if len(comps) == 3:
+        # YCbCr → RGB (JFIF default; Adobe transform 1 says the same).
+        # Adobe transform 0 means RGB stored DIRECTLY — Photoshop emits
+        # these; converting them would scramble colors.
+        if adobe_transform in (None, 1):
+            y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+            out = np.stack(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+                axis=2,
+            )
+        elif adobe_transform != 0:
+            raise NotImplementedError(
+                f"APP14 Adobe transform {adobe_transform} on 3 components"
+            )
     elif len(comps) == 4:
         if adobe_transform == 2:  # YCCK → CMYK
             y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
@@ -790,7 +798,7 @@ def _write_block(wtr: _BitWriter, coefs: np.ndarray, pred: int, dct, act) -> int
     return dc
 
 
-def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool, adobe_transform: int = 0):
+def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool, adobe_transform: "int | None" = None):
     """Shared encoder front half: color transform, subsample, pad, DCT,
     quantize. Returns (coef_grids[(by,bx,64) zigzag], samp, ql, qc,
     h, w, c, mcux, mcuy, hmax, vmax)."""
@@ -800,10 +808,17 @@ def _prepare_planes(arr: np.ndarray, quality: int, subsample: bool, adobe_transf
     h, w, c = a.shape
     if c not in (1, 3, 4):
         raise ValueError("JPEG encoder takes gray, RGB, or CMYK")
-    sub = subsample and c == 3
+    sub = subsample and c == 3 and adobe_transform != 0
     ql = _quality_scale(QT_LUMA, quality)
     qc = _quality_scale(QT_CHROMA, quality)
-    if c == 3:
+    if c == 3 and adobe_transform == 0:
+        # Adobe transform 0: RGB stored directly, no color transform —
+        # luma tables for every component
+        rf = a.astype(np.float64)
+        planes = [rf[:, :, 0], rf[:, :, 1], rf[:, :, 2]]
+        qtabs = [ql] * 3
+        samp = [(1, 1)] * 3
+    elif c == 3:
         rf = a.astype(np.float64)
         y = 0.299 * rf[:, :, 0] + 0.587 * rf[:, :, 1] + 0.114 * rf[:, :, 2]
         cb = -0.168736 * rf[:, :, 0] - 0.331264 * rf[:, :, 1] + 0.5 * rf[:, :, 2] + 128
@@ -866,21 +881,24 @@ def encode_jpeg(
     ``subsample=True`` emits 4:2:0 (box-averaged chroma, 2×2 luma
     sampling); ``restart_interval`` > 0 emits DRI + RSTn markers every N
     MCUs. Both exist mainly so the decoder's subsampling/restart paths
-    have deterministic fixtures. 4-channel input writes an APP14 "Adobe"
-    marker (TN #5116): ``adobe_transform=2`` stores YCCK (the office-
-    scanner convention), ``0`` stores the inks directly; ignored for
-    c != 4."""
+    have deterministic fixtures. The APP14 "Adobe" marker (TN #5116) is
+    written when the transform matters: 4-channel input stores YCCK
+    (``adobe_transform=2``, the office-scanner convention) or the inks
+    directly (``0``); 3-channel input with ``adobe_transform=0`` stores
+    RGB DIRECTLY (the Photoshop shape) — any other value keeps the
+    standard JFIF YCbCr encoding with no marker."""
     c_in = np.asarray(arr).shape[2] if np.asarray(arr).ndim == 3 else 1
     coef_grids, samp, ql, qc, h, w, c, mcux, mcuy, hmax, vmax = _prepare_planes(
-        arr, quality, subsample, adobe_transform if c_in == 4 else 0
+        arr, quality, subsample, adobe_transform if c_in in (3, 4) else None
     )
 
-    dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * (c == 3) * 2
-    if c == 4:  # luma tables for every component (encoder freedom)
-        dc_tabs = [_huff_codes(*HT_DC_LUMA)] * 4
-    ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * (c == 3) * 2
-    if c == 4:
-        ac_tabs = [_huff_codes(*HT_AC_LUMA)] * 4
+    rgb_direct = c == 3 and adobe_transform == 0
+    ycc = c == 3 and not rgb_direct
+    dc_tabs = [_huff_codes(*HT_DC_LUMA)] + [_huff_codes(*HT_DC_CHROMA)] * ycc * 2
+    ac_tabs = [_huff_codes(*HT_AC_LUMA)] + [_huff_codes(*HT_AC_CHROMA)] * ycc * 2
+    if c == 4 or rgb_direct:  # luma tables for every component
+        dc_tabs = [_huff_codes(*HT_DC_LUMA)] * c
+        ac_tabs = [_huff_codes(*HT_AC_LUMA)] * c
     pred = [0] * len(samp)
     chunks: list[bytes] = []
     wtr = _BitWriter()
@@ -908,21 +926,22 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    if c == 4:  # APP14 Adobe marker: version 100, flags 0, transform byte
+    if c == 4 or rgb_direct:
+        # APP14 Adobe marker: version 100, flags 0, transform byte
         out += seg(
             0xEE,
             b"Adobe" + (100).to_bytes(2, "big") + bytes(4)
             + bytes([adobe_transform]),
         )
     out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].tolist()))
-    if c == 3:
+    if ycc:
         out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sof = struct.pack(">BHHB", 8, h, w, c)
     for i in range(c):
         sh, sv = samp[i]
-        sof += bytes([i + 1, (sh << 4) | sv, 1 if (c == 3 and i > 0) else 0])
+        sof += bytes([i + 1, (sh << 4) | sv, 1 if (ycc and i > 0) else 0])
     out += seg(0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -930,11 +949,11 @@ def encode_jpeg(
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
     out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
-    if c == 3:
+    if ycc:
         out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
     sos = bytes([c])
     for i in range(c):
-        sos += bytes([i + 1, 0x11 if (c == 3 and i > 0) else 0x00])
+        sos += bytes([i + 1, 0x11 if (ycc and i > 0) else 0x00])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy

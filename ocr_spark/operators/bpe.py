@@ -6,16 +6,21 @@ way an LLM pipeline actually counts tokens.
 Algorithm (Sennrich et al., arXiv:1508.07909): start from single
 characters, repeatedly merge the adjacent pair with the lowest merge
 rank. This implementation fixes the merge table as a literal (no
-training pass) and defines encode as ONE left-to-right non-overlapping
-pass per merge rank, in rank order — for a valid table (every merge's
-operands are base characters or outputs of strictly earlier merges,
-which this table satisfies by construction and a module-load assert)
-this matches the classic lowest-rank-first loop on these inputs, and it
-makes the encode a pure string-rewrite chain: the token sequence is a
-space-separated string and each rank is a single ``replace`` call.
+training pass) and defines encode as TWO left-to-right non-overlapping
+passes per merge rank, in rank order, over a space-separated token
+string. Two passes per rank are EXACTLY exhaustive application of that
+rank: chained occurrences (" a b a b ") share a boundary space, so a
+single pass takes every other one; the survivors are then separated by
+merged tokens and the second pass takes them all (this argument needs
+a != b, asserted at module load — no self-merges). Exhaustive-per-rank
+in rank order equals the classic lowest-rank-first loop for a valid
+table (every merge operand is a base character or the output of a
+strictly earlier merge, also asserted): a rank-r merge only creates
+adjacencies INVOLVING its output token, and any pair using that output
+has rank > r, so no lower-rank pair can appear once rank r is done.
 
 That representation is what buys the scale shape: the whole encode is a
-chain of 24 JVM ``replace`` expressions inside whole-stage codegen —
+chain of 48 JVM ``replace`` expressions inside whole-stage codegen —
 zero Python, zero exchanges, and the DuckDB oracle replays the exact
 same chain with its own ``replace``, so token output is value-checkable
 end to end. Word boundaries are pre-tokenized on whitespace (the GPT-2
@@ -37,9 +42,9 @@ from pyspark.sql import functions as F
 BASE_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
 #: The fixed merge table, rank order. VALIDITY INVARIANT: each operand
-#: is a single base character or the output of a strictly earlier merge
-#: (asserted below) — the property real BPE training guarantees and the
-#: one that makes rank-order single-pass application well-defined.
+#: is a single base character or the output of a strictly earlier merge,
+#: and no merge is a self-merge (both asserted below) — the properties
+#: that make rank-order two-pass application equal classic BPE.
 MERGES: tuple[tuple[str, str], ...] = (
     ("t", "h"),
     ("th", "e"),
@@ -76,6 +81,7 @@ def _build_vocab() -> dict[str, int]:
     vocab = {c: i for i, c in enumerate(BASE_ALPHABET)}
     for a, b in MERGES:
         assert a in vocab and b in vocab, f"invalid merge ({a},{b})"
+        assert a != b, f"self-merge ({a},{b}) breaks two-pass exhaustion"
         merged = a + b
         assert merged not in vocab, f"duplicate vocab entry {merged}"
         vocab[merged] = len(vocab)
@@ -92,6 +98,9 @@ def encode_word(word: str) -> list[str]:
     documentation of the semantics; the Spark path never calls this)."""
     s = " " + " ".join(word) + " "
     for a, b in MERGES:
+        # two passes = exhaustive for this rank (chained occurrences
+        # share a boundary space; see module docstring)
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
         s = s.replace(f" {a} {b} ", f" {a}{b} ")
     return [t for t in s.split(" ") if t]
 
@@ -107,6 +116,8 @@ def bpe_tokens_expr(col: str) -> Column:
     )
     chain = spaced
     for a, b in MERGES:
+        # two replace calls per rank = exhaustive (module docstring)
+        chain = F.replace(chain, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         chain = F.replace(chain, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
     return F.filter(
         F.split(F.trim(chain), " "), lambda t: (t != _SEP) & (t != "")
@@ -148,10 +159,12 @@ def bpe_encode(
 
 def oracle_merge_chain_sql(expr: str) -> str:
     """The DuckDB replay of the merge chain over a spaced-encoding SQL
-    expression — textually unrolled, one replace per rank, the same
-    left-to-right single-pass semantics as the Spark chain."""
+    expression — textually unrolled, TWO replaces per rank, the same
+    exhaustive-per-rank semantics as the Spark chain."""
     chain = expr
     for a, b in MERGES:
+        # doubled like the Spark chain: two passes per rank
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
         chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
     return chain
 

@@ -95,148 +95,95 @@ def extract_json_query(df: DataFrame) -> DataFrame:
 GRID_WORDS = 6  # 2 rows (header + one data row) × 3 columns
 
 
-def _grid_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = text.split(" ")[:GRID_WORDS]
-            # fixed literal header so record keys never collide even when
-            # document words repeat (dict keys must stay distinct)
-            cells = [["a", "b", "c"], words[:3], words[3:6]]
-            payload = encode_grid_payload(render_grid(cells), rot=int(doc_id) % 4 * 90)
-            res = extract_grid_table(payload)
-            got = []
-            for rec in res.get("table_data", []):
-                got.extend([f"{k}={v}" for k, v in rec.items()])
-            out.append((doc_id, "|".join(got)))
-        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+def _grid_query(build_img):
+    """Shared factory for the grid-family round-trip queries: render an
+    image from the doc's first GRID_WORDS words (``build_img(words)`` —
+    ruled, borderless, merged, or a multi-table page), wrap it in a
+    doc_id-rotated GRIDv1 payload, run the full extract_grid_table parse,
+    and emit the records as 'key=value' pairs joined by '|'."""
 
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")[:GRID_WORDS]
+                payload = encode_grid_payload(
+                    build_img(words), rot=int(doc_id) % 4 * 90
+                )
+                res = extract_grid_table(payload)
+                got = []
+                for rec in res.get("table_data", []):
+                    got.extend([f"{k}={v}" for k, v in rec.items()])
+                out.append((doc_id, "|".join(got)))
+            yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
 
-def extract_grid_query(df: DataFrame) -> DataFrame:
-    """documents → render first 6 words under a literal a/b/c header as a
-    rotated 3×3 rule-line grid image → full layout parse (morph-open line
-    detect, cell bbox, glyph recognition) → 'key=value' pairs joined by
-    '|'; must round-trip the words exactly."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("cells_text", T.StringType()),
         ]
     )
-    return df.select("doc_id", "text").mapInPandas(_grid_roundtrip, schema)
+
+    def query(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "text").mapInPandas(roundtrip, schema)
+
+    return query
 
 
-def _borderless_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _grid_img(words):
+    # fixed literal header so record keys never collide even when
+    # document words repeat (dict keys must stay distinct)
+    return render_grid([["a", "b", "c"], words[:3], words[3:6]])
+
+
+def _borderless_img(words):
     from ocr_spark.kernels.grid import render_borderless
 
-    for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = text.split(" ")[:GRID_WORDS]
-            cells = [["a", "b", "c"], words[:3], words[3:6]]
-            payload = encode_grid_payload(
-                render_borderless(cells), rot=int(doc_id) % 4 * 90
-            )
-            res = extract_grid_table(payload)
-            got = []
-            for rec in res.get("table_data", []):
-                got.extend([f"{k}={v}" for k, v in rec.items()])
-            out.append((doc_id, "|".join(got)))
-        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+    return render_borderless([["a", "b", "c"], words[:3], words[3:6]])
 
 
-def _multi_table_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _multi_table_img(words):
     from ocr_spark.kernels.grid import render_borderless, render_page
 
-    for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = text.split(" ")[:GRID_WORDS]
-            ruled = render_grid([["a", "b", "c"], words[:3]])
-            borderless = render_borderless([["d", "e", "f"], words[3:6]])
-            payload = encode_grid_payload(
-                render_page([ruled, borderless]), rot=int(doc_id) % 4 * 90
-            )
-            res = extract_grid_table(payload)
-            got = []
-            for rec in res.get("table_data", []):
-                got.extend([f"{k}={v}" for k, v in rec.items()])
-            out.append((doc_id, "|".join(got)))
-        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+    ruled = render_grid([["a", "b", "c"], words[:3]])
+    borderless = render_borderless([["d", "e", "f"], words[3:6]])
+    return render_page([ruled, borderless])
 
 
-def _merged_cells_roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = text.split(" ")[:GRID_WORDS]
-            # data row 1: words[0] spans columns a+b (merged), words[1]
-            # in c; data row 2 unmerged
-            cells = [["a", "b", "c"], [words[0], "", words[1]], words[2:5]]
-            payload = encode_grid_payload(
-                render_grid(cells, merges={(1, 0): 2}),
-                rot=int(doc_id) % 4 * 90,
-            )
-            res = extract_grid_table(payload)
-            got = []
-            for rec in res.get("table_data", []):
-                got.extend([f"{k}={v}" for k, v in rec.items()])
-            out.append((doc_id, "|".join(got)))
-        yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+def _merged_cells_img(words):
+    # data row 1: words[0] spans columns a+b (merged), words[1] in c;
+    # data row 2 unmerged
+    cells = [["a", "b", "c"], [words[0], "", words[1]], words[2:5]]
+    return render_grid(cells, merges={(1, 0): 2})
 
 
-def extract_merged_cells_query(df: DataFrame) -> DataFrame:
-    """A ruled grid whose first data cell SPANS columns a+b (its interior
-    rule segment erased) must repeat the value into both columns —
-    the reference's merged-cell contract ("handle merged cells by
-    repeating values appropriately", scripts/ExtractX_OCR.py:327) — while
-    the unmerged second data row round-trips normally."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cells_text", T.StringType()),
-        ]
-    )
-    return df.select("doc_id", "text").mapInPandas(
-        _merged_cells_roundtrip, schema
-    )
+#: documents → render first 6 words under a literal a/b/c header as a
+#: rotated 3×3 rule-line grid image → full layout parse (morph-open line
+#: detect, cell bbox, glyph recognition) → 'key=value' pairs joined by
+#: '|'; must round-trip the words exactly.
+extract_grid_query = _grid_query(_grid_img)
 
+#: Same round-trip, but the table has NO ruling lines — the reference's
+#: vision model reads those too (scripts/ExtractX_OCR.py:325-330).
+#: Routed through the SAME extract_grid_table dispatch, proving the
+#: rule-line detector yields to whitespace layout analysis (row bands
+#: from the horizontal ink projection, column spans from gutter-gap
+#: clustering of the vertical projection) end to end.
+extract_borderless_query = _grid_query(_borderless_img)
 
-def extract_multi_table_query(df: DataFrame) -> DataFrame:
-    """A PAGE with two stacked tables — a ruled grid over a borderless
-    one, different headers — must combine into one record stream in page
-    order ("if there are multiple tables, combine them logically",
-    scripts/ExtractX_OCR.py:328-330): blank-band table splitting, then
-    per-band ruled-or-borderless dispatch, all inside the same
-    extract_grid_table entry point."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cells_text", T.StringType()),
-        ]
-    )
-    return df.select("doc_id", "text").mapInPandas(
-        _multi_table_roundtrip, schema
-    )
+#: A PAGE with two stacked tables — a ruled grid over a borderless one,
+#: different headers — combines into one record stream in page order
+#: ("if there are multiple tables, combine them logically",
+#: scripts/ExtractX_OCR.py:328-330): blank-band table splitting, then
+#: per-band ruled-or-borderless dispatch.
+extract_multi_table_query = _grid_query(_multi_table_img)
 
-
-def extract_borderless_query(df: DataFrame) -> DataFrame:
-    """Same 6-word round-trip as :func:`extract_grid_query`, but the
-    rendered table has NO ruling lines — the reference's vision model
-    reads those too (scripts/ExtractX_OCR.py:325-330). Routed through the
-    SAME extract_grid_table dispatch, so this query proves the rule-line
-    detector correctly yields to whitespace layout analysis (row bands
-    from the horizontal ink projection, column spans from gutter-gap
-    clustering of the vertical projection) end to end."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cells_text", T.StringType()),
-        ]
-    )
-    return df.select("doc_id", "text").mapInPandas(
-        _borderless_roundtrip, schema
-    )
+#: A ruled grid whose first data cell SPANS columns a+b (its interior
+#: rule segment erased) repeats the value into both columns — the
+#: reference's merged-cell contract ("handle merged cells by repeating
+#: values appropriately", scripts/ExtractX_OCR.py:327) — while the
+#: unmerged second data row round-trips normally.
+extract_merged_cells_query = _grid_query(_merged_cells_img)
 
 
 # -- PDF embedded-image grid extraction ------------------------------------

@@ -382,7 +382,12 @@ def pack_sequences(
 
     ``token_count`` swaps the token axis: default is whitespace words;
     pass e.g. ``bpe.bpe_token_count_expr(col)`` to pack real subword
-    tokens (what a trainer's dataloader actually budgets by)."""
+    tokens (what a trainer's dataloader actually budgets by).
+
+    NULL-text documents pack nothing (split(NULL) is NULL, size() = -1 —
+    unfiltered, a NULL doc would emit n_tokens = -1 AND shift every
+    later offset in its shard, diverging from the oracle's NULL-skipping
+    SUM; same class as the chunk_overlap guard)."""
     from pyspark.sql.window import Window
 
     toks = (
@@ -390,6 +395,7 @@ def pack_sequences(
         if token_count is not None
         else F.size(_tokens(col)).cast("long")
     )
+    df = df.filter(F.col(col).isNotNull())
     base = df.select(
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),

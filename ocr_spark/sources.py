@@ -108,14 +108,12 @@ def warc_roundtrip(
 
     def assemble_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
-        # A WARC response body cannot represent NULL — reject explicitly
-        # rather than let str(None) silently write the literal 'None'.
-        if pdf[text_col].isna().any():
-            bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
-            raise ValueError(
-                f"warc_roundtrip: NULL {text_col!r} for {id_col}={bad};"
-                " filter NULL-text rows before the WARC sink"
-            )
+        # A WARC response body cannot represent NULL — skip NULL-text
+        # rows (they contribute no record) instead of str(None) writing
+        # the literal 'None', and instead of raising: one bad row must
+        # never fail the job (the same skip-and-continue contract the
+        # WARC reader itself honors).
+        pdf = pdf[pdf[text_col].notna()]
         recs = [
             (int(i), WARC_URI_PREFIX + str(int(i)), str(t).encode("utf-8"))
             for i, t in zip(pdf[id_col], pdf[text_col])

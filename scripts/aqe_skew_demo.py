@@ -124,17 +124,28 @@ the 256MB/64MB prod defaults), broadcast disabled; one conversation owns
 With skewJoin on, AQE rewrites the join to `SortMergeJoin(skew=true)`:
 the hot reducer partition is split into advisory-sized slices, each
 joined against a replicated copy of the matching dim rows — the
-straggler becomes ~partition_bytes/advisory parallel tasks. Wall-clock
-delta at this toy scale is modest (the whole table is a few hundred MB);
-the mechanism is what matters at 100 TB, where the un-split hot reducer
-would own terabytes. Pinned by tests/test_plans.py::
+straggler becomes ~partition_bytes/advisory parallel tasks (treat the
+plan rewrite, not the wall ratio, as the evidence — single-host timings
+swing, see "Hard-won environment facts"). The mechanism is what matters
+at 100 TB, where the un-split hot reducer would own terabytes. One
+caveat the demo encodes: an aggregation keyed on the JOIN key downstream
+suppresses the split (splitting breaks the hash distribution the parent
+reuses), so keep post-join aggs off the join key or accept the
+straggler. Pinned by tests/test_plans.py::
 test_aqe_skew_join_splits_hot_partition.
 """
     md = open(os.path.join(REPO, "SKEW.md")).read()
     marker = "\n## AQE skew-join"
     if marker in md:
-        md = md[: md.index(marker)]
-    open(os.path.join(REPO, "SKEW.md"), "w").write(md.rstrip() + "\n" + section)
+        # replace ONLY the AQE section (up to the next heading or EOF) —
+        # content added after it must survive a regeneration
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + len(marker))
+        tail = md[nxt:] if nxt != -1 else "\n"
+        md = md[:start].rstrip() + "\n" + section + tail.lstrip("\n")
+    else:
+        md = md.rstrip() + "\n" + section
+    open(os.path.join(REPO, "SKEW.md"), "w").write(md)
     print("SKEW.md updated")
     return 0
 

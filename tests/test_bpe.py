@@ -128,3 +128,86 @@ def test_bpe_encode_zero_exchanges_no_python(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_encode_is_lossless_reconstruction():
+    # tokens are a PARTITION of the word: concatenating them restores it
+    # exactly, for any input over any alphabet (merges only ever glue
+    # adjacent pieces, never rewrite content)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=24))
+    def check(word):
+        word = word.replace(" ", "")  # words are whitespace-pretokenized
+        assert "".join(bpe.encode_word(word)) == word
+
+    check()
+
+
+def _classic_bpe(word):
+    """Textbook lowest-rank-first BPE loop (the semantics the replace
+    chain must reproduce)."""
+    toks = list(word)
+    ranks = {m: i for i, m in enumerate(bpe.MERGES)}
+    while True:
+        best, bi = None, None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            return toks
+        toks[bi : bi + 2] = [toks[bi] + toks[bi + 1]]
+
+
+def test_encode_matches_classic_lowest_rank_first_bpe():
+    # review finding (round 5): a single replace pass per rank dropped
+    # the second of two chained same-rank occurrences ('inin', 'cocoa');
+    # two passes per rank are exhaustive. Exhaustive over a merge-dense
+    # alphabet up to length 6, plus the original repros.
+    import itertools
+
+    assert bpe.encode_word("inin") == ["in", "in"]
+    assert bpe.encode_word("cocoa") == ["co", "co", "a"]
+    for n in range(7):
+        for tup in itertools.product("inacod", repeat=n):
+            w = "".join(tup)
+            assert bpe.encode_word(w) == _classic_bpe(w), w
+
+
+def test_chained_same_rank_merges_on_spark(spark):
+    df = spark.createDataFrame(
+        [(0, "inin cocoa ananas")], "doc_id long, text string"
+    )
+    out = bpe.bpe_encode(df).orderBy("tok_pos").collect()
+    toks = [r.token for r in out]
+    want = [t for w in "inin cocoa ananas".split() for t in _classic_bpe(w)]
+    assert toks == want
+
+
+def test_pack_sequences_skips_null_text(spark):
+    # review finding (round 5): size(split(NULL)) = -1 would emit a
+    # bogus row AND shift later offsets; NULL-text docs now pack nothing
+    from pyspark.sql import types as T
+
+    from ocr_spark.operators import textops
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, "the the"), (1, None), (2, "a b c")], schema
+    )
+    for counter in (None, bpe.bpe_token_count_expr("text")):
+        out = (
+            textops.pack_sequences(df, shards=1, token_count=counter)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [r.doc_id for r in out] == [0, 2]
+        assert out[1].start_off == out[0].n_tokens  # no -1 shift

@@ -263,3 +263,30 @@ def test_unsupported_adobe_transform_raises():
     data[idx + 15] = 7  # bogus transform byte
     with pytest.raises(NotImplementedError, match="transform 7"):
         decode_jpeg(bytes(data))
+
+
+def test_rgb_direct_adobe_transform_zero():
+    # round-5 review finding: a 3-component Adobe transform-0 JPEG
+    # stores RGB directly (Photoshop shape) — converting would scramble
+    # colors. Encoder writes the marker; decoder skips the transform.
+    g = np.minimum(np.add.outer(np.arange(16) * 3, np.arange(24) * 2), 255)
+    rgb = np.stack([g, g // 2, 255 - g], axis=2).astype(np.uint8)
+    data = encode_jpeg(rgb, quality=95, adobe_transform=0)
+    idx = data.find(b"\xff\xee")
+    assert idx > 0 and data[idx + 4 : idx + 9] == b"Adobe"
+    assert data[idx + 15] == 0
+    dec = decode_jpeg(data)
+    assert dec.shape == (16, 24, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+    # default path unchanged: JFIF YCbCr, no Adobe marker
+    assert b"Adobe" not in encode_jpeg(rgb, quality=95)
+
+
+def test_unsupported_3comp_adobe_transform_raises():
+    g = np.full((8, 8), 100, np.uint8)
+    rgb = np.stack([g, g, g], axis=2)
+    data = bytearray(encode_jpeg(rgb, quality=95, adobe_transform=0))
+    idx = data.find(b"\xff\xee")
+    data[idx + 15] = 5
+    with pytest.raises(NotImplementedError, match="transform 5"):
+        decode_jpeg(bytes(data))

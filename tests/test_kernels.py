@@ -405,3 +405,23 @@ class TestMergedCells:
     def test_plain_grid_unchanged(self):
         cells = [["a", "b"], ["x", "y"], ["", "q"]]
         assert read_grid_cells(render_grid(cells)) == cells
+
+    def test_width_skewed_tables_both_extract(self):
+        # round-5 review repro: a ruled table narrower than half the
+        # padded page width must still pass rule detection (the band is
+        # cropped to its ink bbox before the fraction test)
+        from ocr_spark.kernels.grid import render_borderless, render_page
+
+        page = render_page(
+            [
+                render_grid([["a", "b", "c"], ["a", "a", "a"]]),
+                render_borderless(
+                    [["d", "e", "f"], ["customer", "customer", "stream"]]
+                ),
+            ]
+        )
+        res = extract_grid_table(encode_grid_payload(page))
+        assert res["table_data"] == [
+            {"a": "a", "b": "a", "c": "a"},
+            {"d": "customer", "e": "customer", "f": "stream"},
+        ]

@@ -230,10 +230,13 @@ def test_jsonl_roundtrip_preserves_nulls(spark):
     assert "None" not in set(out["text"].dropna())
 
 
-def test_warc_roundtrip_rejects_null_text(spark):
-    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["ok", None]})
+def test_warc_roundtrip_skips_null_text(spark):
+    # a NULL body cannot be represented in WARC; the row is skipped
+    # (degrade-don't-fail — one bad row must never abort the job)
+    pdf = pd.DataFrame({"doc_id": [0, 1, 32], "text": ["ok", None, "too"]})
     docs = spark.createDataFrame(
         pdf, schema="doc_id long, text string"
     )
-    with pytest.raises(Exception, match="NULL 'text'"):
-        sources.warc_roundtrip(docs).collect()
+    out = sources.warc_roundtrip(docs).orderBy("doc_id").toPandas()
+    assert list(out.doc_id) == [0, 32]
+    assert "None" not in set(out.body)
