@@ -2760,7 +2760,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pack_sequences": (
             "WITH b AS (SELECT doc_id, doc_id % 64 AS shard,"
             "  CAST(len(" + _bpe_toks + ") AS BIGINT) AS n_tokens"
-            "  FROM documents),"
+            "  FROM documents WHERE text IS NOT NULL),"
             " o AS (SELECT doc_id, shard, n_tokens,"
             "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
             "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
@@ -2772,7 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             "WITH b AS (SELECT doc_id, doc_id % 64 AS shard,"
             "  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens"
-            "  FROM documents),"
+            "  FROM documents WHERE text IS NOT NULL),"
             " o AS (SELECT doc_id, shard, n_tokens,"
             "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
             "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
