@@ -1020,6 +1020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all payload fields recovered from the container
         return src.orc_roundtrip(_docs(spark, sf))
 
+    def arrow_ipc_roundtrip(spark, sf):
+        # Arrow IPC (Feather v2) interchange: serialize 32 in-memory
+        # Arrow streams (schema message + record batches) and read them
+        # back in the same grouped-map stage — id, shard, read-back row
+        # order, and all payload fields recovered from the stream
+        return src.arrow_ipc_roundtrip(_docs(spark, sf))
+
     def vocab_oov(spark, sf):
         # top-256 corpus vocabulary (count desc, token asc total order)
         # then per-doc out-of-vocabulary token fraction
@@ -1667,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "orc_roundtrip": orc_roundtrip,
+        "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -3284,6 +3292,17 @@ def oracle_sql() -> dict[str, str]:
         # within the shard, so the container round-trip replays as a
         # per-shard ROW_NUMBER over the source rows
         "orc_roundtrip": (
+            "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
+            "  ORDER BY doc_id) - 1 AS BIGINT) AS row_idx,"
+            " CAST(COUNT(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)"
+            "  AS n_in_shard,"
+            " lang, source, text FROM documents"
+        ),
+        # Arrow IPC interchange: read-back order = serialized order =
+        # id-sorted within the shard — same per-shard ROW_NUMBER replay
+        # as the ORC container
+        "arrow_ipc_roundtrip": (
             "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
             " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
             "  ORDER BY doc_id) - 1 AS BIGINT) AS row_idx,"

@@ -340,3 +340,82 @@ def orc_roundtrip(
             ),
         )
     )
+
+
+#: arrow_ipc_roundtrip shard count — fixed operator contract.
+ARROW_IPC_SHARDS = 32
+
+
+def arrow_ipc_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    shards: int = ARROW_IPC_SHARDS,
+) -> DataFrame:
+    """Arrow IPC (Feather v2) sharded round-trip — the third columnar
+    interchange format next to :func:`orc_roundtrip` (Arrow IPC is what
+    zero-copy dataset exchange between Spark, Ray, and DataFusion-era
+    tools ships): shard the corpus by ``doc_id % shards``, serialize
+    each shard to a REAL in-memory Arrow IPC stream (schema message +
+    record batches, the wire format of Arrow Flight), read it back with
+    the IPC reader, and emit one row per recovered record with the
+    shard, read-back position, per-shard count, and every payload field
+    recovered FROM THE SERIALIZED STREAM — a schema, dictionary, or
+    encoding defect surfaces as an oracle mismatch.
+
+    Scale shape: one exchange on the shard key into an Arrow-batched
+    grouped-map stage that serializes AND deserializes in-stage; the
+    parallel axis is shards and text never rides a second exchange.
+
+    Reference parity: the reference emits pandas frames per page
+    (/root/reference/scripts/ExtractX_OCR.py:330-346); Arrow IPC is the
+    canonical container for shipping those frames between engines."""
+
+    def write_and_read(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        pdf = pdf.sort_values(id_col)
+        # No str() coercion: pa.array over raw pandas values preserves
+        # NULLs as Arrow nulls in the serialized stream.
+        table = pa.table(
+            {
+                "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
+                "lang": pa.array(pdf[lang_col], pa.string()),
+                "source": pa.array(pdf[source_col], pa.string()),
+                "text": pa.array(pdf[text_col], pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, table.schema) as writer:
+            writer.write_table(table)
+        with pa.ipc.open_stream(io.BytesIO(buf.getvalue())) as reader:
+            back = reader.read_all()
+        out = back.to_pandas().rename(columns={"id": "doc_id"})
+        out["shard"] = (out["doc_id"] % shards).astype("int64")
+        out["row_idx"] = range(len(out))
+        out["n_in_shard"] = len(out)
+        return out[
+            ["doc_id", "shard", "row_idx", "n_in_shard",
+             "lang", "source", "text"]
+        ].astype({"row_idx": "int64", "n_in_shard": "int64"})
+
+    shard = (F.col(id_col) % shards).alias("__as")
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), F.col(lang_col),
+            F.col(source_col), shard,
+        )
+        .groupBy("__as")
+        .applyInPandas(
+            write_and_read,
+            schema=(
+                "doc_id long, shard long, row_idx long, n_in_shard long,"
+                " lang string, source string, text string"
+            ),
+        )
+    )
