@@ -256,6 +256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def taxonomy_tag(spark, sf):
         return textops.taxonomy_tag(_docs(spark, sf))
 
+    def token_compression(spark, sf):
+        # tokenizer-compression quality signals: UTF-8 bytes per BPE
+        # token + tokens per whitespace word (fertility), exact BIGINT
+        # floor division in micro-units — zero exchanges
+        from ocr_spark.operators import bpe as B
+
+        return B.token_compression(_docs(spark, sf))
+
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
         # running-window packing, token counts from the BPE merge chain
@@ -1666,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode,
         "bpe_pack_sequences": bpe_pack_sequences,
         "taxonomy_tag": taxonomy_tag,
+        "token_compression": token_compression,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -2752,6 +2761,23 @@ def oracle_sql() -> dict[str, str]:
             "   ORDER BY n_hits DESC, ord) AS rn FROM h)"
             " SELECT doc_id, topic, n_hits, rn = 1 AS is_primary"
             " FROM r WHERE n_hits > 0"
+        ),
+        # tokenizer-compression signals: exact BIGINT floor division
+        # (DuckDB // == Spark DIV for non-negative operands); word axis
+        # = string_split on single spaces, matching Spark split();
+        # DuckDB strlen = UTF-8 BYTE length (== Spark octet_length)
+        "token_compression": (
+            "WITH b AS (SELECT doc_id,"
+            "  CAST(strlen(text) AS BIGINT) AS n_bytes,"
+            "  CAST(len(" + _bpe_toks + ") AS BIGINT) AS n_tokens,"
+            "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words"
+            "  FROM documents WHERE text IS NOT NULL)"
+            " SELECT doc_id, n_bytes, n_tokens, n_words,"
+            " CAST(n_bytes * 1000000 // greatest(n_tokens, 1) AS BIGINT)"
+            "  AS bytes_per_token_micro,"
+            " CAST(n_tokens * 1000000 // greatest(n_words, 1) AS BIGINT)"
+            "  AS tokens_per_word_micro"
+            " FROM b"
         ),
         # subword tokenization: the literal merge table as a replace chain
         "bpe_encode": (

@@ -172,3 +172,44 @@ def oracle_merge_chain_sql(expr: str) -> str:
 def oracle_vocab_values_sql() -> str:
     """VALUES list of (token, id) for the oracle's id lookup."""
     return ", ".join(f"('{t}', {i})" for t, i in VOCAB.items())
+
+
+def token_compression(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document tokenizer-compression quality signals: UTF-8 bytes
+    per BPE token and BPE tokens per whitespace word (fertility).
+    Low bytes/token means the merge table barely compresses the text
+    (digit soup, non-Latin noise — single-char UNK tokens); high
+    fertility means words shatter into many subwords. Both are standard
+    corpus-quality filters in tokenizer-aware data pipelines.
+
+    Integer micro-units via BIGINT floor division (DIV here, ``//`` in
+    the DuckDB oracle) — no float ever enters, so the oracle replay is
+    exact. Scale shape: per-row JVM expressions only (the merge chain +
+    octet_length + size), ZERO exchanges; NULL-text docs are filtered
+    on both engines and empty docs clamp the divisor to 1."""
+    n_bytes = F.octet_length(F.col(col)).cast("long")
+    n_tokens = bpe_token_count_expr(col)
+    n_words = F.size(F.split(F.col(col), " ")).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(id_col),
+            n_bytes.alias("n_bytes"),
+            n_tokens.alias("n_tokens"),
+            n_words.alias("n_words"),
+        )
+        .select(
+            id_col,
+            "n_bytes",
+            "n_tokens",
+            "n_words",
+            F.expr("n_bytes * 1000000 DIV greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("bytes_per_token_micro"),
+            F.expr("n_tokens * 1000000 DIV greatest(n_words, 1)")
+            .cast("long")
+            .alias("tokens_per_word_micro"),
+        )
+    )

@@ -211,3 +211,33 @@ def test_pack_sequences_skips_null_text(spark):
         )
         assert [r.doc_id for r in out] == [0, 2]
         assert out[1].start_off == out[0].n_tokens  # no -1 shift
+
+
+def test_token_compression_exact_values(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "the the"),   # 2 words, each 1 token ("the" is a merge)
+            (1, "xyz"),       # no merges apply: 3 single-char tokens
+            (2, ""),          # empty: 0 tokens/bytes, divisor clamps to 1
+            (3, None),        # filtered out
+            (4, "数"),        # 3 UTF-8 bytes, 1 UNK token, 1 word
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in bpe.token_compression(df).collect()}
+    assert sorted(out) == [0, 1, 2, 4]
+    assert out[0].n_bytes == 7 and out[0].n_tokens == 2
+    assert out[0].bytes_per_token_micro == 7 * 1000000 // 2
+    assert out[0].tokens_per_word_micro == 1000000    # 2 tokens / 2 words
+    assert out[1].n_tokens == 3 and out[1].tokens_per_word_micro == 3000000
+    assert out[2].n_tokens == 0 and out[2].bytes_per_token_micro == 0
+    assert out[4].n_bytes == 3 and out[4].n_tokens == 1
+    assert out[4].bytes_per_token_micro == 3000000
