@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return B.token_compression(_docs(spark, sf))
 
+    def reshard_by_bytes(spark, sf):
+        # byte-capped export resharding: md5-ordered two-phase
+        # distributed prefix sum (256 constant buckets), shard =
+        # exclusive running offset DIV 64 KiB
+        return textops.reshard_by_bytes(_docs(spark, sf))
+
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
         # running-window packing, token counts from the BPE merge chain
@@ -1675,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack_sequences": bpe_pack_sequences,
         "taxonomy_tag": taxonomy_tag,
         "token_compression": token_compression,
+        "reshard_by_bytes": reshard_by_bytes,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -2778,6 +2785,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_tokens * 1000000 // greatest(n_words, 1) AS BIGINT)"
             "  AS tokens_per_word_micro"
             " FROM b"
+        ),
+        # byte-capped resharding: the oracle replays the two-phase
+        # prefix sum as ONE global running sum in md5-key order (the
+        # Spark bucket is the key's first hex byte — a PREFIX — so
+        # bucket-then-key order IS global key order)
+        "reshard_by_bytes": (
+            "WITH b AS (SELECT doc_id,"
+            "  md5('reshard:' || CAST(doc_id AS VARCHAR)) AS key,"
+            "  CAST(strlen(text) AS BIGINT) AS n_bytes"
+            "  FROM documents WHERE text IS NOT NULL),"
+            " o AS (SELECT doc_id, n_bytes,"
+            "  CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY key, doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "   AS BIGINT) AS start_off FROM b)"
+            " SELECT doc_id, n_bytes, start_off,"
+            " CAST(start_off // 65536 AS BIGINT) AS out_shard FROM o"
         ),
         # subword tokenization: the literal merge table as a replace chain
         "bpe_encode": (

@@ -1705,3 +1705,85 @@ def taxonomy_tag(
             (F.col("__i") + 1 == F.col("__p")).alias("is_primary"),
         )
     )
+
+
+#: reshard_by_bytes: target output-shard size in bytes. Fixed —
+#: operator contract (the oracle replays start_off // this value).
+RESHARD_TARGET_BYTES = 65536
+
+#: reshard_by_bytes: prefix-sum bucket count — a CONSTANT knob, so the
+#: bucket-offset frame is 256 rows at any corpus size.
+RESHARD_BUCKETS = 256
+
+
+def reshard_by_bytes(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    target_bytes: int = RESHARD_TARGET_BYTES,
+) -> DataFrame:
+    """Byte-capped output resharding — the corpus-export pass that
+    turns N input files into roughly-equal ``target_bytes`` shards:
+    documents are laid out in a deterministic pseudo-random order
+    (md5 of the doc id, so shards are content-balanced regardless of
+    input clustering) and each document's output shard is its exclusive
+    running byte offset divided by the target.
+
+    Scale shape: the global prefix sum is TWO-PHASE — the order key's
+    first hex byte buckets the corpus into 256 groups (the bucket is a
+    PREFIX of the key, so bucket-then-key equals global key order);
+    within-bucket offsets are a partitioned window, and the cross-bucket
+    offsets come from a 256-row aggregate frame (constant-bounded, the
+    classic distributed prefix-sum shape) broadcast back onto the
+    corpus. No global sort or single-partition window ever sees
+    per-document rows; the exchanges carry (id, key, bytes) — never
+    text. A shard may overrun target_bytes by at most one document
+    (documents are never split), the standard export convention."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit("reshard:"), F.col(id_col).cast("string")))
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col),
+        key.alias("key"),
+        F.octet_length(F.col(col)).cast("long").alias("n_bytes"),
+    )
+    base = base.withColumn("bucket", F.substring("key", 1, 2))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn(
+        "__in_off",
+        F.coalesce(F.sum("n_bytes").over(w_in), F.lit(0)).cast("long"),
+    )
+    # phase 2: 256-row bucket-total frame; the single-partition window
+    # is over this CONSTANT-size aggregate, never over document rows
+    totals = base.groupBy("bucket").agg(F.sum("n_bytes").alias("__t"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0))
+        .cast("long")
+        .alias("__b_off"),
+    )
+    start = (F.col("__b_off") + F.col("__in_off")).cast("long")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            id_col,
+            "n_bytes",
+            start.alias("start_off"),
+        )
+        .select(
+            id_col,
+            "n_bytes",
+            "start_off",
+            F.expr(f"start_off DIV {int(target_bytes)}")
+            .cast("long")
+            .alias("out_shard"),
+        )
+    )

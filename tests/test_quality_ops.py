@@ -715,3 +715,42 @@ def test_taxonomy_keywords_disjoint():
     for _topic, kws in textops.TAXONOMY:
         assert not (set(kws) & seen)
         seen |= set(kws)
+
+
+def test_reshard_by_bytes_prefix_sum_exact(spark):
+    # the two-phase (bucket + offset) prefix sum must equal the plain
+    # sequential layout in global md5-key order
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": ["x" * (37 * (i % 11) + 1) for i in range(200)],
+        }
+    )
+    pdf.loc[5, "text"] = None  # NULL text docs emit nothing
+    out = (
+        textops.reshard_by_bytes(
+            spark.createDataFrame(pdf), target_bytes=512
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert 5 not in out.index and len(out) == 199
+    rows = [
+        (hashlib.md5(f"reshard:{i}".encode()).hexdigest(), i, len(t))
+        for i, t in zip(pdf.doc_id, pdf.text)
+        if t is not None
+    ]
+    off = 0
+    for key, i, n in sorted(rows):
+        assert out.loc[i, "start_off"] == off
+        assert out.loc[i, "n_bytes"] == n
+        assert out.loc[i, "out_shard"] == off // 512
+        off += n
+    # docs never split: every shard except the last overruns by < one doc
+    assert out.out_shard.nunique() > 1
