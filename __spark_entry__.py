@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exclusive running offset DIV 64 KiB
         return textops.reshard_by_bytes(_docs(spark, sf))
 
+    def lm_perplexity_buckets(spark, sf):
+        # CCNet head/middle/tail strata: bigram-LM fluency tertiles
+        # trained on a bounded md5-TakeOrdered sample, applied as
+        # broadcast literal thresholds
+        return textops.lm_perplexity_buckets(_docs(spark, sf))
+
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
         # running-window packing, token counts from the BPE merge chain
@@ -1682,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_tag": taxonomy_tag,
         "token_compression": token_compression,
         "reshard_by_bytes": reshard_by_bytes,
+        "lm_perplexity_buckets": lm_perplexity_buckets,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -3174,6 +3181,48 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro,"
             " COALESCE(s // n, 0) >= 20000 AS is_fluent"
             " FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        # CCNet perplexity strata: the bigram-LM chain again, then
+        # tertile thresholds from the md5-TakeOrdered sample (rank =
+        # (score, doc_id), ceil(m/3) positions — integer-exact) applied
+        # to every doc; MATERIALIZED so the scored CTE runs once
+        "lm_perplexity_buckets": (
+            "WITH toks AS (SELECT doc_id, string_split(text,' ') AS w"
+            "  FROM documents),"
+            " pairs AS (SELECT doc_id,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)])) AS w1,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1])) AS bg"
+            "  FROM toks WHERE len(w) >= 2),"
+            " c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),"
+            " c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs GROUP BY bg),"
+            " agg AS (SELECT doc_id, COUNT(*) AS n,"
+            "  SUM((1000000 * c2.c2) // c1.c1) AS s"
+            "  FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)"
+            "  GROUP BY doc_id),"
+            " sc AS MATERIALIZED (SELECT d.doc_id,"
+            "  CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,"
+            "  CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro"
+            "  FROM documents d LEFT JOIN agg USING (doc_id)),"
+            " samp AS (SELECT lm_score_micro, doc_id FROM sc"
+            "  ORDER BY md5('ppl:' || CAST(doc_id AS VARCHAR))"
+            "  LIMIT 4096),"
+            " r AS (SELECT lm_score_micro AS sv,"
+            "  ROW_NUMBER() OVER (ORDER BY lm_score_micro, doc_id) AS rn,"
+            "  COUNT(*) OVER () AS m FROM samp),"
+            " t AS (SELECT"
+            "  MAX(CASE WHEN rn = CAST(ceil(m / 3.0) AS BIGINT)"
+            "   THEN sv END) AS t_low,"
+            "  MAX(CASE WHEN rn = CAST(ceil(2 * m / 3.0) AS BIGINT)"
+            "   THEN sv END) AS t_high FROM r)"
+            " SELECT doc_id, n_bigrams, lm_score_micro,"
+            " CAST(t_low AS BIGINT) AS t_low_micro,"
+            " CAST(t_high AS BIGINT) AS t_high_micro,"
+            " CASE WHEN lm_score_micro > t_high THEN 'head'"
+            "  WHEN lm_score_micro > t_low THEN 'middle'"
+            "  ELSE 'tail' END AS ppl_bucket"
+            " FROM sc, t"
         ),
         # DSIR importance weights: md5 low-byte buckets (md5_number is
         # the signed little-endian int128 — ((x%64)+64)%64 == byte0%64,

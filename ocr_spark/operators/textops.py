@@ -1787,3 +1787,62 @@ def reshard_by_bytes(
             .alias("out_shard"),
         )
     )
+
+
+#: lm_perplexity_buckets threshold-sample size. Fixed — operator
+#: contract (the oracle replays ORDER BY md5 LIMIT this value).
+PPL_SAMPLE_N = 4096
+
+
+def lm_perplexity_buckets(
+    df: DataFrame, col: str = "text", sample_n: int = PPL_SAMPLE_N
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al.,
+    arXiv:1911.00359 §4.3): split the corpus into head / middle / tail
+    thirds by language-model fluency, the pass CCNet uses to pick
+    training data quality strata. Fluency is the corpus bigram-LM score
+    (:func:`ngram_lm_score`, integer micro-units); the two tertile
+    thresholds are computed on a DETERMINISTIC bounded sample — the
+    ``sample_n`` documents with the smallest ``md5('ppl:' || doc_id)``
+    — exactly the CCNet convention of training thresholds on a sample
+    and applying them as constants.
+
+    Scale shape: the sample is a distributed TakeOrdered (never a
+    global sort of the corpus) and its collect is bounded by the
+    constant ``sample_n`` — the same FAISS-style bounded-driver-side
+    pattern as the IVF quantizer training; thresholds then apply as
+    broadcast literals, so the bucketing itself adds ZERO exchanges on
+    top of the LM scoring. Tie-break inside the sample is
+    (score, doc_id) rank — integer-exact, so the DuckDB oracle replays
+    the thresholds and the buckets bit-for-bit."""
+    import math
+
+    scored = ngram_lm_score(df, col).select(
+        "doc_id", "n_bigrams", "lm_score_micro"
+    )
+    key = F.md5(F.concat(F.lit("ppl:"), F.col("doc_id").cast("string")))
+    samp = (
+        scored.select("lm_score_micro", "doc_id", key.alias("__k"))
+        .orderBy("__k")
+        .limit(sample_n)
+        .select("lm_score_micro", "doc_id")
+    )
+    rows = sorted((r.lm_score_micro, r.doc_id) for r in samp.collect())
+    m = len(rows)
+    if m == 0:
+        raise ValueError("lm_perplexity_buckets: empty corpus, no sample")
+    t_low = int(rows[math.ceil(m / 3) - 1][0])
+    t_high = int(rows[math.ceil(2 * m / 3) - 1][0])
+    bucket = (
+        F.when(F.col("lm_score_micro") > t_high, F.lit("head"))
+        .when(F.col("lm_score_micro") > t_low, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score_micro",
+        F.lit(t_low).cast("long").alias("t_low_micro"),
+        F.lit(t_high).cast("long").alias("t_high_micro"),
+        bucket.alias("ppl_bucket"),
+    )

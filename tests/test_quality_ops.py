@@ -754,3 +754,40 @@ def test_reshard_by_bytes_prefix_sum_exact(spark):
         off += n
     # docs never split: every shard except the last overruns by < one doc
     assert out.out_shard.nunique() > 1
+
+
+def test_lm_perplexity_buckets_tertiles(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    # three fluency strata: repeated common bigrams (high P), mixed,
+    # and unique-word docs (every bigram seen once but contexts vary)
+    docs = []
+    for i in range(30):
+        docs.append((i, "the cat sat on the mat " * 4))
+    for i in range(30, 60):
+        docs.append((i, f"the cat u{i} on v{i} mat w{i} q{i}"))
+    for i in range(60, 90):
+        docs.append((i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i}"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = textops.lm_perplexity_buckets(df).toPandas().set_index("doc_id")
+    assert len(out) == 90
+    # thresholds are global constants
+    assert out.t_low_micro.nunique() == 1 and out.t_high_micro.nunique() == 1
+    t_low, t_high = out.t_low_micro.iloc[0], out.t_high_micro.iloc[0]
+    assert t_low <= t_high
+    # bucket assignment is exactly the threshold comparison
+    for _, r in out.iterrows():
+        want = (
+            "head" if r.lm_score_micro > t_high
+            else "middle" if r.lm_score_micro > t_low
+            else "tail"
+        )
+        assert r.ppl_bucket == want
+    # all three strata are populated and ordered by score
+    assert set(out.ppl_bucket) == {"head", "middle", "tail"}
+    assert (
+        out[out.ppl_bucket == "head"].lm_score_micro.min()
+        > out[out.ppl_bucket == "tail"].lm_score_micro.max()
+    )
