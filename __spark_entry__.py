@@ -276,6 +276,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast literal thresholds
         return textops.lm_perplexity_buckets(_docs(spark, sf))
 
+    def link_pagerank(spark, sf):
+        # domain-graph PageRank: every doc's synthetic host links to
+        # the domains extracted from its (url_extract-style injected)
+        # text; 3 integer micro-unit power iterations, oracle-unrolled
+        from ocr_spark.operators import graph as G
+
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 3
+        inj = d.select(
+            "doc_id",
+            F.when(
+                m == 1,
+                F.concat(
+                    F.col("text"), F.lit(" see http://h"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.com/p now"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.col("text"), F.lit(" via https://cdn"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".tracker.net/x and http://ok.example.com/y"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("t"),
+        )
+        urls = "regexp_extract_all(t, 'https?://[a-z0-9./_-]+', 0)"
+        doms = (
+            f"transform({urls},"
+            " u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1))"
+        )
+        edges = inj.select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example.com"),
+            ).alias("src"),
+            F.explode(F.expr(doms)).alias("dst"),
+        )
+        return G.pagerank(edges)
+
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
         # running-window packing, token counts from the BPE merge chain
@@ -1647,8 +1691,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
         # (dedup_verified_pairs rotated out round 5: green in r3 AND r4
-        # driver windows; still proven by the in-gate contract replay)
-        "dedup_simhash_candidates": dedup_simhash_candidates,
+        # driver windows; still proven by the in-gate contract replay.
+        # dedup_simhash_candidates rotated out mid-round-5 the same way:
+        # r4 driver green + dedup_simhash green r2/r3 — making room for
+        # link_pagerank in the window)
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "semdedup": semdedup,
         # (ann_cosine_topk rotated out round 5: green in r3 AND r4
@@ -1689,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_compression": token_compression,
         "reshard_by_bytes": reshard_by_bytes,
         "lm_perplexity_buckets": lm_perplexity_buckets,
+        "link_pagerank": link_pagerank,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1712,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
+        "dedup_simhash_candidates": dedup_simhash_candidates,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3181,6 +3229,25 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro,"
             " COALESCE(s // n, 0) >= 20000 AS is_fluent"
             " FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        # domain-graph PageRank: edge injection replayed in DuckDB RE2,
+        # then 3 unrolled integer power iterations (// == Spark div)
+        "link_pagerank": __import__(
+            "ocr_spark.operators.graph", fromlist=["oracle_pagerank_sql"]
+        ).oracle_pagerank_sql(
+            "SELECT DISTINCT 'site' || CAST(doc_id % 40 AS VARCHAR)"
+            " || '.example.com' AS src, dom AS dst FROM"
+            " (SELECT doc_id, unnest(list_transform("
+            "   regexp_extract_all(t, 'https?://[a-z0-9./_-]+'),"
+            "   u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1)))"
+            "   AS dom FROM"
+            "  (SELECT doc_id, CASE"
+            "   WHEN doc_id%3=1 THEN text || ' see http://h' ||"
+            "    CAST(doc_id%50 AS VARCHAR) || '.example.com/p now'"
+            "   WHEN doc_id%3=2 THEN text || ' via https://cdn' ||"
+            "    CAST(doc_id%9 AS VARCHAR) ||"
+            "    '.tracker.net/x and http://ok.example.com/y'"
+            "   ELSE text END AS t FROM documents) it)"
         ),
         # CCNet perplexity strata: the bigram-LM chain again, then
         # tertile thresholds from the md5-TakeOrdered sample (rank =

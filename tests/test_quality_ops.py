@@ -791,3 +791,36 @@ def test_lm_perplexity_buckets_tertiles(spark):
         out[out.ppl_bucket == "head"].lm_score_micro.min()
         > out[out.ppl_bucket == "tail"].lm_score_micro.max()
     )
+def test_pagerank_hand_computed(spark):
+    # tiny graph: a->b, a->c, b->c; hand-check one iteration
+    from ocr_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],  # dup edge deduped
+        "src string, dst string",
+    )
+    r1 = {
+        r.node: r.rank_micro
+        for r in G.pagerank(edges, iters=1).collect()
+    }
+    # deg(a)=2, deg(b)=1; r0 = 1e6 each
+    # b: 150000 + (17*1e6)//(20*2) = 150000 + 425000
+    # c: 150000 + 425000 + (17*1e6)//20 = 150000+425000+850000
+    # a: no in-edges -> teleport only
+    assert r1 == {"a": 150000, "b": 575000, "c": 1425000}
+
+    # 3 iterations stay integer-exact and include every node
+    r3 = {r.node: r.rank_micro for r in G.pagerank(edges).collect()}
+    assert set(r3) == {"a", "b", "c"}
+    # replay iters 2..3 by hand from r1
+    cur = r1
+    for _ in range(2):
+        nxt = {"a": 150000}
+        nxt["b"] = 150000 + (17 * cur["a"]) // (20 * 2)
+        nxt["c"] = (
+            150000
+            + (17 * cur["a"]) // (20 * 2)
+            + (17 * cur["b"]) // (20 * 1)
+        )
+        cur = nxt
+    assert r3 == cur
