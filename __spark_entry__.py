@@ -93,6 +93,10 @@ _SPAN_BLOCK_B = (
 )
 assert len(_SPAN_BLOCK_A.split(" ")) == 20 and len(_SPAN_BLOCK_B.split(" ")) == 20
 
+# shared payload for cdc_chunk_dedup's duplicate injection — long
+# enough for several content-defined boundaries
+_CDC_SHARED_TEXT = _SPAN_BLOCK_A + " " + _SPAN_BLOCK_B + " " + _SPAN_BLOCK_A
+
 #: gopher_rules numeric-injection block (doc_id%7==4): ≥50 words but
 #: mostly digit tokens, so the alphabetic-word and mean-word-length
 #: rules fail while the word-count rule passes. Shared with the oracle.
@@ -319,6 +323,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.explode(F.expr(doms)).alias("dst"),
         )
         return G.pagerank(edges)
+
+    def cdc_chunk_dedup(spark, sf):
+        # content-defined chunking dedup: docs with doc_id%7==0 share
+        # one injected payload (guaranteed cross-doc duplicate chunks);
+        # boundaries from the rolling md5 window, per-hash corpus counts
+        d = _docs(spark, sf)
+        injected = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(_CDC_SHARED_TEXT)
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.cdc_chunk_dedup(injected)
 
     def bpe_pack_sequences(spark, sf):
         # pack_sequences on the REAL subword token axis: same shard +
@@ -1706,7 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multimodal_features + multimodal_audio_meta rotated out round
         # 5: green in both the r3 AND r4 driver windows)
         "multimodal_audio_features": multimodal_audio_features,
-        "multimodal_video_frames": multimodal_video_frames,
+        # (multimodal_video_frames rotated out mid-round-5: green in
+        # r3 AND r4 driver windows — making room for cdc_chunk_dedup)
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
         "substring_dedup_cut": substring_dedup_cut,
@@ -1736,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard_by_bytes": reshard_by_bytes,
         "lm_perplexity_buckets": lm_perplexity_buckets,
         "link_pagerank": link_pagerank,
+        "cdc_chunk_dedup": cdc_chunk_dedup,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1760,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
         "dedup_simhash_candidates": dedup_simhash_candidates,
+        "multimodal_video_frames": multimodal_video_frames,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3229,6 +3251,36 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro,"
             " COALESCE(s // n, 0) >= 20000 AS is_fluent"
             " FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        # content-defined chunking: boundary = md5 byte0 % 16 of the
+        # 4-token rolling window (md5_number ≡ conv-substring parity);
+        # chunk hash = md5 of the space-joined slice; keep-first rank
+        "cdc_chunk_dedup": (
+            "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0"
+            " THEN '" + _CDC_SHARED_TEXT + "'"
+            " ELSE text END AS text FROM documents),"
+            " t AS (SELECT doc_id, string_split(text, ' ') AS w"
+            "  FROM inj WHERE text IS NOT NULL),"
+            " c AS (SELECT doc_id, w,"
+            "  list_filter(range(2, len(w) - 2),"
+            "   i -> ((md5_number(array_to_string("
+            "    list_slice(w, i, i + 3), ' ')) % 16) + 16) % 16 = 0)"
+            "   AS cuts FROM t),"
+            " s AS (SELECT doc_id, w, list_prepend(1, cuts) AS ss,"
+            "  list_append(cuts, len(w) + 1) AS ee FROM c),"
+            " ch AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,"
+            "  CAST(ss[u.i] AS INT) AS start_tok,"
+            "  CAST(ee[u.i] - ss[u.i] AS BIGINT) AS n_chunk_tokens,"
+            "  md5(array_to_string(list_slice(w, CAST(ss[u.i] AS INT),"
+            "   CAST(ee[u.i] AS INT) - 1), ' ')) AS chunk_hash"
+            "  FROM s, LATERAL unnest(range(1, len(ss) + 1)) u(i))"
+            " SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens,"
+            " chunk_hash,"
+            " CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)"
+            "  AS n_dup,"
+            " ROW_NUMBER() OVER (PARTITION BY chunk_hash"
+            "  ORDER BY doc_id, chunk_idx) = 1 AS is_first"
+            " FROM ch"
         ),
         # domain-graph PageRank: edge injection replayed in DuckDB RE2,
         # then 3 unrolled integer power iterations (// == Spark div)

@@ -1846,3 +1846,92 @@ def lm_perplexity_buckets(
         F.lit(t_high).cast("long").alias("t_high_micro"),
         bucket.alias("ppl_bucket"),
     )
+
+
+#: CDC boundary window width (tokens) and divisor — a boundary opens
+#: before token i when md5(tokens[i..i+3]) byte0 % 16 == 0, giving
+#: ~16-token expected chunks. Fixed — operator contract.
+CDC_WINDOW = 4
+CDC_DIVISOR = 16
+
+
+def cdc_chunk_dedup(df: DataFrame, col: str = "text") -> DataFrame:
+    """Content-defined chunking + corpus-wide duplicate-chunk
+    detection — the storage-dedup primitive (Muthitacharoen et al.,
+    LBFS SOSP'01) applied at the token level: chunk boundaries fall
+    where a rolling window hash satisfies ``H % 16 == 0``, so an
+    insertion early in a document shifts ONLY the chunk it lands in —
+    unlike fixed-stride chunking, every later chunk re-aligns and
+    still matches its duplicates elsewhere in the corpus.
+
+    Per chunk: position, token count, content hash, the corpus-wide
+    occurrence count of that hash, and a keep-first flag ((doc_id,
+    chunk_idx) order — the dedup-cut convention shared with
+    substring_dedup_cut).
+
+    Cross-engine exactness: the boundary predicate is the md5 digest's
+    byte 0 mod 16 (Spark ``conv(substring(md5,1,2),16,10)`` ≡ DuckDB
+    ``((md5_number % 16)+16)%16``), chunk hashes are md5 over the
+    space-joined token slice — both already-proven parity primitives.
+
+    Scale shape: chunking is per-row JVM array expressions over ONE
+    hoisted token array (no O(words²) re-split); the only exchange
+    carries (doc_id, chunk_idx, hash, len) — never text — into the
+    per-hash count/rank window."""
+    from pyspark.sql.window import Window
+
+    W, D = CDC_WINDOW, CDC_DIVISOR
+    toks = df.filter(F.col(col).isNotNull()).select(
+        "doc_id", _tokens(col).alias("__t")
+    )
+    n = F.size("__t")
+    # candidate boundary starts 2..n-W+1 (start 1 is implicit); Spark
+    # sequence() DESCENDS when hi < lo, so the guard is mandatory
+    low_byte = (
+        "pmod(cast(conv(substring("
+        "md5(concat_ws(' ', slice(__t, i, {w}))), 1, 2), 16, 10) as int),"
+        " {d})".format(w=W, d=D)
+    )
+    cuts = F.when(
+        n >= W + 1,
+        F.expr(
+            f"filter(sequence(2, size(__t) - {W} + 1),"
+            f" i -> {low_byte} = 0)"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    seg = toks.select(
+        "doc_id",
+        "__t",
+        F.concat(F.array(F.lit(1)), cuts.cast("array<int>")).alias("__ss"),
+        F.concat(
+            cuts.cast("array<int>"), F.array((n + 1).cast("int"))
+        ).alias("__ee"),
+    )
+    chunks = seg.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(__ss, __ee, (s, e) -> struct("
+                " CAST(s AS INT) AS st,"
+                " CAST(e - s AS INT) AS ln,"
+                " md5(concat_ws(' ', slice(__t, s, e - s))) AS h))"
+            )
+        ).alias("chunk_idx", "__c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__c.st").alias("start_tok"),
+        F.col("__c.ln").cast("long").alias("n_chunk_tokens"),
+        F.col("__c.h").alias("chunk_hash"),
+    )
+    w_h = Window.partitionBy("chunk_hash")
+    w_r = w_h.orderBy("doc_id", "chunk_idx")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_chunk_tokens",
+        "chunk_hash",
+        F.count("*").over(w_h).cast("long").alias("n_dup"),
+        (F.row_number().over(w_r) == 1).alias("is_first"),
+    )

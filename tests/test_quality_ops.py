@@ -824,3 +824,58 @@ def test_pagerank_hand_computed(spark):
         )
         cur = nxt
     assert r3 == cur
+
+
+def test_cdc_chunk_dedup_boundaries_and_dups(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [shared, shared, "tiny", None],
+        }
+    )
+    out = textops.cdc_chunk_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert set(out.doc_id) == {0, 1, 2}
+
+    # python replay of the chunking contract
+    def chunks(text):
+        w = text.split(" ")
+        cuts = [
+            i
+            for i in range(2, len(w) - textops.CDC_WINDOW + 2)
+            if hashlib.md5(
+                " ".join(w[i - 1 : i - 1 + textops.CDC_WINDOW]).encode()
+            ).digest()[0] % textops.CDC_DIVISOR == 0
+        ]
+        ss = [1] + cuts
+        ee = cuts + [len(w) + 1]
+        return [
+            (s, e - s, hashlib.md5(" ".join(w[s - 1 : e - 1]).encode()).hexdigest())
+            for s, e in zip(ss, ee)
+        ]
+
+    want = chunks(shared)
+    for doc in (0, 1):
+        got = out[out.doc_id == doc].sort_values("chunk_idx")
+        assert [
+            (r.start_tok, r.n_chunk_tokens, r.chunk_hash)
+            for r in got.itertuples()
+        ] == want
+    # identical docs: every chunk duplicated, keep-first on doc 0 only
+    d0 = out[out.doc_id == 0]
+    d1 = out[out.doc_id == 1]
+    assert (d0.n_dup == 2).all() and (d1.n_dup == 2).all()
+    assert d0.is_first.all() and not d1.is_first.any()
+    # short doc: one chunk spanning everything, unique
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_chunk_tokens == 1
+    assert d2.iloc[0].n_dup == 1 and bool(d2.iloc[0].is_first)
