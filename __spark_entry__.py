@@ -324,6 +324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return G.pagerank(edges)
 
+    def event_funnel(spark, sf):
+        # view → click → purchase conversion: first-step events by
+        # (ts, event_id) lexicographic order, strictly-after anchoring,
+        # only event IDs and flags exported (no raw timestamps)
+        return relational.event_funnel(_tbl(spark, sf, "events"))
+
+    def profile_table(spark, sf):
+        # ANALYZE-style stats over documents: one agg job (exact
+        # multi-distinct via Expand; approx-HLL is the 100 TB swap),
+        # exploded to per-column rows
+        return relational.profile_table(
+            _docs(spark, sf), ["doc_id", "text", "lang", "source"]
+        )
+
     def cdc_chunk_dedup(spark, sf):
         # content-defined chunking dedup: docs with doc_id%7==0 share
         # one injected payload (guaranteed cross-doc duplicate chunks);
@@ -1719,12 +1733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ann_cosine_topk rotated out round 5: green in r3 AND r4
         # driver windows; in-gate contract replay keeps proving it)
         "ann_lsh_bucketed": ann_lsh_bucketed,
-        "ann_ivf_topk": ann_ivf_topk,
-        # (ann_ivf_pq rotated out round 5: green in r3 AND r4 windows)
+        # (ann_ivf_topk rotated out mid-round-5: green in r1 AND r4
+        # driver windows — making room for event_funnel.
+        # ann_ivf_pq rotated out round 5: green in r3 AND r4 windows)
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         # (multimodal_features + multimodal_audio_meta rotated out round
-        # 5: green in both the r3 AND r4 driver windows)
-        "multimodal_audio_features": multimodal_audio_features,
+        # 5, multimodal_audio_features mid-round-5 for profile_table:
+        # all green in both the r3 AND r4 driver windows)
         # (multimodal_video_frames rotated out mid-round-5: green in
         # r3 AND r4 driver windows — making room for cdc_chunk_dedup)
         "line_dedup": line_dedup,
@@ -1757,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_buckets": lm_perplexity_buckets,
         "link_pagerank": link_pagerank,
         "cdc_chunk_dedup": cdc_chunk_dedup,
+        "event_funnel": event_funnel,
+        "profile_table": profile_table,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1782,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proving them every pytest run)
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "multimodal_video_frames": multimodal_video_frames,
+        "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_audio_features": multimodal_audio_features,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3251,6 +3270,49 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(s // n, 0) AS BIGINT) AS lm_score_micro,"
             " COALESCE(s // n, 0) >= 20000 AS is_fluent"
             " FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        # three-step funnel: first-by-(ts,event_id) per step, strictly
+        # after the previous step's anchor; only IDs/flags exported so
+        # no timestamp-epoch semantics cross engines
+        "event_funnel": (
+            "WITH v AS (SELECT user_id, ts, event_id FROM ("
+            "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "  FROM events WHERE event_type = 'view') WHERE rn = 1),"
+            " c AS (SELECT user_id, ts, event_id FROM ("
+            "  SELECT e.user_id, e.ts, e.event_id, ROW_NUMBER() OVER ("
+            "   PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn"
+            "  FROM events e JOIN v ON v.user_id = e.user_id"
+            "   AND (e.ts > v.ts OR (e.ts = v.ts"
+            "        AND e.event_id > v.event_id))"
+            "  WHERE e.event_type = 'click') WHERE rn = 1),"
+            " p AS (SELECT user_id, ts, event_id FROM ("
+            "  SELECT e.user_id, e.ts, e.event_id, ROW_NUMBER() OVER ("
+            "   PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn"
+            "  FROM events e JOIN c ON c.user_id = e.user_id"
+            "   AND (e.ts > c.ts OR (e.ts = c.ts"
+            "        AND e.event_id > c.event_id))"
+            "  WHERE e.event_type = 'purchase') WHERE rn = 1)"
+            " SELECT v.user_id, v.event_id AS view_id,"
+            " CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_id,"
+            " CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,"
+            " c.user_id IS NOT NULL AS reached_click,"
+            " p.user_id IS NOT NULL AS reached_purchase"
+            " FROM v LEFT JOIN c ON c.user_id = v.user_id"
+            " LEFT JOIN p ON p.user_id = v.user_id"
+        ),
+        # exact ANALYZE stats per column (COUNT DISTINCT ignores NULLs
+        # in both engines)
+        "profile_table": (
+            " UNION ALL ".join(
+                "SELECT '{c}' AS column_name,"
+                " (SELECT COUNT(*) FROM documents) AS n_rows,"
+                " CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)"
+                "  AS n_null,"
+                " CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct"
+                " FROM documents".format(c=c)
+                for c in ("doc_id", "text", "lang", "source")
+            )
         ),
         # content-defined chunking: boundary = md5 byte0 % 16 of the
         # 4-token rolling window (md5_number ≡ conv-substring parity);

@@ -419,3 +419,133 @@ def salted_group_agg(
         F.sum("__n").cast("long").alias("n_rows"),
         F.sum("__s").alias(f"sum_{value}"),
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered three-step conversion funnel over an event stream: for
+    every user with at least one ``steps[0]`` event, find the FIRST
+    such event, then the first ``steps[1]`` event strictly after it,
+    then the first ``steps[2]`` event strictly after that — the
+    product-analytics primitive (view → click → purchase conversion).
+
+    "First" and "after" are (ts, event_id)-lexicographic, so ties are
+    deterministic and the result carries only event IDs and booleans —
+    no raw timestamp ever leaves the plan (sidestepping cross-engine
+    timestamp-epoch drift entirely).
+
+    Scale shape: each step is one keyed aggregation on user_id
+    (min(struct(ts,id)) — map-side combining, no window over the event
+    table) plus one join of the step-(k-1) firsts, which are ≤1 row per
+    user; skewed users cost one hot key in a hash agg, not a sort."""
+
+    def _first(df: DataFrame, typ: str) -> DataFrame:
+        return (
+            df.filter(F.col("event_type") == typ)
+            .groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("__m"))
+            .select(
+                "user_id",
+                F.col("__m.ts").alias("ts"),
+                F.col("__m.event_id").alias("eid"),
+            )
+        )
+
+    def _first_after(prev: DataFrame, typ: str) -> DataFrame:
+        ev = events.filter(F.col("event_type") == typ).select(
+            "user_id", "ts", "event_id"
+        )
+        anchored = ev.join(
+            prev.select(
+                "user_id",
+                F.col("ts").alias("__t0"),
+                F.col("eid").alias("__id0"),
+            ),
+            "user_id",
+        )
+        return (
+            anchored.filter(
+                (F.col("ts") > F.col("__t0"))
+                | (
+                    (F.col("ts") == F.col("__t0"))
+                    & (F.col("event_id") > F.col("__id0"))
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("__m"))
+            .select(
+                "user_id",
+                F.col("__m.ts").alias("ts"),
+                F.col("__m.event_id").alias("eid"),
+            )
+        )
+
+    s1 = _first(events, steps[0])
+    s2 = _first_after(s1, steps[1])
+    s3 = _first_after(s2, steps[2])
+    return (
+        s1.select("user_id", F.col("eid").alias("view_id"))
+        .join(
+            s2.select("user_id", F.col("eid").alias("__c")), "user_id", "left"
+        )
+        .join(
+            s3.select("user_id", F.col("eid").alias("__p")), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "view_id",
+            F.coalesce(F.col("__c"), F.lit(-1)).cast("long").alias("click_id"),
+            F.coalesce(F.col("__p"), F.lit(-1))
+            .cast("long")
+            .alias("purchase_id"),
+            F.col("__c").isNotNull().alias("reached_click"),
+            F.col("__p").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style table profiling: one row per profiled column with
+    the table row count, NULL count, and EXACT distinct count — the
+    metadata pass that feeds optimizer statistics and data-quality
+    dashboards.
+
+    All counts come from ONE aggregation job (Spark rewrites the
+    multiple exact DISTINCTs with an Expand of factor ≈ len(cols) —
+    the inherent cost of exact multi-column NDV, acceptable for a
+    stats pass that runs once per snapshot; at 100 TB the scale path
+    swaps countDistinct for approx_count_distinct(HLL) column-for-
+    column, which drops the Expand entirely — kept exact here so the
+    DuckDB oracle value-matches). The single result row then explodes
+    into the per-column long format JVM-side."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.col("__n").cast("long").alias("n_rows"), structs.alias("__a"))
+        .select("n_rows", F.explode("__a").alias("__s"))
+        .select(
+            F.col("__s.column_name").alias("column_name"),
+            "n_rows",
+            F.col("__s.n_null").cast("long").alias("n_null"),
+            F.col("__s.n_distinct").cast("long").alias("n_distinct"),
+        )
+    )

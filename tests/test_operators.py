@@ -1025,3 +1025,54 @@ def test_embedding_dedup_lsh_recall_vs_uncapped_exact(spark):
     assert approx <= exact
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.3, f"embedding-dedup LSH recall collapsed: {recall}"
+
+
+def test_event_funnel_ordering_and_ties(spark):
+    from datetime import datetime
+
+    from ocr_spark.operators import relational
+
+    T = datetime(2024, 1, 1)
+    T2 = datetime(2024, 1, 2)
+    T3 = datetime(2024, 1, 3)
+    rows = [
+        # user 1: full funnel, tie at first step resolved by event_id
+        (10, T, 1, "view"), (11, T, 1, "view"),
+        (12, T2, 1, "click"), (13, T3, 1, "purchase"),
+        # user 2: click BEFORE the first view must not count
+        (20, T2, 2, "view"), (21, T, 2, "click"),
+        # user 3: same-ts click with larger id counts (strictly after)
+        (30, T, 3, "view"), (31, T, 3, "click"),
+        # user 4: same-ts click with SMALLER id does not count
+        (41, T, 4, "view"), (40, T, 4, "click"),
+        # user 5: never views -> excluded
+        (50, T, 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r.user_id: r for r in relational.event_funnel(df).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].view_id == 10 and out[1].click_id == 12
+    assert out[1].purchase_id == 13 and out[1].reached_purchase
+    assert out[2].click_id == -1 and not out[2].reached_click
+    assert out[3].click_id == 31 and out[3].reached_click
+    assert out[4].click_id == -1 and not out[4].reached_click
+
+
+def test_profile_table_exact_counts(spark):
+    from ocr_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "k long, v string",
+    )
+    out = {
+        r.column_name: r
+        for r in relational.profile_table(df, ["k", "v"]).collect()
+    }
+    assert out["k"].n_rows == 4 and out["v"].n_rows == 4
+    assert out["k"].n_null == 1 and out["k"].n_distinct == 3
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 2
