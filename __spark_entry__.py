@@ -1234,6 +1234,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def zorder_layout(spark, sf):
+        # OPTIMIZE ZORDER analog: Morton code of (doc_id, n_chars),
+        # pure JVM bit arithmetic, zero exchanges
+        return relational.zorder_layout(_docs(spark, sf))
+
+    def cross_snapshot_fuzzy(spark, sf):
+        # near-dup dedup against vN-1 (docs with doc_id%3==0; half of
+        # them carry an appended footer so exact digests MISS but the
+        # MinHash bands still collide): band join between snapshots
+        d = _docs(spark, sf)
+        prior = d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 6 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" vnminus1 suffix")))
+            .alias("text"),
+        )
+        return dedup.cross_snapshot_fuzzy(d, prior)
+
     def domain_cap(spark, sf):
         # per-domain cap: keep <= 10 docs per source under the
         # deterministic md5(cap0:doc_id) order, two-phase rank (k=10 so
@@ -1721,14 +1739,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": split_assign,
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         "bloom_dedup": bloom_dedup,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
+        # (dedup_minhash_lsh rotated out mid-round-5: green in r1,
+        # r3 AND r4 driver windows — making room for zorder_layout;
+        # dedup_clusters still exercises the same LSH chain in-window)
         "dedup_clusters": dedup_clusters,
         # (dedup_verified_pairs rotated out round 5: green in r3 AND r4
         # driver windows; still proven by the in-gate contract replay.
         # dedup_simhash_candidates rotated out mid-round-5 the same way:
         # r4 driver green + dedup_simhash green r2/r3 — making room for
         # link_pagerank in the window)
-        "dedup_embedding_cosine": dedup_embedding_cosine,
+        # (dedup_embedding_cosine rotated out mid-round-5: green in
+        # r1, r3 AND r4 driver windows — making room for
+        # cross_snapshot_fuzzy)
         "semdedup": semdedup,
         # (ann_cosine_topk rotated out round 5: green in r3 AND r4
         # driver windows; in-gate contract replay keeps proving it)
@@ -1774,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": cdc_chunk_dedup,
         "event_funnel": event_funnel,
         "profile_table": profile_table,
+        "cross_snapshot_fuzzy": cross_snapshot_fuzzy,
+        "zorder_layout": zorder_layout,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1801,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal_video_frames,
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_audio_features": multimodal_audio_features,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3100,6 +3126,55 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT doc_id, md5(text) AS h FROM documents) d"
             " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
             "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
+        ),
+        # Morton layout code: the same spread-stage generator renders
+        # DuckDB's << where Spark used shiftleft — identical constants
+        "zorder_layout": (
+            "SELECT doc_id, CAST(doc_id AS BIGINT) AS d1,"
+            " CAST(n_chars AS BIGINT) AS d2,"
+            " CAST({z} AS BIGINT) AS zval,"
+            " CAST({z} // {div} AS BIGINT) AS zfile"
+            " FROM documents".format(
+                z=__import__(
+                    "ocr_spark.operators.relational",
+                    fromlist=["zorder_zval_sql"],
+                ).zorder_zval_sql(
+                    "CAST(doc_id AS BIGINT)",
+                    "CAST(n_chars AS BIGINT)",
+                    lambda x, s: f"(({x}) << {s})",
+                ),
+                div=1 << 20,
+            )
+        ),
+        # fuzzy cross-snapshot: BOTH snapshots through the 16×4 minhash
+        # banding (prior = doc_id%3==0, half with an appended footer so
+        # exact digests miss), band join between releases
+        "cross_snapshot_fuzzy": (
+            "WITH prior AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0"
+            "  THEN text ELSE text || ' vnminus1 suffix' END AS text"
+            "  FROM documents WHERE doc_id % 3 = 0),"
+            " shc AS MATERIALIZED (SELECT doc_id, " + _SH_SENTINEL
+            + " AS s FROM documents),"
+            " shp AS MATERIALIZED (SELECT doc_id, " + _SH_SENTINEL
+            + " AS s FROM prior),"
+            f" sigc AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS}"
+            " FROM shc),"
+            f" sigp AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS}"
+            " FROM shp),"
+            " bc AS (" + _BANDS_16x4.replace("FROM sig", "FROM sigc")
+            + "),"
+            " bp AS (" + _BANDS_16x4.replace("FROM sig", "FROM sigp")
+            + "),"
+            " pairs AS (SELECT DISTINCT bc.doc_id AS doc_id,"
+            "  bp.doc_id AS prior_id FROM bc JOIN bp"
+            "  ON bc.band_idx = bp.band_idx"
+            "  AND bc.band_key = bp.band_key),"
+            " agg AS (SELECT doc_id, COUNT(*) AS n, MIN(prior_id) AS m"
+            "  FROM pairs GROUP BY doc_id)"
+            " SELECT d.doc_id, agg.doc_id IS NOT NULL AS fuzzy_in_prior,"
+            " CAST(COALESCE(n, 0) AS BIGINT) AS n_prior_candidates,"
+            " CAST(COALESCE(m, -1) AS BIGINT) AS min_prior_id"
+            " FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         # per-domain cap: deterministic md5(cap0:id) order, <= 10/domain
         "domain_cap": (

@@ -891,3 +891,56 @@ def cross_snapshot_novelty(
         )
         .alias("novelty"),
     )
+
+
+def cross_snapshot_fuzzy(
+    cur: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy cross-snapshot deduplication — the near-duplicate upgrade
+    of :func:`cross_snapshot_dedup`: where the exact pass only catches
+    byte-identical carry-overs into release vN, this flags documents
+    whose MinHash-LSH bands collide with ANY document of the previous
+    release — catching re-crawls that differ by a boilerplate footer,
+    a timestamp, or a small edit (the dominant cross-release dup class
+    in web corpora).
+
+    Both snapshots run the same 16-hash / 4-band signature pipeline
+    (:func:`minhash_signatures` + :func:`lsh_bands`), so the collision
+    S-curve is the within-snapshot one (midpoint ≈ 0.7 shingle
+    Jaccard). Per current document: a hit flag, the number of distinct
+    prior candidates, and the smallest prior id (−1 when none).
+
+    Scale shape: the cross-release join keys on (band_idx, band_key)
+    and carries ids only — text never leaves the signature stage; the
+    prior side is band-deduped the same way, and candidate counts are
+    a keyed aggregation, not a window. At 100 TB both snapshots are
+    huge, so this is a shuffled band join (no broadcast assumption) —
+    exactly the shape of the within-snapshot LSH pass that already
+    holds at scale."""
+    sig_c = minhash_signatures(cur, text_col, id_col)
+    sig_p = minhash_signatures(prior, text_col, id_col)
+    bands_c = lsh_bands(sig_c)
+    bands_p = lsh_bands(sig_p).withColumnRenamed("doc_id", "prior_id")
+    pairs = (
+        bands_c.join(bands_p, ["band_idx", "band_key"])
+        .select("doc_id", "prior_id")
+        .distinct()
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.min("prior_id").alias("__m"),
+    )
+    base = cur.select(F.col(id_col).alias("doc_id"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("__n").isNotNull().alias("fuzzy_in_prior"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+            "n_prior_candidates"
+        ),
+        F.coalesce(F.col("__m"), F.lit(-1)).cast("long").alias(
+            "min_prior_id"
+        ),
+    )

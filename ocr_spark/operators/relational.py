@@ -549,3 +549,70 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col("__s.n_distinct").cast("long").alias("n_distinct"),
         )
     )
+
+
+#: Morton-spread stages: interleave-ready bit spreading of a 16-bit
+#: value via the classic magic masks (Bit Twiddling Hacks / Morton
+#: 1966 indexing). Contract — the oracle unrolls the same stages.
+_SPREAD_STAGES = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_sql(expr: str, shl) -> str:
+    """SQL for spreading the low 16 bits of ``expr`` so they occupy
+    every other bit position. ``shl(x, s)`` renders a left shift in the
+    target dialect (Spark ``shiftleft``, DuckDB ``<<``) — one generator
+    for both engines, zero transcription drift."""
+    x = f"(({expr}) & 65535)"
+    for s, m in _SPREAD_STAGES:
+        x = f"((({x}) | {shl(x, s)}) & {m})"
+    return x
+
+
+def zorder_zval_sql(dim1: str, dim2: str, shl) -> str:
+    """Morton code of (dim1, dim2): dim1 on even bits, dim2 on odd
+    (``* 2`` == shift-by-1, portable verbatim across both dialects)."""
+    return (
+        f"({_spread_sql(dim1, shl)} | ({_spread_sql(dim2, shl)} * 2))"
+    )
+
+
+#: zfile = zval >> 20: 4096 possible layout files over the 32-bit code.
+ZORDER_FILE_SHIFT = 20
+
+
+def zorder_layout(
+    df: DataFrame,
+    dim1: str = "doc_id",
+    dim2: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Z-order (Morton) clustering key — the data-layout pass behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleave the bits of two
+    filter dimensions so rows close in EITHER dimension land in the
+    same layout file, letting min/max file statistics prune scans for
+    range predicates on both columns at once (a linear sort on one
+    column can only prune the other by luck).
+
+    Output per row: the 32-bit Morton code and the target layout file
+    (top 12 bits). Scale shape: pure per-row JVM bit arithmetic inside
+    whole-stage codegen — ZERO exchanges here; the actual
+    repartitionByRange(zval) write that consumes this key shuffles
+    once, exactly like any clustered write."""
+    shl = lambda x, s: f"shiftleft({x}, {s})"  # noqa: E731
+    zval = zorder_zval_sql(
+        f"CAST({dim1} AS BIGINT)", f"CAST({dim2} AS BIGINT)", shl
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(dim1).cast("long").alias("d1"),
+        F.col(dim2).cast("long").alias("d2"),
+        F.expr(zval).cast("long").alias("zval"),
+        F.expr(f"{zval} DIV {1 << ZORDER_FILE_SHIFT}")
+        .cast("long")
+        .alias("zfile"),
+    )

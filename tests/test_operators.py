@@ -1076,3 +1076,70 @@ def test_profile_table_exact_counts(spark):
     assert out["k"].n_rows == 4 and out["v"].n_rows == 4
     assert out["k"].n_null == 1 and out["k"].n_distinct == 3
     assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+
+
+def test_cross_snapshot_fuzzy_catches_edited_reposts(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import dedup
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then the dog"
+        " chases the fox back across the wide green field at dusk"
+    )
+    cur = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    body,
+                    "completely different text about spark shuffles and"
+                    " partitions and exchanges and codegen stages here",
+                    body + " trailing edit",  # near-dup of prior 100
+                ],
+            }
+        )
+    )
+    prior = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [body]})
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.cross_snapshot_fuzzy(cur, prior).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # identical text: every band collides
+    assert out[0].fuzzy_in_prior and out[0].min_prior_id == 100
+    assert out[0].n_prior_candidates == 1
+    # unrelated text: no band collides
+    assert not out[1].fuzzy_in_prior and out[1].min_prior_id == -1
+    # small tail edit: most shingles shared, at least one band collides
+    assert out[2].fuzzy_in_prior and out[2].min_prior_id == 100
+
+
+def test_zorder_layout_is_morton_code(spark):
+    from ocr_spark.operators import relational
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(0, 0), (1, 65535), (2, 1), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "doc_id long, x long, y long",
+    )
+    out = {
+        r.doc_id: r
+        for r in relational.zorder_layout(df, "x", "y").collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        assert out[i].zval == morton(a, b), (a, b)
+        assert out[i].zfile == morton(a, b) >> 20
+    # locality: near in both dims -> near z; far in one dim -> far z
+    assert abs(morton(100, 100) - morton(101, 101)) < abs(
+        morton(100, 100) - morton(100, 60000)
+    )
