@@ -612,7 +612,9 @@ def zorder_layout(
         F.col(dim1).cast("long").alias("d1"),
         F.col(dim2).cast("long").alias("d2"),
         F.expr(zval).cast("long").alias("zval"),
-        F.expr(f"{zval} DIV {1 << ZORDER_FILE_SHIFT}")
+    ).select(
+        "*",
+        F.expr(f"zval DIV {1 << ZORDER_FILE_SHIFT}")
         .cast("long")
         .alias("zfile"),
     )

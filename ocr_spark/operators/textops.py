@@ -1812,14 +1812,20 @@ def lm_perplexity_buckets(
     constant ``sample_n`` — the same FAISS-style bounded-driver-side
     pattern as the IVF quantizer training; thresholds then apply as
     broadcast literals, so the bucketing itself adds ZERO exchanges on
-    top of the LM scoring. Tie-break inside the sample is
+    top of the LM scoring. The scored frame is PERSISTED before the
+    sample collect — the threshold pass and the returned plan share one
+    LM-scoring execution instead of recomputing the corpus-wide bigram
+    chain twice (cache released when the result is garbage-collected,
+    the dedup._own_caches convention). Tie-break inside the sample is
     (score, doc_id) rank — integer-exact, so the DuckDB oracle replays
     the thresholds and the buckets bit-for-bit."""
     import math
 
+    from ocr_spark.operators.dedup import _own_caches
+
     scored = ngram_lm_score(df, col).select(
         "doc_id", "n_bigrams", "lm_score_micro"
-    )
+    ).persist()
     key = F.md5(F.concat(F.lit("ppl:"), F.col("doc_id").cast("string")))
     samp = (
         scored.select("lm_score_micro", "doc_id", key.alias("__k"))
@@ -1838,7 +1844,7 @@ def lm_perplexity_buckets(
         .when(F.col("lm_score_micro") > t_low, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "n_bigrams",
         "lm_score_micro",
@@ -1846,6 +1852,7 @@ def lm_perplexity_buckets(
         F.lit(t_high).cast("long").alias("t_high_micro"),
         bucket.alias("ppl_bucket"),
     )
+    return _own_caches(out, [scored])
 
 
 #: CDC boundary window width (tokens) and divisor — a boundary opens
@@ -1887,11 +1894,7 @@ def cdc_chunk_dedup(df: DataFrame, col: str = "text") -> DataFrame:
     n = F.size("__t")
     # candidate boundary starts 2..n-W+1 (start 1 is implicit); Spark
     # sequence() DESCENDS when hi < lo, so the guard is mandatory
-    low_byte = (
-        "pmod(cast(conv(substring("
-        "md5(concat_ws(' ', slice(__t, i, {w}))), 1, 2), 16, 10) as int),"
-        " {d})".format(w=W, d=D)
-    )
+    low_byte = _md5_bucket(f"concat_ws(' ', slice(__t, i, {W}))", D)
     cuts = F.when(
         n >= W + 1,
         F.expr(

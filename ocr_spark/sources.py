@@ -267,8 +267,75 @@ def jsonl_roundtrip(
     )
 
 
-#: orc_roundtrip shard count — fixed operator contract.
+#: orc_roundtrip / arrow_ipc_roundtrip shard count — fixed operator
+#: contract (the oracles replay doc_id % 32).
 ORC_SHARDS = 32
+ARROW_IPC_SHARDS = 32
+
+
+def _columnar_roundtrip(
+    df: DataFrame,
+    codec,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    shards: int,
+) -> DataFrame:
+    """Shared scaffolding for the in-memory columnar round-trips
+    (ORC, Arrow IPC): shard the corpus by ``doc_id % shards``, hand
+    each id-sorted shard to ``codec`` — a function serializing a
+    pyarrow Table to its container format and parsing it straight back
+    — and emit one row per recovered record with the shard, read-back
+    position, per-shard count, and every payload field recovered FROM
+    THE CONTAINER, so a string-encoding or column-order defect in
+    either format surfaces as an oracle mismatch. One copy of the
+    shard/row_idx/NULL-preservation bookkeeping, one place to fix it.
+
+    Scale shape: one exchange on the shard key into an Arrow-batched
+    grouped-map stage that writes AND reads in-stage; the parallel axis
+    is shards and text never leaves the stage except as result rows."""
+
+    def write_and_read(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow as pa
+
+        pdf = pdf.sort_values(id_col)
+        # NO str() coercion on the payload columns: pa.array over the
+        # raw pandas values preserves NULLs as container nulls
+        # (str(None) would silently write the literal string 'None').
+        table = pa.table(
+            {
+                "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
+                "lang": pa.array(pdf[lang_col], pa.string()),
+                "source": pa.array(pdf[source_col], pa.string()),
+                "text": pa.array(pdf[text_col], pa.string()),
+            }
+        )
+        back = codec(table)
+        out = back.to_pandas().rename(columns={"id": "doc_id"})
+        out["shard"] = (out["doc_id"] % shards).astype("int64")
+        out["row_idx"] = range(len(out))
+        out["n_in_shard"] = len(out)
+        return out[
+            ["doc_id", "shard", "row_idx", "n_in_shard",
+             "lang", "source", "text"]
+        ].astype({"row_idx": "int64", "n_in_shard": "int64"})
+
+    shard = (F.col(id_col) % shards).alias("__cs")
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), F.col(lang_col),
+            F.col(source_col), shard,
+        )
+        .groupBy("__cs")
+        .applyInPandas(
+            write_and_read,
+            schema=(
+                "doc_id long, shard long, row_idx long, n_in_shard long,"
+                " lang string, source string, text string"
+            ),
+        )
+    )
 
 
 def orc_roundtrip(
@@ -281,69 +348,23 @@ def orc_roundtrip(
 ) -> DataFrame:
     """ORC-sharded columnar round-trip — the second interchange format
     next to :func:`jsonl_roundtrip` (ORC is what Hive/Trino-era corpus
-    exports ship): shard the corpus by ``doc_id % shards``, write each
-    shard to a REAL in-memory ORC file (pyarrow.orc — stripes, column
-    encodings, footer), then read it back and emit one row per
-    recovered record with the shard, the row's position in read-back
-    order, the per-shard count, and every payload field recovered FROM
-    THE CONTAINER — so a string-encoding or column-order defect in the
-    round-trip surfaces as an oracle mismatch, exactly like the JSONL
-    and WARC sources.
+    exports ship): each shard becomes a REAL in-memory ORC file
+    (pyarrow.orc — stripes, column encodings, footer) and is parsed
+    straight back. Bookkeeping and scale shape: see
+    :func:`_columnar_roundtrip`."""
 
-    Scale shape: one exchange on the shard key into an Arrow-batched
-    grouped-map stage that writes AND reads in-stage; the parallel axis
-    is shards and text never leaves the stage except as result rows."""
-
-    def write_and_read(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def codec(table):
         import io
 
-        import pandas as pd
-        import pyarrow as pa
         from pyarrow import orc
 
-        pdf = pdf.sort_values(id_col)
-        # NO str() coercion on the payload columns: pa.array over the
-        # raw pandas values preserves NULLs as ORC nulls (str(None)
-        # would silently write the literal string 'None').
-        table = pa.table(
-            {
-                "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
-                "lang": pa.array(pdf[lang_col], pa.string()),
-                "source": pa.array(pdf[source_col], pa.string()),
-                "text": pa.array(pdf[text_col], pa.string()),
-            }
-        )
         buf = io.BytesIO()
         orc.write_table(table, buf)
-        back = orc.ORCFile(io.BytesIO(buf.getvalue())).read()
-        out = back.to_pandas().rename(columns={"id": "doc_id"})
-        out["shard"] = (out["doc_id"] % shards).astype("int64")
-        out["row_idx"] = range(len(out))
-        out["n_in_shard"] = len(out)
-        return out[
-            ["doc_id", "shard", "row_idx", "n_in_shard",
-             "lang", "source", "text"]
-        ].astype({"row_idx": "int64", "n_in_shard": "int64"})
+        return orc.ORCFile(io.BytesIO(buf.getvalue())).read()
 
-    shard = (F.col(id_col) % shards).alias("__os")
-    return (
-        df.select(
-            F.col(id_col), F.col(text_col), F.col(lang_col),
-            F.col(source_col), shard,
-        )
-        .groupBy("__os")
-        .applyInPandas(
-            write_and_read,
-            schema=(
-                "doc_id long, shard long, row_idx long, n_in_shard long,"
-                " lang string, source string, text string"
-            ),
-        )
+    return _columnar_roundtrip(
+        df, codec, id_col, text_col, lang_col, source_col, shards
     )
-
-
-#: arrow_ipc_roundtrip shard count — fixed operator contract.
-ARROW_IPC_SHARDS = 32
 
 
 def arrow_ipc_roundtrip(
@@ -357,65 +378,27 @@ def arrow_ipc_roundtrip(
     """Arrow IPC (Feather v2) sharded round-trip — the third columnar
     interchange format next to :func:`orc_roundtrip` (Arrow IPC is what
     zero-copy dataset exchange between Spark, Ray, and DataFusion-era
-    tools ships): shard the corpus by ``doc_id % shards``, serialize
-    each shard to a REAL in-memory Arrow IPC stream (schema message +
-    record batches, the wire format of Arrow Flight), read it back with
-    the IPC reader, and emit one row per recovered record with the
-    shard, read-back position, per-shard count, and every payload field
-    recovered FROM THE SERIALIZED STREAM — a schema, dictionary, or
-    encoding defect surfaces as an oracle mismatch.
-
-    Scale shape: one exchange on the shard key into an Arrow-batched
-    grouped-map stage that serializes AND deserializes in-stage; the
-    parallel axis is shards and text never rides a second exchange.
+    tools ships): each shard becomes a REAL in-memory Arrow IPC stream
+    (schema message + record batches, the wire format of Arrow Flight)
+    and is parsed straight back. Bookkeeping and scale shape: see
+    :func:`_columnar_roundtrip`.
 
     Reference parity: the reference emits pandas frames per page
     (/root/reference/scripts/ExtractX_OCR.py:330-346); Arrow IPC is the
     canonical container for shipping those frames between engines."""
 
-    def write_and_read(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def codec(table):
         import io
 
         import pyarrow as pa
         import pyarrow.ipc
 
-        pdf = pdf.sort_values(id_col)
-        # No str() coercion: pa.array over raw pandas values preserves
-        # NULLs as Arrow nulls in the serialized stream.
-        table = pa.table(
-            {
-                "id": pa.array([int(x) for x in pdf[id_col]], pa.int64()),
-                "lang": pa.array(pdf[lang_col], pa.string()),
-                "source": pa.array(pdf[source_col], pa.string()),
-                "text": pa.array(pdf[text_col], pa.string()),
-            }
-        )
         buf = io.BytesIO()
         with pa.ipc.new_stream(buf, table.schema) as writer:
             writer.write_table(table)
         with pa.ipc.open_stream(io.BytesIO(buf.getvalue())) as reader:
-            back = reader.read_all()
-        out = back.to_pandas().rename(columns={"id": "doc_id"})
-        out["shard"] = (out["doc_id"] % shards).astype("int64")
-        out["row_idx"] = range(len(out))
-        out["n_in_shard"] = len(out)
-        return out[
-            ["doc_id", "shard", "row_idx", "n_in_shard",
-             "lang", "source", "text"]
-        ].astype({"row_idx": "int64", "n_in_shard": "int64"})
+            return reader.read_all()
 
-    shard = (F.col(id_col) % shards).alias("__as")
-    return (
-        df.select(
-            F.col(id_col), F.col(text_col), F.col(lang_col),
-            F.col(source_col), shard,
-        )
-        .groupBy("__as")
-        .applyInPandas(
-            write_and_read,
-            schema=(
-                "doc_id long, shard long, row_idx long, n_in_shard long,"
-                " lang string, source string, text string"
-            ),
-        )
+    return _columnar_roundtrip(
+        df, codec, id_col, text_col, lang_col, source_col, shards
     )
