@@ -256,6 +256,43 @@ def main() -> int:
             "anywhere.",
             textops.taxonomy_tag(docs),
         ),
+        (
+            "Byte-capped resharding (`reshard_by_bytes`)",
+            "TWO-PHASE distributed prefix sum: document rows flow through a "
+            "bucket-partitioned window (Exchange on the md5-prefix bucket → "
+            "Sort → Window), while the single-partition window sits ONLY over "
+            "the 256-row bucket-totals aggregate, whose offsets come back via "
+            "`BroadcastHashJoin` — no document row ever crosses a global sort "
+            "or single-partition window, and the exchanges carry (id, key, "
+            "bytes), never text.",
+            textops.reshard_by_bytes(docs),
+        ),
+        (
+            "Domain-graph PageRank (`graph.pagerank`, 3 iterations)",
+            "A CONSTANT-depth plan: per iteration one join of the node-bounded "
+            "rank table on `src` plus one map-side-combining aggregate on "
+            "`dst` — the corpus-scale edge list is deduped and degree-"
+            "annotated ONCE, ranks and contributions are (node, long) pairs "
+            "only, and no iteration count depends on the data.",
+            __import__(
+                "ocr_spark.operators.graph", fromlist=["pagerank"]
+            ).pagerank(
+                docs.selectExpr(
+                    "cast(doc_id % 37 as string) as src",
+                    "cast(doc_id % 11 as string) as dst",
+                )
+            ),
+        ),
+        (
+            "Fuzzy cross-snapshot dedup (`cross_snapshot_fuzzy`)",
+            "Both snapshots reduce to (band_idx, band_key, id) BEFORE the "
+            "cross-release join — text never leaves the two signature "
+            "MapInPandas stages; candidate pairs distinct-aggregate and the "
+            "per-doc counts are a keyed aggregation, not a window.",
+            dedup.cross_snapshot_fuzzy(
+                docs, docs.filter(F.col("doc_id") % 3 == 0)
+            ),
+        ),
     ]
 
     lines = [

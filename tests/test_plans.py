@@ -863,3 +863,71 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_reshard_by_bytes_two_phase_prefix_sum(spark):
+    """Document rows go through the bucket-partitioned window only; the
+    single-partition window exists solely over the 256-row totals frame,
+    which comes back via a broadcast join — and no text column ever
+    crosses an exchange."""
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.reshard_by_bytes(docs))
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange feeds the bucket-offset window,
+    # downstream of a HashAggregate (totals), never raw document rows
+    import re
+
+    blocks = plan.split("\n\n")
+    for i, b in enumerate(blocks):
+        if "SinglePartition" in b:
+            assert "text" not in b
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+
+
+def test_pagerank_constant_depth_no_text(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import graph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = docs.selectExpr(
+        "cast(doc_id % 37 as string) as src",
+        "cast(doc_id % 11 as string) as dst",
+    )
+    plan = _plan(graph.pagerank(edges))
+    # fixed 3-iteration plan: no iterative driver loop artifacts, and
+    # every exchange carries only node keys / counts / rank longs
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_snapshot_fuzzy_bands_only_cross_join(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dedup.cross_snapshot_fuzzy(
+            docs, docs.filter(F.col("doc_id") % 3 == 0)
+        )
+    )
+    # text enters the two signature UDF stages but never an exchange
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+    assert plan.count("MapInPandas") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_zero_exchanges(spark):
+    from ocr_spark.operators import relational
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(relational.zorder_layout(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
