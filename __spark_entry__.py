@@ -1234,6 +1234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def bpe_train(spark, sf):
+        # BPE merge-table TRAINING: 6 unrolled corpus argmax-merge
+        # iterations (count desc, pair asc tie-break; self-pairs
+        # excluded), each best pair collected (1 bounded row) and
+        # applied as a literal replace — oracle unrolls the same stages
+        from ocr_spark.operators import bpe as B
+
+        return B.bpe_train(_docs(spark, sf))
+
     def zorder_layout(spark, sf):
         # OPTIMIZE ZORDER analog: Morton code of (doc_id, n_chars),
         # pure JVM bit arithmetic, zero exchanges
@@ -1754,8 +1763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": semdedup,
         # (ann_cosine_topk rotated out round 5: green in r3 AND r4
         # driver windows; in-gate contract replay keeps proving it)
-        "ann_lsh_bucketed": ann_lsh_bucketed,
-        # (ann_ivf_topk rotated out mid-round-5: green in r1 AND r4
+        # (ann_lsh_bucketed rotated out mid-round-5: green in r3 AND
+        # r4 driver windows — making room for bpe_train.
+        # ann_ivf_topk rotated out mid-round-5: green in r1 AND r4
         # driver windows — making room for event_funnel.
         # ann_ivf_pq rotated out round 5: green in r3 AND r4 windows)
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
@@ -1798,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": profile_table,
         "cross_snapshot_fuzzy": cross_snapshot_fuzzy,
         "zorder_layout": zorder_layout,
+        "bpe_train": bpe_train,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1827,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": multimodal_audio_features,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ann_lsh_bucketed": ann_lsh_bucketed,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3127,6 +3139,11 @@ def oracle_sql() -> dict[str, str]:
             " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
             "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
         ),
+        # BPE training replay: 6 unrolled MATERIALIZED stages (pair
+        # count -> argmax -> doubled replace via the 1-row best table)
+        "bpe_train": __import__(
+            "ocr_spark.operators.bpe", fromlist=["oracle_bpe_train_sql"]
+        ).oracle_bpe_train_sql(),
         # Morton layout code: the same spread-stage generator renders
         # DuckDB's << where Spark used shiftleft — identical constants
         "zorder_layout": (

@@ -213,3 +213,132 @@ def token_compression(
             .alias("tokens_per_word_micro"),
         )
     )
+
+
+#: bpe_train iteration count. Fixed — the oracle unrolls exactly this
+#: many argmax-merge stages.
+BPE_TRAIN_ITERS = 6
+
+
+def bpe_train(
+    df: DataFrame, col: str = "text", iters: int = BPE_TRAIN_ITERS
+) -> DataFrame:
+    """BPE merge-table TRAINING on the corpus (Sennrich et al.,
+    arXiv:1508.07909 algorithm 1): starting from single characters,
+    repeat ``iters`` times — count all adjacent token pairs across the
+    corpus, pick the most frequent (count desc, then pair string asc:
+    fully deterministic), merge it everywhere. Returns the learned
+    table, one row per rank: (rank, left, right, pair_count) — the
+    corpus-derived counterpart of the fixed literal MERGES table.
+
+    Variant note: self-pairs (left == right) are excluded from the
+    candidates — the two-pass replace used for exhaustive application
+    (module docstring) relies on left != right, and excluding them
+    keeps training and encoding semantics aligned.
+
+    Scale shape: per iteration, pair extraction is per-row JVM array
+    expressions over the evolving spaced encoding; the count is ONE
+    keyed aggregation with map-side partials; the argmax is a
+    distributed TakeOrdered(1) whose single row is collected (the
+    bounded-driver-side pattern shared with the IVF quantizer and the
+    perplexity thresholds) and applied as a LITERAL replace in the next
+    iteration's expression — so the plan depth is a constant and no
+    corpus row ever crosses an exchange as text. The DuckDB oracle
+    unrolls the same ``iters`` stages with MATERIALIZED per-stage CTEs
+    and replays counts, tie-breaks, and merges bit-for-bit."""
+    spaced = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.replace(F.col(col), F.lit(" "), F.lit(_SEP)), ""), " "
+        ),
+        F.lit(" "),
+    )
+    cur = df.filter(F.col(col).isNotNull()).select(spaced.alias("s"))
+    learned: list[tuple[int, str, str, int]] = []
+    for rank in range(iters):
+        pairs = (
+            cur.select(
+                F.explode(
+                    # sequence() DESCENDS when hi < lo — guard docs too
+                    # short to form a pair (CLAUDE.md gotcha)
+                    F.expr(
+                        "CASE WHEN size({t}) >= 2 THEN"
+                        " transform(sequence(1, size({t}) - 1),"
+                        "  i -> struct(element_at({t}, i) AS l,"
+                        "              element_at({t}, i + 1) AS r))"
+                        " ELSE CAST(array() AS"
+                        "  ARRAY<STRUCT<l: STRING, r: STRING>>) END".format(
+                            t="split(trim(s), ' ')"
+                        )
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .filter(
+                (F.col("l") != _SEP)
+                & (F.col("r") != _SEP)
+                & (F.col("l") != F.col("r"))
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(
+                F.desc("cnt"), F.asc(F.concat_ws(" ", "l", "r"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        learned.append((rank, a, b, cnt))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        # two passes per rank = exhaustive (left != right enforced)
+        cur = cur.select(
+            F.replace(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)),
+                F.lit(pat),
+                F.lit(rep),
+            ).alias("s")
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count long"
+    )
+
+
+def oracle_bpe_train_sql(iters: int = BPE_TRAIN_ITERS) -> str:
+    """DuckDB replay of :func:`bpe_train` over the ``documents`` view:
+    ``iters`` unrolled stages, each a MATERIALIZED pair count + argmax
+    (count desc, pair asc) + literal-free merge application via a cross
+    join against the 1-row best table (replace doubled per rank, the
+    exhaustive-application convention)."""
+    parts = [
+        "WITH t0 AS MATERIALIZED (SELECT ' ' || array_to_string("
+        "  string_split(replace(text, ' ', '|'), ''), ' ') || ' ' AS s"
+        "  FROM documents WHERE text IS NOT NULL)"
+    ]
+    for k in range(iters):
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT w[u.i] AS l, w[u.i + 1] AS r,"
+            f"  COUNT(*) AS cnt FROM"
+            f"  (SELECT string_split(trim(s), ' ') AS w FROM t{k}) tw,"
+            f"  LATERAL unnest(range(1, greatest(len(w), 1))) u(i)"
+            f"  WHERE w[u.i] <> '|' AND w[u.i + 1] <> '|'"
+            f"   AND w[u.i] <> w[u.i + 1]"
+            f"  GROUP BY 1, 2)"
+            f", b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}"
+            f"  ORDER BY cnt DESC, l || ' ' || r LIMIT 1)"
+            f", t{k + 1} AS MATERIALIZED (SELECT replace(replace(t.s,"
+            f"  ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),"
+            f"  ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')"
+            f"  AS s FROM t{k} t, b{k} b)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, l AS \"left\", r AS \"right\","
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(iters)
+    )
+    parts.append(" " + sel)
+    return "".join(parts)

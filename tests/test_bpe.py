@@ -241,3 +241,54 @@ def test_token_compression_exact_values(spark):
     assert out[2].n_tokens == 0 and out[2].bytes_per_token_micro == 0
     assert out[4].n_bytes == 3 and out[4].n_tokens == 1
     assert out[4].bytes_per_token_micro == 3000000
+
+
+def _train_reference(texts, iters):
+    # pure-python replay of the training contract
+    from collections import Counter
+
+    docs = [
+        " " + " ".join("|".join(t.split(" "))) + " "
+        for t in texts
+        if t is not None
+    ]
+    learned = []
+    for rank in range(iters):
+        cnt = Counter()
+        for s in docs:
+            w = s.strip().split(" ")
+            for i in range(len(w) - 1):
+                if w[i] != "|" and w[i + 1] != "|" and w[i] != w[i + 1]:
+                    cnt[(w[i], w[i + 1])] += 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), c = best
+        learned.append((rank, a, b, c))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        docs = [s.replace(pat, rep).replace(pat, rep) for s in docs]
+    return learned
+
+
+def test_bpe_train_matches_python_replay(spark):
+    import pandas as pd
+
+    texts = [
+        "the theme thesis",
+        "then there the",
+        "other ethers seethe",
+        None,
+        "zz qq",  # self-pairs excluded: zz/qq never become merges
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(df, iters=4).orderBy("rank").collect()
+    ]
+    want = _train_reference(texts, 4)
+    assert got == want
+    # 'h e' dominates this corpus (every 'he' bigram): rank-0 merge
+    assert got[0][1:3] == ("h", "e")
+    assert all(l != r for _, l, r, _ in got)
