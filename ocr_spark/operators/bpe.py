@@ -255,21 +255,26 @@ def bpe_train(
     )
     cur = df.filter(F.col(col).isNotNull()).select(spaced.alias("s"))
     learned: list[tuple[int, str, str, int]] = []
+    cur = cur.persist()
+    caches = [cur]
     for rank in range(iters):
+        # HOIST the token array before the lambda touches it — the
+        # split-inside-transform form re-splits per element access
+        # (the O(chars²) trap, CLAUDE.md; measured 350 s → <20 s at
+        # sf0.1 for this operator)
+        toks = cur.select(F.split(F.trim(F.col("s")), " ").alias("__w"))
         pairs = (
-            cur.select(
+            toks.select(
                 F.explode(
                     # sequence() DESCENDS when hi < lo — guard docs too
                     # short to form a pair (CLAUDE.md gotcha)
                     F.expr(
-                        "CASE WHEN size({t}) >= 2 THEN"
-                        " transform(sequence(1, size({t}) - 1),"
-                        "  i -> struct(element_at({t}, i) AS l,"
-                        "              element_at({t}, i + 1) AS r))"
+                        "CASE WHEN size(__w) >= 2 THEN"
+                        " transform(sequence(1, size(__w) - 1),"
+                        "  i -> struct(element_at(__w, i) AS l,"
+                        "              element_at(__w, i + 1) AS r))"
                         " ELSE CAST(array() AS"
-                        "  ARRAY<STRUCT<l: STRING, r: STRING>>) END".format(
-                            t="split(trim(s), ' ')"
-                        )
+                        "  ARRAY<STRUCT<l: STRING, r: STRING>>) END"
                     )
                 ).alias("p")
             )
@@ -294,14 +299,20 @@ def bpe_train(
         a, b, cnt = best[0].l, best[0].r, int(best[0].cnt)
         learned.append((rank, a, b, cnt))
         pat, rep = f" {a} {b} ", f" {a}{b} "
-        # two passes per rank = exhaustive (left != right enforced)
+        # two passes per rank = exhaustive (left != right enforced);
+        # persist each round so iteration k+1 reads the merged strings
+        # from cache instead of replaying the whole replace chain from
+        # the source (the iterative-algorithm checkpoint convention)
         cur = cur.select(
             F.replace(
                 F.replace(F.col("s"), F.lit(pat), F.lit(rep)),
                 F.lit(pat),
                 F.lit(rep),
             ).alias("s")
-        )
+        ).persist()
+        caches.append(cur)
+    for c in caches:
+        c.unpersist(False)  # training is fully collected — release now
     spark = df.sparkSession
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count long"
