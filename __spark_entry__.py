@@ -1234,6 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def training_manifest(spark, sf):
+        # end-to-end manifest: Gopher filter -> md5 train split -> BPE
+        # token counts -> packed-sequence layout, one declarative plan
+        return textops.training_manifest(_docs(spark, sf))
+
     def bpe_train(spark, sf):
         # BPE merge-table TRAINING: 6 unrolled corpus argmax-merge
         # iterations (count desc, pair asc tie-break; self-pairs
@@ -1751,7 +1756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dedup_minhash_lsh rotated out mid-round-5: green in r1,
         # r3 AND r4 driver windows — making room for zorder_layout;
         # dedup_clusters still exercises the same LSH chain in-window)
-        "dedup_clusters": dedup_clusters,
+        # (dedup_clusters rotated out mid-round-5: green in r3 AND r4
+        # driver windows — making room for training_manifest; the LSH
+        # chain stays exercised in-window by cross_snapshot_fuzzy)
         # (dedup_verified_pairs rotated out round 5: green in r3 AND r4
         # driver windows; still proven by the in-gate contract replay.
         # dedup_simhash_candidates rotated out mid-round-5 the same way:
@@ -1809,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_snapshot_fuzzy": cross_snapshot_fuzzy,
         "zorder_layout": zorder_layout,
         "bpe_train": bpe_train,
+        "training_manifest": training_manifest,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1839,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_lsh_bucketed": ann_lsh_bucketed,
+        "dedup_clusters": dedup_clusters,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3138,6 +3147,31 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT doc_id, md5(text) AS h FROM documents) d"
             " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
             "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
+        ),
+        # end-to-end manifest: gopher pass (raw text, no injection) →
+        # md5 train membership (u < 0.98) → BPE token counts → the
+        # per-shard packing window — one composed replay
+        "training_manifest": (
+            "WITH base AS (SELECT doc_id, text FROM documents"
+            "  WHERE text IS NOT NULL),"
+            " b AS (SELECT doc_id, text, text AS t,"
+            "  string_split(text,' ') AS w,"
+            "  string_split(text, chr(10)) AS l FROM base),"
+            f" g AS (SELECT doc_id, text FROM b WHERE {_G_PASS}),"
+            " s AS (SELECT doc_id, text FROM g WHERE"
+            "  (((md5_number('split0:' || CAST(doc_id AS VARCHAR))"
+            "     % 4294967296) + 4294967296) % 4294967296)::DOUBLE"
+            "   / 4294967296.0 < 0.98),"
+            " k AS (SELECT doc_id, doc_id % 64 AS shard,"
+            "  CAST(len(" + _bpe_toks + ") AS BIGINT) AS n_tokens"
+            "  FROM s),"
+            " o AS (SELECT doc_id, shard, n_tokens,"
+            "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
+            "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   1 PRECEDING), 0) AS BIGINT) AS start_off FROM k)"
+            " SELECT doc_id, shard, n_tokens, start_off,"
+            " CAST(floor(start_off / 512) AS BIGINT) AS seq_idx,"
+            " CAST(start_off % 512 AS BIGINT) AS pos_in_seq FROM o"
         ),
         # BPE training replay: 6 unrolled MATERIALIZED stages (pair
         # count -> argmax -> doubled replace via the 1-row best table)

@@ -1938,3 +1938,31 @@ def cdc_chunk_dedup(df: DataFrame, col: str = "text") -> DataFrame:
         F.count("*").over(w_h).cast("long").alias("n_dup"),
         (F.row_number().over(w_r) == 1).alias("is_first"),
     )
+
+
+def training_manifest(df: DataFrame, col: str = "text") -> DataFrame:
+    """End-to-end training-data manifest — the composition a real
+    pretraining run executes as ONE declarative plan: Gopher rule
+    filter → deterministic md5 train-split membership → BPE token
+    budget → packed-sequence layout. One row per surviving train
+    document with its shard, subword token count, and packed position —
+    exactly what a dataloader manifest file carries.
+
+    Scale shape: composition of already-scale-safe parts joined on
+    doc_id (rule signals and the split draw are per-row JVM
+    expressions; packing is the per-shard window of
+    :func:`pack_sequences`); Catalyst fuses the per-row stages, so the
+    funnel costs its joins, not a pass per filter."""
+    from ocr_spark.operators.bpe import bpe_token_count_expr
+
+    base = df.filter(F.col(col).isNotNull())
+    g = gopher_rules(base, col).select("doc_id", "gopher_pass")
+    s = split_assign(base).select("doc_id", "split")
+    kept = (
+        base.select("doc_id", col)
+        .join(g, "doc_id")
+        .join(s, "doc_id")
+        .filter(F.col("gopher_pass") & (F.col("split") == "train"))
+        .select("doc_id", col)
+    )
+    return pack_sequences(kept, col, token_count=bpe_token_count_expr(col))

@@ -879,3 +879,36 @@ def test_cdc_chunk_dedup_boundaries_and_dups(spark):
     d2 = out[out.doc_id == 2]
     assert len(d2) == 1 and d2.iloc[0].n_chunk_tokens == 1
     assert d2.iloc[0].n_dup == 1 and bool(d2.iloc[0].is_first)
+
+
+def test_training_manifest_composes_filters(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    passing = ("the and for with that this from " * 8).strip()  # 56 words
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            # even ids pass gopher (>=50 words, stopwords); odd fail
+            "text": [passing if i % 2 == 0 else "too short" for i in range(40)],
+        }
+    )
+    out = textops.training_manifest(spark.createDataFrame(pdf)).toPandas()
+    # only even-id docs that drew a train split survive
+    def u(i):
+        d = hashlib.md5(f"split0:{i}".encode()).digest()
+        return int.from_bytes(d[:4], "little") / 2**32
+
+    want_ids = {i for i in range(0, 40, 2) if u(i) < 0.98}
+    assert set(out.doc_id) == want_ids
+    # packing invariants within each shard
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        off = 0
+        for r in grp.itertuples():
+            assert r.start_off == off
+            assert r.seq_idx == off // 512 and r.pos_in_seq == off % 512
+            off += r.n_tokens
