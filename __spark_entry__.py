@@ -1234,6 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def event_retention(spark, sf):
+        # cohort retention matrix: first-event-day cohorts x day
+        # offsets, exact integer retention fractions
+        return relational.event_retention(_tbl(spark, sf, "events"))
+
     def training_manifest(spark, sf):
         # end-to-end manifest: Gopher filter -> md5 train split -> BPE
         # token counts -> packed-sequence layout, one declarative plan
@@ -1752,7 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": vocab_oov,
         "split_assign": split_assign,
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
-        "bloom_dedup": bloom_dedup,
+        # (bloom_dedup rotated out mid-round-5: r4 driver green —
+        # making room for event_retention; cumulative window coverage
+        # stays complete, the replay gate keeps proving it)
         # (dedup_minhash_lsh rotated out mid-round-5: green in r1,
         # r3 AND r4 driver windows — making room for zorder_layout;
         # dedup_clusters still exercises the same LSH chain in-window)
@@ -1817,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": zorder_layout,
         "bpe_train": bpe_train,
         "training_manifest": training_manifest,
+        "event_retention": event_retention,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1848,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "dedup_clusters": dedup_clusters,
+        "bloom_dedup": bloom_dedup,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3147,6 +3156,27 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT doc_id, md5(text) AS h FROM documents) d"
             " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
             "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
+        ),
+        # cohort retention: distinct activity days, first-day cohorts,
+        # exact integer micro-unit fractions
+        "event_retention": (
+            "WITH days AS (SELECT DISTINCT user_id,"
+            "  CAST(ts AS DATE) AS day FROM events),"
+            " f AS (SELECT user_id, MIN(day) AS cohort_day FROM days"
+            "  GROUP BY user_id),"
+            " act AS (SELECT f.cohort_day,"
+            "  date_diff('day', f.cohort_day, d.day) AS day_offset,"
+            "  d.user_id FROM days d JOIN f USING (user_id)),"
+            " mat AS (SELECT cohort_day, day_offset,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_active FROM act"
+            "  GROUP BY 1, 2),"
+            " cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT)"
+            "  AS cohort_size FROM f GROUP BY 1)"
+            " SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,"
+            " n_active, cohort_size,"
+            " CAST(n_active * 1000000 // cohort_size AS BIGINT)"
+            "  AS retention_micro"
+            " FROM mat JOIN cs USING (cohort_day)"
         ),
         # end-to-end manifest: gopher pass (raw text, no injection) →
         # md5 train membership (u < 0.98) → BPE token counts → the

@@ -618,3 +618,41 @@ def zorder_layout(
         .cast("long")
         .alias("zfile"),
     )
+
+
+def event_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix — the second classic product-analytics
+    aggregate next to :func:`event_funnel`: users are grouped into
+    cohorts by their FIRST event day, and each (cohort_day, day_offset)
+    cell counts how many of that cohort were active again ``offset``
+    days later, with the retention fraction in exact integer
+    micro-units (BIGINT DIV ≡ DuckDB ``//``).
+
+    Scale shape: distinct (user, day) activity first (map-side
+    combining collapses per-user event volume before anything joins),
+    then two keyed aggregations and one join on cohort_day — no window
+    function, no per-user skew beyond the distinct's hash agg."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = days.join(first, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    mat = act.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    size = first.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return mat.join(size, "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        F.expr("n_active * 1000000 DIV cohort_size")
+        .cast("long")
+        .alias("retention_micro"),
+    )

@@ -1143,3 +1143,35 @@ def test_zorder_layout_is_morton_code(spark):
     assert abs(morton(100, 100) - morton(101, 101)) < abs(
         morton(100, 100) - morton(100, 60000)
     )
+
+
+def test_event_retention_cohort_math(spark):
+    from datetime import datetime
+
+    from ocr_spark.operators import relational
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        # cohort day 1: users 1,2 first seen on the 1st
+        (0, D(1), 1, "view"), (1, D(1, 5), 1, "click"),  # same-day dup
+        (2, D(1), 2, "view"),
+        (3, D(2), 1, "view"),            # user 1 back on day offset 1
+        (4, D(3), 1, "view"), (5, D(3), 2, "view"),  # both back offset 2
+        # cohort day 2: user 3
+        (6, D(2), 3, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (str(r.cohort_day), r.day_offset): r
+        for r in relational.event_retention(df).collect()
+    }
+    c1 = "2024-01-01"
+    assert out[(c1, 0)].n_active == 2 and out[(c1, 0)].cohort_size == 2
+    assert out[(c1, 0)].retention_micro == 1000000
+    assert out[(c1, 1)].n_active == 1
+    assert out[(c1, 1)].retention_micro == 500000
+    assert out[(c1, 2)].n_active == 2
+    assert out[("2024-01-02", 0)].cohort_size == 1
+    assert ("2024-01-02", 1) not in out
