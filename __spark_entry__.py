@@ -1659,12 +1659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.audio_meta(emb.mapInPandas(enc, schema))
 
-    def multimodal_audio_features(spark, sf):
-        # REAL WAV decode: mono int16 samples are md5-derived (sample i =
-        # signed little-endian int16 of digest bytes 2i..2i+1 of block
-        # i//8), so the DuckDB oracle recomputes the mean absolute
-        # amplitude from md5() hex alone — the image md5-pixel trick,
-        # widened to 16-bit audio
+    def _wav_fixture(spark, sf):
+        # REAL WAV payloads with md5-derived mono int16 samples (sample
+        # i = signed little-endian int16 of digest bytes 2i..2i+1 of
+        # block i//8) — the image md5-pixel trick widened to 16-bit
+        # audio, so oracles recompute exact samples from md5() hex.
+        # Shared by audio_features and audio_segments.
         from collections.abc import Iterator
 
         import hashlib
@@ -1699,9 +1699,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 T.StructField("payload", T.BinaryType()),
             ]
         )
-        return multimodal.audio_features(emb.mapInPandas(enc, schema)).select(
+        return emb.mapInPandas(enc, schema)
+
+    def multimodal_audio_features(spark, sf):
+        return multimodal.audio_features(_wav_fixture(spark, sf)).select(
             "vec_id", F.round("mean_abs", 4).alias("mean_abs"), "n_frames"
         )
+
+    def multimodal_audio_segments(spark, sf):
+        # VAD-shaped energy segmentation over the same exact-sample WAV
+        # fixture: contiguous |s| >= 16384 runs, gaps-and-islands oracle
+        return multimodal.audio_segments(_wav_fixture(spark, sf))
 
     def multimodal_video_frames(spark, sf):
         # video as an MJPEG stream of REAL (flat-gray) JPEG frames:
@@ -1774,7 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dedup_embedding_cosine rotated out mid-round-5: green in
         # r1, r3 AND r4 driver windows — making room for
         # cross_snapshot_fuzzy)
-        "semdedup": semdedup,
+        # (semdedup rotated out mid-round-5: r4 driver green — making
+        # room for multimodal_audio_segments; replay gate still proves it)
         # (ann_cosine_topk rotated out round 5: green in r3 AND r4
         # driver windows; in-gate contract replay keeps proving it)
         # (ann_lsh_bucketed rotated out mid-round-5: green in r3 AND
@@ -1825,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe_train,
         "training_manifest": training_manifest,
         "event_retention": event_retention,
+        "multimodal_audio_segments": multimodal_audio_segments,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1857,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "dedup_clusters": dedup_clusters,
         "bloom_dedup": bloom_dedup,
+        "semdedup": semdedup,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3891,6 +3902,32 @@ def oracle_sql() -> dict[str, str]:
             " SELECT vec_id, ROUND(AVG(ABS(val)), 4) AS mean_abs,"
             "  CAST(MAX(n) AS BIGINT) AS n_frames"
             " FROM v GROUP BY vec_id"
+        ),
+        # energy segmentation: same md5-exact samples, voiced frames
+        # |val| >= 16384, islands via i - ROW_NUMBER per clip
+        "multimodal_audio_segments": (
+            "WITH m AS (SELECT vec_id, CAST(vec_id % 40 + 8 AS BIGINT) AS n"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " s AS (SELECT m.vec_id, u.i AS i"
+            "  FROM m, LATERAL unnest(range(0, m.n)) u(i)),"
+            " b AS (SELECT vec_id, i, "
+            + _MD5_BYTE.format(key="'wav:'", b="(2*i)")
+            + " AS lo, "
+            + _MD5_BYTE.format(key="'wav:'", b="(2*i+1)")
+            + " AS hi FROM s),"
+            " v AS (SELECT vec_id, i, ABS(CASE WHEN lo + 256*hi >= 32768"
+            "  THEN lo + 256*hi - 65536 ELSE lo + 256*hi END) AS a FROM b),"
+            " vo AS (SELECT vec_id, i, a FROM v WHERE a >= 16384),"
+            " isl AS (SELECT vec_id, i, a, i - ROW_NUMBER() OVER ("
+            "  PARTITION BY vec_id ORDER BY i) AS g FROM vo),"
+            " seg AS (SELECT vec_id, MIN(i) AS start_frame,"
+            "  COUNT(*) AS n_frames, MAX(a) AS peak_abs"
+            "  FROM isl GROUP BY vec_id, g)"
+            " SELECT vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id"
+            "  ORDER BY start_frame) - 1 AS INT) AS seg_idx,"
+            " CAST(start_frame AS INT) AS start_frame,"
+            " CAST(n_frames AS BIGINT) AS n_frames,"
+            " CAST(peak_abs AS BIGINT) AS peak_abs FROM seg"
         ),
         # MJPEG frame sampling: flat-gray frames round-trip exactly at
         # q90, so dims AND mean_px are arithmetic in (vec_id, frame_idx)

@@ -538,3 +538,78 @@ def image_ahash_candidates(
         .select("keeper", "dup_id", "hamming")
     )
     return _own_caches(out, [hashes])
+
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_frame", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+#: audio_segments voiced threshold on |int16 sample|. Fixed — operator
+#: contract (the oracle replays ABS(val) >= this).
+AUDIO_SEG_THRESHOLD = 16384
+
+
+def audio_segments(
+    df: DataFrame, threshold: int = AUDIO_SEG_THRESHOLD
+) -> DataFrame:
+    """Energy-gate segmentation — the VAD-shaped pass an audio training
+    pipeline runs before transcription: decode the PCM payload, mark
+    frames whose |amplitude| clears the threshold, and emit one row per
+    CONTIGUOUS voiced run with its start, length, and peak amplitude
+    (the classic gaps-and-islands structure, replayed in the oracle as
+    ``i - ROW_NUMBER()`` islands over the md5-derived samples).
+
+    Arrow-batched mapInPandas over the real WAV kernel; run detection
+    is vectorized numpy (flatnonzero + diff), never a per-sample Python
+    loop. Unparseable payloads contribute zero rows (skip-and-continue,
+    the video_frame_sample convention). The parallel axis is clips —
+    nothing shuffles until the (tiny) segment rows come out."""
+    from ocr_spark.kernels.wav import decode_wav
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    samples, _rate = decode_wav(bytes(p))
+                except Exception:
+                    continue
+                a = np.abs(samples.astype(np.int64))
+                idx = np.flatnonzero(a >= threshold)
+                if idx.size == 0:
+                    continue
+                brk = np.flatnonzero(np.diff(idx) > 1)
+                starts = np.concatenate(([0], brk + 1))
+                ends = np.concatenate((brk, [idx.size - 1]))
+                for k, (s0, e0) in enumerate(zip(starts, ends)):
+                    rows.append(
+                        (
+                            int(vec_id),
+                            k,
+                            int(idx[s0]),
+                            int(idx[e0] - idx[s0] + 1),
+                            int(a[idx[s0] : idx[e0] + 1].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "seg_idx", "start_frame", "n_frames",
+                    "peak_abs",
+                ],
+            ).astype(
+                {
+                    "seg_idx": "int32",
+                    "start_frame": "int32",
+                    "n_frames": "int64",
+                    "peak_abs": "int64",
+                }
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, AUDIO_SEG_SCHEMA)

@@ -153,3 +153,34 @@ def test_wav_header_and_decode_agree_on_multi_data_chunk():
     rate, ch, bits, n = parse_wav_header(bytes(data))
     got, _ = decode_wav(bytes(data))
     assert n == len(got) == 10
+
+
+def test_audio_segments_gaps_and_islands(spark):
+    import numpy as np
+
+    from ocr_spark.kernels.wav import encode_wav
+    from ocr_spark.operators import multimodal
+
+    t = multimodal.AUDIO_SEG_THRESHOLD
+    # clip 0: loud run [1..2], silent, loud run [5..5]
+    s0 = np.array([0, t, t + 5, 100, -3, -t, 0], dtype="<i2")
+    # clip 1: all silent -> no rows
+    s1 = np.zeros(8, dtype="<i2")
+    # clip 2: all voiced -> one run covering everything (min int16 too)
+    s2 = np.array([-32768, 32767, t], dtype="<i2")
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav(s0, rate=16000))),
+            (1, bytearray(encode_wav(s1, rate=16000))),
+            (2, bytearray(encode_wav(s2, rate=16000))),
+            (3, bytearray(b"not a wav")),  # skip-and-continue
+        ],
+        "vec_id long, payload binary",
+    )
+    out = multimodal.audio_segments(df).collect()
+    got = sorted((r.vec_id, r.seg_idx, r.start_frame, r.n_frames, r.peak_abs) for r in out)
+    assert got == [
+        (0, 0, 1, 2, t + 5),
+        (0, 1, 5, 1, t),
+        (2, 0, 0, 3, 32768),
+    ]
