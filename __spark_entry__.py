@@ -1711,13 +1711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixture: contiguous |s| >= 16384 runs, gaps-and-islands oracle
         return multimodal.audio_segments(_wav_fixture(spark, sf))
 
-    def multimodal_video_frames(spark, sf):
-        # video as an MJPEG stream of REAL (flat-gray) JPEG frames:
-        # frame sampling splits the stream with a marker walk and truly
-        # decodes every 2nd frame (kernels/jpeg.py). Flat 8x8 blocks
+    def _mjpeg_fixture(spark, sf):
+        # MJPEG stream of REAL (flat-gray) JPEG frames: flat 8x8 blocks
         # survive quantization exactly at q90 (verified for all 256
-        # levels), so mean_px is integer-exact and the oracle computes
-        # every output column arithmetically from (vec_id, frame_idx).
+        # levels), so frame means are integer-exact and the oracles
+        # compute them arithmetically from (vec_id, frame_idx). Shared
+        # by video_frame_sample and video_scene_cuts.
         from collections.abc import Iterator
 
         import numpy as np
@@ -1752,8 +1751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 T.StructField("payload", T.BinaryType()),
             ]
         )
+        return emb.mapInPandas(enc, schema)
+
+    def multimodal_video_cuts(spark, sf):
+        # scene cuts: EVERY frame decoded, cut where the mean-pixel jump
+        # wraps past the threshold; LAG-window arithmetic oracle
+        return multimodal.video_scene_cuts(_mjpeg_fixture(spark, sf))
+
+    def multimodal_video_frames(spark, sf):
         return multimodal.video_frame_sample(
-            emb.mapInPandas(enc, schema), every_n=2
+            _mjpeg_fixture(spark, sf), every_n=2
         )
 
     return {
@@ -1809,7 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": chunk_overlap,
         "script_detect": script_detect,
         "snapshot_diff": snapshot_diff,
-        "image_ahash": image_ahash,
+        # (image_ahash rotated out mid-round-5: r4 driver green — its
+        # banding sibling image_ahash_candidates stays in-window; making
+        # room for multimodal_video_cuts)
         "image_ahash_candidates": image_ahash_candidates,
         "embedding_outliers": embedding_outliers,
         "url_canonicalize": url_canonicalize,
@@ -1835,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": training_manifest,
         "event_retention": event_retention,
         "multimodal_audio_segments": multimodal_audio_segments,
+        "multimodal_video_cuts": multimodal_video_cuts,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "bloom_dedup": bloom_dedup,
         "semdedup": semdedup,
+        "image_ahash": image_ahash,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3928,6 +3939,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(start_frame AS INT) AS start_frame,"
             " CAST(n_frames AS BIGINT) AS n_frames,"
             " CAST(peak_abs AS BIGINT) AS peak_abs FROM seg"
+        ),
+        # scene cuts: means are (vec_id*7 + 13f) % 256, so a cut fires
+        # exactly where the value wraps (|delta| = 243 >= 100)
+        "multimodal_video_cuts": (
+            "WITH e AS (SELECT vec_id, CAST(vec_id % 4 + 2 AS BIGINT)"
+            "  AS nf FROM embeddings WHERE vec_id < 150),"
+            " fr AS (SELECT vec_id, nf, u.f AS f,"
+            "  (vec_id * 7 + u.f * 13) % 256 AS m"
+            "  FROM e, LATERAL unnest(range(0, nf)) u(f)),"
+            " d AS (SELECT vec_id, f, nf, ABS(m - LAG(m) OVER ("
+            "  PARTITION BY vec_id ORDER BY f)) AS delta FROM fr)"
+            " SELECT vec_id, CAST(f AS INT) AS frame_idx,"
+            " CAST(delta AS BIGINT) AS delta_abs,"
+            " CAST(nf AS BIGINT) AS n_frames"
+            " FROM d WHERE delta >= 100"
         ),
         # MJPEG frame sampling: flat-gray frames round-trip exactly at
         # q90, so dims AND mean_px are arithmetic in (vec_id, frame_idx)

@@ -613,3 +613,66 @@ def audio_segments(
             )
 
     return df.select("vec_id", "payload").mapInPandas(fn, AUDIO_SEG_SCHEMA)
+
+
+VIDEO_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("delta_abs", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+#: video_scene_cuts mean-pixel jump threshold. Fixed — operator
+#: contract (the oracle replays ABS(Δmean) >= this).
+VIDEO_CUT_THRESHOLD = 100
+
+
+def video_scene_cuts(
+    df: DataFrame, threshold: int = VIDEO_CUT_THRESHOLD
+) -> DataFrame:
+    """Scene-cut detection — the shot-boundary pass a video training
+    pipeline runs before per-scene sampling: decode EVERY frame of the
+    MJPEG payload (consecutive frames are required — unlike
+    :func:`video_frame_sample`'s stride), take each frame's mean pixel,
+    and emit one row per frame whose jump from the previous frame's
+    mean meets the threshold (frame_idx of the cut, the jump size, and
+    the clip's frame count).
+
+    The flat-gray fixture frames round-trip integer-exactly at q90, so
+    means and deltas are exact integers and the oracle replays cuts
+    arithmetically with a LAG window. Unparseable payloads contribute
+    zero rows; the parallel axis is clips."""
+    from ocr_spark.kernels.jpeg import decode_jpeg, split_mjpeg
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vec_id, p in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    frames = split_mjpeg(bytes(p))
+                    means = [
+                        int(round(float(decode_jpeg(fr).mean())))
+                        for fr in frames
+                    ]
+                except Exception:
+                    continue
+                for i in range(1, len(means)):
+                    d = abs(means[i] - means[i - 1])
+                    if d >= threshold:
+                        rows.append(
+                            (int(vec_id), i, int(d), len(means))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "frame_idx", "delta_abs", "n_frames"],
+            ).astype(
+                {
+                    "frame_idx": "int32",
+                    "delta_abs": "int64",
+                    "n_frames": "int64",
+                }
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, VIDEO_CUT_SCHEMA)

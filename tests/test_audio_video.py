@@ -184,3 +184,30 @@ def test_audio_segments_gaps_and_islands(spark):
         (0, 1, 5, 1, t),
         (2, 0, 0, 3, 32768),
     ]
+
+
+def test_video_scene_cuts_detects_level_jumps(spark):
+    import numpy as np
+
+    from ocr_spark.kernels.jpeg import encode_jpeg
+    from ocr_spark.operators import multimodal
+
+    def clip(levels, w=8, h=8):
+        return b"".join(
+            encode_jpeg(np.full((h, w), lv, np.uint8), quality=90)
+            for lv in levels
+        )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(clip([10, 10, 200, 205]))),   # cut at frame 2
+            (1, bytearray(clip([50, 60]))),             # no cut
+            (2, bytearray(b"garbage")),                 # skipped
+        ],
+        "vec_id long, payload binary",
+    )
+    out = [
+        (r.vec_id, r.frame_idx, r.delta_abs, r.n_frames)
+        for r in multimodal.video_scene_cuts(df).collect()
+    ]
+    assert out == [(0, 2, 190, 4)]
