@@ -1234,6 +1234,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return dedup.cross_snapshot_dedup(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def robots_filter(spark, sf):
+        # RFC 9309 longest-match rules over injected per-doc URLs
+        # (doc_id%5 walks allow/disallow/tie cases); literal ruleset
+        # unrolled to greatest()-of-CASE in BOTH engines
+        d = _docs(spark, sf)
+        path = (
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 1, F.lit("/private/pub/y"))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("/search?q="), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
+            .otherwise(F.lit("/tmp/cache"))
+        )
+        url = F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.com"), path,
+        )
+        return textops.robots_filter(d.select("doc_id", url.alias("url")))
+
     def event_retention(spark, sf):
         # cohort retention matrix: first-event-day cohorts x day
         # offsets, exact integer retention fractions
@@ -1815,7 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": winnow_fingerprint,
         "chunk_overlap": chunk_overlap,
         "script_detect": script_detect,
-        "snapshot_diff": snapshot_diff,
+        # (snapshot_diff rotated out mid-round-5: r4 driver green —
+        # making room for robots_filter)
         # (image_ahash rotated out mid-round-5: r4 driver green — its
         # banding sibling image_ahash_candidates stays in-window; making
         # room for multimodal_video_cuts)
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": event_retention,
         "multimodal_audio_segments": multimodal_audio_segments,
         "multimodal_video_cuts": multimodal_video_cuts,
+        "robots_filter": robots_filter,
         # ---- round-4 additions (registered inside the driver window) ----
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
@@ -1879,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": bloom_dedup,
         "semdedup": semdedup,
         "image_ahash": image_ahash,
+        "snapshot_diff": snapshot_diff,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
         "row_order_reconstruct": row_order_reconstruct,
@@ -3178,6 +3202,28 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT doc_id, md5(text) AS h FROM documents) d"
             " LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents"
             "  WHERE doc_id % 3 = 0) p ON d.h = p.h"
+        ),
+        # robots longest-match: the SAME dialect-neutral greatest()-of-
+        # CASE generator renders the oracle's rule tests
+        "robots_filter": (
+            "WITH u AS (SELECT doc_id, 'http://site' ||"
+            " CAST(doc_id % 40 AS VARCHAR) || '.example.com' ||"
+            " CASE WHEN doc_id % 5 = 0"
+            "  THEN '/private/x' || CAST(doc_id AS VARCHAR)"
+            " WHEN doc_id % 5 = 1 THEN '/private/pub/y'"
+            " WHEN doc_id % 5 = 2"
+            "  THEN '/search?q=' || CAST(doc_id AS VARCHAR)"
+            " WHEN doc_id % 5 = 3 THEN '/page/' || CAST(doc_id AS VARCHAR)"
+            " ELSE '/tmp/cache' END AS url FROM documents),"
+            " p AS (SELECT doc_id, url,"
+            "  coalesce(nullif(regexp_extract(url,"
+            "   'https?://[^/]+(/[^#]*)?', 1), ''), '/') AS path FROM u),"
+            " m AS (SELECT doc_id, url, path,"
+            f"  CAST({__import__('ocr_spark.operators.textops', fromlist=['_robots_len_sql'])._robots_len_sql('path', 'allow', 'starts_with')} AS INT) AS allow_len,"
+            f"  CAST({__import__('ocr_spark.operators.textops', fromlist=['_robots_len_sql'])._robots_len_sql('path', 'disallow', 'starts_with')} AS INT) AS disallow_len"
+            "  FROM p)"
+            " SELECT doc_id, url, path, allow_len, disallow_len,"
+            " allow_len >= disallow_len AS crawlable FROM m"
         ),
         # cohort retention: distinct activity days, first-day cohorts,
         # exact integer micro-unit fractions

@@ -1966,3 +1966,69 @@ def training_manifest(df: DataFrame, col: str = "text") -> DataFrame:
         .select("doc_id", col)
     )
     return pack_sequences(kept, col, token_count=bpe_token_count_expr(col))
+
+
+#: robots_filter ruleset — (type, path-prefix) pairs, the parsed form
+#: of a robots.txt User-agent:* group. Fixed literal — operator
+#: contract (both engines unroll the same longest-match comparison).
+ROBOTS_RULES: tuple[tuple[str, str], ...] = (
+    ("allow", "/"),
+    ("disallow", "/private/"),
+    ("allow", "/private/pub/"),
+    ("disallow", "/tmp/"),
+    ("disallow", "/search"),
+)
+
+
+def _robots_len_sql(
+    path_expr: str, kind: str, starts_with: str = "startswith"
+) -> str:
+    """SQL for the longest matching rule prefix of ``kind`` (-1 when no
+    rule matches): a greatest() over per-rule CASE prefix tests. ONE
+    generator for both engines — only the prefix-test function name
+    differs (Spark ``startswith``, DuckDB ``starts_with``), passed in
+    like the zorder shift renderer."""
+    cases = [
+        f"(CASE WHEN {starts_with}({path_expr}, '{p}') THEN {len(p)}"
+        " ELSE -1 END)"
+        for t, p in ROBOTS_RULES
+        if t == kind
+    ]
+    return "greatest(" + ", ".join(cases) + ")"
+
+
+def robots_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """robots.txt rule evaluation (the Google REP spec, RFC 9309
+    longest-match semantics): for each URL, find the longest matching
+    Allow and Disallow path prefixes from the (literal) parsed ruleset;
+    the more specific rule wins, and a tie goes to Allow — the crawl-
+    politeness / source-filtering primitive every web corpus applies
+    before fetch or ingest.
+
+    Scale shape: the ruleset is a bounded literal unrolled into
+    greatest()-of-CASE JVM expressions — per-row whole-stage codegen,
+    ZERO exchanges, no rule-table join anywhere."""
+    path = (
+        "coalesce(nullif(regexp_extract({u}, 'https?://[^/]+(/[^#]*)?', 1),"
+        " ''), '/')".format(u=url_col)
+    )
+    a_len = _robots_len_sql("__path", "allow")
+    d_len = _robots_len_sql("__path", "disallow")
+    return (
+        df.select("doc_id", F.col(url_col), F.expr(path).alias("__path"))
+        .select(
+            "doc_id",
+            url_col,
+            F.col("__path").alias("path"),
+            F.expr(a_len).cast("int").alias("allow_len"),
+            F.expr(d_len).cast("int").alias("disallow_len"),
+        )
+        .select(
+            "doc_id",
+            url_col,
+            "path",
+            "allow_len",
+            "disallow_len",
+            (F.col("allow_len") >= F.col("disallow_len")).alias("crawlable"),
+        )
+    )

@@ -912,3 +912,26 @@ def test_training_manifest_composes_filters(spark):
             assert r.start_off == off
             assert r.seq_idx == off // 512 and r.pos_in_seq == off % 512
             off += r.n_tokens
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from ocr_spark.operators import textops
+
+    urls = [
+        (0, "http://h.example.com/private/secret"),     # disallowed
+        (1, "http://h.example.com/private/pub/ok"),     # allow overrides
+        (2, "http://h.example.com/search?q=x"),         # disallowed
+        (3, "http://h.example.com/page/1"),             # allowed by '/'
+        (4, "http://h.example.com"),                    # no path -> '/'
+        (5, "http://h.example.com/tmp/z#frag"),         # fragment cut
+        (6, "http://h.example.com/privateer"),          # NOT /private/
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r.doc_id: r for r in textops.robots_filter(df).collect()}
+    assert not out[0].crawlable and out[0].disallow_len == 9
+    assert out[1].crawlable and out[1].allow_len == 13
+    assert not out[2].crawlable
+    assert out[3].crawlable and out[3].disallow_len == -1
+    assert out[4].path == "/" and out[4].crawlable
+    assert not out[5].crawlable  # '#frag' excluded from the path
+    assert out[6].crawlable      # prefix is /private/ with slash
