@@ -1260,6 +1260,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offsets, exact integer retention fractions
         return relational.event_retention(_tbl(spark, sf, "events"))
 
+    def sessionize(spark, sf):
+        # inactivity-gap sessionization (gaps-and-islands): exact epoch
+        # MICROsecond gaps under the (ts_us, event_id) total order; only
+        # integer aggregates cross engines, never a raw timestamp
+        return relational.sessionize(_tbl(spark, sf, "events"))
+
+    def template_detect(spark, sf):
+        # machine-generated page families: doc_id%7 injects two template
+        # classes whose digits vary per copy (serials, totals) so exact
+        # dedup misses them; skeletons travel as md5 only
+        d = _docs(spark, sf)
+        i7 = F.col("doc_id") % 7
+        did = F.col("doc_id").cast("string")
+        t = (
+            F.when(
+                i7 == 0,
+                F.concat(
+                    F.lit("invoice number "), did,
+                    F.lit(" total due "), (F.col("doc_id") * 7).cast("string"),
+                    F.lit(" items "), (F.col("doc_id") % 5).cast("string"),
+                ),
+            )
+            .when(
+                i7 == 3,
+                F.concat(
+                    F.lit("error page "), did,
+                    F.lit(" not found try again later"),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.template_detect(d.select("doc_id", t.alias("text")))
+
+    def mojibake_detect(spark, sf):
+        # encoding damage injected by doc_id%6 (two corruption mixes
+        # covering both mojibake families); the literal repair chain is
+        # replayed verbatim in the oracle via the shared SQL generators
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 6
+        t = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" cafÃ© grÃ¼n â€œquoteâ€™ faÃ§ade"),
+                ),
+            )
+            .when(
+                m == 3,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" naÃ¨ve Ã¤ Ã¶ â€” dash"),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.mojibake_detect(d.select("doc_id", t.alias("text")))
+
     def training_manifest(spark, sf):
         # end-to-end manifest: Gopher filter -> md5 train split -> BPE
         # token counts -> packed-sequence layout, one declarative plan
@@ -1868,10 +1926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_segments": multimodal_audio_segments,
         "multimodal_video_cuts": multimodal_video_cuts,
         "robots_filter": robots_filter,
+        "sessionize": sessionize,
+        "template_detect": template_detect,
+        "mojibake_detect": mojibake_detect,
         # ---- round-4 additions (registered inside the driver window) ----
-        "gopher_rules": gopher_rules,
-        "ngram_lm_score": ngram_lm_score,
-        "dsir_weights": dsir_weights,
+        # (gopher_rules + ngram_lm_score + dsir_weights rotated out
+        # late-round-5: all three r4 driver green — making room for
+        # sessionize / template_detect / mojibake_detect; the in-gate
+        # sf0.001 replay keeps proving them every pytest run)
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
@@ -1888,6 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_table_data": projection_table_data,
         "max_len_per_col": max_len_per_col,
         "top_terms": top_terms,
+        "gopher_rules": gopher_rules,
+        "ngram_lm_score": ngram_lm_score,
+        "dsir_weights": dsir_weights,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -2347,6 +2412,7 @@ _LSH_VERIFY_PREFIX = (
 
 def oracle_sql() -> dict[str, str]:
     from ocr_spark.operators import bpe as _B
+    from ocr_spark.operators import textops as _tx
     from ocr_spark.operators.textops import TAXONOMY as _TAXONOMY
 
     sh_a = _SHINGLES.format(col="text_a")
@@ -3245,6 +3311,66 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_active * 1000000 // cohort_size AS BIGINT)"
             "  AS retention_micro"
             " FROM mat JOIN cs USING (cohort_day)"
+        ),
+        # inactivity-gap sessionization: identical lag → boundary →
+        # running-sum construction; epoch_us ≡ Spark's unix_micros under
+        # the pinned UTC session zone
+        "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, event_type,"
+            "  epoch_us(ts) AS ts_us FROM events),"
+            " l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id"
+            "  ORDER BY ts_us, event_id) AS prev FROM e),"
+            " b AS (SELECT user_id, event_id, event_type, ts_us,"
+            "  CASE WHEN prev IS NULL OR ts_us - prev > 1800000000"
+            "   THEN 1 ELSE 0 END AS is_new FROM l),"
+            " s AS (SELECT user_id, event_type, ts_us,"
+            "  CAST(SUM(is_new) OVER (PARTITION BY user_id"
+            "   ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED"
+            "   PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq"
+            "  FROM b)"
+            " SELECT user_id, session_seq,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,"
+            " CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types"
+            " FROM s GROUP BY user_id, session_seq"
+        ),
+        # template families: the SAME skeleton generator renders the
+        # oracle's normalization (DuckDB needs the explicit 'g' flag)
+        "template_detect": (
+            "WITH t AS (SELECT doc_id, CASE"
+            " WHEN doc_id % 7 = 0 THEN 'invoice number ' ||"
+            "  CAST(doc_id AS VARCHAR) || ' total due ' ||"
+            "  CAST(doc_id * 7 AS VARCHAR) || ' items ' ||"
+            "  CAST(doc_id % 5 AS VARCHAR)"
+            " WHEN doc_id % 7 = 3 THEN 'error page ' ||"
+            "  CAST(doc_id AS VARCHAR) || ' not found try again later'"
+            " ELSE text END AS text FROM documents),"
+            " s AS (SELECT doc_id, md5("
+            + _tx._skeleton_sql("text", g=", 'g'")
+            + ") AS sh FROM t),"
+            " fam AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_copies,"
+            "  MIN(doc_id) AS mid FROM s GROUP BY sh)"
+            " SELECT doc_id, n_copies, n_copies >= 3 AS is_template,"
+            " doc_id = mid AS is_canonical FROM s JOIN fam USING (sh)"
+        ),
+        # mojibake: the SAME literal replace chain + length arithmetic
+        # (HUGEINT-free: BIGINT // on both engines)
+        "mojibake_detect": (
+            "WITH t AS (SELECT doc_id, CASE"
+            " WHEN doc_id % 6 = 0 THEN text ||"
+            "  ' cafÃ© grÃ¼n â€œquote"
+            "â€™ faÃ§ade'"
+            " WHEN doc_id % 6 = 3 THEN text ||"
+            "  ' naÃ¨ve Ã¤ Ã¶"
+            " â€” dash'"
+            " ELSE text END AS text FROM documents)"
+            " SELECT doc_id, CAST("
+            + _tx.mojibake_count_sql("text", idiv="//")
+            + " AS BIGINT) AS n_mojibake, "
+            + _tx.mojibake_count_sql("text", idiv="//")
+            + " > 0 AS is_damaged, "
+            + _tx.mojibake_repair_sql("text")
+            + " AS repaired FROM t"
         ),
         # end-to-end manifest: gopher pass (raw text, no injection) →
         # md5 train membership (u < 0.98) → BPE token counts → the

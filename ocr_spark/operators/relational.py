@@ -656,3 +656,65 @@ def event_retention(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("retention_micro"),
     )
+
+#: sessionize inactivity gap: a new session starts after 30 idle minutes.
+SESSION_GAP_SEC = 1800
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Inactivity-gap sessionization — the third classic event-stream
+    shape next to :func:`event_funnel` / :func:`event_retention`: a
+    user's events belong to one session until a silence longer than
+    ``gap_sec``; each new gap starts the next session (the standard
+    gaps-and-islands construction: lag → boundary flag → running sum).
+
+    Timestamps are compared as exact epoch MICROSECONDS (the
+    TIMESTAMP_NTZ → ltz hop under the session's pinned UTC zone, ≡
+    DuckDB ``epoch_us``), and only integer aggregates cross engines —
+    counts and the max−min duration — never a raw timestamp. The
+    per-user event order is (ts_us, event_id), total because event_id
+    is unique.
+
+    Scale shape: ONE exchange on user_id feeds both windows (same
+    partition spec → a single Window sort) AND the final aggregate —
+    hash partitioning on user_id satisfies the (user_id, session_seq)
+    clustering requirement, so the groupBy adds no exchange. Per-user
+    data is bounded (a user's history fits a partition easily at any
+    corpus size); a pathological robot user is an AQE-skew concern for
+    the sort, not a correctness one.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = int(gap_sec) * 1_000_000
+    ev = ev.select(
+        "*",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(gap_us)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_seq"),
+    )
+    return ev.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )

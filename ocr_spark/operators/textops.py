@@ -2032,3 +2032,132 @@ def robots_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
             (F.col("allow_len") >= F.col("disallow_len")).alias("crawlable"),
         )
     )
+
+
+#: template_detect: a skeleton shared by at least this many documents
+#: marks a template. Fixed — operator contract.
+TEMPLATE_MIN_COPIES = 3
+
+#: Skeleton normalization regexes — RE2-compatible AND Java-compatible
+#: (explicit classes, no \s shorthand: Java's \s includes \x0B, RE2's
+#: does not).
+_SKEL_DIGITS = "[0-9]+"
+_SKEL_WS = "[ \t\n\r]+"
+
+
+def _skeleton_sql(col: str, g: str = "") -> str:
+    """Skeleton expression rendered for BOTH engines: lowercase, digit
+    runs collapsed to a single ``0``, whitespace runs to one space, ends
+    trimmed. ``g`` is the replace-all dialect suffix — ``""`` for Spark
+    (implicit global), ``", 'g'"`` for DuckDB."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower({c}), '{d}', '0'{g}),"
+        " '{w}', ' '{g}))".format(c=col, d=_SKEL_DIGITS, w=_SKEL_WS, g=g)
+    )
+
+
+def template_detect(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_copies: int = TEMPLATE_MIN_COPIES,
+) -> DataFrame:
+    """Template / boilerplate-page detection: normalize each document to
+    its structural skeleton (case-folded, digit runs → ``0``, whitespace
+    collapsed), count identical skeletons corpus-wide, and flag
+    template families — the machine-generated page filter (order
+    confirmations, error pages, directory listings) that exact dedup
+    misses because serial numbers and timestamps differ per copy.
+    ``is_canonical`` keeps the lowest-id member per family so a
+    downstream filter retains one exemplar instead of dropping all.
+
+    Scale shape: skeletons travel as md5 — the count exchange carries
+    (16-byte hash, partial count, partial min-id) and the join back
+    carries (id, hash); document text never crosses an exchange. Same
+    family as line_dedup/dup_span_detect.
+    """
+    skel = df.select(
+        F.col(id_col),
+        F.md5(F.expr(_skeleton_sql(col))).alias("sh"),
+    )
+    fam = skel.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(id_col).alias("__min_id"),
+    )
+    return skel.join(fam, "sh").select(
+        F.col(id_col),
+        "n_copies",
+        (F.col("n_copies") >= F.lit(int(min_copies))).alias("is_template"),
+        (F.col(id_col) == F.col("__min_id")).alias("is_canonical"),
+    )
+
+
+#: Mojibake repair table: UTF-8 byte pairs/triples mis-decoded through
+#: Latin-1/cp1252 and re-saved — the ftfy fix-encoding core cases. All
+#: corrupted forms are printable, quote-free, and prefix-unambiguous
+#: (no entry is a prefix of another), so one replace chain in table
+#: order is exhaustive and order-independent. Fixed — operator contract.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),          # Ã©  -> é
+    ("Ã¨", "è"),          # Ã¨  -> è
+    ("Ã¤", "ä"),          # Ã¤  -> ä
+    ("Ã¶", "ö"),          # Ã¶  -> ö
+    ("Ã¼", "ü"),          # Ã¼  -> ü
+    ("Ã±", "ñ"),          # Ã±  -> ñ
+    ("Ã§", "ç"),          # Ã§  -> ç
+    ("â€™", "’"),    # â€™ -> ’
+    ("â€œ", "“"),    # â€œ -> “
+    ("â€”", "—"),    # â€” -> —
+)
+
+for _bad, _good in MOJIBAKE_MAP:
+    assert "'" not in _bad + _good and "\\" not in _bad + _good
+    for _other, _ in MOJIBAKE_MAP:
+        assert _other == _bad or not _other.startswith(_bad)
+del _bad, _good, _other
+
+
+def mojibake_repair_sql(col: str) -> str:
+    """The repair replace-chain rendered once for BOTH engines (Spark
+    ``replace`` ≡ DuckDB ``replace``: all non-overlapping occurrences,
+    left to right)."""
+    expr = col
+    for bad, good in MOJIBAKE_MAP:
+        expr = "replace({e}, '{b}', '{g}')".format(e=expr, b=bad, g=good)
+    return expr
+
+
+def mojibake_count_sql(col: str, idiv: str = "DIV") -> str:
+    """Total corrupted-sequence occurrences: per pattern,
+    (len − len(after removal)) / pattern_len — exact integer division
+    because the difference is a multiple of the pattern length. ``idiv``
+    is the integer-division token (Spark ``DIV``, DuckDB ``//``)."""
+    terms = [
+        "((length({c}) - length(replace({c}, '{b}', ''))) {q} {n})".format(
+            c=col, b=bad, n=len(bad), q=idiv
+        )
+        for bad, _ in MOJIBAKE_MAP
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def mojibake_detect(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-damage detection and repair (the ftfy fix-encoding
+    core): count occurrences of the classic UTF-8-read-as-Latin-1/cp1252
+    mojibake sequences and emit the repaired text — a standard web-crawl
+    hygiene pass (crawled pages routinely declare one charset and serve
+    another).
+
+    Scale shape: a literal replace chain + length arithmetic, all
+    whole-stage-codegen JVM expressions — ZERO exchanges; the DuckDB
+    oracle replays the identical chain via the shared SQL generators.
+    """
+    n = F.expr(mojibake_count_sql(col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_mojibake"),
+        (n > 0).alias("is_damaged"),
+        F.expr(mojibake_repair_sql(col)).alias("repaired"),
+    )

@@ -1175,3 +1175,44 @@ def test_event_retention_cohort_math(spark):
     assert out[(c1, 2)].n_active == 2
     assert out[("2024-01-02", 0)].cohort_size == 1
     assert ("2024-01-02", 1) not in out
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from ocr_spark.operators import relational
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events inside one session (gaps 10 min / 29:59),
+        # then a 30:01 gap -> second session
+        (1, 10, t0, "view"),
+        (1, 11, t0 + timedelta(minutes=10), "click"),
+        (1, 12, t0 + timedelta(minutes=10, seconds=1799), "view"),
+        (1, 13, t0 + timedelta(minutes=10, seconds=1799 + 1801), "buy"),
+        # user 2: a single event
+        (2, 20, t0, "view"),
+        # user 3: two events EXACTLY 30:00 apart -> same session
+        # (boundary is strict: gap must EXCEED gap_sec)
+        (3, 30, t0, "view"),
+        (3, 31, t0 + timedelta(seconds=1800), "view"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    out = (
+        relational.sessionize(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (r.user_id, r.session_seq, r.n_events, r.duration_us, r.n_types)
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, 1, 3, (600 + 1799) * 1_000_000, 2),
+        (1, 2, 1, 0, 1),
+        (2, 1, 1, 0, 1),
+        (3, 1, 2, 1800 * 1_000_000, 1),
+    ]

@@ -931,3 +931,35 @@ def test_zorder_layout_zero_exchanges(spark):
     plan = _plan(relational.zorder_layout(docs))
     assert not _exchange_blocks(plan)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    from ocr_spark.operators import relational
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(relational.sessionize(events))
+    # one shuffle on user_id feeds both windows AND the final aggregate
+    # (hash partitioning on user_id satisfies the (user_id, session_seq)
+    # clustering requirement — the groupBy must not re-exchange)
+    assert len(_exchange_blocks(plan)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_template_detect_text_never_shuffles(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.template_detect(docs))
+    for b in _exchange_blocks(plan):
+        assert "text" not in b  # skeletons travel as md5 only
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mojibake_detect_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.mojibake_detect(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

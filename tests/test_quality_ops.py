@@ -935,3 +935,60 @@ def test_robots_filter_longest_match_semantics(spark):
     assert out[4].path == "/" and out[4].crawlable
     assert not out[5].crawlable  # '#frag' excluded from the path
     assert out[6].crawlable      # prefix is /private/ with slash
+
+
+def test_template_detect_digit_varying_family(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "Invoice  #123 total 45",      # family A (case+ws+digits)
+                "invoice #9 total 00007",      # family A
+                "invoice #0 total 0",          # family A
+                "a unique document",           # singleton
+                "another unique one 5",        # singleton
+            ],
+        }
+    )
+    out = (
+        textops.template_detect(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_copies) == [3, 3, 3, 1, 1]
+    assert list(out.is_template) == [True, True, True, False, False]
+    # canonical = lowest doc_id per family; singletons are their own
+    assert list(out.is_canonical) == [True, False, False, True, True]
+
+
+def test_mojibake_detect_counts_and_repair(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "cafÃ© cafÃ© â€œxâ€™",   # 2x e-acute, open quote, apostrophe
+                "clean ascii text",
+                "Ã¼ Ã± â€” Ã§",
+            ],
+        }
+    )
+    out = (
+        textops.mojibake_detect(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_mojibake) == [4, 0, 4]
+    assert list(out.is_damaged) == [True, False, True]
+    assert out.repaired[0] == "café café “x’"
+    assert out.repaired[1] == "clean ascii text"
+    assert out.repaired[2] == "ü ñ — ç"
