@@ -1266,6 +1266,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer aggregates cross engines, never a raw timestamp
         return relational.sessionize(_tbl(spark, sf, "events"))
 
+    def anchor_text(spark, sf):
+        # link-graph anchor aggregation: two anchors injected per doc
+        # (a per-doc first-word anchor on a %13 domain family and a
+        # constant "read more" anchor on a %7 family) — the regex
+        # harvest must genuinely parse them back out of the markup
+        d = _docs(spark, sf)
+        html = F.concat(
+            F.lit("<p>"), F.col("text"), F.lit('</p><a href="http://d'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org/p"),
+            (F.col("doc_id") % 3).cast("string"), F.lit('">'),
+            F.element_at(F.split(F.col("text"), " "), 1),
+            F.lit('</a><a href="http://d'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example.net/q">read more</a>'),
+        )
+        return textops.anchor_text(d.select("doc_id", html.alias("html")))
+
+    def pmi_collocations(spark, sf):
+        # top-20 collocations by exact integer PMI ratio over the
+        # natural corpus bigrams (no injection needed: the synthetic
+        # vocabulary already has skewed pair frequencies)
+        return textops.pmi_collocations(_docs(spark, sf))
+
     def template_detect(spark, sf):
         # machine-generated page families: doc_id%7 injects two template
         # classes whose digits vary per copy (serials, totals) so exact
@@ -1929,13 +1953,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": sessionize,
         "template_detect": template_detect,
         "mojibake_detect": mojibake_detect,
+        "anchor_text": anchor_text,
+        "pmi_collocations": pmi_collocations,
         # ---- round-4 additions (registered inside the driver window) ----
         # (gopher_rules + ngram_lm_score + dsir_weights rotated out
         # late-round-5: all three r4 driver green — making room for
         # sessionize / template_detect / mojibake_detect; the in-gate
-        # sf0.001 replay keeps proving them every pytest run)
-        "quality_tiers": quality_tiers,
-        "warc_roundtrip": warc_roundtrip,
+        # sf0.001 replay keeps proving them every pytest run.
+        # quality_tiers + warc_roundtrip rotated out the same way —
+        # making room for anchor_text / pmi_collocations)
         "jsonl_roundtrip": jsonl_roundtrip,
         "orc_roundtrip": orc_roundtrip,
         "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
@@ -1953,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": gopher_rules,
         "ngram_lm_score": ngram_lm_score,
         "dsir_weights": dsir_weights,
+        "quality_tiers": quality_tiers,
+        "warc_roundtrip": warc_roundtrip,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -3352,6 +3380,62 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(doc_id) AS mid FROM s GROUP BY sh)"
             " SELECT doc_id, n_copies, n_copies >= 3 AS is_template,"
             " doc_id = mid AS is_canonical FROM s JOIN fam USING (sh)"
+        ),
+        # anchor aggregation: identical injection + regex harvest; the
+        # per-domain argmax is the same string-encoded max
+        "anchor_text": (
+            "WITH s AS (SELECT doc_id,"
+            " '<p>' || text || '</p><a href=\"http://d' ||"
+            " CAST(doc_id % 13 AS VARCHAR) || '.example.org/p' ||"
+            " CAST(doc_id % 3 AS VARCHAR) || '\">' ||"
+            " string_split(text, ' ')[1] ||"
+            " '</a><a href=\"http://d' || CAST(doc_id % 7 AS VARCHAR) ||"
+            " '.example.net/q\">read more</a>' AS html FROM documents),"
+            " h AS (SELECT doc_id,"
+            "  regexp_extract_all(html,"
+            "   '<a href=\"([^\"]+)\">([^<]*)</a>', 1) AS hs,"
+            "  regexp_extract_all(html,"
+            "   '<a href=\"([^\"]+)\">([^<]*)</a>', 2) AS ts FROM s),"
+            " l AS (SELECT doc_id,"
+            "  regexp_extract(hs[i], 'https?://([^/]+)', 1) AS domain,"
+            "  trim(lower(ts[i])) AS anchor"
+            "  FROM h, LATERAL unnest(range(1, len(hs)+1)) u(i)),"
+            " p AS (SELECT domain, anchor,"
+            "  CAST(COUNT(*) AS BIGINT) AS cnt FROM l GROUP BY 1, 2),"
+            " g AS (SELECT domain, CAST(SUM(cnt) AS BIGINT) AS n_links,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors,"
+            "  MAX(lpad(CAST(cnt AS VARCHAR), 12, '0') || ':' || anchor)"
+            "   AS top FROM p GROUP BY 1)"
+            " SELECT domain, n_links, n_distinct_anchors,"
+            " substring(top, 14) AS top_anchor,"
+            " CAST(substring(top, 1, 12) AS BIGINT) AS top_count FROM g"
+        ),
+        # PMI collocations: exact HUGEINT ratio ≡ Spark decimal(38,0),
+        # full-sort ranking (the two-phase prune is a superset argument,
+        # so the oracle can rank directly)
+        "pmi_collocations": (
+            "WITH d AS (SELECT string_split(text, ' ') AS w"
+            "  FROM documents WHERE len(string_split(text, ' ')) >= 2),"
+            " pr AS (SELECT unnest(list_transform(range(1, len(w)),"
+            "  i -> w[i] || ' ' || w[i+1])) AS bigram FROM d),"
+            " c12 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12"
+            "  FROM pr GROUP BY bigram HAVING COUNT(*) >= 3),"
+            " u AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            "  FROM documents),"
+            " cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u"
+            "  GROUP BY tok),"
+            " tot AS (SELECT CAST(SUM(len(string_split(text, ' ')))"
+            "  AS BIGINT) AS n FROM documents),"
+            " sc AS (SELECT bigram, c12, u1.c AS c1, u2.c AS c2,"
+            "  CAST((c12::HUGEINT * tot.n * 1000000) //"
+            "   (u1.c::HUGEINT * u2.c) AS BIGINT) AS score_micro"
+            "  FROM c12 CROSS JOIN tot"
+            "  JOIN cu u1 ON string_split(bigram, ' ')[1] = u1.tok"
+            "  JOIN cu u2 ON string_split(bigram, ' ')[2] = u2.tok),"
+            " r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro"
+            "  DESC, bigram ASC) AS INT) AS rank, * FROM sc)"
+            " SELECT rank, bigram, c12, c1, c2, score_micro FROM r"
+            " WHERE rank <= 20"
         ),
         # mojibake: the SAME literal replace chain + length arithmetic
         # (HUGEINT-free: BIGINT // on both engines)

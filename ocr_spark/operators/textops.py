@@ -2161,3 +2161,159 @@ def mojibake_detect(
         (n > 0).alias("is_damaged"),
         F.expr(mojibake_repair_sql(col)).alias("repaired"),
     )
+
+
+#: anchor-extraction regex — RE2- and Java-compatible (no backrefs, no
+#: lookaround). Group 1 = href, group 2 = anchor text.
+ANCHOR_RE = '<a href="([^"]+)">([^<]*)</a>'
+
+#: href → registrable host. Same engines-shared dialect as url_extract.
+ANCHOR_DOMAIN_RE = "https?://([^/]+)"
+
+
+def anchor_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor-text aggregation over the crawl's link graph — the classic
+    web-corpus signal (anchor text describes the TARGET page better than
+    the page itself; search engines and title-generation pipelines
+    aggregate it per destination): harvest ``<a href>`` pairs, group by
+    target domain, and report link volume, anchor diversity, and the
+    dominant anchor per domain.
+
+    The per-domain argmax is the string-encoded max
+    ``lpad(count,12)||':'||anchor`` (ties break to the lexicographically
+    greatest anchor) — plain ``max`` on both engines, no struct-ordering
+    semantics.
+
+    Scale shape: the regex harvest is per-row JVM (RE2-compatible
+    pattern, so the oracle replays byte-for-byte); exchange 1 carries
+    (domain, anchor, partial count) — anchors are short display strings,
+    never the document —; exchange 2 carries one row per domain.
+    """
+    pat = ANCHOR_RE.replace("'", "''")
+    hs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)")
+    ts = F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)")
+    links = (
+        df.select(F.col(id_col), ts.alias("__ts"), hs.alias("__hs"))
+        .select(
+            F.col(id_col),
+            F.col("__ts"),
+            F.posexplode("__hs").alias("__i", "href"),
+        )
+        .select(
+            F.col(id_col),
+            F.regexp_extract(F.col("href"), ANCHOR_DOMAIN_RE, 1).alias(
+                "domain"
+            ),
+            F.trim(F.lower(F.expr("element_at(__ts, __i + 1)"))).alias(
+                "anchor"
+            ),
+        )
+    )
+    pairs = links.groupBy("domain", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 12, "0"),
+        F.lit(":"),
+        F.col("anchor"),
+    )
+    return pairs.groupBy("domain").agg(
+        F.sum("cnt").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_anchors"),
+        F.max(key).alias("__top"),
+    ).select(
+        "domain",
+        "n_links",
+        "n_distinct_anchors",
+        F.expr("substring(__top, 14)").alias("top_anchor"),
+        F.expr("CAST(substring(__top, 1, 12) AS BIGINT)").alias("top_count"),
+    )
+
+
+#: pmi_collocations contract constants. Fixed — operator contract.
+PMI_MIN_COUNT = 3
+PMI_TOPK = 20
+
+
+def pmi_collocations(
+    df: DataFrame,
+    col: str = "text",
+    k: int = PMI_TOPK,
+    min_count: int = PMI_MIN_COUNT,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Corpus-level collocation mining: the top-k adjacent-word bigrams
+    by pointwise mutual information — the phrase-vocabulary /
+    tokenizer-seeding pass (word2phrase, Mikolov et al.
+    arXiv:1310.4546 §4 use exactly this count-ratio score).
+
+    Cross-engine determinism: PMI's log is monotone, so ranking uses the
+    RAW probability ratio in exact integer micro-units —
+    ``c12·N·1e6 div (c1·c2)`` in decimal(38,0) ≡ HUGEINT ``//`` (the
+    bm25_topk arithmetic class, overflow-free at any corpus size); total
+    order (score desc, bigram asc).
+
+    Scale shape: bigram and unigram counts partial-aggregate map-side
+    (short token strings cross those exchanges, the vocab_oov
+    precedent); N is one bounded single-row aggregate; the two unigram
+    joins are hash joins on token; top-k is TWO-phase — per-shard
+    row_number prune to k, then a final rank over ≤ shards·k survivors.
+    Shard assignment only needs determinism within the run (any shard's
+    top-k superset argument), so a plain hash bucket is fine.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(_tokens(col).alias("w")).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    c12 = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= int(min_count))
+    )
+    uni = (
+        df.select(F.explode(_tokens(col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = int(
+        df.agg(F.sum(F.size(_tokens(col)))).collect()[0][0]
+    )  # one bounded single-row aggregate (the bm25/tfidf precedent)
+    j = (
+        c12.withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bigram, ' ')[1]"))
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+    )
+    score = F.expr(
+        f"CAST((CAST(c12 AS DECIMAL(38,0)) * {total} * 1000000) DIV "
+        "(CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+    )
+    scored = j.select(
+        "bigram", "c12", "c1", "c2", score.alias("score_micro")
+    )
+    w1 = Window.partitionBy("__shard").orderBy(
+        F.desc("score_micro"), F.asc("bigram")
+    )
+    pruned = (
+        scored.withColumn(
+            "__shard", F.pmod(F.hash("bigram"), F.lit(int(prune_shards)))
+        )
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__shard", "__r")
+    )
+    w2 = Window.orderBy(F.desc("score_micro"), F.asc("bigram"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("rank", "bigram", "c12", "c1", "c2", "score_micro")
+    )

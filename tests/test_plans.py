@@ -963,3 +963,29 @@ def test_mojibake_detect_zero_exchanges(spark):
     plan = _plan(textops.mojibake_detect(docs))
     assert not _exchange_blocks(plan)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_anchor_text_html_never_shuffles(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("html")
+    )
+    plan = _plan(textops.anchor_text(docs))
+    for b in _exchange_blocks(plan):
+        assert "html" not in b  # only (domain, anchor, cnt) cross
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pmi_collocations_plan_shape(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.pmi_collocations(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for b in _exchange_blocks(plan):
+        assert "text" not in b  # tokens/bigrams cross, documents don't

@@ -992,3 +992,60 @@ def test_mojibake_detect_counts_and_repair(spark):
     assert out.repaired[0] == "café café “x’"
     assert out.repaired[1] == "clean ascii text"
     assert out.repaired[2] == "ü ñ — ç"
+
+
+def test_anchor_text_aggregation(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "html": [
+                '<a href="http://a.com/x">Home</a> junk'
+                ' <a href="http://a.com/y">home </a>'
+                ' <a href="http://b.org/z">docs</a>',
+                '<a href="http://a.com/w">home</a> <p>noise</p>',
+                '<a href="https://b.org/q">api</a> no anchors here',
+            ],
+        }
+    )
+    out = (
+        textops.anchor_text(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("domain")
+    )
+    # a.com: 3 links, all normalize to 'home' (case-fold + trim)
+    assert out.loc["a.com"].n_links == 3
+    assert out.loc["a.com"].n_distinct_anchors == 1
+    assert out.loc["a.com"].top_anchor == "home"
+    assert out.loc["a.com"].top_count == 3
+    # b.org: http and https both parse; count tie (1,1) breaks to the
+    # lexicographically greatest anchor
+    assert out.loc["b.org"].n_links == 2
+    assert out.loc["b.org"].top_anchor == "docs"
+    assert out.loc["b.org"].top_count == 1
+
+
+def test_pmi_collocations_exact_ratio(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    # "x y" appears 4 times; c(x)=4, c(y)=6, N=18 tokens
+    docs = [
+        "x y x y z",
+        "x y a b c",
+        "x y y y a b c d",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": docs})
+    out = textops.pmi_collocations(
+        spark.createDataFrame(pdf), min_count=3, k=5
+    ).toPandas()
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    xy = out[out.bigram == "x y"].iloc[0]
+    assert (xy.c12, xy.c1, xy.c2) == (4, 4, 6)
+    assert xy.score_micro == 4 * 18 * 1_000_000 // (4 * 6)
+    # scores are non-increasing down the ranking
+    assert list(out.score_micro) == sorted(out.score_micro, reverse=True)
