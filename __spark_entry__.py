@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_borderless(spark, sf):
         return xq.extract_borderless_query(_docs(spark, sf))
 
+    def extract_autorotate(spark, sf):
+        # undeclared scan orientation: the doc_id quarter turn is baked
+        # into the pixels with a rot=0 header; detect_orientation must
+        # recover the upright page before layout analysis
+        return xq.extract_autorotate_query(_docs(spark, sf))
+
     def extract_multi_table(spark, sf):
         return xq.extract_multi_table_query(_docs(spark, sf))
 
@@ -1955,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_detect": mojibake_detect,
         "anchor_text": anchor_text,
         "pmi_collocations": pmi_collocations,
+        "extract_autorotate": extract_autorotate,
+        # (jsonl_roundtrip rotated out late-round-5 — r4 driver green —
+        # making room for extract_autorotate)
         # ---- round-4 additions (registered inside the driver window) ----
         # (gopher_rules + ngram_lm_score + dsir_weights rotated out
         # late-round-5: all three r4 driver green — making room for
@@ -1962,7 +1971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001 replay keeps proving them every pytest run.
         # quality_tiers + warc_roundtrip rotated out the same way —
         # making room for anchor_text / pmi_collocations)
-        "jsonl_roundtrip": jsonl_roundtrip,
         "orc_roundtrip": orc_roundtrip,
         "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
         # ---- reference §2 extraction slugs ----
@@ -1981,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": dsir_weights,
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -2508,6 +2517,14 @@ def oracle_sql() -> dict[str, str]:
         # same round-trip contract as extract_grid — a borderless render
         # must recover the identical cells via whitespace layout analysis
         "extract_borderless": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
+            " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # same round-trip contract again — an UNDECLARED quarter turn
+        # baked into the pixels must auto-detect and recover the words
+        "extract_autorotate": (
             "SELECT doc_id,"
             " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
             " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] AS cells_text"

@@ -411,7 +411,34 @@ def read_any_cells(img: np.ndarray) -> list[list[str]]:
     return read_borderless_cells(img)
 
 
-def extract_grid_table(payload: str) -> dict:
+def detect_orientation(img: np.ndarray) -> int:
+    """Page-orientation detection (the Tesseract-OSD preprocessing step:
+    real scans arrive rotated by arbitrary quarter turns with no
+    declared orientation): try all four clockwise restore rotations,
+    parse each candidate with the full layout dispatch, and score it by
+    the number of glyphs that decode to a real charset character. The
+    upright orientation decodes every glyph; a wrong quarter turn feeds
+    the recognizer arbitrary 12-bit patterns, which mostly land in the
+    '?' padding of the 4096-entry LUT. Ties (e.g. a blank page) keep the
+    smallest rotation, so the scorer is deterministic given pixels.
+
+    Cost: four layout parses per page — the standard price of
+    orientation search; the parse is pure numpy and stays inside the
+    same fused extraction stage."""
+    best_score, best_rot = -1, 0
+    for rot in (0, 90, 180, 270):
+        cand = rot90_payload(img, rot)
+        score = 0
+        for y0, y1 in split_table_bands(cand):
+            for row in read_any_cells(cand[y0 : y1 + 1]):
+                for cell in row:
+                    score += sum(1 for ch in cell if ch != "?")
+        if score > best_score:
+            best_score, best_rot = score, rot
+    return best_rot
+
+
+def extract_grid_table(payload: str, auto_orient: bool = False) -> dict:
     """GRIDv1 payload → reference-shaped extraction result.
 
     Each stacked table on the page (blank bands >= TABLE_SPLIT_GAP rows
@@ -429,6 +456,8 @@ def extract_grid_table(payload: str) -> dict:
     try:
         img, rot = decode_grid_payload(payload)
         img = rot90_payload(img, rot)
+        if auto_orient:
+            img = rot90_payload(img, detect_orientation(img))
         records: list[dict] = []
         keys: dict[str, None] = {}
         for y0, y1 in split_table_bands(img):

@@ -95,22 +95,35 @@ def extract_json_query(df: DataFrame) -> DataFrame:
 GRID_WORDS = 6  # 2 rows (header + one data row) × 3 columns
 
 
-def _grid_query(build_img):
+def _grid_query(build_img, declared_rot: bool = True):
     """Shared factory for the grid-family round-trip queries: render an
     image from the doc's first GRID_WORDS words (``build_img(words)`` —
     ruled, borderless, merged, or a multi-table page), wrap it in a
     doc_id-rotated GRIDv1 payload, run the full extract_grid_table parse,
-    and emit the records as 'key=value' pairs joined by '|'."""
+    and emit the records as 'key=value' pairs joined by '|'.
+
+    ``declared_rot=False`` bakes the same doc_id quarter turn into the
+    PIXELS with a rot=0 header — an undeclared scan orientation — and
+    the parse must recover it via detect_orientation (auto_orient)."""
 
     def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = text.split(" ")[:GRID_WORDS]
-                payload = encode_grid_payload(
-                    build_img(words), rot=int(doc_id) % 4 * 90
+                rot = int(doc_id) % 4 * 90
+                if declared_rot:
+                    payload = encode_grid_payload(build_img(words), rot=rot)
+                else:
+                    img = build_img(words)
+                    if rot:
+                        img = np.rot90(img, k=rot // 90)
+                    payload = encode_grid_payload(img, rot=0)
+                res = extract_grid_table(
+                    payload, auto_orient=not declared_rot
                 )
-                res = extract_grid_table(payload)
                 got = []
                 for rec in res.get("table_data", []):
                     got.extend([f"{k}={v}" for k, v in rec.items()])
@@ -184,6 +197,13 @@ extract_multi_table_query = _grid_query(_multi_table_img)
 #: values appropriately", scripts/ExtractX_OCR.py:327) — while the
 #: unmerged second data row round-trips normally.
 extract_merged_cells_query = _grid_query(_merged_cells_img)
+
+#: The same ruled-grid round-trip with the quarter turn baked into the
+#: PIXELS and a rot=0 header — an undeclared scan orientation, the
+#: Tesseract-OSD case. The parse must recover the upright page via
+#: detect_orientation (glyph-validity scoring over all four restore
+#: rotations) before layout analysis.
+extract_autorotate_query = _grid_query(_grid_img, declared_rot=False)
 
 
 # -- PDF embedded-image grid extraction ------------------------------------

@@ -425,3 +425,72 @@ class TestMergedCells:
             {"a": "a", "b": "a", "c": "a"},
             {"d": "customer", "e": "customer", "f": "stream"},
         ]
+
+
+class TestAutoOrient:
+    """Orientation detection (the Tesseract-OSD preprocessing step):
+    undeclared quarter turns recovered by glyph-validity scoring."""
+
+    CELLS = [
+        ["name", "qty", "note"],
+        ["alpha", "12", "ok"],
+        ["bravo", "7", "x y"],
+    ]
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    @pytest.mark.parametrize("render", ["ruled", "borderless"])
+    def test_detects_all_quarter_turns(self, rot, render):
+        import numpy as np
+
+        from ocr_spark.kernels.grid import (
+            detect_orientation,
+            render_borderless,
+            render_grid,
+        )
+
+        img = (render_grid if render == "ruled" else render_borderless)(
+            self.CELLS
+        )
+        stored = np.rot90(img, k=rot // 90) if rot else img
+        assert detect_orientation(stored) == rot
+
+    @pytest.mark.parametrize("rot", [0, 90, 180, 270])
+    def test_auto_orient_roundtrip(self, rot):
+        import numpy as np
+
+        from ocr_spark.kernels.grid import render_grid
+
+        img = render_grid(self.CELLS)
+        stored = np.rot90(img, k=rot // 90) if rot else img
+        res = extract_grid_table(
+            encode_grid_payload(stored, rot=0), auto_orient=True
+        )
+        assert res["table_data"] == [
+            {"name": "alpha", "qty": "12", "note": "ok"},
+            {"name": "bravo", "qty": "7", "note": "x y"},
+        ]
+
+    def test_blank_page_keeps_rot0_and_degrades(self):
+        import numpy as np
+
+        from ocr_spark.kernels.grid import detect_orientation
+
+        blank = np.zeros((40, 40), dtype=np.uint8)
+        assert detect_orientation(blank) == 0
+        res = extract_grid_table(
+            encode_grid_payload(blank, rot=0), auto_orient=True
+        )
+        assert res["table_data"] == []
+
+    def test_declared_rot_composes_with_auto_orient(self):
+        # a payload that declares 90 AND bakes a further undeclared 180
+        # restores upright: declared first, detected residual second
+        import numpy as np
+
+        from ocr_spark.kernels.grid import render_grid, rot90_payload
+
+        img = render_grid(self.CELLS)
+        baked = np.rot90(img, k=2)  # undeclared 180
+        payload = encode_grid_payload(baked, rot=90)  # declares 90 more
+        res = extract_grid_table(payload, auto_orient=True)
+        assert res["table_data"][0]["name"] == "alpha"
