@@ -1290,6 +1290,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.anchor_text(d.select("doc_id", html.alias("html")))
 
+    def ohlc_bars(spark, sf):
+        # hourly candlestick bars per event type: exact epoch buckets,
+        # string-encoded open/close argmin/argmax exported as event IDs,
+        # untouched stored doubles for lo/hi
+        return relational.ohlc_bars(_tbl(spark, sf, "events"))
+
+    def html_meta(spark, sf):
+        # head-section metadata harvest over injected markup: doc_id
+        # families give docs with/without each field and 0-2 h1 tags
+        d = _docs(spark, sf)
+        w1 = F.element_at(F.split(F.col("text"), " "), 1)
+        title = F.when(
+            F.col("doc_id") % 4 != 1,
+            F.concat(F.lit("<title>"), w1, F.lit(" page</title>")),
+        ).otherwise(F.lit(""))
+        desc = F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(
+                F.lit('<meta name="description" content="about '),
+                w1, F.lit('">'),
+            ),
+        ).otherwise(F.lit(""))
+        canon = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://c'),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit('.example.com/p">'),
+            ),
+        ).otherwise(F.lit(""))
+        h1s = F.expr("repeat('<h1>hi</h1>', CAST(doc_id % 3 AS INT))")
+        html = F.concat(
+            F.lit("<head>"), title, desc, canon,
+            F.lit("</head><body>"), h1s, F.col("text"), F.lit("</body>"),
+        )
+        return textops.html_meta(d.select("doc_id", html.alias("html")))
+
+    def char_diversity(spark, sf):
+        # degenerate-text screen: doc_id%9==0 docs become a two-char
+        # loop (diversity collapses); natural prose sits far above the
+        # 0.2 threshold
+        d = _docs(spark, sf)
+        t = F.when(
+            F.col("doc_id") % 9 == 0, F.expr("repeat('ab', 200)")
+        ).otherwise(F.col("text"))
+        return textops.char_diversity(d.select("doc_id", t.alias("text")))
+
     def pmi_collocations(spark, sf):
         # top-20 collocations by exact integer PMI ratio over the
         # natural corpus bigrams (no injection needed: the synthetic
@@ -1913,9 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all green in both the r3 AND r4 driver windows)
         # (multimodal_video_frames rotated out mid-round-5: green in
         # r3 AND r4 driver windows — making room for cdc_chunk_dedup)
-        "line_dedup": line_dedup,
-        "dup_span_detect": dup_span_detect,
-        "substring_dedup_cut": substring_dedup_cut,
         "bm25_topk": bm25_topk,
         "classifier_score": classifier_score,
         "cross_snapshot_dedup": cross_snapshot_dedup,
@@ -1964,6 +2008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_autorotate": extract_autorotate,
         # (jsonl_roundtrip rotated out late-round-5 — r4 driver green —
         # making room for extract_autorotate)
+        "ohlc_bars": ohlc_bars,
+        "html_meta": html_meta,
+        "char_diversity": char_diversity,
+        # (line_dedup + dup_span_detect + substring_dedup_cut rotated
+        # out late-round-5 — all r4 driver green — making room for
+        # ohlc_bars / html_meta / char_diversity)
         # ---- round-4 additions (registered inside the driver window) ----
         # (gopher_rules + ngram_lm_score + dsir_weights rotated out
         # late-round-5: all three r4 driver green — making room for
@@ -1990,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "line_dedup": line_dedup,
+        "dup_span_detect": dup_span_detect,
+        "substring_dedup_cut": substring_dedup_cut,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -3397,6 +3450,68 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(doc_id) AS mid FROM s GROUP BY sh)"
             " SELECT doc_id, n_copies, n_copies >= 3 AS is_template,"
             " doc_id = mid AS is_canonical FROM s JOIN fam USING (sh)"
+        ),
+        # hourly bars: identical epoch bucketing + string-encoded
+        # open/close keys; lo/hi are untouched stored doubles
+        "ohlc_bars": (
+            "WITH e AS (SELECT event_type, value,"
+            "  epoch_us(ts) // 3600000000 AS bar,"
+            "  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||"
+            "  lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events)"
+            " SELECT event_type, CAST(bar AS BIGINT) AS bar,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " MIN(value) AS lo, MAX(value) AS hi,"
+            " CAST(substring(MIN(k), 21) AS BIGINT) AS open_event_id,"
+            " CAST(substring(MAX(k), 21) AS BIGINT) AS close_event_id"
+            " FROM e GROUP BY 1, 2"
+        ),
+        # head metadata: identical injection + the same four regexes
+        "html_meta": (
+            "WITH s AS (SELECT doc_id, '<head>' ||"
+            " CASE WHEN doc_id % 4 <> 1 THEN '<title>' ||"
+            "  string_split(text, ' ')[1] || ' page</title>'"
+            "  ELSE '' END ||"
+            " CASE WHEN doc_id % 3 <> 2 THEN"
+            "  '<meta name=\"description\" content=\"about ' ||"
+            "  string_split(text, ' ')[1] || '\">' ELSE '' END ||"
+            " CASE WHEN doc_id % 5 = 0 THEN"
+            "  '<link rel=\"canonical\" href=\"http://c' ||"
+            "  CAST(doc_id % 11 AS VARCHAR) || '.example.com/p\">'"
+            "  ELSE '' END ||"
+            " '</head><body>' ||"
+            " repeat('<h1>hi</h1>', CAST(doc_id % 3 AS INT)) ||"
+            " text || '</body>' AS html FROM documents)"
+            " SELECT doc_id,"
+            " regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,"
+            " regexp_extract(html,"
+            "  '<meta name=\"description\" content=\"([^\"]*)\"', 1)"
+            "  AS meta_description,"
+            " regexp_extract(html,"
+            "  '<link rel=\"canonical\" href=\"([^\"]*)\"', 1)"
+            "  AS canonical_url,"
+            " CAST(len(regexp_extract_all(html, '<h1>', 0)) AS BIGINT)"
+            "  AS n_h1 FROM s"
+        ),
+        # trigram diversity: identical injection + in-row trigram list
+        "char_diversity": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0"
+            "  THEN repeat('ab', 200) ELSE text END AS text"
+            "  FROM documents),"
+            " m AS (SELECT doc_id,"
+            "  CAST(CASE WHEN length(text) >= 3 THEN length(text) - 2"
+            "   ELSE 0 END AS BIGINT) AS n_trigrams,"
+            "  CAST(CASE WHEN length(text) >= 3 THEN"
+            "   len(list_distinct(list_transform("
+            "    range(1, length(text) - 1),"
+            "    i -> substring(text, i, 3)))) ELSE 0 END AS BIGINT)"
+            "   AS n_distinct_trigrams FROM t)"
+            " SELECT doc_id, n_trigrams, n_distinct_trigrams,"
+            " CAST(CASE WHEN n_trigrams > 0 THEN"
+            "  n_distinct_trigrams * 1000000 // n_trigrams"
+            "  ELSE 0 END AS BIGINT) AS diversity_micro,"
+            " (n_trigrams > 0 AND CASE WHEN n_trigrams > 0 THEN"
+            "  n_distinct_trigrams * 1000000 // n_trigrams ELSE 0 END"
+            "  < 200000) AS is_degenerate FROM m"
         ),
         # anchor aggregation: identical injection + regex harvest; the
         # per-domain argmax is the same string-encoded max

@@ -718,3 +718,48 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+def ohlc_bars(events: DataFrame, bar_sec: int = 3600) -> DataFrame:
+    """Time-series bar (candlestick) downsampling — the classic resample
+    aggregate: per (event_type, fixed epoch bucket), the event count,
+    the value extremes, and the IDs of the opening and closing events
+    under the (ts_us, event_id) total order.
+
+    Cross-engine exactness: the bucket is integer epoch-microsecond
+    division; open/close are the string-encoded min/max of
+    ``lpad(ts_us,20)||lpad(event_id,12)`` (plain MIN/MAX on both
+    engines, no struct-ordering or arg_min semantics), exported as
+    event IDs — the event_funnel convention, so no raw timestamp
+    crosses engines. lo/hi are untouched stored doubles (pure min/max,
+    no arithmetic, bit-identical).
+
+    Scale shape: ONE exchange carrying (event_type, bar, partials) —
+    map-side combine collapses per-bucket volume before the shuffle.
+    """
+    bar_us = int(bar_sec) * 1_000_000
+    ev = events.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_id",
+    ).select(
+        "event_type",
+        "value",
+        F.expr(f"ts_us DIV {bar_us}").cast("long").alias("bar"),
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("__k"),
+    )
+    return ev.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.expr("CAST(substring(MIN(__k), 21) AS BIGINT)").alias(
+            "open_event_id"
+        ),
+        F.expr("CAST(substring(MAX(__k), 21) AS BIGINT)").alias(
+            "close_event_id"
+        ),
+    )

@@ -2317,3 +2317,81 @@ def pmi_collocations(
         .filter(F.col("rank") <= k)
         .select("rank", "bigram", "c12", "c1", "c2", "score_micro")
     )
+
+
+def html_meta(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """Page-metadata extraction — the head-section fields every crawl
+    pipeline keeps next to the main text (<title>, meta description,
+    canonical link, heading count). Missing fields extract as '' (the
+    regexp_extract no-match convention on both engines).
+
+    Scale shape: four per-row JVM regexes (RE2/Java-shared patterns,
+    anchored literal heads — no backtracking blowup), ZERO exchanges.
+    """
+    title = "regexp_extract({c}, '<title>([^<]*)</title>', 1)"
+    desc = (
+        "regexp_extract({c},"
+        " '<meta name=\"description\" content=\"([^\"]*)\"', 1)"
+    )
+    canon = (
+        "regexp_extract({c},"
+        " '<link rel=\"canonical\" href=\"([^\"]*)\"', 1)"
+    )
+    h1s = "size(regexp_extract_all({c}, '<h1>', 0))"
+    return df.select(
+        F.col(id_col),
+        F.expr(title.format(c=html_col)).alias("title"),
+        F.expr(desc.format(c=html_col)).alias("meta_description"),
+        F.expr(canon.format(c=html_col)).alias("canonical_url"),
+        F.expr(h1s.format(c=html_col)).cast("long").alias("n_h1"),
+    )
+
+
+#: char_diversity flag threshold, in 1e-6 units. Fixed — contract.
+CHAR_DIVERSITY_MIN_MICRO = 200_000
+
+
+def char_diversity(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram diversity — the cheap garbled/degenerate-text
+    signal (a keyboard-mash or single-phrase-looped document has few
+    distinct character trigrams relative to its length; natural prose
+    sits far above the threshold): distinct trigrams / total trigrams in
+    exact integer micro-units. Documents shorter than one trigram score
+    0 with 0 windows.
+
+    Scale shape: per-row JVM lambda over an in-row trigram array — ZERO
+    exchanges, whole-stage codegen.
+    """
+    tri = (
+        "transform(sequence(1, length({c}) - 2),"
+        " i -> substring({c}, i, 3))".format(c=col)
+    )
+    n_tri = F.when(
+        F.length(F.col(col)) >= 3, F.length(F.col(col)) - 2
+    ).otherwise(F.lit(0)).cast("long")
+    n_dist = F.when(
+        F.length(F.col(col)) >= 3,
+        F.expr(f"size(array_distinct({tri}))"),
+    ).otherwise(F.lit(0)).cast("long")
+    div = F.when(
+        F.col("n_trigrams") > 0,
+        F.expr("n_distinct_trigrams * 1000000 DIV n_trigrams"),
+    ).otherwise(F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tri.alias("n_trigrams"),
+        n_dist.alias("n_distinct_trigrams"),
+    ).select(
+        id_col,
+        "n_trigrams",
+        "n_distinct_trigrams",
+        div.alias("diversity_micro"),
+    ).select(
+        "*",
+        (
+            (F.col("n_trigrams") > 0)
+            & (F.col("diversity_micro") < CHAR_DIVERSITY_MIN_MICRO)
+        ).alias("is_degenerate"),
+    )

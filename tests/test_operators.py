@@ -1216,3 +1216,35 @@ def test_sessionize_gap_boundaries(spark):
         (2, 1, 1, 0, 1),
         (3, 1, 2, 1800 * 1_000_000, 1),
     ]
+
+
+def test_ohlc_bars_open_close_extremes(spark):
+    from datetime import datetime
+
+    import pandas as pd
+
+    from ocr_spark.operators import relational
+
+    rows = [
+        # one hour bucket, one type: open=id 1 (earliest), close=id 4
+        (1, datetime(2024, 1, 1, 10, 0, 5), "view", 3.0),
+        (2, datetime(2024, 1, 1, 10, 20, 0), "view", 9.5),
+        (3, datetime(2024, 1, 1, 10, 40, 0), "view", 1.25),
+        (4, datetime(2024, 1, 1, 10, 59, 59), "view", 4.0),
+        # same instant tie -> event_id breaks it
+        (6, datetime(2024, 1, 1, 11, 0, 0), "view", 7.0),
+        (5, datetime(2024, 1, 1, 11, 0, 0), "view", 2.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    out = (
+        relational.ohlc_bars(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("bar")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    b0, b1 = out.iloc[0], out.iloc[1]
+    assert (b0.n_events, b0.open_event_id, b0.close_event_id) == (4, 1, 4)
+    assert (b0.lo, b0.hi) == (1.25, 9.5)
+    assert (b1.open_event_id, b1.close_event_id) == (5, 6)
+    assert b1.bar == b0.bar + 1

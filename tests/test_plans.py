@@ -989,3 +989,28 @@ def test_pmi_collocations_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     for b in _exchange_blocks(plan):
         assert "text" not in b  # tokens/bigrams cross, documents don't
+
+
+def test_ohlc_bars_single_exchange(spark):
+    from ocr_spark.operators import relational
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(relational.ohlc_bars(events))
+    assert len(_exchange_blocks(plan)) == 1  # map-side combine, one agg
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_html_meta_and_char_diversity_zero_exchanges(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        textops.html_meta(docs.select("doc_id", F.col("text").alias("html")))
+    )
+    assert not _exchange_blocks(plan)
+    plan2 = _plan(textops.char_diversity(docs))
+    assert not _exchange_blocks(plan2)
+    for p in (plan, plan2):
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

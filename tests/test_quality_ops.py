@@ -1049,3 +1049,60 @@ def test_pmi_collocations_exact_ratio(spark):
     assert xy.score_micro == 4 * 18 * 1_000_000 // (4 * 6)
     # scores are non-increasing down the ranking
     assert list(out.score_micro) == sorted(out.score_micro, reverse=True)
+
+
+def test_html_meta_fields_and_missing(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "html": [
+                '<head><title>my page</title>'
+                '<meta name="description" content="a desc">'
+                '<link rel="canonical" href="http://x.com/p"></head>'
+                "<body><h1>hi</h1><h1>again</h1></body>",
+                "<body>no head at all</body>",
+            ],
+        }
+    )
+    out = (
+        textops.html_meta(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].title == "my page"
+    assert out.loc[0].meta_description == "a desc"
+    assert out.loc[0].canonical_url == "http://x.com/p"
+    assert out.loc[0].n_h1 == 2
+    assert (out.loc[1][["title", "meta_description", "canonical_url"]] == "").all()
+    assert out.loc[1].n_h1 == 0
+
+
+def test_char_diversity_degenerate_and_short(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["ab" * 100, "the quick brown fox jumps high", "xy"],
+        }
+    )
+    out = (
+        textops.char_diversity(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # 'abab...': only 'aba' and 'bab' ever occur -> 2 distinct / 198
+    assert out.loc[0].n_trigrams == 198
+    assert out.loc[0].n_distinct_trigrams == 2
+    assert out.loc[0].diversity_micro == 2 * 1_000_000 // 198
+    assert bool(out.loc[0].is_degenerate)
+    assert not bool(out.loc[1].is_degenerate)
+    assert out.loc[1].diversity_micro > 800_000
+    # shorter than one trigram: zeros, NOT degenerate
+    assert out.loc[2].n_trigrams == 0 and not bool(out.loc[2].is_degenerate)
