@@ -1327,6 +1327,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.html_meta(d.select("doc_id", html.alias("html")))
 
+    def homoglyph_detect(spark, sf):
+        # mixed-script spoofing screen: doc_id%8==0 docs get the shared
+        # Cyrillic-substituted sample appended (quote-free, embeds in
+        # the oracle literal verbatim)
+        d = _docs(spark, sf)
+        t = F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.col("text"), F.lit(" " + textops.HOMOGLYPH_SAMPLE)),
+        ).otherwise(F.col("text"))
+        return textops.homoglyph_detect(d.select("doc_id", t.alias("text")))
+
+    def vocab_drift(spark, sf):
+        # release drift monitor: vN-1 = docs with doc_id%3==0 (the
+        # cross_snapshot convention), vN = the full corpus
+        d = _docs(spark, sf)
+        return textops.vocab_drift(d, d.filter(F.col("doc_id") % 3 == 0))
+
     def char_diversity(spark, sf):
         # degenerate-text screen: doc_id%9==0 docs become a two-char
         # loop (diversity collapses); natural prose sits far above the
@@ -1960,8 +1977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all green in both the r3 AND r4 driver windows)
         # (multimodal_video_frames rotated out mid-round-5: green in
         # r3 AND r4 driver windows — making room for cdc_chunk_dedup)
-        "bm25_topk": bm25_topk,
-        "classifier_score": classifier_score,
         "cross_snapshot_dedup": cross_snapshot_dedup,
         "cross_snapshot_novelty": cross_snapshot_novelty,
         "domain_cap": domain_cap,
@@ -2011,9 +2026,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": ohlc_bars,
         "html_meta": html_meta,
         "char_diversity": char_diversity,
+        "homoglyph_detect": homoglyph_detect,
+        "vocab_drift": vocab_drift,
         # (line_dedup + dup_span_detect + substring_dedup_cut rotated
         # out late-round-5 — all r4 driver green — making room for
-        # ohlc_bars / html_meta / char_diversity)
+        # ohlc_bars / html_meta / char_diversity; bm25_topk +
+        # classifier_score rotated the same way for homoglyph_detect /
+        # vocab_drift)
         # ---- round-4 additions (registered inside the driver window) ----
         # (gopher_rules + ngram_lm_score + dsir_weights rotated out
         # late-round-5: all three r4 driver green — making room for
@@ -2043,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
         "substring_dedup_cut": substring_dedup_cut,
+        "bm25_topk": bm25_topk,
+        "classifier_score": classifier_score,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -3450,6 +3471,52 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(doc_id) AS mid FROM s GROUP BY sh)"
             " SELECT doc_id, n_copies, n_copies >= 3 AS is_template,"
             " doc_id = mid AS is_canonical FROM s JOIN fam USING (sh)"
+        ),
+        # mixed-script words: identical injection + explicit-range
+        # regexes (list_filter ≡ filter lambda)
+        "homoglyph_detect": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 8 = 0"
+            " THEN text || ' " + _tx.HOMOGLYPH_SAMPLE + "'"
+            " ELSE text END AS text FROM documents)"
+            " SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+            " CAST(len(list_filter(string_split(text, ' '),"
+            "  t -> regexp_matches(t, '[a-z]')"
+            "   AND regexp_matches(t, '[а-яё]'))) AS BIGINT)"
+            "  AS n_mixed_words,"
+            " len(list_filter(string_split(text, ' '),"
+            "  t -> regexp_matches(t, '[a-z]')"
+            "   AND regexp_matches(t, '[а-яё]'))) > 0 AS is_spoofed"
+            " FROM t"
+        ),
+        # vocabulary drift: identical combined-top-k cut + exact
+        # integer frequencies (vN-1 = doc_id%3=0, the snapshot
+        # convention)
+        "vocab_drift": (
+            "WITH cur AS (SELECT unnest(string_split(text, ' ')) AS"
+            "  token FROM documents),"
+            " prev AS (SELECT unnest(string_split(text, ' ')) AS token"
+            "  FROM documents WHERE doc_id % 3 = 0),"
+            " cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_cur"
+            "  FROM cur GROUP BY token),"
+            " cp AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_prev"
+            "  FROM prev GROUP BY token),"
+            " nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cur),"
+            " np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prev),"
+            " j AS (SELECT COALESCE(cc.token, cp.token) AS token,"
+            "  COALESCE(c_cur, 0) AS c_cur, COALESCE(c_prev, 0) AS c_prev"
+            "  FROM cc FULL OUTER JOIN cp ON cc.token = cp.token"
+            "  ORDER BY COALESCE(c_cur, 0) + COALESCE(c_prev, 0) DESC,"
+            "   COALESCE(cc.token, cp.token) ASC LIMIT 64)"
+            " SELECT token, c_cur, c_prev,"
+            " CAST(c_cur * 1000000 // GREATEST((SELECT n FROM nc), 1)"
+            "  AS BIGINT) AS f_cur_micro,"
+            " CAST(c_prev * 1000000 // GREATEST((SELECT n FROM np), 1)"
+            "  AS BIGINT) AS f_prev_micro,"
+            " CAST(abs(c_cur * 1000000 // GREATEST((SELECT n FROM nc), 1)"
+            "  - c_prev * 1000000 // GREATEST((SELECT n FROM np), 1))"
+            "  AS BIGINT) AS drift_micro"
+            " FROM j"
         ),
         # hourly bars: identical epoch bucketing + string-encoded
         # open/close keys; lo/hi are untouched stored doubles

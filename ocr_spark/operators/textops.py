@@ -2395,3 +2395,98 @@ def char_diversity(
             & (F.col("diversity_micro") < CHAR_DIVERSITY_MIN_MICRO)
         ).alias("is_degenerate"),
     )
+
+
+#: Homoglyph injection sample shared by the contract query and oracle:
+#: Latin words with Cyrillic а (U+0430) / е (U+0435) substituted — the
+#: classic spoofing shape. Quote- and backslash-free so it can embed in
+#: a SQL literal verbatim.
+HOMOGLYPH_SAMPLE = "pаypаl sеcure bаnk login"
+
+
+def homoglyph_detect(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed-script homoglyph detection — the spoofing/spam screen
+    (phishing corpora substitute Cyrillic а/е/о/с into Latin words to
+    dodge keyword filters; a legitimate document is either-script per
+    word): count words containing BOTH a Latin letter and a Cyrillic
+    letter. Explicit codepoint ranges, not \\p{} classes — Java regex
+    and RE2 script tables differ (the script_detect precedent).
+
+    Scale shape: one per-row JVM lambda over the hoisted token array —
+    ZERO exchanges."""
+    mixed = (
+        "size(filter(split({c}, ' '),"
+        " t -> t rlike '[a-z]' AND t rlike '[а-яё]'))"
+    ).format(c=col)
+    n = F.expr(mixed).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(col)).cast("long").alias("n_words"),
+        n.alias("n_mixed_words"),
+        (n > 0).alias("is_spoofed"),
+    )
+
+
+#: vocab_drift: compare token frequencies over the top-k combined
+#: vocabulary. Fixed — operator contract.
+VOCAB_DRIFT_TOPK = 64
+
+
+def vocab_drift(
+    df: DataFrame,
+    prior: DataFrame,
+    col: str = "text",
+    k: int = VOCAB_DRIFT_TOPK,
+) -> DataFrame:
+    """Release-over-release vocabulary drift — the data-drift monitor a
+    recurring crawl pipeline runs before training (a scraper change or
+    spam wave shows up as frequency shifts long before model metrics
+    move): for the top-``k`` tokens of the COMBINED corpus (count desc,
+    token asc — a total order, so the cut is reproducible), report each
+    token's per-mille^2 frequency in both releases and the absolute
+    drift, all in exact integer micro-units (count·1e6 div N).
+
+    Scale shape: two token-count aggregates (map-side combine, (token,
+    count) exchanges), a full-outer join of count tables, a distributed
+    TakeOrdered for the cut, and two bounded single-row aggregates for
+    the corpus totals. Document text never crosses an exchange.
+    """
+    def counts(d: DataFrame, alias: str) -> DataFrame:
+        return (
+            d.select(F.explode(_tokens(col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    cur = counts(df, "c_cur")
+    prev = counts(prior, "c_prev")
+    n_cur = int(df.agg(F.sum(F.size(_tokens(col)))).collect()[0][0] or 0)
+    n_prev = int(
+        prior.agg(F.sum(F.size(_tokens(col)))).collect()[0][0] or 0
+    )
+    j = (
+        cur.join(prev, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+            F.coalesce("c_prev", F.lit(0)).cast("long").alias("c_prev"),
+        )
+        .orderBy(
+            (F.col("c_cur") + F.col("c_prev")).desc(), F.col("token").asc()
+        )
+        .limit(int(k))
+    )
+    f_cur = F.expr(f"c_cur * 1000000 DIV {max(n_cur, 1)}").cast("long")
+    f_prev = F.expr(f"c_prev * 1000000 DIV {max(n_prev, 1)}").cast("long")
+    return j.select(
+        "token", "c_cur", "c_prev",
+        f_cur.alias("f_cur_micro"),
+        f_prev.alias("f_prev_micro"),
+    ).select(
+        "*",
+        F.abs(F.col("f_cur_micro") - F.col("f_prev_micro"))
+        .cast("long")
+        .alias("drift_micro"),
+    )

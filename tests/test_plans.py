@@ -1014,3 +1014,26 @@ def test_html_meta_and_char_diversity_zero_exchanges(spark):
     assert not _exchange_blocks(plan2)
     for p in (plan, plan2):
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_homoglyph_detect_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.homoglyph_detect(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_drift_text_never_shuffles(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        textops.vocab_drift(docs, docs.filter(F.col("doc_id") % 3 == 0))
+    )
+    for b in _exchange_blocks(plan):
+        assert "text" not in b  # only (token, count) pairs cross
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

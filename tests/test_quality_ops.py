@@ -1106,3 +1106,54 @@ def test_char_diversity_degenerate_and_short(spark):
     assert out.loc[1].diversity_micro > 800_000
     # shorter than one trigram: zeros, NOT degenerate
     assert out.loc[2].n_trigrams == 0 and not bool(out.loc[2].is_degenerate)
+
+
+def test_homoglyph_detect_mixed_script_words(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "login to pаypаl now",   # 1 mixed word
+                "plain latin words only",
+                "чисто русский текст",            # pure Cyrillic: NOT mixed
+            ],
+        }
+    )
+    out = (
+        textops.homoglyph_detect(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].n_mixed_words == 1 and bool(out.loc[0].is_spoofed)
+    assert out.loc[1].n_mixed_words == 0 and not bool(out.loc[1].is_spoofed)
+    assert out.loc[2].n_mixed_words == 0 and not bool(out.loc[2].is_spoofed)
+
+
+def test_vocab_drift_exact_frequencies(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    cur = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a b c", "a b b d"]})
+    )
+    prev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a a a b"]})
+    )
+    out = (
+        textops.vocab_drift(cur, prev, k=3)
+        .toPandas()
+        .set_index("token")
+    )
+    # combined counts: a=6, b=4, c=1, d=1 -> top3 cut keeps a, b, c
+    assert set(out.index) == {"a", "b", "c"}
+    assert (out.loc["a"].c_cur, out.loc["a"].c_prev) == (3, 3)
+    assert out.loc["a"].f_cur_micro == 3 * 1_000_000 // 8
+    assert out.loc["a"].f_prev_micro == 3 * 1_000_000 // 4
+    assert out.loc["a"].drift_micro == 750_000 - 375_000
+    # c absent from prev: coalesced zero
+    assert (out.loc["c"].c_prev, out.loc["c"].f_prev_micro) == (0, 0)
