@@ -28,6 +28,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: true duplicates the filter must flag.
 _BLOOM_DUP_TEXT = "mirrored boilerplate passage served on every host"
 
+#: running-header line worn by every synthesized page in the
+#: strip_page_furniture contract query (digit-free, so its #-mask is
+#: itself; quote-free so it embeds in the oracle literal verbatim).
+_FURNITURE_HEADER = "ACME QUARTERLY REVIEW"
+
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned to the session's full parallelism before
@@ -1344,6 +1349,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return textops.vocab_drift(d, d.filter(F.col("doc_id") % 3 == 0))
 
+    def dehyphenate(spark, sf):
+        # hard-wrap repair: doc_id%4==0 docs get the shared wrapped
+        # passage appended (its newlines are escaped into the oracle's
+        # E'' literal by the builder below)
+        d = _docs(spark, sf)
+        t = F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit("\n" + textops.DEHYPHEN_SAMPLE)),
+        ).otherwise(F.col("text"))
+        return textops.dehyphenate(d.select("doc_id", t.alias("text")))
+
+    def readability_score(spark, sf):
+        # Flesch reading-ease in exact integer micro-units + band tags
+        return textops.readability_score(_docs(spark, sf))
+
+    def strip_page_furniture(spark, sf):
+        # paginate each doc into 30-token pages wearing a constant
+        # running header and a 'Page i of n' footer (digits differ per
+        # page; the #-mask makes the footer family repeat), then strip
+        d = _docs(spark, sf)
+        base = d.select("doc_id", F.split(F.col("text"), " ").alias("__ts"))
+        n = F.size("__ts")
+        pg = base.select(
+            "doc_id",
+            "__ts",
+            F.expr("(greatest(size(__ts), 1) - 1) DIV 30 + 1").alias("__np"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(30))
+            ).alias("page_idx", "__s"),
+        ).select(
+            "doc_id",
+            F.col("page_idx").cast("int").alias("page_idx"),
+            F.concat(
+                F.lit(_FURNITURE_HEADER + "\n"),
+                F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__s"), 30)),
+                F.lit("\nPage "),
+                (F.col("page_idx") + 1).cast("string"),
+                F.lit(" of "),
+                F.col("__np").cast("string"),
+            ).alias("page_text"),
+        )
+        return textops.strip_page_furniture(pg)
+
+    def table_to_markdown(spark, sf):
+        # serialize nation records into one GFM pipe table per region
+        # (group = region, row order = nationkey)
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        # nationkey%3==0 names get a pipe injected so the |-escape path
+        # is exercised (the testdata nation has no n_comment column)
+        name = F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(F.col("n_name"), F.lit("|alt")),
+        ).otherwise(F.col("n_name"))
+        rec = nat.select(
+            F.col("n_regionkey").cast("long").alias("region_key"),
+            F.col("n_nationkey").cast("long").alias("row_idx"),
+            F.array(
+                name, F.col("n_nationkey").cast("string")
+            ).alias("cells"),
+        )
+        return relational.table_to_markdown(
+            rec, ["nation", "key"], group_col="region_key"
+        )
+
     def char_diversity(spark, sf):
         # degenerate-text screen: doc_id%9==0 docs become a two-char
         # loop (diversity collapses); natural prose sits far above the
@@ -1977,10 +2046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all green in both the r3 AND r4 driver windows)
         # (multimodal_video_frames rotated out mid-round-5: green in
         # r3 AND r4 driver windows — making room for cdc_chunk_dedup)
-        "cross_snapshot_dedup": cross_snapshot_dedup,
-        "cross_snapshot_novelty": cross_snapshot_novelty,
-        "domain_cap": domain_cap,
-        "winnow_fingerprint": winnow_fingerprint,
+        # (cross_snapshot_dedup + cross_snapshot_novelty + domain_cap +
+        # winnow_fingerprint rotated out late-round-5 — all r4 driver
+        # green and untouched since — making room for dehyphenate /
+        # readability_score / strip_page_furniture / table_to_markdown)
+        "dehyphenate": dehyphenate,
+        "readability_score": readability_score,
+        "strip_page_furniture": strip_page_furniture,
+        "table_to_markdown": table_to_markdown,
         "chunk_overlap": chunk_overlap,
         "script_detect": script_detect,
         # (snapshot_diff rotated out mid-round-5: r4 driver green —
@@ -2064,6 +2137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_cut": substring_dedup_cut,
         "bm25_topk": bm25_topk,
         "classifier_score": classifier_score,
+        "cross_snapshot_dedup": cross_snapshot_dedup,
+        "cross_snapshot_novelty": cross_snapshot_novelty,
+        "domain_cap": domain_cap,
+        "winnow_fingerprint": winnow_fingerprint,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -3517,6 +3594,102 @@ def oracle_sql() -> dict[str, str]:
             "  - c_prev * 1000000 // GREATEST((SELECT n FROM np), 1))"
             "  AS BIGINT) AS drift_micro"
             " FROM j"
+        ),
+        # hard-wrap repair: identical injection (E'' escapes the
+        # sample's newlines), identical non-overlapping left-to-right
+        # regex scan; replacement backrefs are \1 in RE2, $1 in Java
+        "dehyphenate": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0"
+            " THEN text || E'\\n"
+            + _tx.DEHYPHEN_SAMPLE.replace("\n", "\\n")
+            + "' ELSE text END AS text FROM documents)"
+            " SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text, E'[a-z0-9]-\\n[a-z0-9]'))"
+            "  AS BIGINT) AS n_hyphen_joins,"
+            " CAST(len(string_split(text, chr(10))) - 1"
+            "  - len(regexp_extract_all(text, E'[a-z0-9]-\\n[a-z0-9]'))"
+            "  AS BIGINT) AS n_line_wraps,"
+            " regexp_replace(regexp_replace(text,"
+            "  E'([a-z0-9])-\\n([a-z0-9])', '\\1\\2', 'g'),"
+            "  E'\\n', ' ', 'g') AS clean_text"
+            " FROM t"
+        ),
+        # Flesch reading-ease: identical vowel-group syllable heuristic,
+        # integer floor division in a fixed order (BIGINT // ≡ DIV)
+        "readability_score": (
+            "WITH t AS (SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+            " CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+            "  AS BIGINT) AS n_sentences,"
+            " CAST(list_sum(list_transform(string_split(text, ' '),"
+            "  t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))"
+            "  AS BIGINT) AS n_syllables FROM documents),"
+            " s AS (SELECT *,"
+            "  CAST(206835000 - (1015000 * n_words) // n_sentences"
+            "   - (84600000 * n_syllables) // greatest(n_words, 1)"
+            "   AS BIGINT) AS flesch_micro FROM t)"
+            " SELECT *, CASE WHEN flesch_micro >= 60000000 THEN 'easy'"
+            " WHEN flesch_micro >= 30000000 THEN 'standard'"
+            " ELSE 'difficult' END AS band FROM s"
+        ),
+        # page-furniture strip: identical pagination (chunk_overlap's
+        # slicing idiom), digit mask, >=2-page & >=80% support rule,
+        # and ordered reassembly (string_agg skips the furniture NULLs);
+        # p and l are multi-referenced -> MATERIALIZED per the
+        # CTE-inlining trap
+        "strip_page_furniture": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
+            "  len(string_split(text, ' ')) AS n FROM documents),"
+            " p AS MATERIALIZED (SELECT doc_id,"
+            "  CAST(u.j - 1 AS INT) AS page_idx,"
+            "  '" + _FURNITURE_HEADER + "' || chr(10) ||"
+            "  array_to_string(ts[((u.j - 1) * 30 + 1):"
+            "   ((u.j - 1) * 30 + 30)], ' ') || chr(10) ||"
+            "  'Page ' || CAST(u.j AS VARCHAR) || ' of ' ||"
+            "  CAST((greatest(n, 1) - 1) // 30 + 1 AS VARCHAR)"
+            "  AS page_text"
+            "  FROM t, LATERAL unnest("
+            "   range(1, (greatest(n, 1) - 1) // 30 + 2)) u(j)),"
+            " pl AS (SELECT doc_id, page_idx,"
+            "  string_split(page_text, chr(10)) AS ls FROM p),"
+            " l AS MATERIALIZED (SELECT doc_id, page_idx,"
+            "  CAST(u.i - 1 AS INT) AS line_idx, ls[u.i] AS line,"
+            "  regexp_replace(ls[u.i], '[0-9]+', '#', 'g') AS mask"
+            "  FROM pl, LATERAL unnest(range(1, len(ls) + 1)) u(i)),"
+            " sup AS (SELECT doc_id, mask,"
+            "  CAST(COUNT(DISTINCT page_idx) AS BIGINT) AS sup"
+            "  FROM l GROUP BY doc_id, mask),"
+            " np AS (SELECT doc_id,"
+            "  CAST(COUNT(DISTINCT page_idx) AS BIGINT) AS np"
+            "  FROM p GROUP BY doc_id),"
+            " f AS (SELECT l.*, (sup.sup >= 2"
+            "  AND sup.sup * 100 >= np.np * 80) AS furn"
+            "  FROM l JOIN sup USING (doc_id, mask)"
+            "  JOIN np USING (doc_id))"
+            " SELECT doc_id, page_idx,"
+            " CAST(COUNT(*) AS BIGINT) AS n_lines,"
+            " CAST(SUM(CASE WHEN furn THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_furniture_lines,"
+            " COALESCE(string_agg(CASE WHEN NOT furn THEN line END,"
+            "  chr(10) ORDER BY line_idx), '') AS body_text"
+            " FROM f GROUP BY doc_id, page_idx"
+        ),
+        # GFM pipe-table serialization: identical pipe escaping and
+        # nationkey-ordered reassembly
+        "table_to_markdown": (
+            "WITH r AS (SELECT CAST(n_regionkey AS BIGINT) AS region_key,"
+            " n_nationkey AS ord,"
+            " '| ' || array_to_string(list_transform("
+            "  [CASE WHEN n_nationkey % 3 = 0 THEN n_name || '|alt'"
+            "    ELSE n_name END,"
+            "   CAST(n_nationkey AS VARCHAR)],"
+            "  c -> replace(c, '|', '\\|')), ' | ') || ' |' AS line"
+            " FROM nation)"
+            " SELECT region_key, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " '| nation | key |' || chr(10) ||"
+            " '| --- | --- |' || chr(10) ||"
+            " string_agg(line, chr(10) ORDER BY ord) AS markdown"
+            " FROM r GROUP BY region_key"
         ),
         # hourly bars: identical epoch bucketing + string-encoded
         # open/close keys; lo/hi are untouched stored doubles

@@ -763,3 +763,57 @@ def ohlc_bars(events: DataFrame, bar_sec: int = 3600) -> DataFrame:
             "close_event_id"
         ),
     )
+
+
+def table_to_markdown(
+    df: DataFrame,
+    header: list[str],
+    group_col: str = "doc_id",
+    order_col: str = "row_idx",
+    cells_col: str = "cells",
+) -> DataFrame:
+    """Serialize an extracted record stream to a GitHub-flavored
+    markdown pipe table per group — the training-data-side sink for
+    extracted tables (the reference writes Excel,
+    `/root/reference/scripts/ExtractX_OCR.py:560-575`; an LLM corpus
+    wants the markdown serialization): header row + ``---`` separator
+    + one ``| c1 | c2 |`` line per record in ``order_col`` order.
+    Cell pipes are escaped ``|`` → ``\\|`` so the table stays
+    parseable; all other characters pass through verbatim.
+
+    Scale shape: per-row JVM string assembly, then ONE group-by
+    exchange carrying (group, order, rendered-line) with an ordered
+    in-memory reassembly per group — the parallel axis is groups
+    (documents/pages), each of which is one table.
+    """
+    head = "| " + " | ".join(header) + " |"
+    sep = "| " + " | ".join("---" for _ in header) + " |"
+    line = F.concat(
+        F.lit("| "),
+        F.array_join(
+            F.transform(
+                F.col(cells_col),
+                lambda c: F.replace(c, F.lit("|"), F.lit("\\|")),
+            ),
+            " | ",
+        ),
+        F.lit(" |"),
+    )
+    rows = df.select(
+        F.col(group_col),
+        F.col(order_col).alias("__ord"),
+        line.alias("__line"),
+    )
+    return rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.concat(
+            F.lit(head + "\n" + sep + "\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ord", "__line"))),
+                    lambda st: st["__line"],
+                ),
+                "\n",
+            ),
+        ).alias("markdown"),
+    )

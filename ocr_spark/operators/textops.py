@@ -2490,3 +2490,163 @@ def vocab_drift(
         .cast("long")
         .alias("drift_micro"),
     )
+
+
+#: Hard-wrap injection sample shared by the dehyphenate contract query
+#: and oracle: a PDF-renderer-style wrapped passage with mid-word
+#: hyphen breaks. Quote- and backslash-free; the embedded newlines are
+#: escaped into the SQL literal by the oracle builder.
+DEHYPHEN_SAMPLE = (
+    "the extrac-\ntion pipe-\nline reassembles hy-\nphenated words\n"
+    "across wrapped lines"
+)
+
+
+def dehyphenate(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hard-wrap repair — the first cleanup every PDF/column-layout
+    extraction needs (the reference's vision model reads logical words
+    straight off the page, `/root/reference/scripts/ExtractX_OCR.py:322-346`;
+    a geometric extractor instead sees renderer line breaks that split
+    words as ``extrac-\\ntion``): join letter-hyphen-newline-letter
+    breaks back into whole words, then flatten the remaining newlines
+    to spaces. Explicit ``[a-z0-9]`` classes, not ``\\w`` — Java regex
+    and RE2 word-class tables differ (the script_detect precedent).
+    Both engines scan non-overlapping left-to-right, so consecutive
+    breaks resolve identically.
+
+    Scale shape: two per-row JVM regexp_replace passes — ZERO
+    exchanges, whole-stage codegen applies."""
+    join_pat = "([a-z0-9])-\n([a-z0-9])"
+    n_lines = F.size(F.split(F.col(col), "\n")) - 1
+    n_joins = (
+        F.size(F.expr(f"regexp_extract_all({col}, '[a-z0-9]-\\n[a-z0-9]', 0)"))
+        .cast("long")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(col), join_pat, "$1$2"), "\n", " "
+    )
+    return df.select(
+        F.col(id_col),
+        n_joins.alias("n_hyphen_joins"),
+        (n_lines.cast("long") - n_joins).alias("n_line_wraps"),
+        clean.alias("clean_text"),
+    )
+
+
+def readability_score(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease in exact integer micro-units — the
+    readability axis of corpus quality scoring (alongside gopher_rules
+    and classifier_score): words are whitespace tokens, sentences are
+    runs of ``[.!?]`` (min 1), syllables per word are vowel-group runs
+    ``[aeiouy]+`` (min 1 — the standard heuristic). Score =
+    206.835 − 1.015·(W/S) − 84.6·(Y/W), computed as
+    ``206835000 − 1015000·W DIV S − 84600000·Y DIV W`` so both engines
+    floor identically (BIGINT DIV ≡ //); bands at 60/30 give the
+    easy / standard / difficult tags.
+
+    Scale shape: per-row lambda over the hoisted token array — ZERO
+    exchanges."""
+    w = F.size(_tokens(col)).cast("long")
+    s = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({col}, '[.!?]+', 0)")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    y = F.expr(
+        f"aggregate(split({col}, ' '), 0L, (a, t) -> a +"
+        " greatest(1L, CAST(size(regexp_extract_all(t, '[aeiouy]+', 0))"
+        " AS BIGINT)))"
+    )
+    base = df.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+    )
+    flesch = F.expr(
+        "206835000 - (1015000 * n_words) DIV n_sentences"
+        " - (84600000 * n_syllables) DIV greatest(n_words, 1)"
+    ).cast("long")
+    return base.select(
+        "*",
+        flesch.alias("flesch_micro"),
+    ).select(
+        "*",
+        F.when(F.col("flesch_micro") >= 60_000_000, F.lit("easy"))
+        .when(F.col("flesch_micro") >= 30_000_000, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )
+
+
+#: strip_page_furniture: a line (digits masked to #) is furniture when
+#: it appears on >=2 pages of the document AND on >=80% of its pages.
+FURNITURE_MIN_PAGES = 2
+FURNITURE_MIN_RATIO_PCT = 80
+
+
+def strip_page_furniture(
+    df: DataFrame,
+    page_col: str = "page_text",
+    id_col: str = "doc_id",
+    page_idx_col: str = "page_idx",
+) -> DataFrame:
+    """Running header/footer removal — the page-furniture strip between
+    page-level extraction and document assembly (the reference's vision
+    model skips furniture implicitly; a geometric pipeline must detect
+    it): a line whose digit-masked form (``[0-9]+`` → ``#``, so
+    ``Page 1 of 9`` ≡ ``Page 2 of 9``) appears on ≥80% of a document's
+    pages AND on ≥2 pages is furniture; each page is reassembled from
+    its surviving lines in order. Single-page documents are never
+    stripped (the ≥2-page floor).
+
+    Scale shape: lines explode per page, ONE (doc, masked-line)
+    count-distinct aggregate, one doc-level page count, joins keyed on
+    (doc, mask) / doc, and a per-page ordered reassembly — page text
+    crosses exchanges only as individual lines, and the furniture
+    table is tiny (distinct masked lines with multi-page support)."""
+    lines = df.select(
+        F.col(id_col),
+        F.col(page_idx_col),
+        F.posexplode(F.split(F.col(page_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("mask", F.regexp_replace(F.col("line"), "[0-9]+", "#"))
+    n_pages = df.groupBy(id_col).agg(
+        F.countDistinct(page_idx_col).cast("long").alias("__np")
+    )
+    support = lines.groupBy(id_col, "mask").agg(
+        F.countDistinct(page_idx_col).cast("long").alias("__sup")
+    )
+    flagged = (
+        lines.join(support, [id_col, "mask"])
+        .join(n_pages, id_col)
+        .withColumn(
+            "__furn",
+            (F.col("__sup") >= FURNITURE_MIN_PAGES)
+            & (F.col("__sup") * 100 >= F.col("__np") * FURNITURE_MIN_RATIO_PCT),
+        )
+    )
+    return flagged.groupBy(id_col, page_idx_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__furn").cast("long")).cast("long").alias(
+            "n_furniture_lines"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("line_idx", "__furn", "line")
+                        )
+                    ),
+                    lambda st: ~st["__furn"],
+                ),
+                lambda st: st["line"],
+            ),
+            "\n",
+        ).alias("body_text"),
+    )

@@ -1037,3 +1037,46 @@ def test_vocab_drift_text_never_shuffles(spark):
     for b in _exchange_blocks(plan):
         assert "text" not in b  # only (token, count) pairs cross
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dehyphenate_and_readability_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (textops.dehyphenate, textops.readability_score):
+        plan = _plan(op(docs))
+        assert not _exchange_blocks(plan)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_strip_page_furniture_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pg = docs.select(
+        "doc_id",
+        F.lit(0).alias("page_idx"),
+        F.col("text").alias("page_text"),
+    )
+    plan = _plan(textops.strip_page_furniture(pg))
+    # lines cross exchanges (the corpus-support count needs them), but
+    # never a Python worker
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_table_to_markdown_single_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import relational
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rec = docs.select(
+        "doc_id",
+        F.lit(0).alias("row_idx"),
+        F.array(F.col("text")).alias("cells"),
+    )
+    plan = _plan(relational.table_to_markdown(rec, ["text"]))
+    assert len(_exchange_blocks(plan)) == 1  # the group-by reassembly
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

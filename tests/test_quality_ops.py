@@ -1157,3 +1157,115 @@ def test_vocab_drift_exact_frequencies(spark):
     assert out.loc["a"].drift_micro == 750_000 - 375_000
     # c absent from prev: coalesced zero
     assert (out.loc["c"].c_prev, out.loc["c"].f_prev_micro) == (0, 0)
+
+
+def test_dehyphenate_joins_and_wraps(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the extrac-\ntion pipe-\nline\nworks",
+                "no wraps here",
+            ],
+        }
+    )
+    out = (
+        textops.dehyphenate(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].n_hyphen_joins == 2
+    assert out.loc[0].n_line_wraps == 1
+    assert out.loc[0].clean_text == "the extraction pipeline works"
+    assert out.loc[1].n_hyphen_joins == 0
+    assert out.loc[1].n_line_wraps == 0
+    assert out.loc[1].clean_text == "no wraps here"
+
+
+def test_readability_bands(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the cat sat. the dog ran.",   # short words: easy
+                "extraordinary considerations necessitate "
+                "comprehensive reevaluation",  # polysyllabic: difficult
+            ],
+        }
+    )
+    out = (
+        textops.readability_score(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 0: W=6, S=2, syllables: the=1 cat=1 sat.=1 the=1 dog=1 ran.=1
+    assert (out.loc[0].n_words, out.loc[0].n_sentences) == (6, 2)
+    assert out.loc[0].n_syllables == 6
+    exp = 206_835_000 - (1_015_000 * 6) // 2 - (84_600_000 * 6) // 6
+    assert out.loc[0].flesch_micro == exp and out.loc[0].band == "easy"
+    assert out.loc[1].band == "difficult"
+
+
+def test_strip_page_furniture_rule(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pages = []
+    for i in range(3):
+        pages.append(
+            (0, i, f"ACME REPORT\nunique body line {chr(97 + i)}\nPage {i + 1} of 3")
+        )
+    # single-page doc: identical shape but never stripped (>=2-page floor)
+    pages.append((1, 0, "ACME REPORT\nlonely body\nPage 1 of 1"))
+    df = spark.createDataFrame(
+        pd.DataFrame(pages, columns=["doc_id", "page_idx", "page_text"])
+    )
+    out = (
+        textops.strip_page_furniture(df)
+        .toPandas()
+        .set_index(["doc_id", "page_idx"])
+        .sort_index()
+    )
+    # header repeats verbatim; footer repeats after digit masking
+    for i in range(3):
+        r = out.loc[(0, i)]
+        assert r.n_lines == 3 and r.n_furniture_lines == 2
+        assert r.body_text == f"unique body line {chr(97 + i)}"
+    r1 = out.loc[(1, 0)]
+    assert r1.n_furniture_lines == 0
+    assert r1.body_text == "ACME REPORT\nlonely body\nPage 1 of 1"
+
+
+def test_table_to_markdown_escape_and_order(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import relational
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 0, 1],
+                "row_idx": [2, 1, 1],
+                "cells": [["c|d", "3"], ["a", "2"], ["x", "9"]],
+            }
+        )
+    )
+    out = (
+        relational.table_to_markdown(df, ["name", "val"])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].n_rows == 2
+    assert out.loc[0].markdown == (
+        "| name | val |\n| --- | --- |\n| a | 2 |\n| c\\|d | 3 |"
+    )
+    assert out.loc[1].markdown.endswith("| x | 9 |")
