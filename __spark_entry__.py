@@ -1392,6 +1392,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.strip_page_furniture(pg)
 
+    def special_token_scrub(spark, sf):
+        # sentinel leakage: doc_id%6==0 docs get a trailing endoftext
+        # marker, doc_id%6==3 an [INST]...[/INST] wrap — the scrub must
+        # count and strip both shapes
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 6
+        t = (
+            F.when(m == 0, F.concat(F.col("text"), F.lit(" <|endoftext|>")))
+            .when(
+                m == 3,
+                F.concat(F.lit("[INST] "), F.col("text"), F.lit(" [/INST]")),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.special_token_scrub(d.select("doc_id", t.alias("text")))
+
+    def fuzzy_title_pairs(spark, sf):
+        # titles = first 6 tokens; doc_id%5==0 docs also publish a
+        # ' v2' variant (dist 3, same 8-char block) so true fuzzy pairs
+        # exist; title_id = doc_id*2 + variant
+        d = _docs(spark, sf)
+        base = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
+        arr = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(
+                F.struct(F.lit(0).alias("v"), base.alias("t")),
+                F.struct(
+                    F.lit(1).alias("v"),
+                    F.concat(base, F.lit(" v2")).alias("t"),
+                ),
+            ),
+        ).otherwise(F.array(F.struct(F.lit(0).alias("v"), base.alias("t"))))
+        titles = d.select(
+            "doc_id", F.explode(arr).alias("s")
+        ).select(
+            (F.col("doc_id") * 2 + F.col("s.v")).alias("title_id"),
+            F.col("s.t").alias("title"),
+        )
+        return textops.fuzzy_title_pairs(titles)
+
+    def sentence_chunk(spark, sf):
+        # the corpus has no punctuation, so doc_id%7==0 docs get ' value '
+        # occurrences promoted to sentence ends (' value. ') — both the
+        # punctuation path and the 12-token runaway guard fire
+        d = _docs(spark, sf)
+        t = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.replace(F.col("text"), F.lit(" value "), F.lit(" value. ")),
+        ).otherwise(F.col("text"))
+        return textops.sentence_chunk(d.select("doc_id", t.alias("text")))
+
     def table_to_markdown(spark, sf):
         # serialize nation records into one GFM pipe table per region
         # (group = region, row order = nationkey)
@@ -2054,8 +2105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_score": readability_score,
         "strip_page_furniture": strip_page_furniture,
         "table_to_markdown": table_to_markdown,
+        "special_token_scrub": special_token_scrub,
+        "fuzzy_title_pairs": fuzzy_title_pairs,
+        "sentence_chunk": sentence_chunk,
         "chunk_overlap": chunk_overlap,
-        "script_detect": script_detect,
+        # (script_detect + url_canonicalize + text_sanitize rotated out
+        # late-round-5 — all r4 driver green and untouched since —
+        # making room for special_token_scrub / fuzzy_title_pairs /
+        # sentence_chunk)
         # (snapshot_diff rotated out mid-round-5: r4 driver green —
         # making room for robots_filter)
         # (image_ahash rotated out mid-round-5: r4 driver green — its
@@ -2063,8 +2120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for multimodal_video_cuts)
         "image_ahash_candidates": image_ahash_candidates,
         "embedding_outliers": embedding_outliers,
-        "url_canonicalize": url_canonicalize,
-        "text_sanitize": text_sanitize,
         "decontaminate": decontaminate,
         # ---- round-5 additions (registered inside the driver window) ----
         "extract_borderless": extract_borderless,
@@ -2141,6 +2196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_snapshot_novelty": cross_snapshot_novelty,
         "domain_cap": domain_cap,
         "winnow_fingerprint": winnow_fingerprint,
+        "script_detect": script_detect,
+        "url_canonicalize": url_canonicalize,
+        "text_sanitize": text_sanitize,
         # rotated out of the driver window round 4 on multi-round-green
         # evidence (r2+r3 driver green; in-gate contract replay keeps
         # proving them every pytest run)
@@ -2596,6 +2654,33 @@ _LSH_VERIFY_PREFIX = (
     + _SHINGLES.format(col="text")
     + " AS sh FROM documents)"
 )
+
+
+def _scrub_oracle() -> str:
+    """special_token_scrub oracle, generated from the SAME
+    SPECIAL_TOKENS tuple the operator walks — chain order and count
+    arithmetic stay structurally tied to the Spark side."""
+    from ocr_spark.operators.textops import SPECIAL_TOKENS
+
+    chain = "text"
+    counts = []
+    for tok in SPECIAL_TOKENS:
+        chain = f"replace({chain}, '{tok}', '')"
+        counts.append(
+            f"(length(text) - length(replace(text, '{tok}', '')))"
+            f" // {len(tok)}"
+        )
+    total = " + ".join(counts)
+    return (
+        "WITH t AS (SELECT doc_id, CASE"
+        " WHEN doc_id % 6 = 0 THEN text || ' <|endoftext|>'"
+        " WHEN doc_id % 6 = 3 THEN '[INST] ' || text || ' [/INST]'"
+        " ELSE text END AS text FROM documents)"
+        " SELECT doc_id,"
+        f" CAST({total} AS BIGINT) AS n_sentinels,"
+        f" regexp_replace(trim({chain}), ' +', ' ', 'g') AS clean_text"
+        " FROM t"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3690,6 +3775,55 @@ def oracle_sql() -> dict[str, str]:
             " '| --- | --- |' || chr(10) ||"
             " string_agg(line, chr(10) ORDER BY ord) AS markdown"
             " FROM r GROUP BY region_key"
+        ),
+        # sentinel scrub: identical injection, the same 7-replace chain
+        # in SPECIAL_TOKENS order, length-arithmetic counts on the
+        # ORIGINAL text (no regex anywhere except the final
+        # space-collapse, replayed with the 'g' flag)
+        "special_token_scrub": _scrub_oracle(),
+        # blocked edit-distance pairs: identical title construction,
+        # 8-char prefix block, length prefilter, levenshtein kernel
+        "fuzzy_title_pairs": (
+            "WITH t AS (SELECT doc_id,"
+            " array_to_string((string_split(text, ' '))[1:6], ' ')"
+            "  AS base FROM documents),"
+            " v AS (SELECT doc_id * 2 AS tid, base AS title FROM t"
+            "  UNION ALL SELECT doc_id * 2 + 1, base || ' v2' FROM t"
+            "  WHERE doc_id % 5 = 0),"
+            " b AS MATERIALIZED (SELECT tid, title,"
+            "  substr(title, 1, 8) AS blk, length(title) AS ln FROM v)"
+            " SELECT CAST(a.tid AS BIGINT) AS id_a,"
+            " CAST(b2.tid AS BIGINT) AS id_b,"
+            " CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist"
+            " FROM b a JOIN b b2 ON a.blk = b2.blk AND a.tid < b2.tid"
+            " AND abs(a.ln - b2.ln) <= 3"
+            " AND levenshtein(a.title, b2.title) <= 3"
+        ),
+        # sentence-aligned chunks: identical punctuation injection,
+        # boundary regex + 12-token runaway guard, running boundary
+        # count, first-token chunk assignment, ordered reassembly;
+        # tok is multi-referenced -> MATERIALIZED
+        "sentence_chunk": (
+            "WITH t AS (SELECT doc_id, string_split(CASE"
+            "  WHEN doc_id % 7 = 0 THEN"
+            "   replace(text, ' value ', ' value. ') ELSE text END,"
+            "  ' ') AS ts FROM documents),"
+            " tok AS MATERIALIZED (SELECT doc_id,"
+            "  CAST(u.i - 1 AS INT) AS idx, ts[u.i] AS tok"
+            "  FROM t, LATERAL unnest(range(1, len(ts) + 1)) u(i)),"
+            " s AS (SELECT *, CAST(COALESCE(SUM(CASE WHEN"
+            "  regexp_matches(tok, '[.!?]$') OR (idx + 1) % 12 = 0"
+            "  THEN 1 ELSE 0 END)"
+            "  OVER (PARTITION BY doc_id ORDER BY idx"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "  AS BIGINT) AS sent_id FROM tok),"
+            " st AS (SELECT *, MIN(idx) OVER"
+            "  (PARTITION BY doc_id, sent_id) AS sent_start FROM s)"
+            " SELECT doc_id, CAST(sent_start // 48 AS INT) AS chunk_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+            " CAST(COUNT(DISTINCT sent_id) AS BIGINT) AS n_sentences,"
+            " string_agg(tok, ' ' ORDER BY idx) AS chunk_text"
+            " FROM st GROUP BY doc_id, chunk_id"
         ),
         # hourly bars: identical epoch bucketing + string-encoded
         # open/close keys; lo/hi are untouched stored doubles

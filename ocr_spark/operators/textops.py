@@ -2650,3 +2650,155 @@ def strip_page_furniture(
             "\n",
         ).alias("body_text"),
     )
+
+
+#: Training-sentinel strings scrubbed by special_token_scrub. Fixed,
+#: quote- and backslash-free — each embeds in the oracle literal
+#: verbatim (regex metachars are escaped on both engines by the
+#: operator/oracle builders).
+SPECIAL_TOKENS = (
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<s>",
+    "</s>",
+    "[INST]",
+    "[/INST]",
+)
+
+
+def special_token_scrub(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenizer-sentinel scrub — the guard between scraped text and
+    the trainer (scraped model-chat dumps leak ``<|endoftext|>`` /
+    ``[INST]`` markers; left in, they teach the model to emit its own
+    control tokens): count and strip every SPECIAL_TOKENS occurrence
+    via plain substring replace — counts are pure length arithmetic
+    ((len − len(replaced)) / len(tok), no regex, so cross-engine parity
+    is structural) — then collapse the double spaces the strip leaves.
+
+    Scale shape: a chain of per-row JVM replaces — ZERO exchanges."""
+    total = F.lit(0).cast("long")
+    clean = F.col(col)
+    for tok in SPECIAL_TOKENS:
+        stripped = F.replace(F.col(col), F.lit(tok), F.lit(""))
+        total = total + (
+            (F.length(F.col(col)) - F.length(stripped)) / F.lit(len(tok))
+        ).cast("long")
+        clean = F.replace(clean, F.lit(tok), F.lit(""))
+    clean = F.regexp_replace(F.trim(clean), " +", " ")
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_sentinels"),
+        clean.alias("clean_text"),
+    )
+
+
+def fuzzy_title_pairs(
+    df: DataFrame,
+    title_col: str = "title",
+    id_col: str = "title_id",
+    max_dist: int = 3,
+    prefix_len: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs — the fuzzy-match
+    step entity-resolution and title-dedup pipelines run where MinHash
+    is too coarse (one-word titles, product names): titles sharing an
+    8-char prefix block are compared, a cheap length filter
+    (|len(a)−len(b)| ≤ max_dist — a true lower bound on edit distance)
+    prunes before the quadratic kernel, and survivors with
+    ``levenshtein ≤ max_dist`` are emitted as (id_a < id_b) pairs.
+
+    Scale shape: ONE equi-join exchange keyed on the prefix block —
+    quadratic only within a block (the standard blocking trade-off;
+    lengthen ``prefix_len`` or add a length-bucket to the key if a
+    corpus skews onto few prefixes), length filter ahead of
+    levenshtein, titles cross the exchange once."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("tid"),
+        F.col(title_col).alias("t"),
+        F.substring(F.col(title_col), 1, prefix_len).alias("blk"),
+        F.length(F.col(title_col)).alias("ln"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .where(
+            (F.col("a.tid") < F.col("b.tid"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+            & (F.levenshtein(F.col("a.t"), F.col("b.t")) <= max_dist)
+        )
+        .select(
+            F.col("a.tid").alias("id_a"),
+            F.col("b.tid").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+
+
+#: sentence_chunk target size in tokens. Fixed — operator contract.
+SENT_CHUNK_TOKENS = 48
+
+#: runaway-sentence guard: a boundary is forced every MAX_SENT tokens
+#: even without punctuation (unpunctuated logs/code would otherwise
+#: collapse into one giant sentence that can never be chunked).
+SENT_CHUNK_MAX_SENT = 12
+
+
+def sentence_chunk(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SENT_CHUNK_TOKENS,
+    max_sent: int = SENT_CHUNK_MAX_SENT,
+) -> DataFrame:
+    """Sentence-aligned chunking — the retrieval-side sibling of
+    chunk_overlap (a RAG passage must not cut mid-sentence): a token
+    ends a sentence when it ends with ``[.!?]`` OR sits at a
+    ``max_sent``-token grid position (the runaway guard for
+    unpunctuated text); each sentence is assigned to the chunk
+    ``floor(sent_start_token / n)`` of its FIRST token, so chunk
+    boundaries land only between sentences and a long sentence
+    overflows its chunk rather than splitting.
+
+    Scale shape: ONE hash exchange on the document id; the two window
+    passes ((id) running boundary count, (id, sent_id) first-token) and
+    the final (id, chunk) group-by are all subset-key clusterings the
+    (id) partitioning already satisfies — sorts, not shuffles."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(col)).alias("idx", "tok"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_end = F.when(
+        F.col("tok").rlike("[.!?]$")
+        | ((F.col("idx") + 1) % int(max_sent) == 0),
+        1,
+    ).otherwise(0)
+    s = tok.withColumn(
+        "sent_id", F.coalesce(F.sum(is_end).over(w), F.lit(0)).cast("long")
+    )
+    st = s.withColumn(
+        "sent_start",
+        F.min("idx").over(Window.partitionBy(id_col, "sent_id")),
+    ).withColumn("chunk_id", F.expr(f"sent_start DIV {int(n)}").cast("int"))
+    return st.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("sent_id").cast("long").alias("n_sentences"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

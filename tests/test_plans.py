@@ -1080,3 +1080,40 @@ def test_table_to_markdown_single_exchange(spark):
     plan = _plan(relational.table_to_markdown(rec, ["text"]))
     assert len(_exchange_blocks(plan)) == 1  # the group-by reassembly
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_special_token_scrub_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.special_token_scrub(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fuzzy_title_pairs_no_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    titles = docs.select(
+        F.col("doc_id").alias("title_id"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    plan = _plan(textops.fuzzy_title_pairs(titles))
+    # the block key makes it an equi-join: never a cartesian/nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sentence_chunk_single_exchange(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.sentence_chunk(docs))
+    # one hash exchange on doc_id; the (id, sent_id) window and the
+    # (id, chunk) group-by are subset-key clusterings satisfied by it
+    assert len(_exchange_blocks(plan)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

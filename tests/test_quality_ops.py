@@ -1269,3 +1269,78 @@ def test_table_to_markdown_escape_and_order(spark):
         "| name | val |\n| --- | --- |\n| a | 2 |\n| c\\|d | 3 |"
     )
     assert out.loc[1].markdown.endswith("| x | 9 |")
+
+
+def test_special_token_scrub_counts_and_clean(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "[INST] hello world [/INST] bye <|endoftext|>",
+                "nothing special",
+            ],
+        }
+    )
+    out = (
+        textops.special_token_scrub(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].n_sentinels == 3
+    assert out.loc[0].clean_text == "hello world bye"
+    assert out.loc[1].n_sentinels == 0
+    assert out.loc[1].clean_text == "nothing special"
+
+
+def test_fuzzy_title_pairs_block_and_distance(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    pdf = pd.DataFrame(
+        {
+            "title_id": [0, 1, 2, 3],
+            "title": [
+                "spark engine guide",
+                "spark engine guide v2",   # dist 3: pair with 0
+                "spark engine manual xl",  # same block, dist > 3: no pair
+                "duckdb engine guide",     # different 8-char block
+            ],
+        }
+    )
+    out = textops.fuzzy_title_pairs(spark.createDataFrame(pdf)).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+    assert out[(out.id_a == 0) & (out.id_b == 1)].dist.iloc[0] == 3
+
+
+def test_sentence_chunk_never_splits_sentences(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    # 3 sentences of 4 tokens; chunk size 6 -> sentence 2 (start 4)
+    # lands in chunk 0, sentence 3 (start 8) in chunk 1
+    text = "a b c one. d e f two. g h i three."
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    out = (
+        textops.sentence_chunk(df, n=6, max_sent=100)
+        .toPandas()
+        .set_index("chunk_id")
+        .sort_index()
+    )
+    assert out.loc[0].chunk_text == "a b c one. d e f two."
+    assert out.loc[0].n_sentences == 2 and out.loc[0].n_tokens == 8
+    assert out.loc[1].chunk_text == "g h i three."
+
+    # unpunctuated text: the runaway guard forces boundaries
+    long = " ".join(f"t{i}" for i in range(30))
+    df2 = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [long]}))
+    out2 = textops.sentence_chunk(df2, n=12, max_sent=6).toPandas()
+    assert len(out2) > 1  # without the guard this would be one chunk
+    assert out2.n_tokens.sum() == 30
