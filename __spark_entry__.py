@@ -1443,6 +1443,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).otherwise(F.col("text"))
         return textops.sentence_chunk(d.select("doc_id", t.alias("text")))
 
+    def markdown_strip(spark, sf):
+        # markdown-formatted corpus slice: doc_id%4==0 docs lead with the
+        # shared MD_SAMPLE block (heading, bold, emphasis, link, bullets),
+        # %4==1 get a heading plus a trailing link, %4==2 get every
+        # ' value ' bolded — the strip must unwrap all three shapes and
+        # leave %4==3 untouched
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 4
+        t = (
+            F.when(
+                m == 0,
+                F.concat(F.lit(textops.MD_SAMPLE + "\n"), F.col("text")),
+            )
+            .when(
+                m == 1,
+                F.concat(
+                    F.lit("## heading line\n"),
+                    F.col("text"),
+                    F.lit(" tail [link](http://x.example/y) end"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.replace(
+                    F.col("text"), F.lit(" value "), F.lit(" **value** ")
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.markdown_strip(d.select("doc_id", t.alias("text")))
+
+    def date_harvest(spark, sf):
+        # temporal metadata: doc_id%4==1 docs carry one appended ISO
+        # date, %4==2 two dates where the LATER-appearing one sorts
+        # first (min/max must be value-ordered, not positional); the
+        # rest carry none (NULL first/last both engines)
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 4
+        mm = F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0")
+        dd = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+        t = (
+            F.when(
+                m == 1,
+                F.concat(
+                    F.col("text"), F.lit(" published 2023-"), mm,
+                    F.lit("-"), dd,
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.col("text"), F.lit(" effective 2024-01-"), dd,
+                    F.lit(" until 2023-"), mm, F.lit("-"), dd,
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.date_harvest(d.select("doc_id", t.alias("text")))
+
     def table_to_markdown(spark, sf):
         # serialize nation records into one GFM pipe table per region
         # (group = region, row order = nationkey)
@@ -2108,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "special_token_scrub": special_token_scrub,
         "fuzzy_title_pairs": fuzzy_title_pairs,
         "sentence_chunk": sentence_chunk,
+        "markdown_strip": markdown_strip,
+        "date_harvest": date_harvest,
         "chunk_overlap": chunk_overlap,
         # (script_detect + url_canonicalize + text_sanitize rotated out
         # late-round-5 — all r4 driver green and untouched since —
@@ -2118,8 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (image_ahash rotated out mid-round-5: r4 driver green — its
         # banding sibling image_ahash_candidates stays in-window; making
         # room for multimodal_video_cuts)
-        "image_ahash_candidates": image_ahash_candidates,
-        "embedding_outliers": embedding_outliers,
+        # (image_ahash_candidates + embedding_outliers rotated out
+        # late-round-5 — both r4 driver green and untouched since —
+        # making room for markdown_strip / date_harvest)
         "decontaminate": decontaminate,
         # ---- round-5 additions (registered inside the driver window) ----
         "extract_borderless": extract_borderless,
@@ -2213,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": bloom_dedup,
         "semdedup": semdedup,
         "image_ahash": image_ahash,
+        "image_ahash_candidates": image_ahash_candidates,
+        "embedding_outliers": embedding_outliers,
         "snapshot_diff": snapshot_diff,
         "page_range_filter": page_range_filter,
         "schema_align_union": schema_align_union,
@@ -3824,6 +3888,53 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(DISTINCT sent_id) AS BIGINT) AS n_sentences,"
             " string_agg(tok, ' ' ORDER BY idx) AS chunk_text"
             " FROM st GROUP BY doc_id, chunk_id"
+        ),
+        # markdown strip: identical injection (shared MD_SAMPLE literal,
+        # newline-escaped) + the same six-regex chain in the same order
+        "markdown_strip": (
+            "WITH t AS (SELECT doc_id, CASE"
+            " WHEN doc_id % 4 = 0 THEN E'"
+            + _tx.MD_SAMPLE.replace("\n", "\\n")
+            + "\\n' || text"
+            " WHEN doc_id % 4 = 1 THEN E'## heading line\\n' || text ||"
+            "  ' tail [link](http://x.example/y) end'"
+            " WHEN doc_id % 4 = 2 THEN"
+            "  replace(text, ' value ', ' **value** ')"
+            " ELSE text END AS text FROM documents)"
+            " SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text,"
+            "  '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS n_links,"
+            " CAST(len(regexp_extract_all(text, '(^|\\n)#+ +'))"
+            "  AS BIGINT) AS n_headings,"
+            " regexp_replace(regexp_replace(regexp_replace("
+            "  regexp_replace(regexp_replace(regexp_replace(text,"
+            "  '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g'),"
+            "  '\\*\\*([^*]*)\\*\\*', '\\1', 'g'),"
+            "  '\\*([^*]*)\\*', '\\1', 'g'),"
+            "  '`([^`]*)`', '\\1', 'g'),"
+            "  '(^|\\n)#+ +', '\\1', 'g'),"
+            "  '(^|\\n)[-*] +', '\\1', 'g') AS plain_text"
+            " FROM t"
+        ),
+        # ISO-date harvest: identical lpad date injection; min/max are
+        # lexicographic over the extracted list (empty list -> NULL
+        # first/last in BOTH engines)
+        "date_harvest": (
+            "WITH t AS (SELECT doc_id, CASE"
+            " WHEN doc_id % 4 = 1 THEN text || ' published 2023-' ||"
+            "  lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||"
+            "  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+            " WHEN doc_id % 4 = 2 THEN text || ' effective 2024-01-' ||"
+            "  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||"
+            "  ' until 2023-' ||"
+            "  lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||"
+            "  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+            " ELSE text END AS text FROM documents),"
+            " d AS (SELECT doc_id, regexp_extract_all(text,"
+            "  '[0-9]{4}-[0-9]{2}-[0-9]{2}') AS ds FROM t)"
+            " SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_dates,"
+            " list_min(ds) AS first_date, list_max(ds) AS last_date"
+            " FROM d"
         ),
         # hourly bars: identical epoch bucketing + string-encoded
         # open/close keys; lo/hi are untouched stored doubles

@@ -2802,3 +2802,77 @@ def sentence_chunk(
             " ",
         ).alias("chunk_text"),
     )
+
+
+#: Markdown decoration sample shared by the markdown_strip contract
+#: query and oracle — exercises headings, bold, emphasis, links,
+#: inline code, and bullets. Quote- and backslash-free; newlines are
+#: escaped into the oracle's E'' literal by the builder.
+MD_SAMPLE = (
+    "# release notes\n**bold** and *em* see [the docs](http://docs) now\n"
+    "- item one\n- item two"
+)
+
+
+def markdown_strip(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Markdown boilerplate strip — the cleanup for markdown-formatted
+    corpora (READMEs, wiki dumps, chat exports) before training: links
+    keep their anchor text and drop the URL, bold/emphasis/inline-code
+    markers unwrap, heading markers and list bullets at line starts
+    vanish. One fixed regex chain (links → bold → emphasis → code →
+    headings → bullets — order matters and is replayed verbatim);
+    ``(^|\\n)`` anchors instead of MULTILINE flags, which Java and RE2
+    treat differently.
+
+    Scale shape: a chain of per-row JVM regexp_replace — ZERO
+    exchanges."""
+    t = F.col(col)
+    n_links = (
+        F.size(
+            F.expr(
+                f"regexp_extract_all({col},"
+                " '\\\\[[^\\\\]]*\\\\]\\\\([^)]*\\\\)', 0)"
+            )
+        ).cast("long")
+    )
+    n_headings = (
+        F.size(F.expr(f"regexp_extract_all({col}, '(^|\\n)#+ +', 0)"))
+        .cast("long")
+    )
+    plain = F.regexp_replace(t, r"\[([^\]]*)\]\(([^)]*)\)", "$1")
+    plain = F.regexp_replace(plain, r"\*\*([^*]*)\*\*", "$1")
+    plain = F.regexp_replace(plain, r"\*([^*]*)\*", "$1")
+    plain = F.regexp_replace(plain, "`([^`]*)`", "$1")
+    plain = F.regexp_replace(plain, "(^|\n)#+ +", "$1")
+    plain = F.regexp_replace(plain, "(^|\n)[-*] +", "$1")
+    return df.select(
+        F.col(id_col),
+        n_links.alias("n_links"),
+        n_headings.alias("n_headings"),
+        plain.alias("plain_text"),
+    )
+
+
+def date_harvest(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ISO-date harvest — the temporal-metadata pass a crawl pipeline
+    runs to window training data by time (dedup priority, freshness
+    filtering, leakage cuts before a benchmark's release date): extract
+    every ``YYYY-MM-DD`` occurrence; first/last are plain string
+    min/max (ISO dates sort lexicographically, so no date parsing — and
+    no engine-specific calendar semantics — is involved).
+
+    Scale shape: one per-row regex harvest over a hoisted array — ZERO
+    exchanges."""
+    dates = F.expr(
+        f"regexp_extract_all({col}, '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}', 0)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(dates).cast("long").alias("n_dates"),
+        F.array_min(dates).alias("first_date"),
+        F.array_max(dates).alias("last_date"),
+    )

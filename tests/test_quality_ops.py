@@ -1344,3 +1344,65 @@ def test_sentence_chunk_never_splits_sentences(spark):
     out2 = textops.sentence_chunk(df2, n=12, max_sent=6).toPandas()
     assert len(out2) > 1  # without the guard this would be one chunk
     assert out2.n_tokens.sum() == 30
+
+
+def test_markdown_strip_unwraps_decorations(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    out = (
+        textops.markdown_strip(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": [0, 1],
+                        "text": [
+                            textops.MD_SAMPLE,
+                            "plain prose stays byte identical",
+                        ],
+                    }
+                )
+            )
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0].n_links == 1 and out.loc[0].n_headings == 1
+    assert out.loc[0].plain_text == (
+        "release notes\nbold and em see the docs now\nitem one\nitem two"
+    )
+    assert out.loc[1].n_links == 0 and out.loc[1].n_headings == 0
+    assert out.loc[1].plain_text == "plain prose stays byte identical"
+
+
+def test_date_harvest_orders_by_value_not_position(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    out = (
+        textops.date_harvest(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": [0, 1],
+                        "text": [
+                            "seen 2024-01-05 then earlier 2023-11-30 end",
+                            "no dates at all",
+                        ],
+                    }
+                )
+            )
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0].n_dates == 2
+    # later-appearing date is the lexicographic (= chronological) min
+    assert out.loc[0].first_date == "2023-11-30"
+    assert out.loc[0].last_date == "2024-01-05"
+    assert out.loc[1].n_dates == 0
+    assert out.loc[1].first_date is None and out.loc[1].last_date is None
