@@ -2115,6 +2115,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _mjpeg_fixture(spark, sf), every_n=2
         )
 
+    def boilerplate_classify(spark, sf):
+        # jusText-style layout: paragraphs = 12-token slices of each
+        # doc; every (para_idx % 5 == 2) paragraph gains 4 link tokens
+        # (4*5 > 16 -> context-free 'bad'); ragged tails go 'short';
+        # stopword density splits the rest into 'good'/'near' before
+        # the neighbour propagation
+        d = _docs(spark, sf)
+        base = d.select("doc_id", F.split(F.col("text"), " ").alias("__ts"))
+        n = F.size("__ts")
+        links = F.array(
+            *[F.lit("http://a.example/" + c) for c in ("x", "y", "z", "w")]
+        )
+        body = F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__s"), 12))
+        para = base.select(
+            "doc_id",
+            "__ts",
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(12))
+            ).alias("para_idx", "__s"),
+        ).select(
+            "doc_id",
+            F.col("para_idx").cast("int").alias("para_idx"),
+            F.when(
+                F.col("para_idx") % 5 == 2,
+                F.concat(body, F.lit(" "), F.concat_ws(" ", links)),
+            )
+            .otherwise(body)
+            .alias("para_text"),
+        )
+        return textops.boilerplate_classify(para)
+
+    def inverted_index(spark, sf):
+        # term -> (df, total tf, ascending posting-list head). The
+        # synthetic vocabulary is ~30 near-universal words (all fall to
+        # the >half-corpus stop cut), so each doc also carries a
+        # mid-frequency topic_<id%37> and a rare ent_<id%211> term —
+        # the surviving index spans both bands while hapax terms and
+        # stop-terms still exercise both pruning rules
+        d = _docs(spark, sf)
+        t = F.concat(
+            F.col("text"),
+            F.lit(" topic_"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(" ent_"),
+            (F.col("doc_id") % 211).cast("string"),
+        )
+        return textops.inverted_index(
+            d.select("doc_id", t.alias("text"))
+        )
+
+    def kwic_concordance(spark, sf):
+        # audit sampler: every whole-token 'spark' hit with 5 tokens
+        # of context each side
+        return textops.kwic_concordance(_docs(spark, sf), probe="spark")
+
     return {
         # ---- round-5 window head: the four queries that have never sat
         # inside a driver correctness window (r1-r4 windows missed them;
@@ -2232,6 +2287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # making room for anchor_text / pmi_collocations)
         "orc_roundtrip": orc_roundtrip,
         "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
+        # ---- late-round-5 additions (registered OUTSIDE the driver
+        # window: every in-window slot ahead of them holds a query with
+        # no driver evidence yet; these are proven by the in-gate
+        # sf0.001 replay and scripts/check_contract.py) ----
+        "boilerplate_classify": boilerplate_classify,
+        "inverted_index": inverted_index,
+        "kwic_concordance": kwic_concordance,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -3935,6 +3997,91 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_dates,"
             " list_min(ds) AS first_date, list_max(ds) AS last_date"
             " FROM d"
+        ),
+        # jusText-style boilerplate: identical 12-token paragraph
+        # slicing + link injection, integer class thresholds, and the
+        # one-step neighbour propagation (NULL lag/lead coalesced to
+        # FALSE on both engines); p/f/c are multi-referenced ->
+        # MATERIALIZED per the CTE-inlining trap
+        "boilerplate_classify": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
+            "  len(string_split(text, ' ')) AS n FROM documents),"
+            " p AS MATERIALIZED (SELECT doc_id,"
+            "  CAST(u.j - 1 AS INT) AS para_idx,"
+            "  CASE WHEN (u.j - 1) % 5 = 2 THEN"
+            "   array_to_string(ts[((u.j - 1) * 12 + 1):"
+            "    ((u.j - 1) * 12 + 12)], ' ')"
+            "   || ' http://a.example/x http://a.example/y"
+            " http://a.example/z http://a.example/w'"
+            "  ELSE array_to_string(ts[((u.j - 1) * 12 + 1):"
+            "    ((u.j - 1) * 12 + 12)], ' ') END AS para_text"
+            "  FROM t, LATERAL unnest("
+            "   range(1, (greatest(n, 1) - 1) // 12 + 2)) u(j)),"
+            " f AS MATERIALIZED (SELECT doc_id, para_idx,"
+            "  CAST(len(string_split(para_text, ' ')) AS BIGINT)"
+            "   AS n_words,"
+            "  CAST(len(list_filter(string_split(para_text, ' '),"
+            "   x -> list_contains(['the','a','of','and','to','in'],"
+            "    lower(x)))) AS BIGINT) AS stop_words,"
+            "  CAST(len(list_filter(string_split(para_text, ' '),"
+            "   x -> lower(x) LIKE 'http%')) AS BIGINT) AS link_words"
+            "  FROM p),"
+            " c AS MATERIALIZED (SELECT *,"
+            "  CASE WHEN link_words * 5 > n_words THEN 'bad'"
+            "   WHEN n_words < 8 THEN 'short'"
+            "   WHEN stop_words * 100 >= n_words * 10 THEN 'good'"
+            "   ELSE 'near' END AS cf_class FROM f),"
+            " g AS (SELECT *,"
+            "  (lag(cf_class) OVER w = 'good'"
+            "   OR lead(cf_class) OVER w = 'good') AS nb"
+            "  FROM c WINDOW w AS"
+            "   (PARTITION BY doc_id ORDER BY para_idx))"
+            " SELECT doc_id, para_idx, n_words, stop_words, link_words,"
+            " cf_class,"
+            " CASE WHEN cf_class IN ('good', 'bad') THEN cf_class"
+            "  WHEN COALESCE(nb, FALSE) THEN 'good'"
+            "  ELSE 'bad' END AS final_class,"
+            " (CASE WHEN cf_class IN ('good', 'bad') THEN cf_class"
+            "  WHEN COALESCE(nb, FALSE) THEN 'good'"
+            "  ELSE 'bad' END) = 'good' AS kept"
+            " FROM g"
+        ),
+        # inverted index: identical (token, doc) tf aggregation,
+        # hapax + >half-corpus pruning against the 1-row count, and
+        # the ascending posting-list head
+        "inverted_index": (
+            "WITH d AS (SELECT doc_id, text || ' topic_' ||"
+            "  CAST(doc_id % 37 AS VARCHAR) || ' ent_' ||"
+            "  CAST(doc_id % 211 AS VARCHAR) AS text FROM documents),"
+            " tok AS (SELECT doc_id,"
+            "  unnest(string_split(text, ' ')) AS token FROM d),"
+            " tf AS (SELECT token, doc_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS tf"
+            "  FROM tok GROUP BY token, doc_id),"
+            " n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs"
+            "  FROM documents)"
+            " SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,"
+            " CAST(SUM(tf) AS BIGINT) AS total_tf,"
+            " array_to_string(list_transform("
+            "  (list(doc_id ORDER BY doc_id))[1:8],"
+            "  x -> CAST(x AS VARCHAR)), ',') AS postings_head"
+            " FROM tf, n GROUP BY token, n.n_docs"
+            " HAVING COUNT(*) >= 2 AND COUNT(*) * 2 <= n.n_docs"
+        ),
+        # KWIC concordance: same hoisted token array, 1-based slice
+        # arithmetic (DuckDB slices are inclusive and clamp; empty
+        # slice -> '' matches Spark's concat_ws over an empty array)
+        "kwic_concordance": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents WHERE text IS NOT NULL)"
+            " SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,"
+            " COALESCE(array_to_string("
+            "  ts[greatest(u.i - 5, 1):(u.i - 1)], ' '), '')"
+            "  AS left_ctx,"
+            " COALESCE(array_to_string(ts[(u.i + 1):(u.i + 5)], ' '), '')"
+            "  AS right_ctx"
+            " FROM t, LATERAL unnest(range(1, len(ts) + 1)) u(i)"
+            " WHERE lower(ts[u.i]) = 'spark'"
         ),
         # hourly bars: identical epoch bucketing + string-encoded
         # open/close keys; lo/hi are untouched stored doubles

@@ -2876,3 +2876,183 @@ def date_harvest(
         F.array_min(dates).alias("first_date"),
         F.array_max(dates).alias("last_date"),
     )
+
+
+#: Stopword list for the jusText-style boilerplate classifier — fixed
+#: literals (quote-free, embed verbatim in the oracle SQL). Chosen to
+#: overlap the synthetic corpus vocabulary so both classes occur.
+JUSTEXT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+#: Context-free class thresholds (integer arithmetic only): a
+#: paragraph is link-noise when link_words * 5 > n_words (>20% link
+#: density), short under 8 words, good when stopword density >= 10%.
+JUSTEXT_SHORT_WORDS = 8
+JUSTEXT_STOP_PCT = 10
+
+
+def boilerplate_classify(
+    df: DataFrame,
+    para_col: str = "para_text",
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+) -> DataFrame:
+    """jusText-style boilerplate classification (Pomikalek 2011,
+    simplified to exact integer rules — the reference's vision model
+    never sees boilerplate because a human cropped the scan; a crawl
+    pipeline must classify it out): per paragraph compute word count,
+    stopword count (JUSTEXT_STOPWORDS) and link-token count
+    (``http``-prefixed words), assign the context-free class —
+    ``bad`` on link density > 20%, ``short`` under
+    JUSTEXT_SHORT_WORDS words, ``good`` at stopword density >=
+    JUSTEXT_STOP_PCT%, else ``near`` — then propagate context one
+    step: a ``short``/``near`` paragraph becomes ``good`` iff a
+    neighbouring paragraph (prev/next in document order) is
+    context-free ``good``, else ``bad``.
+
+    Scale shape: per-row JVM expressions over a hoisted token array +
+    ONE lag/lead window partitioned by document — a single exchange on
+    the document id; paragraph text never rides a shuffle after the
+    feature projection."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(para_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in JUSTEXT_STOPWORDS])
+    feat = df.select(
+        F.col(id_col),
+        F.col(idx_col).cast("int").alias(idx_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        )
+        .cast("long")
+        .alias("stop_words"),
+        F.size(F.filter(toks, lambda t: F.lower(t).startswith("http")))
+        .cast("long")
+        .alias("link_words"),
+    )
+    cf = (
+        F.when(F.col("link_words") * 5 > F.col("n_words"), F.lit("bad"))
+        .when(F.col("n_words") < JUSTEXT_SHORT_WORDS, F.lit("short"))
+        .when(
+            F.col("stop_words") * 100 >= F.col("n_words") * JUSTEXT_STOP_PCT,
+            F.lit("good"),
+        )
+        .otherwise(F.lit("near"))
+    )
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    feat = feat.withColumn("cf_class", cf)
+    neighbour_good = (F.lag("cf_class").over(w) == "good") | (
+        F.lead("cf_class").over(w) == "good"
+    )
+    final = (
+        F.when(F.col("cf_class").isin("good", "bad"), F.col("cf_class"))
+        .when(F.coalesce(neighbour_good, F.lit(False)), F.lit("good"))
+        .otherwise(F.lit("bad"))
+    )
+    return feat.select(
+        id_col,
+        idx_col,
+        "n_words",
+        "stop_words",
+        "link_words",
+        "cf_class",
+        final.alias("final_class"),
+        (final == "good").alias("kept"),
+    )
+
+
+#: Inverted-index pruning bounds: drop hapax terms (df < 2) and
+#: stop-terms appearing in more than half the corpus (df * 2 > n_docs).
+INVINDEX_MIN_DF = 2
+INVINDEX_POSTINGS_HEAD = 8
+
+
+def inverted_index(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sharded inverted-index build — the retrieval-side artifact a
+    training pipeline emits next to the corpus (BM25 serving,
+    decontamination probes, duplicate audits): per term its document
+    frequency, total term frequency, and the head of the ascending
+    posting list (first INVINDEX_POSTINGS_HEAD doc ids, ','-joined —
+    the full list is the same aggregate unsliced). Hapax terms
+    (df < INVINDEX_MIN_DF) and stop-terms (df in more than half the
+    documents) are pruned.
+
+    Scale shape: the explode carries (token, doc_id) with map-side
+    partial aggregation into per-doc term frequencies; ONE exchange on
+    token builds the postings; the corpus size joins in as a broadcast
+    1-row aggregate. At 100 TB the posting list for a surviving term
+    is bounded by the df cap; lists longer than a shard target would
+    be range-sharded by (term, doc_id bucket) — the head-slice output
+    keeps the contract result bounded at any scale."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(_tokens(col)).alias("token"),
+        )
+        .groupBy("token", "did")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+    idx = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("did")),
+                    1,
+                    INVINDEX_POSTINGS_HEAD,
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings_head"),
+    )
+    return idx.crossJoin(F.broadcast(n_docs)).filter(
+        (F.col("doc_freq") >= INVINDEX_MIN_DF)
+        & (F.col("doc_freq") * 2 <= F.col("__n_docs"))
+    ).select("token", "doc_freq", "total_tf", "postings_head")
+
+
+#: KWIC context width in tokens on each side of the hit.
+KWIC_CTX = 5
+
+
+def kwic_concordance(
+    df: DataFrame,
+    probe: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context concordance — the audit sampler run before a
+    filter ships (inspect every hit of a probe term with its
+    surrounding tokens; also the memorization-probe extraction shape):
+    every case-insensitive whole-token occurrence of ``probe`` with up
+    to KWIC_CTX tokens of left and right context, positions 0-based.
+
+    Scale shape: per-row posexplode over a hoisted token array, slices
+    against the same array — ZERO exchanges; only matching rows
+    survive the filter, so context strings never amplify the scan."""
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(col), " ").alias("__ts")
+    )
+    hits = base.select(
+        id_col,
+        "__ts",
+        F.posexplode("__ts").alias("pos", "token"),
+    ).filter(F.lower(F.col("token")) == probe.lower())
+    start = F.greatest(F.col("pos") + 1 - KWIC_CTX, F.lit(1))
+    left_len = (F.col("pos") + 1) - start
+    return hits.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice(F.col("__ts"), start, left_len)).alias(
+            "left_ctx"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("__ts"), F.col("pos") + 2, KWIC_CTX)
+        ).alias("right_ctx"),
+    )

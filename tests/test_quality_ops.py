@@ -1406,3 +1406,65 @@ def test_date_harvest_orders_by_value_not_position(spark):
     assert out.loc[0].last_date == "2024-01-05"
     assert out.loc[1].n_dates == 0
     assert out.loc[1].first_date is None and out.loc[1].last_date is None
+
+
+def test_boilerplate_classify_rules_and_propagation(spark):
+    # doc 0: para0 good (stopword-dense), para1 near (no stopwords,
+    # long enough), para2 bad (link-dense), para3 short next to
+    # nothing good -> bad
+    paras = [
+        (0, 0, "the cat sat on a mat in the sun by a tree yes"),
+        (0, 1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (0, 2, "click http://x http://y http://z here now"),
+        (0, 3, "tail words only"),
+        # doc 1: short paragraph adjacent to a good one -> promoted
+        (1, 0, "the dog and the cat in a box saw the bird of prey"),
+        (1, 1, "tiny tail bit"),
+    ]
+    pdf = pd.DataFrame(paras, columns=["doc_id", "para_idx", "para_text"])
+    out = textops.boilerplate_classify(spark.createDataFrame(pdf))
+    rows = {
+        (r["doc_id"], r["para_idx"]): r for r in out.collect()
+    }
+    assert rows[(0, 0)]["cf_class"] == "good"
+    assert rows[(0, 1)]["cf_class"] == "near"
+    assert rows[(0, 2)]["cf_class"] == "bad"
+    assert rows[(0, 3)]["cf_class"] == "short"
+    # near para1 neighbours good para0 -> promoted; short para3
+    # neighbours only bad para2 -> demoted
+    assert rows[(0, 1)]["final_class"] == "good"
+    assert rows[(0, 3)]["final_class"] == "bad"
+    assert rows[(1, 1)]["final_class"] == "good" and rows[(1, 1)]["kept"]
+
+
+def test_inverted_index_pruning_and_postings(spark):
+    texts = (
+        ["shared rare_a common"] * 2
+        + ["shared common"] * 3
+        + ["hapax common shared"]
+    )
+    out = textops.inverted_index(_docs(spark, texts))
+    rows = {r["token"]: r for r in out.collect()}
+    # 'common'/'shared' in all 6 docs -> stop cut; 'hapax' df=1 -> cut
+    assert "common" not in rows and "shared" not in rows
+    assert "hapax" not in rows
+    assert rows["rare_a"]["doc_freq"] == 2
+    assert rows["rare_a"]["postings_head"] == "0,1"
+    assert rows["rare_a"]["total_tf"] == 2
+
+
+def test_kwic_concordance_edges_and_case(spark):
+    texts = [
+        "Spark at the very start of this line here",
+        "a b c d e f spark g h i j k",
+        "no probe here",
+        "tail ends with spark",
+    ]
+    out = textops.kwic_concordance(_docs(spark, texts), probe="spark")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in rows
+    assert rows[0]["pos"] == 0 and rows[0]["left_ctx"] == ""
+    assert rows[0]["right_ctx"] == "at the very start of"
+    assert rows[1]["left_ctx"] == "b c d e f"
+    assert rows[1]["right_ctx"] == "g h i j k"
+    assert rows[3]["right_ctx"] == "" and rows[3]["pos"] == 3
