@@ -2170,6 +2170,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of context each side
         return textops.kwic_concordance(_docs(spark, sf), probe="spark")
 
+    def filter_ablation(spark, sf):
+        # per-CUBE-cell doc/token counts over the three quality
+        # signals (gopher x bigram-LM x classifier) — the threshold
+        # commit report
+        return textops.filter_ablation(_docs(spark, sf))
+
+    def forget_delete(spark, sf):
+        # right-to-be-forgotten: every doc_id%100==3 shares one text
+        # (re-crawled copies); the request names only doc 3 — the
+        # digest propagation must catch the whole family
+        d = _docs(spark, sf)
+        t = F.when(
+            F.col("doc_id") % 100 == 3,
+            F.lit("forgotten user content block"),
+        ).otherwise(F.col("text"))
+        corpus = d.select("doc_id", t.alias("text"))
+        return textops.forget_delete(
+            corpus, corpus.filter(F.col("doc_id") == 3)
+        )
+
+    def cluster_safe_split(spark, sf):
+        # leakage-safe split: two injected exact-dup families must
+        # co-assign (the split draw keys on the content digest)
+        d = _docs(spark, sf)
+        t = (
+            F.when(
+                F.col("doc_id") % 50 == 7,
+                F.lit("cluster shared passage one"),
+            )
+            .when(
+                F.col("doc_id") % 50 == 11,
+                F.lit("cluster shared passage two"),
+            )
+            .otherwise(F.col("text"))
+        )
+        return textops.cluster_safe_split(d.select("doc_id", t.alias("text")))
+
     return {
         # ---- round-5 window head: the four queries that have never sat
         # inside a driver correctness window (r1-r4 windows missed them;
@@ -2294,6 +2331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_classify": boilerplate_classify,
         "inverted_index": inverted_index,
         "kwic_concordance": kwic_concordance,
+        "filter_ablation": filter_ablation,
+        "forget_delete": forget_delete,
+        "cluster_safe_split": cluster_safe_split,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -4067,6 +4107,90 @@ def oracle_sql() -> dict[str, str]:
             "  x -> CAST(x AS VARCHAR)), ',') AS postings_head"
             " FROM tf, n GROUP BY token, n.n_docs"
             " HAVING COUNT(*) >= 2 AND COUNT(*) * 2 <= n.n_docs"
+        ),
+        # filter ablation: the gopher predicate (_G_PASS over b's t/w/l
+        # aliases), the ngram_lm_score corpus chain, and the classifier
+        # logit composed verbatim, then one CUBE with explicit
+        # GROUPING() bits (Spark's grouping_id bit order replayed)
+        "filter_ablation": (
+            "WITH base AS (SELECT doc_id, text FROM documents"
+            "  WHERE text IS NOT NULL),"
+            " b AS (SELECT doc_id, text AS t,"
+            "  string_split(text, ' ') AS w,"
+            "  string_split(text, chr(10)) AS l FROM base),"
+            f" g AS (SELECT doc_id, {_G_PASS} AS gopher_pass FROM b),"
+            " toks AS (SELECT doc_id, string_split(text,' ') AS w"
+            "  FROM base),"
+            " pairs AS (SELECT doc_id,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)])) AS w1,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]))"
+            "   AS bg"
+            "  FROM toks WHERE len(w) >= 2),"
+            " c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),"
+            " c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs GROUP BY bg),"
+            " agg AS (SELECT doc_id, COUNT(*) AS n,"
+            "  SUM((1000000 * c2.c2) // c1.c1) AS s"
+            "  FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)"
+            "  GROUP BY doc_id),"
+            " lm AS (SELECT base.doc_id,"
+            "  COALESCE(s // n, 0) >= 20000 AS is_fluent"
+            "  FROM base LEFT JOIN agg USING (doc_id)),"
+            " clf AS (SELECT doc_id,"
+            "  CAST(len(ts) AS BIGINT) AS n_tokens,"
+            f"  CAST({_CLF_BIAS} + COALESCE(list_sum(list_transform(ts,"
+            f"   t -> ({_CLF_W_LIST})["
+            "    CAST(((md5_number(t) % 64) + 64) % 64 AS INT) + 1])), 0)"
+            "   AS BIGINT) > 0 AS clf_label"
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS ts"
+            "   FROM base)),"
+            " j AS (SELECT g.gopher_pass, lm.is_fluent, clf.clf_label,"
+            "  clf.n_tokens FROM g JOIN lm USING (doc_id)"
+            "  JOIN clf USING (doc_id))"
+            " SELECT gopher_pass, is_fluent, clf_label,"
+            " CAST(GROUPING(gopher_pass) * 4 + GROUPING(is_fluent) * 2"
+            "  + GROUPING(clf_label) AS BIGINT) AS lvl,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_tokens) AS BIGINT) AS n_tokens"
+            " FROM j GROUP BY CUBE (gopher_pass, is_fluent, clf_label)"
+        ),
+        # deletion propagation: identical injection + digest joins;
+        # direct/via_content flags from presence of the two join sides
+        "forget_delete": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 100 = 3"
+            "  THEN 'forgotten user content block' ELSE text END AS text"
+            "  FROM documents),"
+            " d AS (SELECT doc_id, md5(text) AS digest FROM t),"
+            " r AS (SELECT DISTINCT doc_id FROM d WHERE doc_id = 3),"
+            " rd AS (SELECT DISTINCT digest FROM d"
+            "  JOIN r USING (doc_id))"
+            " SELECT d.doc_id, d.digest,"
+            " (rd.digest IS NOT NULL) AS deleted,"
+            " (r2.doc_id IS NOT NULL) AS direct,"
+            " (rd.digest IS NOT NULL AND r2.doc_id IS NULL)"
+            "  AS via_content"
+            " FROM d LEFT JOIN rd ON d.digest = rd.digest"
+            " LEFT JOIN r r2 ON d.doc_id = r2.doc_id"
+        ),
+        # leakage-safe split: the split_assign md5_number uniform keyed
+        # on the CONTENT digest; identical dup-family injection
+        "cluster_safe_split": (
+            "WITH t AS (SELECT doc_id, CASE"
+            "  WHEN doc_id % 50 = 7 THEN 'cluster shared passage one'"
+            "  WHEN doc_id % 50 = 11 THEN 'cluster shared passage two'"
+            "  ELSE text END AS text FROM documents),"
+            " d AS (SELECT doc_id, md5(text) AS digest FROM t),"
+            " s AS (SELECT digest, CAST(COUNT(*) AS BIGINT)"
+            "  AS cluster_size FROM d GROUP BY digest),"
+            " u AS (SELECT doc_id, digest,"
+            "  (((md5_number('clsplit0:' || digest) % 4294967296)"
+            "    + 4294967296) % 4294967296)::DOUBLE"
+            "   / 4294967296.0 AS uu FROM d)"
+            " SELECT u.doc_id, u.digest, s.cluster_size,"
+            " CASE WHEN uu < 0.98 THEN 'train'"
+            "  WHEN uu < 0.99 THEN 'val' ELSE 'test' END AS split"
+            " FROM u JOIN s ON u.digest = s.digest"
         ),
         # KWIC concordance: same hoisted token array, 1-based slice
         # arithmetic (DuckDB slices are inclusive and clamp; empty

@@ -518,16 +518,7 @@ def mixture_sample(
     weights = weights.withColumn(
         "__h", F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
     )
-    b = [
-        f"cast(conv(substring(__h, {2 * i + 1}, 2), 16, 10) as bigint)"
-        for i in range(4)
-    ]
-    u = (
-        F.expr(f"{b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]}").cast(
-            "double"
-        )
-        / F.lit(4294967296.0)
-    )
+    u = _md5_u32(F.col("__h")).cast("double") / F.lit(4294967296.0)
     base = F.floor(F.col("mix_weight")).cast("long")
     frac = F.col("mix_weight") - F.floor(F.col("mix_weight"))
     n_copies = base + F.when(u < frac, F.lit(1)).otherwise(F.lit(0)).cast("long")
@@ -628,16 +619,7 @@ def split_assign(
             F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
         ).alias("__h"),
     )
-    b = [
-        f"cast(conv(substring(__h, {2 * i + 1}, 2), 16, 10) as bigint)"
-        for i in range(4)
-    ]
-    u = (
-        F.expr(f"{b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]}").cast(
-            "double"
-        )
-        / F.lit(4294967296.0)
-    )
+    u = _md5_u32(F.col("__h")).cast("double") / F.lit(4294967296.0)
     t_train, t_val = fracs[0], fracs[0] + fracs[1]
     split = (
         F.when(u < t_train, F.lit("train"))
@@ -3055,4 +3037,122 @@ def kwic_concordance(
         F.concat_ws(
             " ", F.slice(F.col("__ts"), F.col("pos") + 2, KWIC_CTX)
         ).alias("right_ctx"),
+    )
+
+
+def _md5_u32(h: Column) -> Column:
+    """Little-endian low-4-bytes of an md5 hex column as a BIGINT in
+    [0, 2^32) — equal to DuckDB ``md5_number % 2^32`` (the
+    mixture_sample / split_assign replay idiom)."""
+    bs = [
+        F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("bigint")
+        for i in range(4)
+    ]
+    return bs[0] + bs[1] * 256 + bs[2] * 65536 + bs[3] * 16777216
+
+
+def filter_ablation(df: DataFrame, col: str = "text") -> DataFrame:
+    """Filter-ablation report — the table a pipeline owner reads before
+    committing thresholds (how many documents and tokens does each
+    combination of the model-based and rule-based filters keep, and do
+    the filters agree?): document and token counts for every CUBE cell
+    of (gopher_pass, is_fluent, clf_label); subtotal rows carry NULL in
+    the rolled-up dimension and the grouping level disambiguates.
+
+    Scale shape: composition of three already-scale-safe signals
+    (per-row Gopher rules, the bigram-LM corpus join, zero-exchange
+    classifier inference) joined on doc_id, then ONE hash aggregate
+    with the Expand the CUBE plans — 8× row amplification on
+    (bool,bool,bool,long) tuples only, never on text."""
+    base = df.filter(F.col(col).isNotNull())
+    g = gopher_rules(base, col).select("doc_id", "gopher_pass")
+    m = ngram_lm_score(base, col).select("doc_id", "is_fluent")
+    c = classifier_score(base, col).select(
+        "doc_id", F.col("label").alias("clf_label"), "n_tokens"
+    )
+    j = g.join(m, "doc_id").join(c, "doc_id")
+    lvl = (
+        F.grouping("gopher_pass") * 4
+        + F.grouping("is_fluent") * 2
+        + F.grouping("clf_label")
+    ).cast("long")
+    return j.cube("gopher_pass", "is_fluent", "clf_label").agg(
+        lvl.alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def forget_delete(
+    df: DataFrame,
+    requests: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deletion-request propagation (right-to-be-forgotten): a request
+    names document ids, but the obligation covers every copy of the
+    content — so each requested id resolves to its content digest and
+    ALL documents sharing that digest are flagged, including re-crawls
+    under other ids. Emits per document the digest, the deletion flag,
+    and whether it was named directly or caught via content identity.
+
+    Scale shape: the request list is tiny by nature — both the
+    id-resolution join and the digest-propagation join broadcast it;
+    the corpus is touched in one pass and only (id, digest) pairs ride
+    the broadcast probes. Zero exchanges over the corpus."""
+    dg = df.select(F.col(id_col), F.md5(F.col(col)).alias("digest"))
+    req_ids = requests.select(F.col(id_col).alias("__rid")).distinct()
+    req_dg = (
+        dg.join(F.broadcast(req_ids), F.col(id_col) == F.col("__rid"))
+        .select("digest")
+        .distinct()
+        .withColumn("__dhit", F.lit(True))
+    )
+    direct = req_ids.withColumn("__direct", F.lit(True))
+    out = dg.join(F.broadcast(req_dg), "digest", "left").join(
+        F.broadcast(direct), F.col(id_col) == F.col("__rid"), "left"
+    )
+    deleted = F.coalesce(F.col("__dhit"), F.lit(False))
+    direct_f = F.coalesce(F.col("__direct"), F.lit(False))
+    return out.select(
+        id_col,
+        "digest",
+        deleted.alias("deleted"),
+        direct_f.alias("direct"),
+        (deleted & ~direct_f).alias("via_content"),
+    )
+
+
+#: cluster_safe_split salt — part of the operator contract.
+CLSPLIT_SALT = "clsplit0"
+
+
+def cluster_safe_split(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the draw keys on the CONTENT
+    digest, not the document id, so every exact duplicate of a document
+    lands in the same split — the C4/Pile lesson that id-keyed splits
+    leak eval passages into train through re-crawled copies. Same
+    md5-uniform and 98/1/1 thresholds as :func:`split_assign`; also
+    emits the duplicate-cluster size.
+
+    Scale shape: ONE exchange on digest for the cluster sizes, joined
+    back on digest; the split itself is per-row JVM arithmetic over
+    the digest string."""
+    dg = df.select(F.col(id_col), F.md5(F.col(col)).alias("digest"))
+    sizes = dg.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    u = _md5_u32(
+        F.md5(F.concat(F.lit(CLSPLIT_SALT + ":"), F.col("digest")))
+    ).cast("double") / F.lit(4294967296.0)
+    t_train, t_val = SPLIT_FRACS[0], SPLIT_FRACS[0] + SPLIT_FRACS[1]
+    split = (
+        F.when(u < t_train, F.lit("train"))
+        .when(u < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return dg.join(sizes, "digest").select(
+        id_col, "digest", "cluster_size", split.alias("split")
     )

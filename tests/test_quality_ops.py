@@ -1468,3 +1468,41 @@ def test_kwic_concordance_edges_and_case(spark):
     assert rows[1]["left_ctx"] == "b c d e f"
     assert rows[1]["right_ctx"] == "g h i j k"
     assert rows[3]["right_ctx"] == "" and rows[3]["pos"] == 3
+
+
+def test_filter_ablation_cells_sum_to_total(spark):
+    texts = [GOOD] * 3 + ["x y z"] * 2
+    out = textops.filter_ablation(_docs(spark, texts)).collect()
+    # the all-NULL subtotal row (lvl 7) carries the corpus totals
+    top = [r for r in out if r["lvl"] == 7]
+    assert len(top) == 1 and top[0]["n_docs"] == 5
+    leaves = [r for r in out if r["lvl"] == 0]
+    assert sum(r["n_docs"] for r in leaves) == 5
+    assert sum(r["n_tokens"] for r in leaves) == top[0]["n_tokens"]
+
+
+def test_forget_delete_propagates_via_digest(spark):
+    texts = ["same body", "unique one", "same body", "unique two"]
+    docs = _docs(spark, texts)
+    reqs = docs.filter(F.col("doc_id") == 0).select("doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in textops.forget_delete(docs, reqs).collect()
+    }
+    assert rows[0]["deleted"] and rows[0]["direct"]
+    assert not rows[0]["via_content"]
+    # doc 2 shares doc 0's content -> deleted via content identity
+    assert rows[2]["deleted"] and rows[2]["via_content"]
+    assert not rows[2]["direct"]
+    assert not rows[1]["deleted"] and not rows[3]["deleted"]
+
+
+def test_cluster_safe_split_coassigns_duplicates(spark):
+    texts = ["dup family text"] * 4 + ["solo alpha", "solo beta"]
+    out = textops.cluster_safe_split(_docs(spark, texts)).collect()
+    fam = [r for r in out if r["cluster_size"] == 4]
+    assert len(fam) == 4
+    assert len({r["split"] for r in fam}) == 1
+    assert len({r["digest"] for r in fam}) == 1
+    solos = [r for r in out if r["cluster_size"] == 1]
+    assert len(solos) == 2
