@@ -2190,6 +2190,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, corpus.filter(F.col("doc_id") == 3)
         )
 
+    def link_hits(spark, sf):
+        # HITS hubs/authorities over the SAME injected domain graph as
+        # link_pagerank; 2 integer micro-unit iterations with L1-style
+        # normalization, oracle-unrolled
+        from ocr_spark.operators import graph as G
+
+        d = _docs(spark, sf)
+        m = F.col("doc_id") % 3
+        inj = d.select(
+            "doc_id",
+            F.when(
+                m == 1,
+                F.concat(
+                    F.col("text"), F.lit(" see http://h"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.com/p now"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.col("text"), F.lit(" via https://cdn"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".tracker.net/x and http://ok.example.com/y"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("t"),
+        )
+        urls = "regexp_extract_all(t, 'https?://[a-z0-9./_-]+', 0)"
+        doms = (
+            f"transform({urls},"
+            " u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1))"
+        )
+        edges = inj.select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example.com"),
+            ).alias("src"),
+            F.explode(F.expr(doms)).alias("dst"),
+        )
+        return G.hits(edges)
+
+    def vocab_coverage(spark, sf):
+        # vocab-budget sizing: types needed for 90/95/99% token mass
+        return textops.vocab_coverage(_docs(spark, sf))
+
+    def heavy_keys(spark, sf):
+        # pre-join skew report over events with a fabricated hot key
+        # (user_id%10<3 all collapse onto user 0)
+        e = _tbl(spark, sf, "events")
+        key = F.when(
+            F.col("user_id") % 10 < 3, F.lit(0).cast("long")
+        ).otherwise(F.col("user_id"))
+        return relational.heavy_keys(
+            e.select(key.alias("user_id")), "user_id"
+        )
+
     def cluster_safe_split(spark, sf):
         # leakage-safe split: two injected exact-dup families must
         # co-assign (the split draw keys on the content digest)
@@ -2334,6 +2393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ablation": filter_ablation,
         "forget_delete": forget_delete,
         "cluster_safe_split": cluster_safe_split,
+        "link_hits": link_hits,
+        "vocab_coverage": vocab_coverage,
+        "heavy_keys": heavy_keys,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -4172,6 +4234,57 @@ def oracle_sql() -> dict[str, str]:
             "  AS via_content"
             " FROM d LEFT JOIN rd ON d.digest = rd.digest"
             " LEFT JOIN r r2 ON d.doc_id = r2.doc_id"
+        ),
+        # HITS over the link_pagerank edge CTE: unrolled MATERIALIZED
+        # iterations, HUGEINT // matching Spark div
+        "link_hits": __import__(
+            "ocr_spark.operators.graph", fromlist=["oracle_hits_sql"]
+        ).oracle_hits_sql(
+            "SELECT DISTINCT 'site' || CAST(doc_id % 40 AS VARCHAR)"
+            " || '.example.com' AS src, dom AS dst FROM"
+            " (SELECT doc_id, unnest(list_transform("
+            "   regexp_extract_all(t, 'https?://[a-z0-9./_-]+'),"
+            "   u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1)))"
+            "   AS dom FROM"
+            "  (SELECT doc_id, CASE"
+            "   WHEN doc_id%3=1 THEN text || ' see http://h' ||"
+            "    CAST(doc_id%50 AS VARCHAR) || '.example.com/p now'"
+            "   WHEN doc_id%3=2 THEN text || ' via https://cdn' ||"
+            "    CAST(doc_id%9 AS VARCHAR) ||"
+            "    '.tracker.net/x and http://ok.example.com/y'"
+            "   ELSE text END AS t FROM documents) it)"
+        ),
+        # coverage curve: the oracle may use the plain global running
+        # sum (token is unique, so the RANGE frame has no peers); the
+        # Spark side's bucketed two-phase prefix sum must agree exactly
+        "vocab_coverage": (
+            "WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf"
+            "  FROM (SELECT unnest(string_split(text, ' ')) AS token"
+            "   FROM documents) GROUP BY token),"
+            " c AS MATERIALIZED (SELECT token, tf,"
+            "  SUM(tf) OVER (ORDER BY tf DESC, token) AS cum FROM tf),"
+            " tot AS MATERIALIZED (SELECT SUM(tf) AS total FROM tf),"
+            " p AS (SELECT unnest([90, 95, 99]) AS pct)"
+            " SELECT CAST(pct AS BIGINT) AS pct,"
+            " CAST(SUM(CASE WHEN (cum - tf) * 100 < total * pct"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,"
+            " CAST(MAX(CASE WHEN (cum - tf) * 100 < total * pct"
+            "  THEN cum ELSE 0 END) AS BIGINT) AS covered_tokens,"
+            " CAST(MAX(total) AS BIGINT) AS total_tokens"
+            " FROM c CROSS JOIN tot CROSS JOIN p GROUP BY pct"
+        ),
+        # heavy hitters: identical hot-key collapse, exact micro share,
+        # (cnt desc, key asc) total order for the top-20 cut
+        "heavy_keys": (
+            "WITH k AS (SELECT CASE WHEN user_id % 10 < 3 THEN 0"
+            "  ELSE user_id END AS user_id FROM events),"
+            " c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt"
+            "  FROM k GROUP BY user_id),"
+            " t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM k)"
+            " SELECT user_id, cnt,"
+            " CAST((cnt * 1000000) // total AS BIGINT) AS share_micro"
+            " FROM c CROSS JOIN t"
+            " ORDER BY cnt DESC, user_id LIMIT 20"
         ),
         # leakage-safe split: the split_assign md5_number uniform keyed
         # on the CONTENT digest; identical dup-family injection

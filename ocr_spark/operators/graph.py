@@ -110,3 +110,114 @@ def oracle_pagerank_sql(
         f" SELECT node, r AS rank_micro FROM r{iters}"
     )
     return "".join(parts)
+
+
+#: HITS fixed iteration count and per-iteration normalization scale.
+#: Contract — the oracle unrolls exactly this many iterations.
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999) over a (src, dst)
+    edge list — the hub/authority complement to :func:`pagerank` for
+    source weighting (a domain that links to many authorities is a good
+    crawl frontier; a domain many hubs point at is a quality prior).
+
+    Deterministic micro-unit variant: hubs start at HITS_SCALE; each
+    iteration computes raw authority = Σ incoming hub, normalizes by
+    the corpus-wide raw sum as ``(raw * SCALE) // Σraw`` (exact integer,
+    L1-style), then raw hub = Σ outgoing NEW authority, normalized the
+    same way — so no float summation order can diverge between engines.
+    Requires a non-empty edge set (the normalizing sums are positive).
+
+    Scale shape: per iteration, one join of the node-bounded score
+    table on src (then dst) and one map-side-combining aggregation; the
+    normalizer is a broadcast 1-row aggregate, never a driver collect.
+    The raw×SCALE product bounds node count at ~9e12 before BIGINT
+    overflow — at larger graphs drop HITS_SCALE a decade."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("long").alias("hub_micro")
+    )
+    a = None
+    for _ in range(iters):
+        araw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub_micro").alias("__ar"))
+            .withColumnRenamed("dst", "node")
+        )
+        asum = araw.agg(F.sum("__ar").alias("__as"))
+        a = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                F.expr(
+                    f"div(coalesce(__ar, 0L) * {HITS_SCALE}, __as)"
+                )
+                .cast("long")
+                .alias("auth_micro"),
+            )
+        )
+        hraw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth_micro").alias("__hr"))
+            .withColumnRenamed("src", "node")
+        )
+        hsum = hraw.agg(F.sum("__hr").alias("__hs"))
+        h = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                F.expr(
+                    f"div(coalesce(__hr, 0L) * {HITS_SCALE}, __hs)"
+                )
+                .cast("long")
+                .alias("hub_micro"),
+            )
+        )
+    return a.join(h, "node")
+
+
+def oracle_hits_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
+    """DuckDB replay of :func:`hits`: unrolled MATERIALIZED stages (the
+    CTE-inlining trap — every score table is multi-referenced); HUGEINT
+    ``//`` matches Spark's ``div`` on non-negative operands."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f" h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h"
+        "  FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", ar{k} AS (SELECT e.dst AS node, SUM(p.h) AS ar"
+            f"  FROM e JOIN h{k - 1} p ON p.node = e.src GROUP BY e.dst)"
+            f", as{k} AS MATERIALIZED (SELECT SUM(ar) AS s FROM ar{k})"
+            f", a{k} AS MATERIALIZED (SELECT n.node,"
+            f"  CAST((COALESCE(x.ar, 0) * {HITS_SCALE}) // t.s AS BIGINT)"
+            f"  AS a FROM nodes n LEFT JOIN ar{k} x ON x.node = n.node"
+            f"  CROSS JOIN as{k} t)"
+            f", hr{k} AS (SELECT e.src AS node, SUM(p.a) AS hr"
+            f"  FROM e JOIN a{k} p ON p.node = e.dst GROUP BY e.src)"
+            f", hs{k} AS MATERIALIZED (SELECT SUM(hr) AS s FROM hr{k})"
+            f", h{k} AS MATERIALIZED (SELECT n.node,"
+            f"  CAST((COALESCE(x.hr, 0) * {HITS_SCALE}) // t.s AS BIGINT)"
+            f"  AS h FROM nodes n LEFT JOIN hr{k} x ON x.node = n.node"
+            f"  CROSS JOIN hs{k} t)"
+        )
+    parts.append(
+        f" SELECT a{iters}.node, a{iters}.a AS auth_micro,"
+        f" h{iters}.h AS hub_micro FROM a{iters}"
+        f" JOIN h{iters} ON a{iters}.node = h{iters}.node"
+    )
+    return "".join(parts)

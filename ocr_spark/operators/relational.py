@@ -817,3 +817,36 @@ def table_to_markdown(
             ),
         ).alias("markdown"),
     )
+
+
+#: heavy_keys report size — operator contract (the (count desc, key
+#: asc) order is total, so the cut is deterministic).
+HEAVY_KEYS_K = 20
+
+
+def heavy_keys(
+    df: DataFrame, key_col: str, k: int = HEAVY_KEYS_K
+) -> DataFrame:
+    """Pre-join skew report — the diagnostic run before keying a big
+    join or aggregation (AQE splits skewed partitions at runtime, but
+    choosing salting / broadcast strategy needs the heavy hitters up
+    front): the k heaviest keys by row count with their exact share of
+    the table in integer micro-units.
+
+    Scale shape: one map-side-combining count per key, a distributed
+    TakeOrdered for the top-k (never a global row_number window), and
+    the table total joined in as a broadcast 1-row aggregate."""
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    ).limit(k)
+    return top.crossJoin(F.broadcast(total)).select(
+        key_col,
+        "cnt",
+        F.expr("div(cnt * 1000000, __total)")
+        .cast("long")
+        .alias("share_micro"),
+    )

@@ -3156,3 +3156,80 @@ def cluster_safe_split(
     return dg.join(sizes, "digest").select(
         id_col, "digest", "cluster_size", split.alias("split")
     )
+
+
+#: vocab_coverage mass thresholds (percent) — operator contract.
+VOCAB_COVERAGE_PCTS = (90, 95, 99)
+
+
+def vocab_coverage(df: DataFrame, col: str = "text") -> DataFrame:
+    """Tokenizer vocabulary-coverage curve — the sizing study run
+    before committing a vocab budget (how many types cover 90/95/99%
+    of the corpus token mass?): rank terms by (tf desc, term asc) — a
+    total order — take the running-mass prefix, and report for each
+    threshold the minimal vocab size, the token mass it covers, and
+    the corpus total.
+
+    Scale shape: the global running sum is NEVER a single-partition
+    window — the reshard_by_bytes two-phase prefix sum, with the
+    bucket taken from the tf's binary magnitude (length(bin(tf)), an
+    exact integer) so ascending bucket == descending tf band and ties
+    stay inside one bucket; per-bucket offsets are a ≤64-row window
+    broadcast back. The final report is one aggregate per threshold
+    over (flag, cum) pairs."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.explode(_tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    bucket = (F.lit(64) - F.length(F.bin(F.col("tf")))).cast("int")
+    banded = tf.select("token", "tf", bucket.alias("__b"))
+    w_in = Window.partitionBy("__b").orderBy(
+        F.col("tf").desc(), F.col("token").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        banded.groupBy("__b")
+        .agg(F.sum("tf").alias("__bt"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bt").over(w_b), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    cum = (
+        banded.join(F.broadcast(offsets), "__b")
+        .select(
+            "token",
+            "tf",
+            (F.col("__off") + F.sum("tf").over(w_in)).cast("long").alias(
+                "__cum"
+            ),
+        )
+    )
+    pcts = (
+        tf.agg(F.sum("tf").cast("long").alias("__total"))
+        .select(
+            "__total",
+            F.explode(
+                F.array(*[F.lit(p) for p in VOCAB_COVERAGE_PCTS])
+            ).alias("pct"),
+        )
+    )
+    needed = (F.col("__cum") - F.col("tf")) * 100 < F.col(
+        "__total"
+    ) * F.col("pct")
+    return (
+        cum.crossJoin(F.broadcast(pcts))
+        .groupBy(F.col("pct").cast("long").alias("pct"))
+        .agg(
+            F.sum(needed.cast("long")).cast("long").alias("vocab_size"),
+            F.max(F.when(needed, F.col("__cum")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("__total").cast("long").alias("total_tokens"),
+        )
+    )

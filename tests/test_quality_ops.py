@@ -1506,3 +1506,34 @@ def test_cluster_safe_split_coassigns_duplicates(spark):
     assert len({r["digest"] for r in fam}) == 1
     solos = [r for r in out if r["cluster_size"] == 1]
     assert len(solos) == 2
+
+
+def test_hits_star_graph_exact(spark):
+    from ocr_spark.operators.graph import hits
+
+    pdf = pd.DataFrame({"src": ["a", "b"], "dst": ["c", "c"]})
+    out = {r["node"]: r for r in hits(spark.createDataFrame(pdf)).collect()}
+    # c is the only authority (all mass), a/b split the hub mass
+    assert out["c"]["auth_micro"] == 1_000_000
+    assert out["a"]["hub_micro"] == 500_000
+    assert out["b"]["hub_micro"] == 500_000
+    assert out["a"]["auth_micro"] == 0 and out["c"]["hub_micro"] == 0
+
+
+def test_vocab_coverage_exact_curve(spark):
+    out = textops.vocab_coverage(_docs(spark, ["a a a a a a a a a b"]))
+    rows = {r["pct"]: r for r in out.collect()}
+    assert rows[90]["vocab_size"] == 1 and rows[90]["covered_tokens"] == 9
+    assert rows[95]["vocab_size"] == 2 and rows[95]["covered_tokens"] == 10
+    assert rows[99]["vocab_size"] == 2
+    assert all(r["total_tokens"] == 10 for r in rows.values())
+
+
+def test_heavy_keys_order_and_share(spark):
+    from ocr_spark.operators.relational import heavy_keys
+
+    pdf = pd.DataFrame({"k": [1] * 6 + [2] * 3 + [3]})
+    out = heavy_keys(spark.createDataFrame(pdf), "k", k=2).collect()
+    assert [(r["k"], r["cnt"]) for r in out] == [(1, 6), (2, 3)]
+    assert out[0]["share_micro"] == 600_000
+    assert out[1]["share_micro"] == 300_000
