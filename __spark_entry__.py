@@ -2190,6 +2190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, corpus.filter(F.col("doc_id") == 3)
         )
 
+    def extract_reading_order(spark, sf):
+        # two-column prose scan: XY-cut column-major linearization
+        # (a row-major table parse would interleave the columns)
+        return xq.extract_reading_order_query(_docs(spark, sf))
+
     def link_hits(spark, sf):
         # HITS hubs/authorities over the SAME injected domain graph as
         # link_pagerank; 2 integer micro-unit iterations with L1-style
@@ -2396,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": link_hits,
         "vocab_coverage": vocab_coverage,
         "heavy_keys": heavy_keys,
+        "extract_reading_order": extract_reading_order,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -4099,6 +4105,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_dates,"
             " list_min(ds) AS first_date, list_max(ds) AS last_date"
             " FROM d"
+        ),
+        # reading order: the 10-word two-column page must linearize
+        # column-major back to the original word order
+        "extract_reading_order": (
+            "SELECT doc_id,"
+            " w[1] || ' ' || w[2] || ' / ' || w[3] || ' ' || w[4] ||"
+            " ' / ' || w[5] || ' ' || w[6] || ' / ' || w[7] || ' ' ||"
+            " w[8] || ' / ' || w[9] || ' ' || w[10] AS reading_text"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w"
+            "  FROM documents)"
         ),
         # jusText-style boilerplate: identical 12-token paragraph
         # slicing + link injection, integer class thresholds, and the

@@ -482,3 +482,70 @@ def extract_grid_table(payload: str, auto_orient: bool = False) -> dict:
             "confidence": "high",
         },
     }
+
+
+# -- Multi-column prose reading order ---------------------------------------
+#
+# A two-column scan is NOT a table: each column is an independent text
+# flow, and the correct linearization is column-major (all lines of the
+# left column, then the right column). Reading it row-major — what a
+# table parse would do — interleaves unrelated sentences, the classic
+# OCR reading-order failure the reference's vision model avoids
+# implicitly. This is the XY-cut step of classic layout analysis.
+
+#: Blank gutter between prose columns (render). Must be >=
+#: _COL_SPLIT_GAP; intra-column blanks never exceed the 1 px glyph gap
+#: (the x projection is the ink UNION over all of a column's lines, and
+#: every line is a contiguous glyph run from the column's left edge).
+PROSE_COL_GAP = 10
+
+
+def render_columns(columns: "list[list[str]]") -> np.ndarray:
+    """Render a multi-column prose page: each column an independent
+    list of left-aligned text lines; columns separated by PROSE_COL_GAP
+    blank px, lines by BORDERLESS_ROW_GAP blank rows. Columns may have
+    different line counts (ragged bottoms, like real pages)."""
+    col_imgs = []
+    for lines in columns:
+        w = max(GLYPH_PITCH * max(len(t), 1) - 1 for t in lines)
+        h = len(lines) * GLYPH_H + (len(lines) - 1) * BORDERLESS_ROW_GAP
+        img = np.zeros((h, w), dtype=np.uint8)
+        for i, t in enumerate(lines):
+            g = _render_text(t)
+            y = i * (GLYPH_H + BORDERLESS_ROW_GAP)
+            img[y : y + GLYPH_H, : g.shape[1]] = g
+        col_imgs.append(img)
+    height = max(c.shape[0] for c in col_imgs)
+    padded = [
+        np.pad(c, ((0, height - c.shape[0]), (0, 0))) for c in col_imgs
+    ]
+    parts = [padded[0]]
+    for c in padded[1:]:
+        parts += [np.zeros((height, PROSE_COL_GAP), dtype=np.uint8), c]
+    return np.pad(
+        np.concatenate(parts, axis=1), _BORDERLESS_MARGIN
+    ).astype(np.uint8)
+
+
+def read_columns_text(img: np.ndarray) -> "list[str]":
+    """Reading-order linearization of a multi-column prose page:
+    columns from gutter gaps >= _COL_SPLIT_GAP in the x ink projection
+    (an XY-cut), then per-column text lines from that column's own y
+    projection (columns are cut FIRST, so ragged bottoms and unequal
+    line counts never cross-talk), each line decoded with the anchored
+    glyph box. Returns lines in reading order: every line of the
+    leftmost column, then the next column."""
+    ys, xs = np.nonzero(img)
+    if ys.size == 0:
+        return []
+    img = img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    out: list[str] = []
+    for c0, c1 in _ink_bands(img.sum(axis=0) > 0, _COL_SPLIT_GAP):
+        sub = img[:, c0 : c1 + 1]
+        for _r0, r1 in _ink_bands(sub.sum(axis=1) > 0, _ROW_SPLIT_GAP):
+            top = r1 - (GLYPH_H - 1)
+            band = sub[max(0, top) : r1 + 1]
+            if top < 0:
+                band = np.pad(band, ((-top, 0), (0, 0)))
+            out.append(_decode_cell(band))
+    return out

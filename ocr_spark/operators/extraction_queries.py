@@ -364,3 +364,49 @@ def conversation_assembly_query(df: DataFrame) -> DataFrame:
         _extract_json_turn_udf(reply).alias("extracted_text"),
     )
     return assemble_conversations(turns)
+
+
+# -- Multi-column reading order ---------------------------------------------
+
+
+def extract_reading_order_query(df: DataFrame) -> DataFrame:
+    """documents → render the first 10 words as a TWO-COLUMN prose page
+    (left column 3 lines of 2 words, right column 2 lines — ragged
+    bottoms), doc_id-rotated GRIDv1 payload → XY-cut reading-order
+    linearization (read_columns_text) → lines joined by ' / '. Must
+    reproduce the words in original order: a row-major (table-style)
+    parse would interleave the columns and fail the oracle."""
+    from ocr_spark.kernels.grid import (
+        decode_grid_payload,
+        read_columns_text,
+        render_columns,
+        rot90_payload,
+    )
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = (text.split(" ") + ["x"] * 10)[:10]
+                cols = [
+                    [
+                        " ".join(w[0:2]),
+                        " ".join(w[2:4]),
+                        " ".join(w[4:6]),
+                    ],
+                    [" ".join(w[6:8]), " ".join(w[8:10])],
+                ]
+                rot = int(doc_id) % 4 * 90
+                payload = encode_grid_payload(render_columns(cols), rot=rot)
+                img, r = decode_grid_payload(payload)
+                lines = read_columns_text(rot90_payload(img, r))
+                out.append((doc_id, " / ".join(lines)))
+            yield pd.DataFrame(out, columns=["doc_id", "reading_text"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("reading_text", T.StringType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(roundtrip, schema)

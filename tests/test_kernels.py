@@ -494,3 +494,49 @@ class TestAutoOrient:
         payload = encode_grid_payload(baked, rot=90)  # declares 90 more
         res = extract_grid_table(payload, auto_orient=True)
         assert res["table_data"][0]["name"] == "alpha"
+
+
+def test_reading_order_column_major_not_row_major():
+    from ocr_spark.kernels.grid import (
+        read_columns_text,
+        render_columns,
+        read_borderless_cells,
+    )
+
+    cols = [["one two", "three four", "five six"], ["seven", "eight"]]
+    img = render_columns(cols)
+    # column-major linearization, ragged bottoms intact
+    assert read_columns_text(img) == [
+        "one two", "three four", "five six", "seven", "eight",
+    ]
+    # the table-style parse of the same pixels is row-major — the
+    # failure mode the XY-cut exists to avoid
+    flat = [c for row in read_borderless_cells(img) for c in row]
+    assert flat[:2] == ["one two", "seven"]
+
+
+def test_reading_order_survives_declared_rotation():
+    from ocr_spark.kernels.grid import (
+        decode_grid_payload,
+        encode_grid_payload,
+        read_columns_text,
+        render_columns,
+        rot90_payload,
+    )
+
+    img = render_columns([["alpha beta", "gamma"], ["delta"]])
+    for rot in (0, 90, 180, 270):
+        payload = encode_grid_payload(img, rot=rot)
+        got, r = decode_grid_payload(payload)
+        assert read_columns_text(rot90_payload(got, r)) == [
+            "alpha beta", "gamma", "delta",
+        ]
+
+
+def test_reading_order_empty_and_single_column():
+    import numpy as np
+    from ocr_spark.kernels.grid import read_columns_text, render_columns
+
+    assert read_columns_text(np.zeros((8, 8), dtype=np.uint8)) == []
+    img = render_columns([["only col line a", "line b"]])
+    assert read_columns_text(img) == ["only col line a", "line b"]
