@@ -2190,6 +2190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, corpus.filter(F.col("doc_id") == 3)
         )
 
+    def negative_sample(spark, sf):
+        # contrastive negatives: next-2-on-the-md5-ring, wraparound
+        # included — the oracle is a global window; the Spark side must
+        # reproduce it from bucketed leads + the heads boundary frame
+        return textops.negative_sample(_docs(spark, sf))
+
     def extract_reading_order(spark, sf):
         # two-column prose scan: XY-cut column-major linearization
         # (a row-major table parse would interleave the columns)
@@ -2402,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": vocab_coverage,
         "heavy_keys": heavy_keys,
         "extract_reading_order": extract_reading_order,
+        "negative_sample": negative_sample,
         # ---- reference §2 extraction slugs ----
         "pdf_cid_text_extract": pdf_cid_text_extract,
         "pdf_image_extract": pdf_image_extract,
@@ -4105,6 +4112,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_dates,"
             " list_min(ds) AS first_date, list_max(ds) AS last_date"
             " FROM d"
+        ),
+        # ring negatives: the oracle IS the global definition — next 2
+        # by ROW_NUMBER over (rk, id) with modular wraparound
+        "negative_sample": (
+            "WITH r AS (SELECT doc_id,"
+            "  md5('ns0:' || CAST(doc_id AS VARCHAR)) AS rk"
+            "  FROM documents),"
+            " o AS MATERIALIZED (SELECT doc_id, rk,"
+            "  ROW_NUMBER() OVER (ORDER BY rk, doc_id) AS p,"
+            "  COUNT(*) OVER () AS n FROM r)"
+            " SELECT a.doc_id, b1.doc_id AS neg1, b2.doc_id AS neg2"
+            " FROM o a JOIN o b1 ON b1.p = a.p % a.n + 1"
+            " JOIN o b2 ON b2.p = ((a.p + 1) % a.n) + 1"
         ),
         # reading order: the 10-word two-column page must linearize
         # column-major back to the original word order

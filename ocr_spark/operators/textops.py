@@ -3233,3 +3233,101 @@ def vocab_coverage(df: DataFrame, col: str = "text") -> DataFrame:
             F.max("__total").cast("long").alias("total_tokens"),
         )
     )
+
+
+#: negative_sample ring salt — operator contract.
+NEG_SALT = "ns0"
+
+
+def negative_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic contrastive negative sampling — the pair-mining
+    step of embedding/reranker training (each anchor needs k random
+    negatives that are stable across reruns and engines, with no
+    self-pairs and no all-pairs join): documents sit on a hash ring
+    ordered by md5(NEG_SALT:id); an anchor's negatives are the next 2
+    documents clockwise, wrapping at the end. Requires >= 3 documents.
+
+    Scale shape: the ring is NEVER a global window — the md5-prefix
+    bucket trick (reshard_by_bytes) gives within-bucket lead()s after
+    ONE exchange on the 256-way bucket; the cross-boundary successors
+    come from a constant-size heads frame (first 2 rows per bucket,
+    <= 512 rows) whose windows and wraparound are all over that tiny
+    frame, broadcast back onto the boundary rows."""
+    from pyspark.sql.window import Window
+
+    rk = F.md5(F.concat(F.lit(NEG_SALT + ":"), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), rk.alias("rk")).withColumn(
+        "bucket", F.substring("rk", 1, 2)
+    )
+    w = Window.partitionBy("bucket").orderBy("rk", id_col)
+    led = base.select(
+        id_col,
+        "rk",
+        "bucket",
+        F.lead(id_col, 1).over(w).alias("__l1"),
+        F.lead(id_col, 2).over(w).alias("__l2"),
+    )
+    heads = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "rk", F.col(id_col).alias("__hid"))
+    )
+    # successors after each bucket: the first 2 global ring rows past
+    # the bucket's end all live in later buckets' heads (2 kept per
+    # bucket); every window below runs over the <=512-row heads frame
+    w_g = Window.orderBy("bucket", "rk")
+    wrap2 = (
+        heads.withColumn("__gn", F.row_number().over(w_g))
+        .filter(F.col("__gn") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("__gn") == 1, F.col("__hid"))).alias("__w1"),
+            F.max(F.when(F.col("__gn") == 2, F.col("__hid"))).alias("__w2"),
+        )
+    )
+    buckets = base.select("bucket").distinct()
+    after = (
+        buckets.alias("b")
+        .join(
+            heads.alias("h"),
+            F.col("h.bucket") > F.col("b.bucket"),
+            "left",
+        )
+        .select(
+            F.col("b.bucket").alias("bucket"),
+            F.col("h.bucket").alias("__hb"),
+            F.col("h.rk").alias("__hrk"),
+            F.col("h.__hid").alias("__hid"),
+        )
+    )
+    w_a = Window.partitionBy("bucket").orderBy("__hb", "__hrk")
+    succ = (
+        after.withColumn("__rn", F.row_number().over(w_a))
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__hid"))).alias("__a1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__hid"))).alias("__a2"),
+        )
+        .crossJoin(F.broadcast(wrap2))
+        .select(
+            "bucket",
+            F.coalesce("__a1", "__w1").alias("__s1"),
+            F.coalesce(
+                "__a2",
+                F.when(F.col("__a1").isNull(), F.col("__w2")).otherwise(
+                    F.col("__w1")
+                ),
+            ).alias("__s2"),
+        )
+    )
+    out = led.join(F.broadcast(succ), "bucket")
+    neg1 = F.coalesce(F.col("__l1"), F.col("__s1"))
+    neg2 = F.coalesce(
+        F.col("__l2"),
+        F.when(F.col("__l1").isNull(), F.col("__s2")).otherwise(
+            F.col("__s1")
+        ),
+    )
+    return out.select(
+        id_col, neg1.alias("neg1"), neg2.alias("neg2")
+    )

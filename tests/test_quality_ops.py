@@ -1537,3 +1537,22 @@ def test_heavy_keys_order_and_share(spark):
     assert [(r["k"], r["cnt"]) for r in out] == [(1, 6), (2, 3)]
     assert out[0]["share_micro"] == 600_000
     assert out[1]["share_micro"] == 300_000
+
+
+def test_negative_sample_matches_global_ring(spark):
+    import hashlib
+
+    for n in (3, 4, 17):
+        ids = list(range(n))
+        ring = sorted(
+            ids, key=lambda i: (hashlib.md5(f"ns0:{i}".encode()).hexdigest(), i)
+        )
+        pos = {d: p for p, d in enumerate(ring)}
+        expect = {
+            d: (ring[(pos[d] + 1) % n], ring[(pos[d] + 2) % n]) for d in ids
+        }
+        pdf = pd.DataFrame({"doc_id": ids, "text": ["t"] * n})
+        out = textops.negative_sample(spark.createDataFrame(pdf))
+        got = {r["doc_id"]: (r["neg1"], r["neg2"]) for r in out.collect()}
+        assert got == expect, f"n={n}"
+        assert all(d not in got[d] for d in ids)
