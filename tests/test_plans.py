@@ -1117,3 +1117,31 @@ def test_sentence_chunk_single_exchange(spark):
     # (id, chunk) group-by are subset-key clusterings satisfied by it
     assert len(_exchange_blocks(plan)) == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_negative_sample_plan_shape(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.negative_sample(docs))
+    # pure JVM: no Python evaluation anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # column pruning: the ring is built from doc_id alone — the reader
+    # must never materialize text/lang/source
+    assert "text" not in plan
+    # the corpus-sized frame is windowed per md5-prefix bucket, never
+    # globally: the lead() windowspec carries the bucket partition key,
+    # and no exchange anywhere funnels to a single partition (the tiny
+    # heads frames get WindowGroupLimit + TakeOrderedAndProject instead)
+    assert "windowspecdefinition(bucket" in plan
+    assert not any(
+        "SinglePartition" in b for b in _exchange_blocks(plan)
+    )
+    # the corpus joins its per-bucket successors via broadcast hash
+    # join; nested loops appear only between the two bounded tiny
+    # frames (<=256 buckets x <=2-per-bucket heads), never against the
+    # corpus-sized lead frame
+    assert "BroadcastHashJoin" in plan
+    for b in plan.split("\n\n"):
+        if "BroadcastNestedLoopJoin" in b:
+            assert "__l1" not in b and "__l2" not in b
