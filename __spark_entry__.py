@@ -1690,6 +1690,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cur = d.filter(F.col("doc_id") % 12 != 3)
         return dedup.snapshot_diff(cur, prior)
 
+    def snapshot_upsert(spark, sf):
+        # CDC MERGE: change feed = upserts (%5, seq 1) + deletes (%7,
+        # seq 2 — outranks the upsert on %35 ids) + brand-new ids
+        # (%11, id+1e6); latest-change-wins, deletes emit nothing
+        d = _docs(spark, sf)
+        up = d.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.lit("upsert").alias("op"),
+            F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+            F.lit(1).alias("seq"),
+        )
+        de = d.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit("delete").alias("op"),
+            F.lit("").alias("text"),
+            F.lit(2).alias("seq"),
+        )
+        ad = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("upsert").alias("op"),
+            F.concat(
+                F.lit("new doc "), F.col("doc_id").cast("string")
+            ).alias("text"),
+            F.lit(1).alias("seq"),
+        )
+        return dedup.snapshot_upsert(d, up.unionByName(de).unionByName(ad))
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2422,6 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": ohlc_bars,
         "html_meta": html_meta,
         "char_diversity": char_diversity,
+        # ---- post-window end-of-round-5 additions (window already
+        # full of never-checked queries; proven by pytest + replay) ----
+        "snapshot_upsert": snapshot_upsert,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -4721,6 +4751,31 @@ def oracle_sql() -> dict[str, str]:
             " FULL JOIN (SELECT doc_id, md5(CASE WHEN doc_id % 6 = 0"
             "   THEN text || ' [v1]' ELSE text END) AS h, 1 AS pp"
             "  FROM documents WHERE doc_id % 3 = 0) p USING (doc_id)"
+        ),
+        # CDC MERGE: latest-change-wins via arg_max over the seq,
+        # deletes drop the id, new ids come from the presence anti-join
+        "snapshot_upsert": (
+            "WITH ch AS ("
+            "  SELECT doc_id, 'upsert' AS op, text || ' [v2]' AS text,"
+            "   1 AS seq FROM documents WHERE doc_id % 5 = 0"
+            "  UNION ALL SELECT doc_id, 'delete', '', 2"
+            "   FROM documents WHERE doc_id % 7 = 0"
+            "  UNION ALL SELECT doc_id + 1000000, 'upsert',"
+            "   'new doc ' || CAST(doc_id AS VARCHAR), 1"
+            "   FROM documents WHERE doc_id % 11 = 0),"
+            " latest AS (SELECT doc_id, arg_max(op, seq) AS op,"
+            "  arg_max(text, seq) AS text FROM ch GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            "  CASE WHEN l.doc_id IS NULL THEN d.text ELSE l.text END"
+            "   AS text,"
+            "  CASE WHEN l.doc_id IS NULL THEN 'kept' ELSE 'updated' END"
+            "   AS status"
+            " FROM documents d LEFT JOIN latest l USING (doc_id)"
+            " WHERE l.doc_id IS NULL OR l.op <> 'delete'"
+            " UNION ALL"
+            " SELECT l.doc_id, l.text, 'added' AS status"
+            " FROM latest l LEFT JOIN documents d USING (doc_id)"
+            " WHERE d.doc_id IS NULL AND l.op <> 'delete'"
         ),
         # Gopher rule filter: injection by doc_id%7, eight Table-A1
         # rules replayed on the unrounded rationals

@@ -819,6 +819,72 @@ def snapshot_diff(
     )
 
 
+def snapshot_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC MERGE into a corpus release — the lakehouse upsert an
+    incremental crawl applies between releases: a change feed of
+    (id, op, text, seq) rows (op = ``'upsert'`` | ``'delete'``; seq
+    orders multiple changes to the same id) merges into the base
+    snapshot latest-change-wins. Deleted ids emit nothing; surviving
+    rows carry a ``status`` audit column (kept / updated / added).
+    Where :func:`snapshot_diff` REPORTS what changed between two
+    finished releases, this one PRODUCES the next release from a feed.
+
+    Scale shape: the feed first collapses to one winner per id (max_by
+    on seq — one exchange of the DELTA only, map-side partial). Base
+    rows then take their verdict from a broadcast LEFT join against
+    that collapsed delta — an incremental release's delta is orders of
+    magnitude smaller than its base, so base text never crosses an
+    exchange (with id-bucketed storage the join stays exchange-free
+    even when the delta outgrows broadcast). Genuinely new ids come
+    from an id-presence join whose base side prunes to the id column
+    alone."""
+    w = F.max_by(
+        F.struct(
+            F.col(op_col).alias("op"), F.col(text_col).alias("text")
+        ),
+        F.col(seq_col),
+    )
+    latest = changes.groupBy(id_col).agg(w.alias("__c"))
+    merged = (
+        base.join(F.broadcast(latest), id_col, "left")
+        .filter(
+            F.col("__c").isNull() | (F.col("__c.op") != F.lit("delete"))
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("__c").isNull(), F.col(text_col))
+            .otherwise(F.col("__c.text"))
+            .alias(text_col),
+            F.when(F.col("__c").isNull(), F.lit("kept"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
+    )
+    added = (
+        latest.join(
+            base.select(F.col(id_col)).withColumn("__b", F.lit(True)),
+            id_col,
+            "left",
+        )
+        .filter(
+            F.col("__b").isNull() & (F.col("__c.op") != F.lit("delete"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("__c.text").alias(text_col),
+            F.lit("added").alias("status"),
+        )
+    )
+    return merged.unionByName(added)
+
+
 def cross_snapshot_novelty(
     df: DataFrame,
     prior: DataFrame,

@@ -1145,3 +1145,24 @@ def test_negative_sample_plan_shape(spark):
     for b in plan.split("\n\n"):
         if "BroadcastNestedLoopJoin" in b:
             assert "__l1" not in b and "__l2" not in b
+
+
+def test_snapshot_upsert_base_text_never_shuffles(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit("upsert").alias("op"),
+        "text",
+        F.lit(1).alias("seq"),
+    )
+    plan = _plan(dedup.snapshot_upsert(docs, ch))
+    # the merged side joins the collapsed delta via broadcast, so any
+    # shuffle exchange carrying a text column is the DELTA (op/seq or
+    # the collapsed __c struct aboard) — base text never crosses
+    for b in _exchange_blocks(plan):
+        if "text" in b:
+            assert "seq" in b or "op" in b or "__c" in b
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1556,3 +1556,33 @@ def test_negative_sample_matches_global_ring(spark):
         got = {r["doc_id"]: (r["neg1"], r["neg2"]) for r in out.collect()}
         assert got == expect, f"n={n}"
         assert all(d not in got[d] for d in ids)
+
+
+def test_snapshot_upsert_merge_semantics(spark):
+    from ocr_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    )
+    ch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [2, 3, 3, 5, 6, 6],
+                "op": ["upsert", "upsert", "delete", "upsert", "upsert", "delete"],
+                "text": ["b2", "c2", "", "e", "f", ""],
+                "seq": [1, 1, 2, 1, 1, 2],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["status"])
+        for r in dedup.snapshot_upsert(base, ch).collect()
+    }
+    # id 3: upsert then delete at higher seq -> gone; id 6: added then
+    # deleted -> never appears; id 5: genuinely new
+    assert out == {
+        1: ("a", "kept"),
+        2: ("b2", "updated"),
+        4: ("d", "kept"),
+        5: ("e", "added"),
+    }
