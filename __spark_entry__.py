@@ -1717,6 +1717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.snapshot_upsert(d, up.unionByName(de).unionByName(ad))
 
+    def hard_negatives(spark, sf):
+        # contrastive hard negatives: top-2 same-LSH-band mates per
+        # anchor (excluding exact duplicates) by the md5 pair hash
+        return dedup.hard_negatives(_docs(spark, sf))
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2452,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- post-window end-of-round-5 additions (window already
         # full of never-checked queries; proven by pytest + replay) ----
         "snapshot_upsert": snapshot_upsert,
+        "hard_negatives": hard_negatives,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -5153,6 +5159,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT band_idx, band_key, COUNT(*) AS n_docs,"
             "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
             " FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1"
+        ),
+        # hard negatives: band-mates minus exact dups, top-2 per anchor
+        # by the deterministic md5 pair hash (cand id as tiebreak)
+        "hard_negatives": (
+            "WITH shing0 AS MATERIALIZED (SELECT doc_id, "
+            + _SH_SENTINEL
+            + " AS s FROM documents),"
+            f" sig AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM shing0),"
+            f" bands AS MATERIALIZED ({_BANDS_16x4}),"
+            " pr AS (SELECT DISTINCT x.doc_id AS anchor, y.doc_id AS cand"
+            "  FROM bands x JOIN bands y USING (band_idx, band_key)"
+            "  WHERE x.doc_id <> y.doc_id),"
+            " dg AS (SELECT doc_id, md5(text) AS dg FROM documents),"
+            " f AS (SELECT anchor, cand FROM pr"
+            "  JOIN dg a ON a.doc_id = pr.anchor"
+            "  JOIN dg c ON c.doc_id = pr.cand WHERE a.dg <> c.dg),"
+            " r AS (SELECT anchor, cand, ROW_NUMBER() OVER ("
+            "  PARTITION BY anchor ORDER BY"
+            "  md5('hn:' || CAST(anchor AS VARCHAR) || ':'"
+            "   || CAST(cand AS VARCHAR)), cand) AS rn FROM f)"
+            " SELECT anchor AS doc_id,"
+            "  MAX(CASE WHEN rn = 1 THEN cand END) AS hard1,"
+            "  MAX(CASE WHEN rn = 2 THEN cand END) AS hard2"
+            " FROM r WHERE rn <= 2 GROUP BY anchor"
         ),
         # Connected components replayed with a recursive CTE: LSH
         # candidates → exact shingle-Jaccard verify ≥ 0.5 (the verify

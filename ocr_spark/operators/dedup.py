@@ -323,6 +323,77 @@ def lsh_candidate_pairs(
     return _own_caches(result, caches) if own else result
 
 
+def hard_negatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training counterpart of
+    :func:`~ocr_spark.operators.textops.negative_sample`: where the
+    ring gives each anchor UNIFORM negatives, this gives LEXICALLY
+    CLOSE ones (documents that collide with the anchor in some
+    MinHash-LSH band — same shingle neighborhood — the negatives that
+    actually teach an embedding model its decision boundary), while
+    excluding exact duplicates (same content digest), which would be
+    false negatives. Per anchor the top-``k`` band-mates by the
+    deterministic pair hash md5('hn:anchor:cand') are emitted as
+    (doc_id, hard1, hard2); anchors with no usable band-mate emit
+    nothing (fall back to the ring for those).
+
+    Scale shape: candidates come from the banding self-join (ids only
+    across the exchange — lsh_candidate_pairs), digests join as
+    (id, 16-byte md5), and the per-anchor top-k is a window over the
+    CANDIDATE pairs keyed on the anchor id — never over the corpus."""
+    from pyspark.sql.window import Window
+
+    caches: list[DataFrame] = []
+    pairs = lsh_candidate_pairs(df, text_col, id_col, caches=caches)
+    directed = pairs.select(
+        F.col("a").alias("__anchor"), F.col("b").alias("__cand")
+    ).unionByName(
+        pairs.select(F.col("b").alias("__anchor"), F.col("a").alias("__cand"))
+    )
+    dg = df.select(
+        F.col(id_col).alias("__i"), F.md5(F.col(text_col)).alias("__dg")
+    )
+    j = (
+        directed.join(
+            dg.select(
+                F.col("__i").alias("__anchor"), F.col("__dg").alias("__dga")
+            ),
+            "__anchor",
+        )
+        .join(
+            dg.select(
+                F.col("__i").alias("__cand"), F.col("__dg").alias("__dgc")
+            ),
+            "__cand",
+        )
+        .filter(F.col("__dga") != F.col("__dgc"))
+    )
+    rk = F.md5(
+        F.concat(
+            F.lit("hn:"),
+            F.col("__anchor").cast("string"),
+            F.lit(":"),
+            F.col("__cand").cast("string"),
+        )
+    )
+    w = Window.partitionBy("__anchor").orderBy(rk, "__cand")
+    ranked = j.select(
+        "__anchor", "__cand", F.row_number().over(w).alias("__rn")
+    ).filter(F.col("__rn") <= k)
+    out = ranked.groupBy("__anchor").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__cand"))).alias("hard1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__cand"))).alias("hard2"),
+    )
+    return _own_caches(
+        out.select(F.col("__anchor").alias(id_col), "hard1", "hard2"),
+        caches,
+    )
+
+
 def verified_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -1248,3 +1248,36 @@ def test_ohlc_bars_open_close_extremes(spark):
     assert (b0.lo, b0.hi) == (1.25, 9.5)
     assert (b1.open_event_id, b1.close_event_id) == (5, 6)
     assert b1.bar == b0.bar + 1
+
+
+def test_hard_negatives_excludes_exact_dups_and_ranks(docs):
+    # brute-force the same contract: band-mates minus same-digest pairs,
+    # top-2 per anchor by the md5 pair hash (cand id tiebreak)
+    import hashlib
+
+    pairs = dedup.lsh_candidate_pairs(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    dg = {i: hashlib.md5(t.encode()).hexdigest() for i, t in texts.items()}
+    directed = {}
+    for r in pairs:
+        for a, c in ((r["a"], r["b"]), (r["b"], r["a"])):
+            if dg[a] != dg[c]:
+                directed.setdefault(a, []).append(c)
+    expect = {}
+    for a, cs in directed.items():
+        cs = sorted(
+            cs,
+            key=lambda c: (
+                hashlib.md5(f"hn:{a}:{c}".encode()).hexdigest(),
+                c,
+            ),
+        )
+        expect[a] = (cs[0], cs[1] if len(cs) > 1 else None)
+    got = {
+        r["doc_id"]: (r["hard1"], r["hard2"])
+        for r in dedup.hard_negatives(docs).collect()
+    }
+    assert expect and got == expect
+    # the exact-dup pair (0, 2) must never surface as a hard negative
+    for a, other in ((0, 2), (2, 0)):
+        assert other not in got.get(a, ())

@@ -1166,3 +1166,14 @@ def test_snapshot_upsert_base_text_never_shuffles(spark):
             assert "seq" in b or "op" in b or "__c" in b
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_shuffles_ids_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.hard_negatives(docs))
+    # band keys, ids, and 16-byte digests cross the wire — never text
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    assert "CartesianProduct" not in plan
