@@ -1722,6 +1722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor (excluding exact duplicates) by the md5 pair hash
         return dedup.hard_negatives(_docs(spark, sf))
 
+    def kn_lm_score(spark, sf):
+        # Kneser-Ney-smoothed bigram fluency (exact micro-unit ints,
+        # decimal(38,0) DIV on the JVM, HUGEINT // in the oracle)
+        return textops.kn_lm_score(_docs(spark, sf))
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2458,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full of never-checked queries; proven by pytest + replay) ----
         "snapshot_upsert": snapshot_upsert,
         "hard_negatives": hard_negatives,
+        "kn_lm_score": kn_lm_score,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -4798,6 +4804,35 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({_G_NSTOP} AS BIGINT) AS n_stopwords,"
             f" {_G_PASS} AS gopher_pass"
             " FROM b"
+        ),
+        # Kneser-Ney bigram scoring: type counts from the bigram-count
+        # table, common-denominator single division (HUGEINT exact)
+        "kn_lm_score": (
+            "WITH toks AS (SELECT doc_id, string_split(text,' ') AS w"
+            "  FROM documents),"
+            " pairs AS (SELECT doc_id,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> md5(w[CAST(i AS INT)]))) AS h1,"
+            "  unnest(list_transform(range(1, len(w)),"
+            "   i -> md5(w[CAST(i AS INT)+1]))) AS h2"
+            "  FROM toks WHERE len(w) >= 2),"
+            " c2t AS (SELECT h1, h2, COUNT(*)::HUGEINT AS c2"
+            "  FROM pairs GROUP BY h1, h2),"
+            " c1t AS (SELECT h1, SUM(c2)::HUGEINT AS c1,"
+            "  COUNT(*)::HUGEINT AS n1f FROM c2t GROUP BY h1),"
+            " pct AS (SELECT h2, COUNT(*)::HUGEINT AS n1p"
+            "  FROM c2t GROUP BY h2),"
+            " nt AS (SELECT COUNT(*)::HUGEINT AS ntot FROM c2t),"
+            " sc AS (SELECT doc_id,"
+            "  (1000000::HUGEINT * ((4*c2 - 3)*ntot + 3*n1f*n1p))"
+            "   // (4*c1*ntot) AS p"
+            "  FROM pairs JOIN c2t USING (h1, h2) JOIN c1t USING (h1)"
+            "  JOIN pct USING (h2) CROSS JOIN nt),"
+            " agg AS (SELECT doc_id, COUNT(*) AS n, SUM(p) AS s"
+            "  FROM sc GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,"
+            "  CAST(COALESCE(s // n, 0) AS BIGINT) AS kn_score_micro"
+            " FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         # corpus bigram LM scoring: conditional probabilities in exact
         # integer micro-units (integer division both engines)

@@ -840,6 +840,88 @@ def ngram_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def kn_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Interpolated Kneser–Ney bigram document scoring — the smoothed
+    upgrade of :func:`ngram_lm_score` (KenLM/CCNet LMs are KN-smoothed;
+    raw MLE over-rewards documents that repeat one frequent bigram and
+    scores rare-context bigrams identically to common ones). With
+    absolute discount d = 3/4:
+
+        P(w2|w1) = (c(w1w2) − d)/c(w1)
+                 + d · N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    where N1+ are distinct-continuation counts (type counts, the KN
+    signature). Only SEEN bigrams are scored (c ≥ 1 > d, so the max(…,0)
+    clamp never binds). Cross-engine exactness: with everything over a
+    common denominator the per-bigram probability is the single integer
+    division
+
+        p_micro = 1e6·((4·c2 − 3)·ntot + 3·n1f·n1p)  div  (4·c1·ntot)
+
+    evaluated in decimal(38,0) on the JVM and HUGEINT in the oracle
+    (the bm25 precedent), and the per-document score is Σ p_micro div n
+    — order-free integer sums, no log, no float.
+
+    Scale shape: bigrams travel as (md5(w1), md5(w2)) hash pairs; ALL
+    four count tables (bigram, context, continuation, 1-row type total)
+    derive from the single bigram-count aggregate — no extra corpus
+    scans; the count tables are vocabulary-bounded so AQE broadcasts
+    them into the probe joins, and the 1-row total is an explicit
+    broadcast; the per-doc aggregation is one exchange on doc_id."""
+    toks = df.select("doc_id", _tokens(col).alias("__w"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1),"
+                    " i -> struct("
+                    "  md5(element_at(__w, i)) as h1,"
+                    "  md5(element_at(__w, i + 1)) as h2))"
+                ),
+            ).otherwise(
+                F.expr("array()").cast("array<struct<h1:string,h2:string>>")
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.h1").alias("h1"), F.col("bg.h2").alias("h2"))
+    c2t = pairs.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+    c1t = c2t.groupBy("h1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    pct = c2t.groupBy("h2").agg(F.count("*").alias("n1p"))
+    nt = c2t.agg(F.count("*").alias("ntot"))
+    p_micro = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * ((4 * CAST(c2 AS DECIMAL(38,0)) - 3) * ntot"
+        "    + 3 * CAST(n1f AS DECIMAL(38,0)) * n1p)) DIV"
+        " (4 * CAST(c1 AS DECIMAL(38,0)) * ntot) AS BIGINT)"
+    )
+    scored = (
+        pairs.join(c2t, ["h1", "h2"])
+        .join(c1t, "h1")
+        .join(pct, "h2")
+        .crossJoin(F.broadcast(nt))
+        .select("doc_id", p_micro.alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__n"), F.sum("p").alias("__s"))
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_bigrams"),
+            F.expr("div(__s, __n)").cast("long").alias("kn_score_micro"),
+        )
+    )
+    return df.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("kn_score_micro"), F.lit(0).cast("long")).alias(
+            "kn_score_micro"
+        ),
+    )
+
+
 #: dsir_weights hashed-feature bucket count. Fixed — operator contract.
 DSIR_BUCKETS = 64
 

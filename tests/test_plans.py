@@ -1177,3 +1177,15 @@ def test_hard_negatives_shuffles_ids_not_text(spark):
     for b in _exchange_blocks(plan):
         assert "text#" not in b
     assert "CartesianProduct" not in plan
+
+
+def test_kn_lm_score_shuffles_hashes_not_text(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.kn_lm_score(docs))
+    # bigrams cross as (md5, md5) pairs and counts — never text
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    assert "BroadcastExchange" in plan  # the 1-row bigram-type total
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

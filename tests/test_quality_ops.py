@@ -1586,3 +1586,20 @@ def test_snapshot_upsert_merge_semantics(spark):
         4: ("d", "kept"),
         5: ("e", "added"),
     }
+
+
+def test_kn_lm_score_hand_computed(spark):
+    # corpus: bigram counts (a,b)=3 (b,a)=1 (b,c)=1; c1(a)=3 n1f(a)=1,
+    # c1(b)=2 n1f(b)=2; n1p(a)=n1p(b)=n1p(c)=1; ntot=3. With d=3/4:
+    # P(b|a) = (3-.75)/3 + .75*(1/3)*(1/3)  = 0.833333 -> 833333 micro
+    # P(a|b) = (1-.75)/2 + .75*(2/2)*(1/3)  = 0.375    -> 375000 micro
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b a b c", "a b", "x"]}
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_score_micro"])
+        for r in textops.kn_lm_score(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[0] == (4, (833333 + 375000 + 833333 + 375000) // 4)
+    assert out[1] == (1, 833333)
+    assert out[2] == (0, 0)  # too short to bigram: scores zero
