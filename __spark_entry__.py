@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_merged_cells(spark, sf):
         return xq.extract_merged_cells_query(_docs(spark, sf))
 
+    def table_page_stitch(spark, sf):
+        # 3-page doc: table a/b/c continues onto page 2 (header
+        # repeated), page 3 opens d/e/f — stitch yields n_tables = 2
+        return xq.table_page_stitch_query(_docs(spark, sf))
+
     def bpe_encode(spark, sf):
         from ocr_spark.operators import bpe as B
 
@@ -2464,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert": snapshot_upsert,
         "hard_negatives": hard_negatives,
         "kn_lm_score": kn_lm_score,
+        "table_page_stitch": table_page_stitch,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -3050,6 +3056,19 @@ def oracle_sql() -> dict[str, str]:
             " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
             " '|d=' || w[4] || '|e=' || w[5] || '|f=' || w[6] AS cells_text"
             " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        # cross-page continuation: pages 1+2 share header a/b/c (one
+        # logical table), page 3 opens d/e/f — exactly 2 tables, all 9
+        # words round-trip in page order
+        "table_page_stitch": (
+            "SELECT doc_id,"
+            " 'a=' || w[1] || '|b=' || w[2] || '|c=' || w[3] ||"
+            " '|a=' || w[4] || '|b=' || w[5] || '|c=' || w[6] ||"
+            " '|d=' || w[7] || '|e=' || w[8] || '|f=' || w[9]"
+            "  AS cells_text,"
+            " CAST(2 AS BIGINT) AS n_tables"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w"
+            "  FROM documents)"
         ),
         # same round-trip contract as extract_grid — a borderless render
         # must recover the identical cells via whitespace layout analysis

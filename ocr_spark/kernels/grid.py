@@ -549,3 +549,31 @@ def read_columns_text(img: np.ndarray) -> "list[str]":
                 band = np.pad(band, ((-top, 0), (0, 0)))
             out.append(_decode_cell(band))
     return out
+
+
+def stitch_tables(
+    page_tables: "list[list[dict]]",
+) -> "tuple[list[dict], int]":
+    """Cross-PAGE table continuation merge: a table that continues onto
+    the next page repeats its header row there (the universal print
+    layout), so consecutive pages whose parsed column keys match are ONE
+    logical table — their record streams concatenate, and the repeated
+    header contributes no extra record (each page's parse already
+    consumed its own header row). A page opening with different keys
+    starts a new table; a blank page breaks any open continuation.
+    Returns (records in page order, number of logical tables) — the
+    reference's "combine them logically" contract
+    (scripts/ExtractX_OCR.py:328-330) applied across page boundaries."""
+    records: list[dict] = []
+    n_tables = 0
+    prev_keys: "tuple | None" = None
+    for tbl in page_tables:
+        if not tbl:
+            prev_keys = None
+            continue
+        keys = tuple(tbl[0].keys())
+        if keys != prev_keys:
+            n_tables += 1
+        records.extend(tbl)
+        prev_keys = keys
+    return records, n_tables

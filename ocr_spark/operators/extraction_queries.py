@@ -206,6 +206,52 @@ extract_merged_cells_query = _grid_query(_merged_cells_img)
 extract_autorotate_query = _grid_query(_grid_img, declared_rot=False)
 
 
+#: A 3-page document: page 1 opens table a/b/c, page 2 CONTINUES it
+#: (same header repeated — the universal "continued on next page"
+#: print layout), page 3 opens a new table d/e/f. The stitcher must
+#: merge pages 1+2 into one logical table and keep page 3 separate
+#: (n_tables = 2), emitting the full record stream in page order —
+#: the reference's "combine them logically" contract applied across
+#: page boundaries (scripts/ExtractX_OCR.py:328-330).
+def table_page_stitch_query(df: DataFrame) -> DataFrame:
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.grid import stitch_tables
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")[:9]
+                rot = int(doc_id) % 4 * 90
+                pages = [
+                    render_grid([["a", "b", "c"], words[0:3]]),
+                    render_grid([["a", "b", "c"], words[3:6]]),
+                    render_grid([["d", "e", "f"], words[6:9]]),
+                ]
+                tabs = [
+                    extract_grid_table(
+                        encode_grid_payload(img, rot=rot)
+                    ).get("table_data", [])
+                    for img in pages
+                ]
+                records, n_tables = stitch_tables(tabs)
+                got = []
+                for rec in records:
+                    got.extend([f"{k}={v}" for k, v in rec.items()])
+                out.append((doc_id, "|".join(got), n_tables))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "cells_text", "n_tables"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cells_text", T.StringType()),
+            T.StructField("n_tables", T.LongType()),
+        ]
+    )
+    return df.select("doc_id", "text").mapInPandas(roundtrip, schema)
+
+
 # -- PDF embedded-image grid extraction ------------------------------------
 
 

@@ -540,3 +540,19 @@ def test_reading_order_empty_and_single_column():
     assert read_columns_text(np.zeros((8, 8), dtype=np.uint8)) == []
     img = render_columns([["only col line a", "line b"]])
     assert read_columns_text(img) == ["only col line a", "line b"]
+
+
+def test_stitch_tables_continuation_rules():
+    from ocr_spark.kernels.grid import stitch_tables
+
+    t1 = [{"a": "1", "b": "2"}]
+    t2 = [{"a": "3", "b": "4"}]
+    t3 = [{"x": "5"}]
+    # same keys on consecutive pages merge into one logical table;
+    # a new key set starts a new table
+    recs, n = stitch_tables([t1, t2, t3])
+    assert recs == t1 + t2 + t3 and n == 2
+    # a blank page breaks any open continuation
+    recs, n = stitch_tables([t1, [], t2])
+    assert recs == t1 + t2 and n == 2
+    assert stitch_tables([]) == ([], 0)
