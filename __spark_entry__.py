@@ -1732,6 +1732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decimal(38,0) DIV on the JVM, HUGEINT // in the oracle)
         return textops.kn_lm_score(_docs(spark, sf))
 
+    def ict_pairs(spark, sf):
+        # Inverse Cloze Task: first-5-token query vs remainder passage
+        return textops.ict_pairs(_docs(spark, sf))
+
+    def release_checksum(spark, sf):
+        # order-free per-bucket multiset checksums (release integrity)
+        return dedup.release_checksum(_docs(spark, sf))
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2470,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": hard_negatives,
         "kn_lm_score": kn_lm_score,
         "table_page_stitch": table_page_stitch,
+        "ict_pairs": ict_pairs,
+        "release_checksum": release_checksum,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -2666,6 +2676,30 @@ _MD5_BYTE = (
     " + (strpos('0123456789abcdef', substr(md5({key} || CAST(vec_id AS VARCHAR)"
     " || ':' || CAST(({b})//16 AS VARCHAR)), 2*(({b})%16)+2, 1))-1))"
 )
+
+def _sql_hex_byte(h: str, i: int) -> str:
+    """SQL for byte ``i`` (0-based) of an md5 HEX-STRING column ``h`` —
+    big-endian within the byte (hex chars 2i+1, 2i+2), matching Spark's
+    ``conv(substring(h, 2i+1, 2), 16, 10)``."""
+    p = 2 * i + 1
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1))"
+    )
+
+
+def _sql_md5_u32(h: str, off: int = 0) -> str:
+    """SQL replay of textops._md5_u32: little-endian 4 bytes of hex
+    digest column ``h`` starting at byte ``off`` as a BIGINT."""
+    return (
+        "("
+        + " + ".join(
+            f"{_sql_hex_byte(h, off + i)}::BIGINT * {256 ** i}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
 
 #: shingle set for signatures: a doc too short to shingle signs its FULL
 #: text (unique per distinct text — a constant sentinel would bucket
@@ -4823,6 +4857,31 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({_G_NSTOP} AS BIGINT) AS n_stopwords,"
             f" {_G_PASS} AS gopher_pass"
             " FROM b"
+        ),
+        # ICT pairs: first-5-token query, remainder passage; short docs
+        # (<= 5 tokens) emit nothing
+        "ict_pairs": (
+            "SELECT doc_id, array_to_string(w[1:5], ' ') AS query,"
+            " array_to_string(w[6:len(w)], ' ') AS passage"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS w"
+            "  FROM documents) WHERE len(w) > 5"
+        ),
+        # release fingerprint: per-digest-prefix bucket, order-free
+        # little-endian word sums mod 2^32 (explicit hex-byte replay)
+        "release_checksum": (
+            "WITH d AS (SELECT md5(CAST(doc_id AS VARCHAR) || ':'"
+            "  || COALESCE(text, '')) AS h FROM documents),"
+            " u AS (SELECT "
+            + _sql_hex_byte("h", 0)
+            + " AS bucket, "
+            + _sql_md5_u32("h", 0)
+            + " AS u1, "
+            + _sql_md5_u32("h", 4)
+            + " AS u2 FROM d)"
+            " SELECT bucket, COUNT(*)::BIGINT AS n_docs,"
+            " CAST(SUM(u1) % 4294967296 AS BIGINT) AS sum1,"
+            " CAST(SUM(u2) % 4294967296 AS BIGINT) AS sum2"
+            " FROM u GROUP BY bucket"
         ),
         # Kneser-Ney bigram scoring: type counts from the bigram-count
         # table, common-denominator single division (HUGEINT exact)

@@ -956,6 +956,53 @@ def snapshot_upsert(
     return merged.unionByName(added)
 
 
+def release_checksum(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Release integrity fingerprint — the tamper-/drift-evidence table
+    a corpus release ships so a consumer can verify their copy without
+    re-reading the content: per md5-prefix bucket (256 rows total), the
+    document count and two ORDER-FREE 32-bit multiset checksums (sums
+    of little-endian digest words mod 2^32). Any added, removed, or
+    edited document flips its bucket's row; comparing two releases'
+    fingerprints localizes WHERE they differ to 1/256 of the id space.
+
+    Scale shape: order-free sums are the whole point — the aggregation
+    is ONE exchange keyed on the 1-byte bucket with map-side partial
+    combine (constant state per bucket), no sort, no collect, no
+    order-dependent hash chain (a Merkle concat would need per-bucket
+    sorted materialization). Sums accumulate in decimal(38,0) so no
+    corpus size overflows them before the final mod."""
+    from ocr_spark.operators.textops import _md5_u32
+
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col(text_col), F.lit("")),
+        )
+    )
+    rows = df.select(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        _md5_u32(h, 0).alias("__u1"),
+        _md5_u32(h, 4).alias("__u2"),
+    )
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__u1").cast("decimal(38,0)")).alias("__s1"),
+            F.sum(F.col("__u2").cast("decimal(38,0)")).alias("__s2"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            F.expr("CAST(__s1 % 4294967296 AS BIGINT)").alias("sum1"),
+            F.expr("CAST(__s2 % 4294967296 AS BIGINT)").alias("sum2"),
+        )
+    )
+
+
 def cross_snapshot_novelty(
     df: DataFrame,
     prior: DataFrame,

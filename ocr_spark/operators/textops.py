@@ -3122,12 +3122,13 @@ def kwic_concordance(
     )
 
 
-def _md5_u32(h: Column) -> Column:
-    """Little-endian low-4-bytes of an md5 hex column as a BIGINT in
-    [0, 2^32) — equal to DuckDB ``md5_number % 2^32`` (the
-    mixture_sample / split_assign replay idiom)."""
+def _md5_u32(h: Column, off: int = 0) -> Column:
+    """Little-endian 4 bytes of an md5 hex column starting at byte
+    ``off`` as a BIGINT in [0, 2^32) — with off=0 equal to DuckDB
+    ``md5_number % 2^32`` (the mixture_sample / split_assign replay
+    idiom); other offsets replay via explicit hex-digit extraction."""
     bs = [
-        F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("bigint")
+        F.conv(F.substring(h, 2 * (off + i) + 1, 2), 16, 10).cast("bigint")
         for i in range(4)
     ]
     return bs[0] + bs[1] * 256 + bs[2] * 65536 + bs[3] * 16777216
@@ -3314,6 +3315,36 @@ def vocab_coverage(df: DataFrame, col: str = "text") -> DataFrame:
             .alias("covered_tokens"),
             F.max("__total").cast("long").alias("total_tokens"),
         )
+    )
+
+
+def ict_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    q_tokens: int = 5,
+) -> DataFrame:
+    """Inverse Cloze Task pair mining (Lee et al., arXiv:1906.00300) —
+    the self-supervised (query, positive passage) pairs dense-retrieval
+    pretraining starts from: the query is a span removed from the
+    document (here its first ``q_tokens`` tokens) and the positive is
+    the remainder. Completes the pair-mining triad: negative_sample
+    supplies uniform negatives and hard_negatives the LSH-close ones.
+    Documents with <= ``q_tokens`` tokens emit nothing (an empty
+    passage would make the positive degenerate).
+
+    Scale shape: one per-row JVM projection over a hoisted token
+    array — zero exchanges, zero Python."""
+    toks = df.select(id_col, F.split(F.col(col), " ").alias("__w"))
+    return toks.filter(F.size("__w") > q_tokens).select(
+        id_col,
+        F.concat_ws(" ", F.slice("__w", 1, q_tokens)).alias("query"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"slice(__w, {q_tokens + 1}, size(__w) - {q_tokens})"
+            ),
+        ).alias("passage"),
     )
 
 

@@ -1189,3 +1189,25 @@ def test_kn_lm_score_shuffles_hashes_not_text(spark):
         assert "text#" not in b
     assert "BroadcastExchange" in plan  # the 1-row bigram-type total
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ict_pairs_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.ict_pairs(docs))
+    assert not _exchange_blocks(plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_release_checksum_single_exchange_no_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.release_checksum(docs))
+    blocks = _exchange_blocks(plan)
+    # ONE exchange on the 1-byte bucket with map-side partial sums —
+    # text is digested before it, so only (bucket, count, sums) cross
+    assert len(blocks) == 1
+    assert "text#" not in blocks[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final

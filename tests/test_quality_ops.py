@@ -1603,3 +1603,42 @@ def test_kn_lm_score_hand_computed(spark):
     assert out[0] == (4, (833333 + 375000 + 833333 + 375000) // 4)
     assert out[1] == (1, 833333)
     assert out[2] == (0, 0)  # too short to bigram: scores zero
+
+
+def test_ict_pairs_reconstruct_and_short_drop(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d e f g h", "one two"]}
+    )
+    out = textops.ict_pairs(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 0
+    assert out[0]["query"] == "a b c d e"
+    assert out[0]["passage"] == "f g h"
+
+
+def test_release_checksum_hand_replay(spark):
+    import hashlib
+
+    from ocr_spark.operators import dedup
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["a", "b", "c", None]})
+    expect = {}
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        h = hashlib.md5(f"{i}:{t if isinstance(t, str) else ''}".encode()).digest()
+        b = h[0]
+        u1 = int.from_bytes(h[0:4], "little")
+        u2 = int.from_bytes(h[4:8], "little")
+        n, s1, s2 = expect.get(b, (0, 0, 0))
+        expect[b] = (n + 1, (s1 + u1) % 2**32, (s2 + u2) % 2**32)
+    got = {
+        r["bucket"]: (r["n_docs"], r["sum1"], r["sum2"])
+        for r in dedup.release_checksum(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == expect
+    # an edited doc flips exactly its own bucket's row
+    pdf2 = pdf.copy()
+    pdf2.loc[1, "text"] = "B"
+    got2 = {
+        r["bucket"]: (r["n_docs"], r["sum1"], r["sum2"])
+        for r in dedup.release_checksum(spark.createDataFrame(pdf2)).collect()
+    }
+    assert got2 != got
