@@ -4828,8 +4828,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT doc_id + 1000000, 'upsert',"
             "   'new doc ' || CAST(doc_id AS VARCHAR), 1"
             "   FROM documents WHERE doc_id % 11 = 0),"
-            " latest AS (SELECT doc_id, arg_max(op, seq) AS op,"
-            "  arg_max(text, seq) AS text FROM ch GROUP BY doc_id)"
+            " kk AS (SELECT doc_id, op, text,"
+            "  lpad(CAST(seq AS VARCHAR), 18, '0') || '|' || op || '|'"
+            "   || COALESCE(text, '') AS k FROM ch),"
+            " latest AS (SELECT doc_id, arg_max(op, k) AS op,"
+            "  arg_max(text, k) AS text FROM kk GROUP BY doc_id)"
             " SELECT d.doc_id,"
             "  CASE WHEN l.doc_id IS NULL THEN d.text ELSE l.text END"
             "   AS text,"

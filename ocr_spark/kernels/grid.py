@@ -561,6 +561,12 @@ def stitch_tables(
     header contributes no extra record (each page's parse already
     consumed its own header row). A page opening with different keys
     starts a new table; a blank page breaks any open continuation.
+    A page may itself hold several STACKED tables, which
+    extract_grid_table flattens into one record list — so each page
+    first splits into runs of consecutive same-key records; only the
+    page's FIRST run can continue the previous page's table, and its
+    LAST run is what the next page may continue.
+
     Returns (records in page order, number of logical tables) — the
     reference's "combine them logically" contract
     (scripts/ExtractX_OCR.py:328-330) applied across page boundaries."""
@@ -571,9 +577,16 @@ def stitch_tables(
         if not tbl:
             prev_keys = None
             continue
-        keys = tuple(tbl[0].keys())
-        if keys != prev_keys:
-            n_tables += 1
-        records.extend(tbl)
-        prev_keys = keys
+        runs: "list[tuple[tuple, list[dict]]]" = []
+        for rec in tbl:
+            keys = tuple(rec.keys())
+            if runs and runs[-1][0] == keys:
+                runs[-1][1].append(rec)
+            else:
+                runs.append((keys, [rec]))
+        for ri, (keys, recs) in enumerate(runs):
+            if not (ri == 0 and keys == prev_keys):
+                n_tables += 1
+            records.extend(recs)
+        prev_keys = runs[-1][0]
     return records, n_tables

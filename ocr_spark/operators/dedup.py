@@ -385,11 +385,18 @@ def hard_negatives(
         "__anchor", "__cand", F.row_number().over(w).alias("__rn")
     ).filter(F.col("__rn") <= k)
     out = ranked.groupBy("__anchor").agg(
-        F.max(F.when(F.col("__rn") == 1, F.col("__cand"))).alias("hard1"),
-        F.max(F.when(F.col("__rn") == 2, F.col("__cand"))).alias("hard2"),
+        *[
+            F.max(F.when(F.col("__rn") == i, F.col("__cand"))).alias(
+                f"hard{i}"
+            )
+            for i in range(1, k + 1)
+        ]
     )
     return _own_caches(
-        out.select(F.col("__anchor").alias(id_col), "hard1", "hard2"),
+        out.select(
+            F.col("__anchor").alias(id_col),
+            *[f"hard{i}" for i in range(1, k + 1)],
+        ),
         caches,
     )
 
@@ -906,6 +913,10 @@ def snapshot_upsert(
     rows carry a ``status`` audit column (kept / updated / added).
     Where :func:`snapshot_diff` REPORTS what changed between two
     finished releases, this one PRODUCES the next release from a feed.
+    Two feed rows sharing (id, seq) break the tie deterministically on
+    (op, text) — the winner is the same on every rerun and on every
+    engine, never an arbitrary max_by pick (seq must be >= 0; it is
+    zero-padded into the lexicographic sort key).
 
     Scale shape: the feed first collapses to one winner per id (max_by
     on seq — one exchange of the DELTA only, map-side partial). Base
@@ -916,11 +927,18 @@ def snapshot_upsert(
     even when the delta outgrows broadcast). Genuinely new ids come
     from an id-presence join whose base side prunes to the id column
     alone."""
+    kk = F.concat(
+        F.lpad(F.col(seq_col).cast("string"), 18, "0"),
+        F.lit("|"),
+        F.col(op_col),
+        F.lit("|"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
     w = F.max_by(
         F.struct(
             F.col(op_col).alias("op"), F.col(text_col).alias("text")
         ),
-        F.col(seq_col),
+        kk,
     )
     latest = changes.groupBy(id_col).agg(w.alias("__c"))
     merged = (

@@ -95,47 +95,75 @@ def extract_json_query(df: DataFrame) -> DataFrame:
 GRID_WORDS = 6  # 2 rows (header + one data row) × 3 columns
 
 
-def _grid_query(build_img, declared_rot: bool = True):
+def _grid_query(
+    build_img,
+    declared_rot: bool = True,
+    stitch: bool = False,
+    n_words: int = GRID_WORDS,
+):
     """Shared factory for the grid-family round-trip queries: render an
-    image from the doc's first GRID_WORDS words (``build_img(words)`` —
+    image from the doc's first ``n_words`` words (``build_img(words)`` —
     ruled, borderless, merged, or a multi-table page), wrap it in a
     doc_id-rotated GRIDv1 payload, run the full extract_grid_table parse,
     and emit the records as 'key=value' pairs joined by '|'.
 
     ``declared_rot=False`` bakes the same doc_id quarter turn into the
     PIXELS with a rot=0 header — an undeclared scan orientation — and
-    the parse must recover it via detect_orientation (auto_orient)."""
+    the parse must recover it via detect_orientation (auto_orient).
+
+    ``stitch=True``: ``build_img(words)`` returns a LIST of page images
+    (a multi-page document); each page parses independently and
+    kernels.grid.stitch_tables merges cross-page continuations, adding
+    an ``n_tables`` column to the output."""
 
     def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ocr_spark.kernels.grid import stitch_tables
+
         for pdf in it:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ")[:GRID_WORDS]
+                words = text.split(" ")[:n_words]
                 rot = int(doc_id) % 4 * 90
-                if declared_rot:
-                    payload = encode_grid_payload(build_img(words), rot=rot)
+                imgs = build_img(words)
+                if not stitch:
+                    imgs = [imgs]
+                payloads = []
+                for img in imgs:
+                    if declared_rot:
+                        payloads.append(encode_grid_payload(img, rot=rot))
+                    else:
+                        if rot:
+                            img = np.rot90(img, k=rot // 90)
+                        payloads.append(encode_grid_payload(img, rot=0))
+                tabs = [
+                    extract_grid_table(
+                        p, auto_orient=not declared_rot
+                    ).get("table_data", [])
+                    for p in payloads
+                ]
+                if stitch:
+                    records, n_tables = stitch_tables(tabs)
                 else:
-                    img = build_img(words)
-                    if rot:
-                        img = np.rot90(img, k=rot // 90)
-                    payload = encode_grid_payload(img, rot=0)
-                res = extract_grid_table(
-                    payload, auto_orient=not declared_rot
-                )
+                    records = [rec for tbl in tabs for rec in tbl]
                 got = []
-                for rec in res.get("table_data", []):
+                for rec in records:
                     got.extend([f"{k}={v}" for k, v in rec.items()])
-                out.append((doc_id, "|".join(got)))
-            yield pd.DataFrame(out, columns=["doc_id", "cells_text"])
+                row = (doc_id, "|".join(got))
+                out.append((row + (n_tables,)) if stitch else row)
+            cols = ["doc_id", "cells_text"] + (
+                ["n_tables"] if stitch else []
+            )
+            yield pd.DataFrame(out, columns=cols)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cells_text", T.StringType()),
-        ]
-    )
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cells_text", T.StringType()),
+    ]
+    if stitch:
+        fields.append(T.StructField("n_tables", T.LongType()))
+    schema = T.StructType(fields)
 
     def query(df: DataFrame) -> DataFrame:
         return df.select("doc_id", "text").mapInPandas(roundtrip, schema)
@@ -206,50 +234,23 @@ extract_merged_cells_query = _grid_query(_merged_cells_img)
 extract_autorotate_query = _grid_query(_grid_img, declared_rot=False)
 
 
-#: A 3-page document: page 1 opens table a/b/c, page 2 CONTINUES it
-#: (same header repeated — the universal "continued on next page"
-#: print layout), page 3 opens a new table d/e/f. The stitcher must
-#: merge pages 1+2 into one logical table and keep page 3 separate
-#: (n_tables = 2), emitting the full record stream in page order —
-#: the reference's "combine them logically" contract applied across
-#: page boundaries (scripts/ExtractX_OCR.py:328-330).
-def table_page_stitch_query(df: DataFrame) -> DataFrame:
-    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_spark.kernels.grid import stitch_tables
+def _stitch_pages(words):
+    # page 1 opens table a/b/c, page 2 CONTINUES it (same header
+    # repeated — the "continued on next page" print layout), page 3
+    # opens a new table d/e/f
+    return [
+        render_grid([["a", "b", "c"], words[0:3]]),
+        render_grid([["a", "b", "c"], words[3:6]]),
+        render_grid([["d", "e", "f"], words[6:9]]),
+    ]
 
-        for pdf in it:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ")[:9]
-                rot = int(doc_id) % 4 * 90
-                pages = [
-                    render_grid([["a", "b", "c"], words[0:3]]),
-                    render_grid([["a", "b", "c"], words[3:6]]),
-                    render_grid([["d", "e", "f"], words[6:9]]),
-                ]
-                tabs = [
-                    extract_grid_table(
-                        encode_grid_payload(img, rot=rot)
-                    ).get("table_data", [])
-                    for img in pages
-                ]
-                records, n_tables = stitch_tables(tabs)
-                got = []
-                for rec in records:
-                    got.extend([f"{k}={v}" for k, v in rec.items()])
-                out.append((doc_id, "|".join(got), n_tables))
-            yield pd.DataFrame(
-                out, columns=["doc_id", "cells_text", "n_tables"]
-            )
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cells_text", T.StringType()),
-            T.StructField("n_tables", T.LongType()),
-        ]
-    )
-    return df.select("doc_id", "text").mapInPandas(roundtrip, schema)
+#: A 3-page document whose first table continues onto page 2: the
+#: stitcher must merge pages 1+2 into one logical table and keep page
+#: 3 separate (n_tables = 2), emitting the full record stream in page
+#: order — the reference's "combine them logically" contract applied
+#: across page boundaries (scripts/ExtractX_OCR.py:328-330).
+table_page_stitch_query = _grid_query(_stitch_pages, stitch=True, n_words=9)
 
 
 # -- PDF embedded-image grid extraction ------------------------------------

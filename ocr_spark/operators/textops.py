@@ -864,10 +864,16 @@ def kn_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
 
     Scale shape: bigrams travel as (md5(w1), md5(w2)) hash pairs; ALL
     four count tables (bigram, context, continuation, 1-row type total)
-    derive from the single bigram-count aggregate — no extra corpus
-    scans; the count tables are vocabulary-bounded so AQE broadcasts
-    them into the probe joins, and the 1-row total is an explicit
-    broadcast; the per-doc aggregation is one exchange on doc_id."""
+    derive from the single bigram-count aggregate, and that aggregate
+    is PERSISTED — Spark does not dedup common subplans, so without the
+    persist each derived table re-runs the corpus tokenize+hash pass
+    (measured: ~6 parquet scans, zero ReusedExchange). With it the
+    corpus is read twice total (count build + probe); the count tables
+    are vocabulary-bounded so AQE broadcasts them into the probe joins,
+    and the 1-row total is an explicit broadcast; the per-doc
+    aggregation is one exchange on doc_id."""
+    from ocr_spark.operators.dedup import _own_caches
+
     toks = df.select("doc_id", _tokens(col).alias("__w"))
     pairs = toks.select(
         "doc_id",
@@ -885,7 +891,7 @@ def kn_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.h1").alias("h1"), F.col("bg.h2").alias("h2"))
-    c2t = pairs.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+    c2t = pairs.groupBy("h1", "h2").agg(F.count("*").alias("c2")).persist()
     c1t = c2t.groupBy("h1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1f")
     )
@@ -911,7 +917,7 @@ def kn_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
             F.expr("div(__s, __n)").cast("long").alias("kn_score_micro"),
         )
     )
-    return df.select("doc_id").join(scored, "doc_id", "left").select(
+    out = df.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
             "n_bigrams"
@@ -920,6 +926,7 @@ def kn_lm_score(df: DataFrame, col: str = "text") -> DataFrame:
             "kn_score_micro"
         ),
     )
+    return _own_caches(out, [c2t])
 
 
 #: dsir_weights hashed-feature bucket count. Fixed — operator contract.

@@ -556,3 +556,12 @@ def test_stitch_tables_continuation_rules():
     recs, n = stitch_tables([t1, [], t2])
     assert recs == t1 + t2 and n == 2
     assert stitch_tables([]) == ([], 0)
+    # a page may hold several STACKED tables flattened into one record
+    # list: only its first run continues the open table, its last run
+    # is what the next page may continue
+    stacked = t2 + t3  # a/b continuation, then a new x table
+    recs, n = stitch_tables([t1, stacked, t3])
+    assert recs == t1 + t2 + t3 + t3
+    assert n == 2  # {t1+t2}, {t3 across the page break}
+    recs, n = stitch_tables([t1, stacked, t1])
+    assert n == 3  # x table does NOT continue into a/b keys

@@ -1586,6 +1586,20 @@ def test_snapshot_upsert_merge_semantics(spark):
         4: ("d", "kept"),
         5: ("e", "added"),
     }
+    # a (doc_id, seq) TIE breaks deterministically on (op, text):
+    # 'upsert' > 'delete' lexicographically, so the upsert wins
+    tie = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1],
+                "op": ["upsert", "delete"],
+                "text": ["zz", ""],
+                "seq": [5, 5],
+            }
+        )
+    )
+    got = dedup.snapshot_upsert(base, tie).filter("doc_id = 1").collect()
+    assert [(r["text"], r["status"]) for r in got] == [("zz", "updated")]
 
 
 def test_kn_lm_score_hand_computed(spark):
