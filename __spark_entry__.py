@@ -3471,14 +3471,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(string_split(text,' ')) AS n_tokens,"
             " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words FROM documents"
         ),
+        # exact integer micro-units over a common denominator + integer
+        # round-half-up: double term-sums straddle ROUND boundaries at
+        # scale (observed sf0.1), so no float ever enters the score
         "quality_score": (
-            "SELECT doc_id, ROUND("
-            " least(length(text)/500.0, 1.0) * 0.5"
-            f" + (len(list_filter(string_split(text,' '), t -> t IN ({_STOPLIST})))"
-            "    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3"
-            " + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
-            "    / CAST(length(text) AS DOUBLE)) * 0.2"
-            ", 4) AS quality FROM documents"
+            "WITH b AS (SELECT doc_id,"
+            " length(text)::HUGEINT AS nc,"
+            " len(string_split(text,' '))::HUGEINT AS nt,"
+            f" len(list_filter(string_split(text,' '), t -> t IN ({_STOPLIST})))::HUGEINT AS ns,"
+            " length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::HUGEINT AS nn"
+            " FROM documents),"
+            " s AS (SELECT doc_id, nc,"
+            "  least(nc, 500)*nt*nc + 300*ns*nc + 200*nt*(nc - nn) AS num,"
+            "  1000*nt*nc AS den FROM b)"
+            " SELECT doc_id, CASE WHEN nc = 0 THEN NULL"
+            "  ELSE CAST((20000*num + den) // (2*den) AS BIGINT) / 10000.0"
+            "  END AS quality FROM s"
         ),
         "lang_id": (
             "SELECT doc_id, CASE WHEN"

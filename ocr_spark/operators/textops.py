@@ -48,18 +48,46 @@ def token_count(df: DataFrame, col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality score in [0,1]:
     0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1 − non_text_char_ratio),
-    rounded to 4 decimals."""
-    length = F.length(F.col(col)).cast("double")
-    nontext = (
-        F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", "")).cast("double")
-        / length
+    rounded half-up to 4 decimals.
+
+    Exactness: the three terms share the common denominator
+    1000·n_tokens·n_chars, so the score is ONE integer division and the
+    4-decimal rounding is integer round-half-up — no double summation
+    anywhere. (The original double-sum formulation hit the documented
+    ROUND-boundary trap at sf0.1: two engines' last-ulp sum difference
+    straddled an exact .xxxx5 boundary and the rounded outputs
+    diverged.) The final double is the same bigint/10000.0 on both
+    engines. Empty documents (n_chars = 0) yield NULL — the character
+    ratio is undefined there, matching the prior NULL behavior."""
+    in_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    t = df.select(
+        "doc_id",
+        F.length(F.col(col)).cast("long").alias("__nc"),
+        F.size(_tokens(col)).cast("long").alias("__nt"),
+        F.expr(f"size(filter(split({col}, ' '), t -> t in ({in_list})))")
+        .cast("long")
+        .alias("__ns"),
+        F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", ""))
+        .cast("long")
+        .alias("__nn"),
     )
-    score = (
-        F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5
-        + _stop_ratio(col) * 0.3
-        + (F.lit(1.0) - nontext) * 0.2
+    t2 = t.select(
+        "doc_id",
+        "__nc",
+        F.expr(
+            "CAST(least(__nc, 500) AS DECIMAL(38,0)) * __nt * __nc"
+            " + CAST(300 AS DECIMAL(38,0)) * __ns * __nc"
+            " + CAST(200 AS DECIMAL(38,0)) * __nt * (__nc - __nn)"
+        ).alias("__num"),
+        F.expr("CAST(1000 AS DECIMAL(38,0)) * __nt * __nc").alias("__den"),
     )
-    return df.select("doc_id", F.round(score, 4).alias("quality"))
+    qe4 = F.expr("CAST((20000 * __num + __den) DIV (2 * __den) AS BIGINT)")
+    return t2.select(
+        "doc_id",
+        F.when(F.col("__nc") == 0, F.lit(None).cast("double"))
+        .otherwise(qe4.cast("double") / F.lit(10000.0))
+        .alias("quality"),
+    )
 
 
 def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
