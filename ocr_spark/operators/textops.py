@@ -26,11 +26,16 @@ def _tokens(col: str) -> Column:
     return F.split(F.col(col), " ")
 
 
-def _stop_ratio(col: str) -> Column:
-    toks = _tokens(col)
+def _n_stop(col: str) -> Column:
+    """Stopword token count (STOPWORDS membership over whitespace
+    tokens) — ONE copy shared by _stop_ratio/lang_id and quality_score
+    so tokenization and quoting can never fork between them."""
     in_list = ",".join(f"'{w}'" for w in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split({col}, ' '), t -> t in ({in_list})))")
-    return n_stop.cast("double") / F.size(toks).cast("double")
+    return F.expr(f"size(filter(split({col}, ' '), t -> t in ({in_list})))")
+
+
+def _stop_ratio(col: str) -> Column:
+    return _n_stop(col).cast("double") / F.size(_tokens(col)).cast("double")
 
 
 def token_count(df: DataFrame, col: str = "text") -> DataFrame:
@@ -59,14 +64,11 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     diverged.) The final double is the same bigint/10000.0 on both
     engines. Empty documents (n_chars = 0) yield NULL — the character
     ratio is undefined there, matching the prior NULL behavior."""
-    in_list = ",".join(f"'{w}'" for w in STOPWORDS)
     t = df.select(
         "doc_id",
         F.length(F.col(col)).cast("long").alias("__nc"),
         F.size(_tokens(col)).cast("long").alias("__nt"),
-        F.expr(f"size(filter(split({col}, ' '), t -> t in ({in_list})))")
-        .cast("long")
-        .alias("__ns"),
+        _n_stop(col).cast("long").alias("__ns"),
         F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", ""))
         .cast("long")
         .alias("__nn"),

@@ -1656,3 +1656,42 @@ def test_release_checksum_hand_replay(spark):
         for r in dedup.release_checksum(spark.createDataFrame(pdf2)).collect()
     }
     assert got2 != got
+
+
+def test_quality_score_halfup_tie_and_nulls(spark):
+    # ns/nt = 1/16 makes term2 = 0.01875, so score*10000 lands EXACTLY
+    # on a .5 tie for ANY all-lowercase doc (term1 = nc/1000, term3 =
+    # 0.2) — the cross-engine ROUND-boundary case that bit sf0.1; the
+    # integer formula must round half-up, matching the exact-rational
+    # reference below
+    from fractions import Fraction
+
+    tie = "the " + " ".join("bcdefghijklmnopq")  # 16 toks, 1 stopword
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [tie, "", "zz!! ??"]}
+    )
+    out = {
+        r["doc_id"]: r["quality"]
+        for r in textops.quality_score(spark.createDataFrame(pdf)).collect()
+    }
+
+    def exact(text):
+        nc = len(text)
+        toks = text.split(" ")
+        nt = len(toks)
+        ns = sum(t == "the" for t in toks)
+        nn = sum(1 for ch in text if not (ch.islower() or ch.isdigit() or ch == " "))
+        f = (
+            Fraction(min(nc, 500), 1000)
+            + Fraction(3 * ns, 10 * nt)
+            + Fraction(nc - nn, 5 * nc)
+        )
+        return float((f * 10000 + Fraction(1, 2)).__floor__()) / 10000.0
+
+    scaled = (
+        Fraction(min(len(tie), 500), 1000) + Fraction(3, 160) + Fraction(1, 5)
+    ) * 10000
+    assert scaled - scaled.__floor__() == Fraction(1, 2)  # genuine tie
+    assert out[0] == exact(tie)
+    assert out[1] is None  # empty text: ratio undefined -> NULL
+    assert out[2] == exact("zz!! ??")
