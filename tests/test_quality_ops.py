@@ -1600,6 +1600,19 @@ def test_snapshot_upsert_merge_semantics(spark):
     )
     got = dedup.snapshot_upsert(base, tie).filter("doc_id = 1").collect()
     assert [(r["text"], r["status"]) for r in got] == [("zz", "updated")]
+    # resurrect: a delete followed by a later upsert keeps the doc
+    res = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [2, 2],
+                "op": ["delete", "upsert"],
+                "text": ["", "back"],
+                "seq": [1, 2],
+            }
+        )
+    )
+    got = dedup.snapshot_upsert(base, res).filter("doc_id = 2").collect()
+    assert [(r["text"], r["status"]) for r in got] == [("back", "updated")]
 
 
 def test_kn_lm_score_hand_computed(spark):
