@@ -211,6 +211,94 @@ def stream_extract(
     return writer.start()
 
 
+def make_upsert_committer(
+    table_root: str,
+    stream_id: str = "default",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous CDC apply — the foreachBatch MERGE sink: each
+    micro-batch of (id, op, text, seq) change rows merges into the
+    table's current snapshot latest-change-wins
+    (operators.dedup.snapshot_upsert) and publishes the merged state as
+    an OVERWRITE snapshot, so the table always reads as the fully
+    applied release. Idempotent per micro-batch via the same
+    (stream_id, batch_id) guard as the append sink — a replayed batch
+    (crash between snapshot commit and checkpoint offset commit) is
+    skipped, so a merge is never applied twice (critical here: unlike
+    appends, re-merging a delete after a later upsert would corrupt).
+
+    Scale note: this is merge-on-write — read + rewrite per batch. At
+    100 TB the rewrite is confined to the id-buckets the batch touches
+    (the manifest's part pruning); the emulated table layer keeps the
+    whole-table-rewrite shape for clarity."""
+    from ocr_spark import table as tbl
+    from ocr_spark.operators.dedup import snapshot_upsert
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = committed_stream_batch(table_root, stream_id)
+        if last is not None and int(batch_id) <= last:
+            print(
+                f"ocr_spark.streaming: skipping replayed batch {batch_id} "
+                f"(stream {stream_id!r} already committed through {last})",
+                file=sys.stderr,
+            )
+            return
+        spark = batch_df.sparkSession
+        try:
+            base = tbl.read_table(spark, table_root).select(
+                id_col, text_col
+            )
+        except FileNotFoundError:
+            base = spark.createDataFrame(
+                [], f"{id_col} long, {text_col} string"
+            )
+        merged = snapshot_upsert(
+            base, batch_df, text_col=text_col, id_col=id_col
+        ).drop("status")
+        tbl.commit_append(
+            spark,
+            table_root,
+            merged,
+            part_col=None,
+            overwrite=True,
+            extra_meta={
+                "stream_batch_id": int(batch_id),
+                "stream_id": stream_id,
+            },
+        )
+
+    return process_batch
+
+
+def stream_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the continuous CDC-apply query over a directory of change
+    feeds (parquet files of (doc_id, op, text, seq) rows); returns the
+    StreamingQuery. Same exactly-once construction as stream_extract:
+    file-source checkpointing + the idempotent merge committer."""
+    schema = "doc_id long, op string, text string, seq long"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_upsert_committer(
+                table_root,
+                stream_id=stream_identity(checkpoint_dir, spark),
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def conversation_sessions(
     stream: DataFrame,
     gap: str = "5 minutes",

@@ -301,3 +301,53 @@ def test_stream_dedup_drops_repeated_texts(spark, dirs):
     q.awaitTermination(120)
     n_distinct = a["text"].nunique()
     assert sum(seen) == n_distinct  # every duplicate text dropped once seen
+
+
+def test_stream_upsert_applies_cdc_exactly_once(spark, dirs):
+    from ocr_spark.streaming import stream_upsert
+
+    inp, root, ckpt = dirs
+    feed1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "op": ["upsert", "upsert", "upsert"],
+            "text": ["a", "b", "c"],
+            "seq": [1, 1, 1],
+        }
+    )
+    feed1.to_parquet(os.path.join(inp, "f1.parquet"), index=False)
+    q = stream_upsert(spark, inp, root, ckpt)
+    q.awaitTermination(120)
+    t = {
+        r["doc_id"]: r["text"]
+        for r in tbl.read_table(spark, root).collect()
+    }
+    assert t == {1: "a", 2: "b", 3: "c"}
+
+    # second feed: update 1, delete 2, add 4 — table reads fully applied
+    feed2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 4],
+            "op": ["upsert", "delete", "upsert"],
+            "text": ["a2", "", "d"],
+            "seq": [2, 2, 2],
+        }
+    )
+    feed2.to_parquet(os.path.join(inp, "f2.parquet"), index=False)
+    q2 = stream_upsert(spark, inp, root, ckpt)
+    q2.awaitTermination(120)
+    t = {
+        r["doc_id"]: r["text"]
+        for r in tbl.read_table(spark, root).collect()
+    }
+    assert t == {1: "a2", 3: "c", 4: "d"}
+    snap = tbl.current_snapshot_id(root)
+
+    # restart with the same checkpoint: nothing re-merged, no new snapshot
+    q3 = stream_upsert(spark, inp, root, ckpt)
+    q3.awaitTermination(120)
+    assert tbl.current_snapshot_id(root) == snap
+    assert {
+        r["doc_id"]: r["text"]
+        for r in tbl.read_table(spark, root).collect()
+    } == {1: "a2", 3: "c", 4: "d"}
