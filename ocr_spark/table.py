@@ -230,3 +230,37 @@ def write_bucketed(
         .mode("overwrite")
         .saveAsTable(name)
     )
+
+
+def compact_table(
+    spark: SparkSession, root: str, target_files: int = 8
+) -> int:
+    """Snapshot compaction — the small-files maintenance pass every
+    append/streaming table needs (each micro-batch commit adds files,
+    and reader/planning overhead grows with file count): reads the
+    current snapshot and rewrites it as ``target_files`` files,
+    RANGE-partitioned on the table's part column so each output file
+    covers a contiguous part interval and the manifest's
+    part_min/part_max stay selective — file pruning SURVIVES compaction
+    (a hash repartition would smear every part across every file and
+    silently disable pruning). Publishes an overwrite snapshot through
+    the same atomic pointer swap, so readers never observe a partial
+    compaction and prior snapshots stay readable (time travel).
+    Returns the new snapshot id."""
+    snap = read_snapshot(root)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    df = read_table(spark, root)
+    part_col = snap.get("part_col")
+    if part_col and part_col in df.columns:
+        df = df.repartitionByRange(target_files, part_col)
+    else:
+        df = df.repartition(target_files)
+    return commit_append(
+        spark,
+        root,
+        df,
+        part_col=part_col,
+        overwrite=True,
+        extra_meta={"compaction_of": snap["snapshot_id"]},
+    )

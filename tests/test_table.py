@@ -101,3 +101,35 @@ def test_commit_stats_is_one_job_regardless_of_file_count(spark, root):
     snap = table.read_snapshot(root2)
     assert sum(f["rows"] for f in snap["files"]) == 100
     assert {f["part_min"] for f in snap["files"] if "part_min" in f} <= set(range(16))
+
+
+def test_compact_table_preserves_rows_and_pruning(spark, root):
+    for i in range(4):
+        table.commit_append(spark, root, _df(spark, 100 * i, 100 * i + 50, i))
+    before = table.read_snapshot(root)
+    n_files_before = len(before["files"])
+    sid = table.compact_table(spark, root, target_files=2)
+    snap = table.read_snapshot(root)
+    assert snap["snapshot_id"] == sid
+    assert snap["compaction_of"] == before["snapshot_id"]
+    assert len(snap["files"]) < n_files_before
+    assert table.table_rows(root) == 200  # manifest stats agree
+    got = sorted(r["id"] for r in table.read_table(spark, root).collect())
+    assert got == sorted(
+        r["id"]
+        for r in table.read_table(
+            spark, root, snapshot_id=before["snapshot_id"]
+        ).collect()
+    )  # content identical; old snapshot still readable (time travel)
+    # pruning survives: manifest pruning is FILE-level (a superset the
+    # caller filters further) — with 2 range files over parts 0..3,
+    # part_ids=[0] must read only the file covering parts {0,1}, never
+    # the {2,3} file a hash repartition would have smeared part 0 into
+    pruned = sorted(
+        r["id"] for r in table.read_table(spark, root, part_ids=[0]).collect()
+    )
+    assert pruned == list(range(0, 50)) + list(range(100, 150))
+    assert all(
+        f["part_min"] <= f["part_max"] and (f["part_max"] - f["part_min"]) <= 1
+        for f in snap["files"]
+    )  # contiguous, selective per-file part intervals
