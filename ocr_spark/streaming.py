@@ -71,7 +71,14 @@ def committed_stream_batch(table_root: str, stream_id: str | None = None) -> int
         ):
             return int(b)
         parent = snap.get("parent")
-        snap = tbl.read_snapshot(table_root, parent) if parent is not None else None
+        if parent is None:
+            return None
+        try:
+            snap = tbl.read_snapshot(table_root, parent)
+        except FileNotFoundError:
+            # ancestor expired by table.expire_snapshots: end of the
+            # retained chain — any stream commit that mattered is newer
+            return None
     return None
 
 

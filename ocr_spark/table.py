@@ -264,3 +264,38 @@ def compact_table(
         overwrite=True,
         extra_meta={"compaction_of": snap["snapshot_id"]},
     )
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+    """Snapshot retention + dead-file cleanup (the Iceberg
+    expire_snapshots maintenance pass, compaction's companion): keep
+    the ``keep_last`` most recent snapshots (the current one always
+    survives), delete older snapshot manifests, and delete data files
+    referenced ONLY by expired snapshots. After a compaction that is
+    the entire pre-compaction file set — which is exactly when the
+    space actually comes back. A file referenced by ANY retained
+    snapshot is never touched (append lineages share files across
+    snapshots), so time travel stays intact within the retention
+    window; parent walks treat an expired ancestor as the end of the
+    retained chain. Returns {"expired_snapshots": [...],
+    "deleted_files": N}."""
+    ids = sorted(
+        int(os.path.basename(p)[5:-5])
+        for p in glob.glob(os.path.join(_meta_dir(root), "snap-*.json"))
+    )
+    cur = current_snapshot_id(root)
+    keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+    if cur is not None:
+        keep.add(cur)
+    expired = [i for i in ids if i not in keep]
+    live: set[str] = set()
+    for i in keep:
+        live.update(f["path"] for f in read_snapshot(root, i)["files"])
+    deleted = 0
+    for i in expired:
+        for f in read_snapshot(root, i)["files"]:
+            if f["path"] not in live and os.path.exists(f["path"]):
+                os.remove(f["path"])
+                deleted += 1
+        os.remove(os.path.join(_meta_dir(root), f"snap-{i}.json"))
+    return {"expired_snapshots": expired, "deleted_files": deleted}

@@ -133,3 +133,33 @@ def test_compact_table_preserves_rows_and_pruning(spark, root):
         f["part_min"] <= f["part_max"] and (f["part_max"] - f["part_min"]) <= 1
         for f in snap["files"]
     )  # contiguous, selective per-file part intervals
+
+
+def test_expire_snapshots_two_phase_retention(spark, root):
+    table.commit_append(spark, root, _df(spark, 0, 50, 0))
+    table.commit_append(spark, root, _df(spark, 50, 100, 1))  # snap 1 shares snap 0's files
+    table.compact_table(spark, root, target_files=1)  # snap 2: all-new files
+
+    # keep_last=2 expires snap 0 — but its files are ALSO referenced by
+    # retained snap 1, so no data file may be deleted
+    res = table.expire_snapshots(root, keep_last=2)
+    assert res["expired_snapshots"] == [0]
+    assert res["deleted_files"] == 0
+    assert table.read_table(spark, root, snapshot_id=1).count() == 100
+
+    # keep_last=1 expires snap 1: its (pre-compaction) files are now
+    # referenced by nothing retained and must be physically deleted
+    res = table.expire_snapshots(root, keep_last=1)
+    assert res["expired_snapshots"] == [1]
+    assert res["deleted_files"] >= 2
+    assert table.read_table(spark, root).count() == 100  # current intact
+    with pytest.raises(FileNotFoundError):
+        table.read_snapshot(root, 1)
+    # disk holds exactly the live file set (no dead data files linger)
+    live = {f["path"] for f in table.read_snapshot(root)["files"]}
+    on_disk = {
+        p
+        for p in glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+        if os.path.basename(p).startswith("part-")
+    }
+    assert on_disk == live
