@@ -163,3 +163,20 @@ def test_expire_snapshots_two_phase_retention(spark, root):
         if os.path.basename(p).startswith("part-")
     }
     assert on_disk == live
+
+
+def test_table_job_compact_then_expire(spark, root, capsys):
+    import table_job
+
+    for i in range(4):
+        table.commit_append(spark, root, _df(spark, 100 * i, 100 * i + 50, i))
+    rc = table_job.main(["--root", root, "--compact", "1", "--expire", "1"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # compaction published snapshot 4; expiry kept only it and freed the
+    # pre-compaction files in the same maintenance pass
+    assert summary["compacted_snapshot"] == 4 == summary["snapshot"]
+    assert summary["expired_snapshots"] == [0, 1, 2, 3]
+    assert summary["deleted_files"] >= 4
+    assert summary["rows"] == 200 and summary["files"] == 1
+    assert table.read_table(spark, root).count() == 200
