@@ -60,8 +60,20 @@ def committed_stream_batch(table_root: str, stream_id: str | None = None) -> int
     so snapshots from a different stream_id never arm the skip guard —
     a fresh stream writing to an existing table starts at batch 0 and
     must not have its first batches dropped. ``stream_id=None`` matches
-    any stream (legacy snapshots without the key)."""
+    any stream (legacy snapshots without the key).
+
+    When the retained chain carries no marker — its end, or an ancestor
+    expired by table.expire_snapshots — the watermark SIDECAR answers:
+    expiry folds every expired snapshot's (stream_id, batch_id) into it
+    before deleting the manifest, so maintenance (compact + expire) can
+    never silently re-arm replay of an already-committed batch."""
     from ocr_spark import table as tbl
+
+    def floor_from_sidecar() -> int | None:
+        wm = tbl.load_stream_watermarks(table_root)
+        if stream_id is not None:
+            return int(wm[stream_id]) if stream_id in wm else None
+        return max((int(v) for v in wm.values()), default=None)
 
     snap = tbl.read_snapshot(table_root)
     while snap is not None:
@@ -72,14 +84,41 @@ def committed_stream_batch(table_root: str, stream_id: str | None = None) -> int
             return int(b)
         parent = snap.get("parent")
         if parent is None:
-            return None
+            return floor_from_sidecar()
         try:
             snap = tbl.read_snapshot(table_root, parent)
         except FileNotFoundError:
-            # ancestor expired by table.expire_snapshots: end of the
-            # retained chain — any stream commit that mattered is newer
-            return None
-    return None
+            # ancestor expired: the sidecar carries its markers
+            return floor_from_sidecar()
+    return floor_from_sidecar()
+
+
+def _skip_replayed(table_root: str, stream_id: str, batch_id: int) -> bool:
+    """The shared idempotence guard of every foreachBatch sink: True if
+    this (stream, batch) already committed — loud on stderr so a
+    mis-keyed identity (which would drop REAL batches) is visible in
+    the stream logs, never silent."""
+    last = committed_stream_batch(table_root, stream_id)
+    if last is not None and int(batch_id) <= last:
+        print(
+            f"ocr_spark.streaming: skipping replayed batch {batch_id} "
+            f"(stream {stream_id!r} already committed through {last})",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
+def _start_foreach_batch(stream, process_batch, checkpoint_dir, available_now):
+    """Shared writer scaffold for the foreachBatch sinks."""
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def make_batch_committer(
@@ -103,16 +142,7 @@ def make_batch_committer(
     from ocr_spark import table as tbl
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = committed_stream_batch(table_root, stream_id)
-        if last is not None and int(batch_id) <= last:
-            # replayed after crash-between-commit-and-checkpoint; loud so
-            # a mis-keyed identity (which would drop REAL batches) is
-            # visible in the stream logs, never silent
-            print(
-                f"ocr_spark.streaming: skipping replayed batch {batch_id} "
-                f"(stream {stream_id!r} already committed through {last})",
-                file=sys.stderr,
-            )
+        if _skip_replayed(table_root, stream_id, batch_id):
             return
         out = extract_stage(batch_df, num_parts=num_parts, turn_bucket=turn_bucket)
         tbl.commit_append(
@@ -201,21 +231,17 @@ def stream_extract(
     batch id recorded in snapshot metadata).
     """
     stream = read_transcript_stream(spark, input_dir)
-    writer = (
-        stream.writeStream.foreachBatch(
-            make_batch_committer(
-                table_root,
-                num_parts,
-                turn_bucket,
-                stream_id=stream_identity(checkpoint_dir, spark),
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_foreach_batch(
+        stream,
+        make_batch_committer(
+            table_root,
+            num_parts,
+            turn_bucket,
+            stream_id=stream_identity(checkpoint_dir, spark),
+        ),
+        checkpoint_dir,
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def make_upsert_committer(
@@ -243,15 +269,10 @@ def make_upsert_committer(
     from ocr_spark.operators.dedup import snapshot_upsert
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = committed_stream_batch(table_root, stream_id)
-        if last is not None and int(batch_id) <= last:
-            print(
-                f"ocr_spark.streaming: skipping replayed batch {batch_id} "
-                f"(stream {stream_id!r} already committed through {last})",
-                file=sys.stderr,
-            )
+        if _skip_replayed(table_root, stream_id, batch_id):
             return
         spark = batch_df.sparkSession
+        based_on = tbl.current_snapshot_id(table_root)
         try:
             base = tbl.read_table(spark, table_root).select(
                 id_col, text_col
@@ -273,6 +294,9 @@ def make_upsert_committer(
                 "stream_batch_id": int(batch_id),
                 "stream_id": stream_id,
             },
+            # merge is read-then-rewrite: refuse to publish over a
+            # commit that landed after the base snapshot was read
+            expected_parent=based_on,
         )
 
     return process_batch
@@ -291,19 +315,15 @@ def stream_upsert(
     file-source checkpointing + the idempotent merge committer."""
     schema = "doc_id long, op string, text string, seq long"
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    writer = (
-        stream.writeStream.foreachBatch(
-            make_upsert_committer(
-                table_root,
-                stream_id=stream_identity(checkpoint_dir, spark),
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_foreach_batch(
+        stream,
+        make_upsert_committer(
+            table_root,
+            stream_id=stream_identity(checkpoint_dir, spark),
+        ),
+        checkpoint_dir,
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def conversation_sessions(

@@ -38,8 +38,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CommitConflict(RuntimeError):
+    """Another commit landed between a read-modify-write operation's
+    read and its publish (optimistic-concurrency failure)."""
+
+
 def _meta_dir(root: str) -> str:
     return os.path.join(root, "metadata")
+
+
+def _watermarks_file(root: str) -> str:
+    return os.path.join(_meta_dir(root), "stream-watermarks.json")
+
+
+def load_stream_watermarks(root: str) -> dict:
+    """The {stream_id: last_committed_batch_id} sidecar that
+    expire_snapshots folds expired snapshots' stream markers into —
+    the durable floor of the streaming exactly-once guard: without it,
+    expiring the snapshot that carried a stream's last batch id would
+    silently re-arm replay of that batch (duplicate rows / re-merged
+    CDC batch after a crash between snapshot commit and checkpoint
+    offset commit)."""
+    try:
+        with open(_watermarks_file(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
 
 
 def _version_file(root: str) -> str:
@@ -126,6 +150,7 @@ def commit_append(
     part_col: str | None = "part_id",
     overwrite: bool = False,
     extra_meta: dict | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Write ``df`` as new data files and atomically publish a snapshot.
 
@@ -134,7 +159,15 @@ def commit_append(
     merged into the snapshot JSON (reserved keys are protected) — e.g. the
     streaming layer records its micro-batch id there to make foreachBatch
     commits idempotent under at-least-once replay.
-    """
+
+    ``expected_parent`` is the optimistic-concurrency guard (Iceberg's
+    validate-at-commit): pass the snapshot id a read-modify-write
+    operation (compaction, CDC merge) was BASED ON, and the publish
+    raises CommitConflict if any other commit landed in between —
+    without it an overwrite would silently erase the interleaved
+    commit's rows from the current snapshot. The check re-reads the
+    pointer right before the swap, after the (slow) data write, so the
+    race window is the pointer swap itself, not the whole rewrite."""
     data_dir = os.path.join(root, "data", uuid.uuid4().hex[:12])
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = [
@@ -144,6 +177,12 @@ def commit_append(
 
     os.makedirs(_meta_dir(root), exist_ok=True)
     parent = current_snapshot_id(root)
+    if expected_parent is not None and parent != expected_parent:
+        raise CommitConflict(
+            f"commit based on snapshot {expected_parent} but current is "
+            f"{parent}: another writer committed in between — re-read and "
+            "retry the operation"
+        )
     snap_id = 0 if parent is None else parent + 1
     prev_files = [] if (overwrite or parent is None) else read_snapshot(root)["files"]
     snapshot = {
@@ -250,6 +289,8 @@ def compact_table(
     snap = read_snapshot(root)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
+    if not snap["files"]:
+        return snap["snapshot_id"]  # committed-but-empty: nothing to do
     df = read_table(spark, root)
     part_col = snap.get("part_col")
     if part_col and part_col in df.columns:
@@ -263,6 +304,9 @@ def compact_table(
         part_col=part_col,
         overwrite=True,
         extra_meta={"compaction_of": snap["snapshot_id"]},
+        # read-then-rewrite: refuse to publish if a stream commit
+        # landed on top of the snapshot this compaction was based on
+        expected_parent=snap["snapshot_id"],
     )
 
 
@@ -291,6 +335,24 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
     live: set[str] = set()
     for i in keep:
         live.update(f["path"] for f in read_snapshot(root, i)["files"])
+    # fold expired snapshots' stream markers into the watermark sidecar
+    # BEFORE any manifest is deleted: the streaming exactly-once guard
+    # falls back to it when the retained parent chain no longer carries
+    # a marker (e.g. compaction snapshots carry none) — without this, a
+    # crash-replayed micro-batch would re-apply after maintenance
+    wm = load_stream_watermarks(root)
+    for i in expired:
+        s = read_snapshot(root, i)
+        sid, b = s.get("stream_id"), s.get("stream_batch_id")
+        if sid is not None and b is not None:
+            wm[sid] = max(int(b), int(wm.get(sid, -1)))
+    if wm:
+        tmp = _watermarks_file(root) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(wm, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _watermarks_file(root))
     deleted = 0
     for i in expired:
         for f in read_snapshot(root, i)["files"]:

@@ -49,8 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     snap = tbl.read_snapshot(args.root)
     out.update(
         {
-            "snapshot": snap["snapshot_id"],
-            "files": len(snap["files"]),
+            "snapshot": None if snap is None else snap["snapshot_id"],
+            "files": 0 if snap is None else len(snap["files"]),
             "rows": tbl.table_rows(args.root),
             "wall_sec": round(time.monotonic() - t0, 2),
         }

@@ -351,3 +351,71 @@ def test_stream_upsert_applies_cdc_exactly_once(spark, dirs):
         r["doc_id"]: r["text"]
         for r in tbl.read_table(spark, root).collect()
     } == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_replay_guard_survives_compact_and_expire(spark, dirs):
+    """The crash-replay window: batch committed, checkpoint offset not.
+    Maintenance (compact: no stream marker; expire: deletes the
+    marker-bearing manifest) must NOT re-arm the replay — the watermark
+    sidecar carries the expired markers."""
+    from ocr_spark.streaming import make_upsert_committer
+
+    _, root, _ = dirs
+    commit = make_upsert_committer(root, stream_id="s1")
+    f1 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "op": ["upsert"], "text": ["a"], "seq": [1]}
+        )
+    )
+    f2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "op": ["delete"], "text": [""], "seq": [2]}
+        )
+    )
+    commit(f1, 0)
+    commit(f2, 1)  # doc 1 deleted
+    assert tbl.read_table(spark, root).count() == 0 or all(
+        r["doc_id"] != 1 for r in tbl.read_table(spark, root).collect()
+    )
+    tbl.compact_table(spark, root, target_files=1)
+    tbl.expire_snapshots(root, keep_last=1)
+    snap = tbl.current_snapshot_id(root)
+    # direct replay of the DELETE batch (and the earlier upsert): both
+    # must skip — re-applying f1 would resurrect the deleted doc
+    commit(f2, 1)
+    commit(f1, 0)
+    assert tbl.current_snapshot_id(root) == snap
+
+
+def test_upsert_commit_conflict_detected(spark, dirs):
+    """A commit landing between the merge's base read and its publish
+    must fail the publish (optimistic concurrency), never silently
+    erase the interleaved commit."""
+    from ocr_spark.streaming import make_upsert_committer
+
+    _, root, _ = dirs
+    tbl.commit_append(
+        spark,
+        root,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+        part_col=None,
+    )
+    based_on = tbl.current_snapshot_id(root)
+    # interleaved writer commits after the base would have been read
+    tbl.commit_append(
+        spark,
+        root,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [2], "text": ["y"]})),
+        part_col=None,
+    )
+    with pytest.raises(tbl.CommitConflict):
+        tbl.commit_append(
+            spark,
+            root,
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["z"]})),
+            part_col=None,
+            overwrite=True,
+            expected_parent=based_on,
+        )
+    # the interleaved commit's rows are intact
+    assert tbl.read_table(spark, root).count() == 2
