@@ -1740,6 +1740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-free per-bucket multiset checksums (release integrity)
         return dedup.release_checksum(_docs(spark, sf))
 
+    def dedup_containment(spark, sf):
+        # Broder containment over LSH candidates: inclusion pairs that
+        # symmetric Jaccard under-scores when sizes mismatch
+        return dedup.containment_pairs(_docs(spark, sf))
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2480,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_page_stitch": table_page_stitch,
         "ict_pairs": ict_pairs,
         "release_checksum": release_checksum,
+        "dedup_containment": dedup_containment,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -5283,6 +5289,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT band_idx, band_key, COUNT(*) AS n_docs,"
             "  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc"
             " FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1"
+        ),
+        # Broder containment over the shared LSH candidates: inclusion
+        # pairs; single rounded division, size guard on both engines
+        "dedup_containment": (
+            _LSH_VERIFY_PREFIX
+            + " SELECT a, b,"
+            " round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+            "  / least(len(x.sh), len(y.sh)), 4) AS containment"
+            " FROM cand JOIN shingled x ON x.sid = a"
+            " JOIN shingled y ON y.sid = b"
+            " WHERE least(len(x.sh), len(y.sh)) > 0"
+            " AND round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+            "  / least(len(x.sh), len(y.sh)), 4) >= 0.8"
         ),
         # hard negatives: band-mates minus exact dups, top-2 per anchor
         # by the deterministic md5 pair hash (cand id as tiebreak)

@@ -479,6 +479,73 @@ def verified_dup_pairs(
     return _own_caches(result, caches) if own else result
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    ngram: int = 3,
+) -> DataFrame:
+    """Broder containment verify — the ASYMMETRIC sibling of the
+    Jaccard verify: c = |A∩B| / min(|A|,|B|) over shingle sets flags
+    INCLUSION (one document embedded inside a larger one — syndicated
+    text re-published inside boilerplate, quoted articles), which
+    symmetric Jaccard under-scores as the size ratio grows (J ≤
+    min/max, so a perfect containment inside a 4× larger page scores
+    J ≤ 0.25 and survives Jaccard dedup). Candidates come from the
+    shared MinHash banding — a contained document's shingles are a
+    subset of its container's, so their per-lane minima often
+    coincide — and deliberately WITHOUT verified_dup_pairs' length
+    prefilter: size-mismatched pairs are exactly the signal here.
+
+    Scale shape: identical to the Jaccard verify — candidate ids from
+    the band self-join, shingle arrays computed once per doc and
+    joined by id (text never re-tokenizes per pair), one single-division
+    rounded score (the engine-safe float pattern)."""
+    caches: list[DataFrame] = []
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, band_size, caches=caches
+    )
+    sh = F.expr(
+        f"case when size(__toks) < {ngram} then array()"
+        f" else array_distinct(transform("
+        f"  sequence(1, size(__toks) - {ngram} + 1),"
+        f"  i -> concat_ws(' ', slice(__toks, i, {ngram})))) end"
+    )
+    shingled = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        .select("sid", sh.alias("sh"))
+        .persist()
+    )
+    caches.append(shingled)
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    mins = F.least(F.size("sha"), F.size("shb")).cast("double")
+    result = (
+        pairs.join(
+            shingled.select(F.col("sid").alias("a"), F.col("sh").alias("sha")),
+            "a",
+        )
+        .join(
+            shingled.select(F.col("sid").alias("b"), F.col("sh").alias("shb")),
+            "b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.when(mins > 0, inter / mins).otherwise(F.lit(0.0)), 4
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+    return _own_caches(result, caches)
+
+
 def duplicate_clusters(
     df: DataFrame,
     threshold: float = 0.5,

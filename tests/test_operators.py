@@ -1281,3 +1281,25 @@ def test_hard_negatives_excludes_exact_dups_and_ranks(docs):
     # the exact-dup pair (0, 2) must never surface as a hard negative
     for a, other in ((0, 2), (2, 0)):
         assert other not in got.get(a, ())
+
+
+def test_containment_flags_inclusion_jaccard_misses(spark):
+    # doc 1 is doc 0 verbatim plus a long suffix: containment of 0 in 1
+    # is exactly 1.0 while Jaccard is well below a dedup threshold —
+    # the inclusion case the asymmetric metric exists for
+    # base long enough that its shingles dominate the min-hash lanes, so
+    # the contained pair still collides in a band despite the suffix
+    a = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        " kilo lima mike november oscar papa quebec romeo sierra tango"
+        " uniform victor whiskey xray yankee zulu one two three four"
+        " five six seven eight nine ten eleven twelve"
+    )
+    b = a + " and then a very long appendix of entirely new words follows here now"
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [a, b]})
+    docs = spark.createDataFrame(pdf)
+    out = {(r["a"], r["b"]): r["containment"]
+           for r in dedup.containment_pairs(docs).collect()}
+    assert out == {(0, 1): 1.0}
+    jac = dedup.verified_dup_pairs(docs, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.8 for r in jac)  # Jaccard under-scores it
