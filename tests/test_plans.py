@@ -1211,3 +1211,15 @@ def test_release_checksum_single_exchange_no_text(spark):
     assert len(blocks) == 1
     assert "text#" not in blocks[0]
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_containment_shuffles_ids_not_text(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.containment_pairs(docs))
+    # same chain shape as the Jaccard verify: band keys/ids cross the
+    # exchanges, shingle arrays attach by id join — raw text never
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    assert "CartesianProduct" not in plan
