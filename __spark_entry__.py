@@ -33,6 +33,10 @@ _BLOOM_DUP_TEXT = "mirrored boilerplate passage served on every host"
 #: itself; quote-free so it embeds in the oracle literal verbatim).
 _FURNITURE_HEADER = "ACME QUARTERLY REVIEW"
 
+#: verbatim agent-retry turn injected into the transcript synthesis —
+#: shared with the oracles (quote-free so it embeds in SQL literals).
+_TURNS_RETRY_TEXT = "tool timeout retrying identical call"
+
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned to the session's full parallelism before
@@ -234,7 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import sources as src
     from ocr_spark.operators import dedup, relational, similarity, textops
     from ocr_spark.operators import extraction_queries as xq
-    from ocr_spark.operators import multimodal
+    from ocr_spark.operators import multimodal, transcript
 
     def extract_html(spark, sf):
         return xq.extract_html_query(_docs(spark, sf))
@@ -1745,6 +1749,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric Jaccard under-scores when sizes mismatch
         return dedup.containment_pairs(_docs(spark, sf))
 
+    # ---- transcripts-native training-data operators ----------------
+    def _turns(spark, sf):
+        # deterministic transcript synthesis shared verbatim with the
+        # oracles: 97 conversations keyed by doc_id % 97, turn
+        # t = doc_id DIV 97; turns 3 and 4 of every 7-block are an
+        # assistant retry run (identical role+text — what clean_turns
+        # collapses), doc_id%13 injects role violations, doc_id%19
+        # blanks the text
+        d = _docs(spark, sf)
+        t = F.expr("doc_id DIV 97")
+        role = (
+            F.when((t % 7).isin(3, 4), F.lit("assistant"))
+            .when(F.col("doc_id") % 13 == 0, F.lit("assistant"))
+            .when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+        )
+        text = (
+            F.when(F.col("doc_id") % 19 == 0, F.lit(""))
+            .when((t % 7).isin(3, 4), F.lit(_TURNS_RETRY_TEXT))
+            .otherwise(F.col("text"))
+        )
+        return d.select(
+            F.format_string("conv_%04d", F.col("doc_id") % 97).alias(
+                "conv_id"
+            ),
+            t.cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text.alias("text"),
+        )
+
+    def qa_pair_extract(spark, sf):
+        # each assistant turn + nearest preceding user turn → the
+        # (prompt, response) supervision pairs SFT ingests
+        return transcript.qa_pairs(_turns(spark, sf))
+
+    def transcript_clean(spark, sf):
+        # drop blank turns, collapse verbatim retry runs, renumber
+        return transcript.clean_turns(_turns(spark, sf))
+
+    def transcript_validate(spark, sf):
+        # per-conversation role-alternation audit (ingestion gate)
+        return transcript.validate_roles(_turns(spark, sf))
+
+    def loss_mask_spans(spark, sf):
+        # assistant-only loss spans in the concatenated token stream
+        return transcript.loss_mask(_turns(spark, sf))
+
+    def context_window_trim(spark, sf):
+        # keep the maximal per-conversation suffix within the token
+        # budget (chat training trims history from the front)
+        return transcript.trim_context(_turns(spark, sf))
+
+    def kmv_distinct(spark, sf):
+        # mergeable K-minimum-values distinct-token sketch per source
+        return textops.kmv_distinct(_docs(spark, sf))
+
+    def temperature_mix(spark, sf):
+        # alpha=0.5 temperature resampling over a deliberately skewed
+        # synthetic domain split (50/25/12/7/6%) — uniform sources
+        # would make every target identical
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 100 < 50, F.lit("dom_a"))
+            .when(F.col("doc_id") % 100 < 75, F.lit("dom_b"))
+            .when(F.col("doc_id") % 100 < 87, F.lit("dom_c"))
+            .when(F.col("doc_id") % 100 < 94, F.lit("dom_d"))
+            .otherwise(F.lit("dom_e"))
+            .alias("domain"),
+        )
+        return textops.temperature_mix(d)
+
     def semdedup(spark, sf):
         # SemDedup: IVF k-means cells (the SQL-replayed quantized
         # training) + within-cell pairwise cosine; kept = no lower-id
@@ -2486,6 +2561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ict_pairs": ict_pairs,
         "release_checksum": release_checksum,
         "dedup_containment": dedup_containment,
+        "qa_pair_extract": qa_pair_extract,
+        "transcript_clean": transcript_clean,
+        "transcript_validate": transcript_validate,
+        "loss_mask_spans": loss_mask_spans,
+        "context_window_trim": context_window_trim,
+        "kmv_distinct": kmv_distinct,
+        "temperature_mix": temperature_mix,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -2705,6 +2787,36 @@ def _sql_md5_u32(h: str, off: int = 0) -> str:
         )
         + ")"
     )
+
+
+def _sql_md5_u32be(h: str) -> str:
+    """SQL replay of Spark ``conv(substring(md5(x), 1, 8), 16, 10)``:
+    BIG-endian first 4 bytes of hex digest ``h`` as a BIGINT (the
+    kmv_distinct hash order)."""
+    return (
+        "("
+        + " + ".join(
+            f"{_sql_hex_byte(h, i)}::BIGINT * {256 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+#: transcript synthesis CTE shared verbatim by the four transcript
+#: oracles — must mirror queries()._turns exactly.
+_TURNS_SQL = (
+    "turns AS (SELECT printf('conv_%04d', doc_id % 97) AS conv_id,"
+    " CAST(doc_id // 97 AS INTEGER) AS turn_idx,"
+    " CASE WHEN (doc_id // 97) % 7 IN (3, 4) THEN 'assistant'"
+    "  WHEN doc_id % 13 = 0 THEN 'assistant'"
+    "  WHEN (doc_id // 97) % 2 = 0 THEN 'user'"
+    "  ELSE 'assistant' END AS role,"
+    " CASE WHEN doc_id % 19 = 0 THEN ''"
+    f"  WHEN (doc_id // 97) % 7 IN (3, 4) THEN '{_TURNS_RETRY_TEXT}'"
+    "  ELSE text END AS text"
+    " FROM documents)"
+)
 
 
 #: shingle set for signatures: a doc too short to shingle signs its FULL
@@ -5302,6 +5414,125 @@ def oracle_sql() -> dict[str, str]:
             " WHERE least(len(x.sh), len(y.sh)) > 0"
             " AND round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
             "  / least(len(x.sh), len(y.sh)), 4) >= 0.8"
+        ),
+        # each assistant turn paired with the last user turn strictly
+        # before it; openers with no preceding user turn drop
+        "qa_pair_extract": (
+            "WITH " + _TURNS_SQL + ","
+            " p AS (SELECT conv_id, turn_idx, role, text,"
+            "  last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)"
+            "  OVER (PARTITION BY conv_id ORDER BY turn_idx"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt"
+            "  FROM turns)"
+            " SELECT conv_id, turn_idx, prompt, text AS response FROM p"
+            " WHERE role = 'assistant' AND prompt IS NOT NULL"
+        ),
+        # blank turns drop; verbatim (role, text) repeats of the
+        # previous turn collapse keep-first; survivors renumber densely
+        "transcript_clean": (
+            "WITH " + _TURNS_SQL + ","
+            " nb AS (SELECT * FROM turns WHERE trim(text) <> ''),"
+            " fl AS (SELECT conv_id, turn_idx, role, text,"
+            "  lag(role) OVER w AS pr, lag(text) OVER w AS pt FROM nb"
+            "  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),"
+            " kp AS (SELECT conv_id, turn_idx, role, text FROM fl"
+            "  WHERE NOT (role IS NOT DISTINCT FROM pr"
+            "   AND text IS NOT DISTINCT FROM pt))"
+            " SELECT conv_id,"
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY conv_id"
+            "   ORDER BY turn_idx) - 1 AS INTEGER) AS new_turn_idx,"
+            "  turn_idx AS orig_turn_idx, role, text FROM kp"
+        ),
+        # role-alternation audit: violations, first offender, user-first
+        "transcript_validate": (
+            "WITH " + _TURNS_SQL + ","
+            " v AS (SELECT conv_id, turn_idx, role,"
+            "  CASE WHEN role = lag(role) OVER (PARTITION BY conv_id"
+            "   ORDER BY turn_idx) THEN 1 END AS viol FROM turns)"
+            " SELECT conv_id, COUNT(*) AS n_turns,"
+            "  COUNT(viol) AS n_violations,"
+            "  MIN(CASE WHEN viol = 1 THEN turn_idx END) AS first_bad_idx,"
+            "  (min_by(role, turn_idx) = 'user') AS starts_with_user,"
+            "  (COUNT(viol) = 0 AND min_by(role, turn_idx) = 'user') AS valid"
+            " FROM v GROUP BY conv_id"
+        ),
+        # assistant-turn [start, end) token offsets in the concatenated
+        # per-conversation stream — exact integer running sum
+        "loss_mask_spans": (
+            "WITH " + _TURNS_SQL + ","
+            " tk AS (SELECT conv_id, turn_idx, role,"
+            "  CASE WHEN trim(text) = '' THEN 0"
+            "   ELSE len(string_split(text, ' ')) END AS tok FROM turns),"
+            " s AS (SELECT conv_id, turn_idx, role, tok,"
+            "  COALESCE(CAST(SUM(tok) OVER (PARTITION BY conv_id"
+            "   ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND 1 PRECEDING) AS BIGINT), 0) AS start_tok FROM tk)"
+            " SELECT conv_id, turn_idx, start_tok,"
+            "  CAST(start_tok + tok AS BIGINT) AS end_tok FROM s"
+            " WHERE role = 'assistant' AND tok > 0"
+        ),
+        # maximal conversation suffix within the 150-token budget:
+        # reverse running sum ≤ budget (trim history from the front)
+        "context_window_trim": (
+            "WITH " + _TURNS_SQL + ","
+            " tk AS (SELECT conv_id, turn_idx, role,"
+            "  CAST(CASE WHEN trim(text) = '' THEN 0"
+            "   ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens"
+            "  FROM turns),"
+            " s AS (SELECT conv_id, turn_idx, role, n_tokens,"
+            "  CAST(SUM(n_tokens) OVER (PARTITION BY conv_id"
+            "   ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND CURRENT ROW) AS BIGINT) AS tokens_to_end FROM tk)"
+            " SELECT conv_id, turn_idx, role, n_tokens, tokens_to_end"
+            " FROM s WHERE tokens_to_end <= 150"
+        ),
+        # KMV distinct sketch: k-th smallest distinct u32 token hash;
+        # +1 denominator guards v=0; sketch-exact below k
+        "kmv_distinct": (
+            "WITH toks AS (SELECT source AS grp,"
+            "  unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " tf AS MATERIALIZED (SELECT grp, tok FROM toks WHERE tok <> ''),"
+            " ex AS (SELECT grp, CAST(COUNT(DISTINCT tok) AS BIGINT)"
+            "  AS exact_distinct FROM tf GROUP BY grp),"
+            " vf AS MATERIALIZED (SELECT DISTINCT grp, "
+            + _sql_md5_u32be("md5(tok)")
+            + " AS v FROM tf),"
+            " c AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_v"
+            "  FROM vf GROUP BY grp),"
+            " rk AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp"
+            "  ORDER BY v) AS rn FROM vf),"
+            " vkt AS (SELECT grp, v AS vk FROM rk WHERE rn = 64)"
+            " SELECT c.grp AS source, c.n_v, CAST(vkt.vk AS BIGINT) AS vk,"
+            "  CAST(CASE WHEN c.n_v < 64 THEN c.n_v"
+            "   ELSE 63 * 4294967296 // (vkt.vk + 1) END AS BIGINT)"
+            "  AS est_distinct, ex.exact_distinct"
+            " FROM c LEFT JOIN vkt ON c.grp = vkt.grp"
+            " JOIN ex ON c.grp = ex.grp"
+        ),
+        # alpha=0.5 temperature resample: micro-unit sqrt weights,
+        # HUGEINT // ≡ Spark decimal(38,0) DIV, md5 keep order
+        "temperature_mix": (
+            "WITH d AS (SELECT doc_id,"
+            "  CASE WHEN doc_id % 100 < 50 THEN 'dom_a'"
+            "   WHEN doc_id % 100 < 75 THEN 'dom_b'"
+            "   WHEN doc_id % 100 < 87 THEN 'dom_c'"
+            "   WHEN doc_id % 100 < 94 THEN 'dom_d'"
+            "   ELSE 'dom_e' END AS domain FROM documents),"
+            " c AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS cnt"
+            "  FROM d GROUP BY domain),"
+            " w AS (SELECT domain, cnt,"
+            "  CAST(floor(sqrt(cnt) * 1000000.0) AS BIGINT) AS wt FROM c),"
+            " t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,"
+            "  CAST(SUM(wt) AS BIGINT) AS sumw FROM w),"
+            " tg AS (SELECT domain, CAST((CAST(total AS HUGEINT) // 2)"
+            "  * wt // sumw AS BIGINT) AS target FROM w, t),"
+            " r AS (SELECT domain, doc_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY domain ORDER BY"
+            "  md5('tm0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank"
+            "  FROM d)"
+            " SELECT r.domain, r.doc_id, CAST(r.rank AS INTEGER) AS rank,"
+            "  tg.target FROM r JOIN tg ON r.domain = tg.domain"
+            " WHERE r.rank <= tg.target"
         ),
         # hard negatives: band-mates minus exact dups, top-2 per anchor
         # by the deterministic md5 pair hash (cand id as tiebreak)

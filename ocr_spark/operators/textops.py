@@ -3481,3 +3481,158 @@ def negative_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out.select(
         id_col, neg1.alias("neg1"), neg2.alias("neg2")
     )
+
+
+#: KMV sketch size — fixed operator contract (Bar-Yossef et al. 2002,
+#: "Counting Distinct Elements in a Data Stream"): estimate from the
+#: k-th minimum of a uniform hash of the distinct values.
+KMV_K = 64
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str = "text",
+    group_col: str = "source",
+    k: int = KMV_K,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Per-group distinct-token cardinality via a K-minimum-values
+    sketch, next to the exact count for calibration.
+
+    Tokens hash to a u32 (big-endian first 4 md5 bytes); per group the
+    estimate is ``(k-1) * 2^32 // (v_k + 1)`` where ``v_k`` is the
+    k-th smallest DISTINCT hash (the +1 denominator guards v=0 without
+    an engine-specific division-by-zero path).  Groups with fewer than
+    k distinct hashes report the sketch cardinality itself — there the
+    sketch IS exact.
+
+    Scale shape: this is the mergeable-sketch pattern — distinct
+    (group, v) pairs partial-aggregate map-side, and the k-th minimum
+    is found TWO-phase (per-(group, v%shards) row_number prune to k,
+    then the final rank over ≤ shards·k survivors), so no group ever
+    funnels its full distinct stream into one task.  At 100 TB the
+    honest deployment keeps only the k minima per partition and merges
+    (exactly what the prune phase does); the exact countDistinct
+    column is the small-scale calibration readout and would be dropped
+    — or swapped for approx_count_distinct — at full scale."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    vframe = toks.select(
+        "grp",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    ).distinct()
+    counts = vframe.groupBy("grp").agg(F.count("*").alias("n_v"))
+    w1 = Window.partitionBy("grp", "__shard").orderBy("v")
+    pruned = (
+        vframe.withColumn("__shard", F.pmod(F.col("v"), F.lit(prune_shards)))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy("grp").orderBy("v")
+    vk = (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == k)
+        .select("grp", F.col("v").alias("vk"))
+    )
+    est = F.when(F.col("n_v") < k, F.col("n_v")).otherwise(
+        F.expr(f"CAST({k - 1} AS BIGINT) * 4294967296 DIV (vk + 1)")
+    )
+    return (
+        counts.join(vk, "grp", "left")
+        .join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_v").cast("bigint").alias("n_v"),
+            F.col("vk").cast("bigint").alias("vk"),
+            est.cast("bigint").alias("est_distinct"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+    )
+
+
+#: temperature_mix contract: alpha = 1/2 (weights ∝ sqrt(domain size) —
+#: the multilingual-LM temperature-sampling standard), budget = half
+#: the corpus, weights held in exact micro-units.
+TEMP_MIX_SALT = "tm0"
+TEMP_MIX_BUDGET_DEN = 2
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = TEMP_MIX_SALT,
+    budget_den: int = TEMP_MIX_BUDGET_DEN,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (alpha = 0.5): sample a
+    corpus-half budget across domains with probability ∝ sqrt(domain
+    size), flattening head domains and boosting the tail — the
+    standard multilingual / multi-source mixture smoother.
+
+    Per-domain weight is ``floor(sqrt(n_d) * 1e6)`` (sqrt is IEEE
+    correctly-rounded, so the micro-unit floor is engine-exact); the
+    allocation is pure BIGINT: ``target_d = (total DIV budget_den) *
+    w_d DIV sum_w``.  Within a domain the kept documents are the first
+    ``target_d`` in deterministic md5(salt:id) order.
+
+    Scale shape: the counts/weights frame is one row per domain —
+    broadcast; the per-domain selection reuses domain_cap's TWO-phase
+    row_number (per-(domain, id%shards) prune to the domain target,
+    then the final rank over the pruned survivors), so a billion-doc
+    head domain never funnels into one task."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("cnt")
+    )
+    wgt = counts.select(
+        "domain",
+        "cnt",
+        F.floor(F.sqrt(F.col("cnt")) * 1000000.0).cast("bigint").alias("__w"),
+    )
+    tot = wgt.groupBy().agg(
+        F.sum("cnt").cast("bigint").alias("__total"),
+        F.sum("__w").cast("bigint").alias("__sumw"),
+    )
+    # decimal(38,0) keeps (budget × micro-unit weight) exact at any
+    # corpus size (BIGINT would overflow past ~10^12 docs); DIV on
+    # decimals ≡ DuckDB HUGEINT //
+    targets = wgt.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.expr(
+            f"CAST(CAST(__total DIV {budget_den} AS DECIMAL(38,0))"
+            " * __w DIV __sumw AS BIGINT)"
+        ).alias("target"),
+    )
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    base = (
+        df.select(F.col(domain_col).alias("domain"), F.col(id_col))
+        .withColumn("__key", key)
+        .join(F.broadcast(targets), "domain")
+    )
+    w1 = Window.partitionBy("domain", "__shard").orderBy(
+        F.asc("__key"), F.asc(id_col)
+    )
+    pruned = (
+        base.withColumn("__shard", F.pmod(F.col(id_col), F.lit(prune_shards)))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= F.col("target"))
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.asc("__key"), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("target"))
+        .select("domain", id_col, "rank", "target")
+    )

@@ -1,0 +1,213 @@
+"""Transcript-native training-data operators.
+
+The corpus this engine is built for is multi-turn conversation / agent
+transcripts (conv_id, turn_idx, role, text, ...).  Before transcript
+text can feed an SFT / preference pipeline it needs conversation-level
+structure work that plain document operators don't cover:
+
+- ``qa_pairs``          — (prompt, response) supervision pairs: each
+  assistant turn joined to the nearest preceding user turn.
+- ``clean_turns``       — agent-retry artifact cleanup: drop blank
+  turns, collapse consecutive identical (role, text) repeats (tool
+  retries re-emit the same turn verbatim), densely renumber.
+- ``validate_roles``    — per-conversation structural validation:
+  role-alternation violations, first offending turn, user-first check.
+- ``loss_mask``         — SFT loss masking: token offsets of every
+  assistant turn inside the conversation's concatenated token stream
+  (loss applies only on assistant spans).
+
+Reference parity: the reference pipeline (ExtractX_OCR) emits ordered
+per-turn text spans; these operators consume exactly that shape.  All
+four are single-exchange dataflows: one hash partition on conv_id,
+then window functions over (conv_id, turn_idx) — no text ever rides a
+second shuffle, so a 10^12-turn corpus pays one partitioning that AQE
+can also reuse across chained transcript stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _conv_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def qa_pairs(
+    turns: DataFrame,
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """(prompt, response) pair mining: every assistant turn paired with
+    the LAST user turn strictly before it in the conversation.
+
+    Assistant turns with no preceding user turn (conversation openers,
+    system-prompt-only prefixes) are dropped — there is nothing to
+    supervise against.  One exchange on conv_id; ``last(..., True)``
+    over the unbounded-preceding frame is a running value, not a
+    per-row rescan, so long conversations cost O(turns)."""
+    w = (
+        _conv_window()
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.last(
+        F.when(F.col("role") == user_role, F.col("text")), ignorenulls=True
+    ).over(w)
+    return (
+        turns.withColumn("prompt", prompt)
+        .filter((F.col("role") == assistant_role) & F.col("prompt").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prompt",
+            F.col("text").alias("response"),
+        )
+    )
+
+
+def clean_turns(turns: DataFrame) -> DataFrame:
+    """Retry-artifact cleanup: drop blank turns, collapse consecutive
+    turns whose (role, text) repeat the previous turn verbatim (agent
+    tool-retry loops re-emit the identical turn), and renumber the
+    survivors densely as ``new_turn_idx``.
+
+    Keep-first semantics: the FIRST turn of a repeat run survives with
+    its original turn_idx.  Both windows share the (conv_id, turn_idx)
+    sort, so Catalyst plans a single exchange."""
+    w = _conv_window()
+    nonblank = turns.filter(F.trim(F.col("text")) != "")
+    flagged = nonblank.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("__pr"),
+        F.lag("text").over(w).alias("__pt"),
+    )
+    kept = flagged.filter(
+        ~(
+            F.col("role").eqNullSafe(F.col("__pr"))
+            & F.col("text").eqNullSafe(F.col("__pt"))
+        )
+    )
+    return kept.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).alias("new_turn_idx"),
+        F.col("turn_idx").alias("orig_turn_idx"),
+        "role",
+        "text",
+    )
+
+
+def validate_roles(
+    turns: DataFrame, user_role: str = "user"
+) -> DataFrame:
+    """Per-conversation structural validation for SFT ingestion: count
+    role-alternation violations (a turn repeating its predecessor's
+    role), record the first offending turn_idx, and check the
+    conversation opens with a user turn.  ``valid`` is the ingestion
+    gate.  One exchange on conv_id; the groupBy rides the window's
+    partitioning."""
+    w = _conv_window()
+    viol = (F.col("role") == F.lag("role").over(w)).cast("int")
+    per_turn = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        viol.alias("__v"),
+    )
+    return per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count(F.when(F.col("__v") == 1, 1)).alias("n_violations"),
+        F.min(F.when(F.col("__v") == 1, F.col("turn_idx"))).alias(
+            "first_bad_idx"
+        ),
+        (F.min_by("role", "turn_idx") == user_role).alias("starts_with_user"),
+    ).select(
+        "conv_id",
+        "n_turns",
+        "n_violations",
+        "first_bad_idx",
+        "starts_with_user",
+        (
+            (F.col("n_violations") == 0) & F.col("starts_with_user")
+        ).alias("valid"),
+    )
+
+
+def _tok_count(col: Column) -> Column:
+    # blank text is zero tokens (split('') yields one empty element in
+    # BOTH engines; don't rely on it)
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(col, " "))
+    ).cast("bigint")
+
+
+def loss_mask(
+    turns: DataFrame, assistant_role: str = "assistant"
+) -> DataFrame:
+    """SFT loss-mask spans: concatenating a conversation's turns into
+    one token stream (whitespace tokens — swap in bpe.encode's count
+    for BPE training), the loss applies only on assistant turns.
+    Emits [start_tok, end_tok) offsets of every non-empty assistant
+    turn in that stream.  Running sum over the conv window — integers
+    end to end, so the offsets are exact and engine-portable."""
+    w = _conv_window().rowsBetween(Window.unboundedPreceding, -1)
+    tok = _tok_count(F.col("text"))
+    spans = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        tok.alias("__tok"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "__tok",
+        F.coalesce(F.sum("__tok").over(w), F.lit(0).cast("bigint")).alias(
+            "start_tok"
+        ),
+    )
+    return spans.filter(
+        (F.col("role") == assistant_role) & (F.col("__tok") > 0)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "start_tok",
+        (F.col("start_tok") + F.col("__tok")).alias("end_tok"),
+    )
+
+
+#: context trimming budget — fixed contract for the query surface.
+TRIM_BUDGET_TOKENS = 150
+
+
+def trim_context(
+    turns: DataFrame, budget_tokens: int = TRIM_BUDGET_TOKENS
+) -> DataFrame:
+    """Context-window trimming: keep the maximal SUFFIX of each
+    conversation that fits the token budget — chat training truncates
+    history from the front, never the most recent turns.  A single
+    turn larger than the whole budget drops (it cannot fit).
+
+    ``tokens_to_end`` is the reverse running sum (this turn through the
+    conversation's last turn); a turn survives iff that suffix total is
+    within budget.  One exchange on conv_id, integer arithmetic only."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = _tok_count(F.col("text"))
+    out = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        tok.alias("n_tokens"),
+        F.sum(tok).over(w).alias("tokens_to_end"),
+    )
+    return out.filter(F.col("tokens_to_end") <= budget_tokens).select(
+        "conv_id", "turn_idx", "role", "n_tokens", "tokens_to_end"
+    )

@@ -1223,3 +1223,59 @@ def test_containment_shuffles_ids_not_text(spark):
     for b in _exchange_blocks(plan):
         assert "text#" not in b
     assert "CartesianProduct" not in plan
+
+
+def test_transcript_ops_single_exchange_on_conv(spark):
+    from ocr_spark.operators import transcript
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    turns = docs.select(
+        F.format_string("conv_%04d", F.col("doc_id") % 97).alias("conv_id"),
+        F.expr("doc_id DIV 97").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.col("text"),
+    )
+    # all four transcript stages are one hash partition on conv_id +
+    # windows over (conv_id, turn_idx) — chained stages could reuse it
+    for op in (
+        transcript.qa_pairs,
+        transcript.clean_turns,
+        transcript.validate_roles,
+        transcript.loss_mask,
+        transcript.trim_context,
+    ):
+        plan = _plan(op(turns))
+        blocks = _exchange_blocks(plan)
+        assert len(blocks) == 1, op.__name__
+        assert "hashpartitioning(conv_id" in plan, op.__name__
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_distinct_no_raw_text_across_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.kmv_distinct(docs))
+    # distinct hashes partial-aggregate map-side; whole documents never
+    # ride an exchange (exploded tokens may — that IS the distinct set)
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_temperature_mix_broadcasts_targets(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("domain"),
+    )
+    plan = _plan(textops.temperature_mix(docs))
+    # the per-domain target frame is one row per domain — broadcast;
+    # the corpus side shuffles (domain, id, key) only, two-phase
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("row_number") >= 2  # shard prune + final rank

@@ -1,0 +1,183 @@
+"""Transcript-native operator semantics (ocr_spark.operators.transcript)
+plus the kmv_distinct / temperature_mix corpus operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import textops, transcript
+
+SF = "/root/testdata/sf0.001"
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+
+
+def test_qa_pairs_nearest_preceding_user(spark):
+    rows = [
+        ("c1", 0, "user", "u1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "user", "u2"),
+        ("c1", 3, "user", "u3"),
+        ("c1", 4, "assistant", "a2"),
+        ("c1", 5, "assistant", "a3"),
+        ("c2", 0, "assistant", "opener with no user before it"),
+        ("c2", 1, "user", "u4"),
+        ("c2", 2, "assistant", "a4"),
+    ]
+    out = {
+        (r.conv_id, r.turn_idx): (r.prompt, r.response)
+        for r in transcript.qa_pairs(_turns(spark, rows)).collect()
+    }
+    # a2 and a3 both pair with the LAST user turn before them (u3);
+    # the c2 opener has no preceding user turn and is dropped
+    assert out == {
+        ("c1", 1): ("u1", "a1"),
+        ("c1", 4): ("u3", "a2"),
+        ("c1", 5): ("u3", "a3"),
+        ("c2", 2): ("u4", "a4"),
+    }
+
+
+def test_clean_turns_collapses_retry_runs(spark):
+    rows = [
+        ("c1", 0, "user", "ask"),
+        ("c1", 1, "assistant", "retry payload"),
+        ("c1", 2, "assistant", "retry payload"),  # verbatim retry
+        ("c1", 3, "assistant", "retry payload"),  # verbatim retry
+        ("c1", 4, "user", "  "),  # blank → dropped
+        ("c1", 5, "user", "retry payload"),  # same text, other role: kept
+        ("c1", 6, "assistant", "done"),
+    ]
+    out = [
+        (r.new_turn_idx, r.orig_turn_idx, r.role, r.text)
+        for r in transcript.clean_turns(_turns(spark, rows))
+        .orderBy("new_turn_idx")
+        .collect()
+    ]
+    assert out == [
+        (0, 0, "user", "ask"),
+        (1, 1, "assistant", "retry payload"),
+        (2, 5, "user", "retry payload"),
+        (3, 6, "assistant", "done"),
+    ]
+
+
+def test_validate_roles_counts_violations(spark):
+    rows = [
+        ("good", 0, "user", "q"),
+        ("good", 1, "assistant", "a"),
+        ("good", 2, "user", "q2"),
+        ("bad", 0, "assistant", "opener"),
+        ("bad", 1, "assistant", "again"),
+        ("bad", 2, "user", "q"),
+        ("bad", 3, "user", "q again"),
+    ]
+    out = {
+        r.conv_id: r
+        for r in transcript.validate_roles(_turns(spark, rows)).collect()
+    }
+    g, b = out["good"], out["bad"]
+    assert (g.n_turns, g.n_violations, g.first_bad_idx) == (3, 0, None)
+    assert g.starts_with_user and g.valid
+    assert (b.n_turns, b.n_violations, b.first_bad_idx) == (4, 2, 1)
+    assert not b.starts_with_user and not b.valid
+
+
+def test_loss_mask_offsets(spark):
+    rows = [
+        ("c1", 0, "user", "one two three"),  # tokens 0..3
+        ("c1", 1, "assistant", "four five"),  # span [3, 5)
+        ("c1", 2, "user", ""),  # zero tokens
+        ("c1", 3, "assistant", "six"),  # span [5, 6)
+        ("c2", 0, "assistant", "solo reply"),  # span [0, 2)
+        ("c2", 1, "assistant", ""),  # empty assistant → dropped
+    ]
+    out = {
+        (r.conv_id, r.turn_idx): (r.start_tok, r.end_tok)
+        for r in transcript.loss_mask(_turns(spark, rows)).collect()
+    }
+    assert out == {
+        ("c1", 1): (3, 5),
+        ("c1", 3): (5, 6),
+        ("c2", 0): (0, 2),
+    }
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("g1", "a b c b a"), ("g1", "c d"), ("g2", "x y")],
+        ["source", "text"],
+    )
+    out = {r.source: r for r in textops.kmv_distinct(df).collect()}
+    # below k distinct hashes the sketch IS the exact count
+    assert out["g1"].n_v == 4 and out["g1"].est_distinct == 4
+    assert out["g1"].exact_distinct == 4 and out["g1"].vk is None
+    assert out["g2"].est_distinct == 2
+
+
+def test_kmv_estimate_tracks_exact_at_corpus_scale(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = textops.kmv_distinct(docs).collect()
+    assert rows
+    for r in rows:
+        if r.n_v >= 64:
+            assert r.vk is not None
+            # k=64 KMV: ~12.7% std error; 1.6× is a >3-sigma envelope
+            assert r.exact_distinct / 1.6 <= r.est_distinct <= r.exact_distinct * 1.6
+        else:
+            assert r.est_distinct == r.n_v
+
+
+def test_temperature_mix_flattens_head_domain(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 100 < 50, F.lit("dom_a"))
+        .when(F.col("doc_id") % 100 < 75, F.lit("dom_b"))
+        .otherwise(F.lit("dom_c"))
+        .alias("domain"),
+    )
+    n = docs.count()
+    out = textops.temperature_mix(docs)
+    rows = out.collect()
+    # budget respected and ranks dense within each domain target
+    assert len(rows) <= n // 2
+    per = {}
+    for r in rows:
+        assert 1 <= r.rank <= r.target
+        per[r.domain] = max(per.get(r.domain, 0), r.rank)
+    # every domain fills its target exactly (targets ≤ domain size here)
+    targets = {r.domain: r.target for r in rows}
+    assert per == targets
+    # sqrt weighting: the 50% head domain's output share drops toward
+    # sqrt-proportional (~41% of a 3-domain 50/25/25 split), the tail rises
+    total = sum(targets.values())
+    in_share = {"dom_a": 0.50, "dom_b": 0.25, "dom_c": 0.25}
+    w = {d: math.sqrt(s) for d, s in in_share.items()}
+    for d, t in targets.items():
+        expect = w[d] / sum(w.values())
+        assert abs(t / total - expect) < 0.03
+    assert targets["dom_a"] / total < 0.45  # < input's 50% head share
+
+
+def test_trim_context_keeps_fitting_suffix(spark):
+    rows = [
+        ("c1", 0, "user", "w " * 99 + "w"),  # 100 tokens
+        ("c1", 1, "assistant", "a b c d e"),  # 5 tokens
+        ("c1", 2, "user", "x y z"),  # 3 tokens
+        ("c2", 0, "user", "t " * 199 + "t"),  # 200 tokens > budget
+    ]
+    out = {
+        (r.conv_id, r.turn_idx): r.tokens_to_end
+        for r in transcript.trim_context(
+            _turns(spark, rows), budget_tokens=10
+        ).collect()
+    }
+    # only the last two c1 turns fit the 10-token budget (8 total);
+    # the oversized c2 opener cannot fit at all
+    assert out == {("c1", 1): 8, ("c1", 2): 3}
