@@ -411,7 +411,15 @@ def read_any_cells(img: np.ndarray) -> list[list[str]]:
     return read_borderless_cells(img)
 
 
-def detect_orientation(img: np.ndarray) -> int:
+def _parse_bands(img: np.ndarray) -> "list[list[list[str]]]":
+    """Full layout parse of a page: per stacked table band, its cell
+    matrix via the ruled/borderless dispatch."""
+    return [
+        read_any_cells(img[y0 : y1 + 1]) for y0, y1 in split_table_bands(img)
+    ]
+
+
+def detect_orientation(img: np.ndarray, return_parse: bool = False):
     """Page-orientation detection (the Tesseract-OSD preprocessing step:
     real scans arrive rotated by arbitrary quarter turns with no
     declared orientation): try all four clockwise restore rotations,
@@ -424,17 +432,25 @@ def detect_orientation(img: np.ndarray) -> int:
 
     Cost: four layout parses per page — the standard price of
     orientation search; the parse is pure numpy and stays inside the
-    same fused extraction stage."""
-    best_score, best_rot = -1, 0
+    same fused extraction stage.  ``return_parse=True`` hands back the
+    winning rotation's parsed bands so the caller never pays a fifth
+    parse re-deriving what the search already computed."""
+    best_score, best_rot, best_bands = -1, 0, []
     for rot in (0, 90, 180, 270):
         cand = rot90_payload(img, rot)
-        score = 0
-        for y0, y1 in split_table_bands(cand):
-            for row in read_any_cells(cand[y0 : y1 + 1]):
-                for cell in row:
-                    score += sum(1 for ch in cell if ch != "?")
+        bands = _parse_bands(cand)
+        score = sum(
+            1
+            for cells in bands
+            for row in cells
+            for cell in row
+            for ch in cell
+            if ch != "?"
+        )
         if score > best_score:
-            best_score, best_rot = score, rot
+            best_score, best_rot, best_bands = score, rot, bands
+    if return_parse:
+        return best_rot, best_bands
     return best_rot
 
 
@@ -457,11 +473,14 @@ def extract_grid_table(payload: str, auto_orient: bool = False) -> dict:
         img, rot = decode_grid_payload(payload)
         img = rot90_payload(img, rot)
         if auto_orient:
-            img = rot90_payload(img, detect_orientation(img))
+            # the orientation search already parsed the winner fully —
+            # reuse its bands instead of paying a fifth layout parse
+            _, bands = detect_orientation(img, return_parse=True)
+        else:
+            bands = _parse_bands(img)
         records: list[dict] = []
         keys: dict[str, None] = {}
-        for y0, y1 in split_table_bands(img):
-            cells = read_any_cells(img[y0 : y1 + 1])
+        for cells in bands:
             if len(cells) < 2:  # header-only / non-table ink block
                 continue
             header = cells[0]
