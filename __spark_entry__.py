@@ -1801,6 +1801,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget (chat training trims history from the front)
         return transcript.trim_context(_turns(spark, sf))
 
+    def conversation_dedup(spark, sf):
+        # conversation-level exact dedup; convs in the %10==7 family
+        # share a constant (role, text) sequence per turn-count class →
+        # real duplicate groups at every SF. Plain parity roles (no
+        # violation injectors — those vary per doc_id and would make
+        # every family member unique).
+        d = _docs(spark, sf)
+        t = F.expr("doc_id DIV 97")
+        dup_fam = (F.col("doc_id") % 97) % 10 == 7
+        turns = d.select(
+            F.format_string("conv_%04d", F.col("doc_id") % 97).alias(
+                "conv_id"
+            ),
+            t.cast("int").alias("turn_idx"),
+            F.when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.when(
+                dup_fam,
+                F.concat(F.lit("shared turn payload "), t.cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return transcript.dedup_conversations(turns)
+
     def kmv_distinct(spark, sf):
         # mergeable K-minimum-values distinct-token sketch per source
         return textops.kmv_distinct(_docs(spark, sf))
@@ -2566,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_validate": transcript_validate,
         "loss_mask_spans": loss_mask_spans,
         "context_window_trim": context_window_trim,
+        "conversation_dedup": conversation_dedup,
         "kmv_distinct": kmv_distinct,
         "temperature_mix": temperature_mix,
         # ---- rotated out end-of-round-5 with prior driver greens ----
@@ -5485,6 +5512,24 @@ def oracle_sql() -> dict[str, str]:
             "   AND CURRENT ROW) AS BIGINT) AS tokens_to_end FROM tk)"
             " SELECT conv_id, turn_idx, role, n_tokens, tokens_to_end"
             " FROM s WHERE tokens_to_end <= 150"
+        ),
+        # conversation-level exact dedup: conv digest = md5 over ordered
+        # per-turn md5(role, text) digests; canonical = min conv_id
+        "conversation_dedup": (
+            "WITH tu AS (SELECT printf('conv_%04d', doc_id % 97) AS conv_id,"
+            " CAST(doc_id // 97 AS INTEGER) AS turn_idx,"
+            " CASE WHEN (doc_id // 97) % 2 = 0 THEN 'user'"
+            "  ELSE 'assistant' END AS role,"
+            " CASE WHEN (doc_id % 97) % 10 = 7"
+            "  THEN 'shared turn payload ' || CAST(doc_id // 97 AS VARCHAR)"
+            "  ELSE text END AS text FROM documents),"
+            " d AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            "  md5(string_agg(md5(role || chr(31) || text), ''"
+            "   ORDER BY turn_idx)) AS digest FROM tu GROUP BY conv_id)"
+            " SELECT conv_id, n_turns, digest,"
+            "  MIN(conv_id) OVER (PARTITION BY digest) AS canonical_conv_id,"
+            "  conv_id <> MIN(conv_id) OVER (PARTITION BY digest) AS is_dup"
+            " FROM d"
         ),
         # KMV distinct sketch: k-th smallest distinct u32 token hash;
         # +1 denominator guards v=0; sketch-exact below k

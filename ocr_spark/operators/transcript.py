@@ -211,3 +211,48 @@ def trim_context(
     return out.filter(F.col("tokens_to_end") <= budget_tokens).select(
         "conv_id", "turn_idx", "role", "n_tokens", "tokens_to_end"
     )
+
+
+def dedup_conversations(turns: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: two conversations are duplicates
+    when their ordered (role, text) turn sequences are identical —
+    re-crawled chat logs and forked agent sessions produce these.  Each
+    conversation's content digest is md5 over its turns' md5(role, text)
+    digests in turn order; the canonical copy is the smallest conv_id
+    sharing the digest.
+
+    Scale shape: the per-turn digest is computed BEFORE any shuffle
+    (per-row JVM md5), so only (conv_id, turn_idx, 32-char digest)
+    crosses the conv_id exchange — turn text NEVER rides a shuffle no
+    matter how long the conversations are; the digest-keyed winner pass
+    moves one 32-byte key per conversation."""
+    sep = "\x1f"
+    td = F.md5(F.concat_ws(sep, F.col("role"), F.col("text")))
+    per_turn = turns.select("conv_id", "turn_idx", td.alias("__td"))
+    digests = per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "__td"))
+                    ),
+                    lambda s: s["__td"],
+                ),
+                "",
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("digest")
+    return digests.select(
+        "conv_id",
+        "n_turns",
+        "digest",
+        F.min("conv_id").over(w).alias("canonical_conv_id"),
+    ).select(
+        "conv_id",
+        "n_turns",
+        "digest",
+        "canonical_conv_id",
+        (F.col("conv_id") != F.col("canonical_conv_id")).alias("is_dup"),
+    )

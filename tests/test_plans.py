@@ -1279,3 +1279,24 @@ def test_temperature_mix_broadcasts_targets(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("row_number") >= 2  # shard prune + final rank
+
+
+def test_conversation_dedup_text_never_shuffles(spark):
+    from ocr_spark.operators import transcript
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    turns = docs.select(
+        F.format_string("conv_%04d", F.col("doc_id") % 97).alias("conv_id"),
+        F.expr("doc_id DIV 97").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+    )
+    plan = _plan(transcript.dedup_conversations(turns))
+    # per-turn digests are computed before the conv_id exchange — only
+    # (conv_id, turn_idx, 32-char digest) crosses, then one 32-byte key
+    # per conversation for the digest-keyed winner pass
+    blocks = _exchange_blocks(plan)
+    assert blocks
+    for b in blocks:
+        assert "text#" not in b
+    assert plan.count("HashAggregate") >= 2  # partial + final collect

@@ -181,3 +181,25 @@ def test_trim_context_keeps_fitting_suffix(spark):
     # only the last two c1 turns fit the 10-token budget (8 total);
     # the oversized c2 opener cannot fit at all
     assert out == {("c1", 1): 8, ("c1", 2): 3}
+
+
+def test_dedup_conversations_exact_sequences(spark):
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c2", 0, "user", "hi"),
+        ("c2", 1, "assistant", "hello"),  # exact dup of c1
+        ("c3", 0, "user", "hi"),
+        ("c3", 1, "user", "hello"),  # same texts, different role: unique
+        ("c4", 0, "user", "hi"),  # prefix only: unique
+    ]
+    out = {
+        r.conv_id: r
+        for r in transcript.dedup_conversations(_turns(spark, rows)).collect()
+    }
+    assert not out["c1"].is_dup and out["c1"].canonical_conv_id == "c1"
+    assert out["c2"].is_dup and out["c2"].canonical_conv_id == "c1"
+    assert out["c1"].digest == out["c2"].digest
+    assert not out["c3"].is_dup and not out["c4"].is_dup
+    assert len({r.digest for r in out.values()}) == 3
+    assert out["c4"].n_turns == 1
