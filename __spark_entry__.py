@@ -2830,8 +2830,11 @@ def _sql_md5_u32be(h: str) -> str:
     )
 
 
-#: transcript synthesis CTE shared verbatim by the four transcript
-#: oracles — must mirror queries()._turns exactly.
+#: transcript synthesis CTE shared verbatim by the transcript oracles
+#: (qa_pair_extract, transcript_clean, transcript_validate,
+#: loss_mask_spans, context_window_trim) — must mirror queries()._turns
+#: exactly.  conversation_dedup synthesizes its own frame (it needs
+#: planted duplicate families, not violation injectors).
 _TURNS_SQL = (
     "turns AS (SELECT printf('conv_%04d', doc_id % 97) AS conv_id,"
     " CAST(doc_id // 97 AS INTEGER) AS turn_idx,"
@@ -5524,8 +5527,9 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 'shared turn payload ' || CAST(doc_id // 97 AS VARCHAR)"
             "  ELSE text END AS text FROM documents),"
             " d AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,"
-            "  md5(string_agg(md5(role || chr(31) || text), ''"
-            "   ORDER BY turn_idx)) AS digest FROM tu GROUP BY conv_id)"
+            "  md5(string_agg(md5(coalesce(role, '') || chr(31)"
+            "   || coalesce(text, '')), '' ORDER BY turn_idx)) AS digest"
+            "  FROM tu GROUP BY conv_id)"
             " SELECT conv_id, n_turns, digest,"
             "  MIN(conv_id) OVER (PARTITION BY digest) AS canonical_conv_id,"
             "  conv_id <> MIN(conv_id) OVER (PARTITION BY digest) AS is_dup"
@@ -5575,7 +5579,7 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY domain ORDER BY"
             "  md5('tm0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank"
             "  FROM d)"
-            " SELECT r.domain, r.doc_id, CAST(r.rank AS INTEGER) AS rank,"
+            " SELECT r.domain, r.doc_id, CAST(r.rank AS BIGINT) AS rank,"
             "  tg.target FROM r JOIN tg ON r.domain = tg.domain"
             " WHERE r.rank <= tg.target"
         ),

@@ -3573,7 +3573,6 @@ def temperature_mix(
     id_col: str = "doc_id",
     salt: str = TEMP_MIX_SALT,
     budget_den: int = TEMP_MIX_BUDGET_DEN,
-    prune_shards: int = 64,
 ) -> DataFrame:
     """Temperature-based domain rebalancing (alpha = 0.5): sample a
     corpus-half budget across domains with probability ∝ sqrt(domain
@@ -3586,11 +3585,17 @@ def temperature_mix(
     w_d DIV sum_w``.  Within a domain the kept documents are the first
     ``target_d`` in deterministic md5(salt:id) order.
 
-    Scale shape: the counts/weights frame is one row per domain —
-    broadcast; the per-domain selection reuses domain_cap's TWO-phase
-    row_number (per-(domain, id%shards) prune to the domain target,
-    then the final rank over the pruned survivors), so a billion-doc
-    head domain never funnels into one task."""
+    Scale shape: unlike domain_cap's constant small k, the temperature
+    target is a LARGE fraction of each domain, so a shard-prune keeps
+    everything and a per-domain rank window would sort a billion-doc
+    head domain in one task.  Instead the selection is a distributed
+    rank over md5 PREFIX buckets (the reshard_by_bytes trick: the
+    bucket is the key's first byte, so bucket-then-key order IS global
+    key order): per-(domain, bucket) counts roll into per-domain
+    running offsets (a ≤ domains×256-row broadcast frame), buckets
+    whose offset already exceeds the target drop ENTIRELY before any
+    sort, and each surviving bucket ranks only its own ~n_d/256 slice
+    — global rank = bucket offset + within-bucket row_number."""
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
@@ -3616,23 +3621,44 @@ def temperature_mix(
         ).alias("target"),
     )
     key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    base = (
-        df.select(F.col(domain_col).alias("domain"), F.col(id_col))
-        .withColumn("__key", key)
-        .join(F.broadcast(targets), "domain")
+    base = df.select(F.col(domain_col).alias("domain"), F.col(id_col)).select(
+        "domain", id_col, key.alias("__key")
     )
-    w1 = Window.partitionBy("domain", "__shard").orderBy(
+    bucket = F.substring("__key", 1, 2)
+    keyed = base.withColumn("__b", bucket)
+    # per-(domain, bucket) sizes → rows BEFORE each bucket in global
+    # (domain, key) order; the frame is ≤ domains×256 rows
+    w_off = (
+        Window.partitionBy("domain")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("domain", "__b")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "domain",
+            "__b",
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0).cast("bigint")).alias(
+                "__off"
+            ),
+        )
+        .join(targets, "domain")
+        # a bucket whose offset already meets the target contributes
+        # nothing — dropping it here prunes whole buckets map-side
+        .filter(F.col("__off") < F.col("target"))
+    )
+    w_b = Window.partitionBy("domain", "__b").orderBy(
         F.asc("__key"), F.asc(id_col)
     )
-    pruned = (
-        base.withColumn("__shard", F.pmod(F.col(id_col), F.lit(prune_shards)))
-        .withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= F.col("target"))
-        .drop("__shard", "__r")
-    )
-    w2 = Window.partitionBy("domain").orderBy(F.asc("__key"), F.asc(id_col))
     return (
-        pruned.withColumn("rank", F.row_number().over(w2))
+        keyed.join(F.broadcast(offsets), ["domain", "__b"])
+        .withColumn("rank", F.col("__off") + F.row_number().over(w_b))
         .filter(F.col("rank") <= F.col("target"))
-        .select("domain", id_col, "rank", "target")
+        .select(
+            "domain",
+            id_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            "target",
+        )
     )

@@ -15,13 +15,18 @@ structure work that plain document operators don't cover:
 - ``loss_mask``         — SFT loss masking: token offsets of every
   assistant turn inside the conversation's concatenated token stream
   (loss applies only on assistant spans).
+- ``trim_context``      — context-window trimming: the maximal
+  conversation suffix that fits a token budget (reverse running sum).
+- ``dedup_conversations`` — conversation-level exact dedup on the
+  ordered (role, text) sequence; only per-turn digests ever shuffle.
 
 Reference parity: the reference pipeline (ExtractX_OCR) emits ordered
-per-turn text spans; these operators consume exactly that shape.  All
-four are single-exchange dataflows: one hash partition on conv_id,
-then window functions over (conv_id, turn_idx) — no text ever rides a
-second shuffle, so a 10^12-turn corpus pays one partitioning that AQE
-can also reuse across chained transcript stages.
+per-turn text spans; these operators consume exactly that shape.  The
+five per-turn stages are single-exchange dataflows: one hash partition
+on conv_id, then window functions over (conv_id, turn_idx) — no text
+ever rides a second shuffle, so a 10^12-turn corpus pays one
+partitioning that AQE can also reuse across chained transcript stages
+(dedup_conversations adds one digest-keyed pass of 32-byte keys).
 """
 
 from __future__ import annotations
@@ -225,9 +230,20 @@ def dedup_conversations(turns: DataFrame) -> DataFrame:
     (per-row JVM md5), so only (conv_id, turn_idx, 32-char digest)
     crosses the conv_id exchange — turn text NEVER rides a shuffle no
     matter how long the conversations are; the digest-keyed winner pass
-    moves one 32-byte key per conversation."""
+    moves one 32-byte key per conversation.
+
+    NULL role/text coalesce to '' before hashing: concat_ws would
+    silently SKIP a NULL (digesting only the role) while SQL's ||
+    nulls the whole per-turn digest and string_agg then drops the turn
+    — the engines would disagree on any NULL-bearing conversation."""
     sep = "\x1f"
-    td = F.md5(F.concat_ws(sep, F.col("role"), F.col("text")))
+    td = F.md5(
+        F.concat_ws(
+            sep,
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     per_turn = turns.select("conv_id", "turn_idx", td.alias("__td"))
     digests = per_turn.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),

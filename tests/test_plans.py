@@ -1235,7 +1235,7 @@ def test_transcript_ops_single_exchange_on_conv(spark):
         F.lit("assistant").alias("role"),
         F.col("text"),
     )
-    # all four transcript stages are one hash partition on conv_id +
+    # all five transcript stages are one hash partition on conv_id +
     # windows over (conv_id, turn_idx) — chained stages could reuse it
     for op in (
         transcript.qa_pairs,
@@ -1274,11 +1274,17 @@ def test_temperature_mix_broadcasts_targets(spark):
         .alias("domain"),
     )
     plan = _plan(textops.temperature_mix(docs))
-    # the per-domain target frame is one row per domain — broadcast;
-    # the corpus side shuffles (domain, id, key) only, two-phase
+    # the offsets/targets frame (≤ domains×256 rows) broadcasts; the
+    # corpus-side rank window partitions on (domain, md5-prefix bucket)
+    # — NEVER on domain alone, which would sort a head domain in one
+    # task — and global rank = broadcast bucket offset + row_number
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("row_number") >= 2  # shard prune + final rank
+    tree = plan.split("\n\n")[0]
+    win = [ln for ln in tree.splitlines() if "Window" in ln or "Sort" in ln]
+    assert win
+    # the big window's exchange hashes on both domain and the bucket
+    assert any("hashpartitioning(domain" in b and "__b" in b for b in _exchange_blocks(plan))
 
 
 def test_conversation_dedup_text_never_shuffles(spark):

@@ -203,3 +203,47 @@ def test_dedup_conversations_exact_sequences(spark):
     assert not out["c3"].is_dup and not out["c4"].is_dup
     assert len({r.digest for r in out.values()}) == 3
     assert out["c4"].n_turns == 1
+
+
+def test_dedup_conversations_null_text_parity(spark):
+    # NULL role/text coalesce to '' before hashing (review finding:
+    # concat_ws silently SKIPS NULLs — Spark would digest only the role
+    # while the SQL replay drops the whole turn)
+    import duckdb
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", "a b"),
+        ("c2", 0, None, None),
+    ]
+    got = {
+        r.conv_id: r.digest
+        for r in transcript.dedup_conversations(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT conv_id, md5(string_agg(md5(coalesce(role, '')"
+            " || chr(31) || coalesce(text, '')), '' ORDER BY turn_idx))"
+            " FROM (VALUES ('c1', 0, 'user', NULL),"
+            " ('c1', 1, 'assistant', 'a b'), ('c2', 0, NULL, NULL))"
+            " t(conv_id, turn_idx, role, text) GROUP BY conv_id"
+        ).fetchall()
+    }
+    assert got == want
