@@ -1827,6 +1827,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return transcript.dedup_conversations(turns)
 
+    def dedup_keep_best(spark, sf):
+        # keep-BEST dedup policy: within each verified near-dup cluster
+        # keep the argmax of the exact integer quality score, not the
+        # lowest id
+        return dedup.dedup_keep_best(_docs(spark, sf))
+
+    def preference_pairs(spark, sf):
+        # DPO prep: 50 shared prompts × ~10 candidate responses each;
+        # chosen/rejected = quality argmax/argmin per prompt
+        d = _docs(spark, sf)
+        qa = d.select(
+            F.format_string("conv_%06d", F.col("doc_id")).alias("conv_id"),
+            F.lit(1).cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit("summarize record "),
+                (F.col("doc_id") % 50).cast("string"),
+            ).alias("prompt"),
+            F.col("text").alias("response"),
+        )
+        return transcript.preference_pairs(qa)
+
     def kmv_distinct(spark, sf):
         # mergeable K-minimum-values distinct-token sketch per source
         return textops.kmv_distinct(_docs(spark, sf))
@@ -2593,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_spans": loss_mask_spans,
         "context_window_trim": context_window_trim,
         "conversation_dedup": conversation_dedup,
+        "dedup_keep_best": dedup_keep_best,
+        "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
         "temperature_mix": temperature_mix,
         # ---- rotated out end-of-round-5 with prior driver greens ----
@@ -5534,6 +5557,78 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(conv_id) OVER (PARTITION BY digest) AS canonical_conv_id,"
             "  conv_id <> MIN(conv_id) OVER (PARTITION BY digest) AS is_dup"
             " FROM d"
+        ),
+        # keep-best dedup: recursive-CTE clusters (same closure as
+        # dedup_clusters) + per-cluster argmax of the exact integer
+        # quality score, ties by doc_id; empty docs rank last (-1)
+        "dedup_keep_best": (
+            _LSH_VERIFY_PREFIX
+            + ", pairs AS MATERIALIZED (" + _VERIFIED_PAIRS_SELECT("a, b") + "),"
+            " edges AS (SELECT a AS src, b AS dst FROM pairs"
+            "  UNION ALL SELECT b, a FROM pairs),"
+            " walk(id, label) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),"
+            " cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id"
+            "  FROM walk GROUP BY id),"
+            " qb AS (SELECT doc_id, length(text)::HUGEINT AS nc,"
+            "  len(string_split(text,' '))::HUGEINT AS nt,"
+            f"  len(list_filter(string_split(text,' '), t -> t IN ({_STOPLIST})))::HUGEINT AS ns,"
+            "  length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::HUGEINT AS nn"
+            "  FROM documents),"
+            " qs AS (SELECT doc_id, nc,"
+            "  least(nc, 500)*nt*nc + 300*ns*nc + 200*nt*(nc - nn) AS num,"
+            "  1000*nt*nc AS den FROM qb),"
+            " qq AS (SELECT doc_id, CASE WHEN nc = 0 THEN -1"
+            "  ELSE CAST((20000*num + den) // (2*den) AS BIGINT) END AS qe4"
+            "  FROM qs),"
+            " r AS (SELECT cl.doc_id, cl.cluster_id, qq.qe4,"
+            "  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id"
+            "   ORDER BY qq.qe4 DESC, cl.doc_id) AS rn"
+            "  FROM cl JOIN qq ON qq.doc_id = cl.doc_id)"
+            " SELECT doc_id, cluster_id, CAST(qe4 AS BIGINT) AS qe4,"
+            "  rn = 1 AS keep FROM r"
+        ),
+        # DPO preference pairs: per shared prompt, chosen = quality
+        # argmax, rejected = argmin (ties by conv, turn); zero-margin
+        # prompts emit nothing
+        "preference_pairs": (
+            "WITH qa AS (SELECT printf('conv_%06d', doc_id) AS conv_id,"
+            " 1 AS turn_idx,"
+            " 'summarize record ' || CAST(doc_id % 50 AS VARCHAR) AS prompt,"
+            " text AS response FROM documents),"
+            " b AS (SELECT conv_id, turn_idx, prompt,"
+            "  length(response)::HUGEINT AS nc,"
+            "  len(string_split(response,' '))::HUGEINT AS nt,"
+            f"  len(list_filter(string_split(response,' '), t -> t IN ({_STOPLIST})))::HUGEINT AS ns,"
+            "  length(regexp_replace(response, '[a-z0-9 ]', '', 'g'))::HUGEINT AS nn"
+            "  FROM qa),"
+            " s AS (SELECT conv_id, turn_idx, prompt, nc,"
+            "  least(nc, 500)*nt*nc + 300*ns*nc + 200*nt*(nc - nn) AS num,"
+            "  1000*nt*nc AS den FROM b),"
+            " q AS (SELECT conv_id, turn_idx, prompt, CASE WHEN nc = 0 THEN -1"
+            "  ELSE CAST((20000*num + den) // (2*den) AS BIGINT) END AS qe4"
+            "  FROM s),"
+            " r AS (SELECT conv_id, turn_idx, prompt, qe4,"
+            "  ROW_NUMBER() OVER (PARTITION BY prompt"
+            "   ORDER BY qe4 DESC, conv_id, turn_idx) AS rh,"
+            "  ROW_NUMBER() OVER (PARTITION BY prompt"
+            "   ORDER BY qe4 ASC, conv_id, turn_idx) AS rl,"
+            "  MAX(qe4) OVER (PARTITION BY prompt) AS qmax,"
+            "  MIN(qe4) OVER (PARTITION BY prompt) AS qmin FROM q),"
+            " c AS (SELECT prompt, conv_id AS chosen_conv_id,"
+            "  turn_idx AS chosen_turn_idx, qe4 AS cq FROM r"
+            "  WHERE rh = 1 AND qmax > qmin),"
+            " j AS (SELECT prompt, conv_id AS rejected_conv_id,"
+            "  turn_idx AS rejected_turn_idx, qe4 AS rq FROM r"
+            "  WHERE rl = 1 AND qmax > qmin)"
+            " SELECT c.prompt, chosen_conv_id,"
+            "  CAST(chosen_turn_idx AS INTEGER) AS chosen_turn_idx,"
+            "  rejected_conv_id,"
+            "  CAST(rejected_turn_idx AS INTEGER) AS rejected_turn_idx,"
+            "  CAST(cq - rq AS BIGINT) AS margin_e4"
+            " FROM c JOIN j ON c.prompt = j.prompt"
         ),
         # KMV distinct sketch: k-th smallest distinct u32 token hash;
         # +1 denominator guards v=0; sketch-exact below k

@@ -1213,3 +1213,48 @@ def cross_snapshot_fuzzy(
             "min_prior_id"
         ),
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST near-duplicate resolution (the Dolma/FineWeb policy):
+    within each verified near-duplicate cluster keep the highest-
+    quality document, not the lowest id — dedup should discard the
+    boilerplate-heavy copies, not whichever crawl arrived first.
+
+    Clusters come from duplicate_clusters (LSH candidates → exact
+    Jaccard verify → min-label closure); the winner is the cluster's
+    argmax of the EXACT integer quality score (textops.quality_e4),
+    ties by smallest doc_id; empty docs (NULL quality) rank last.
+
+    Scale shape: the rank window carries only (cluster_id, doc_id,
+    qe4) — near-dup clusters are near-cliques of a handful of docs, so
+    per-cluster windows never straggle; text stays behind the digest
+    joins of the cluster build."""
+    from ocr_spark.operators.textops import quality_e4
+
+    from pyspark.sql import Window
+
+    labels = duplicate_clusters(
+        df, threshold, text_col, id_col
+    ).withColumnRenamed("doc_id", id_col)
+    q = quality_e4(df, text_col, id_col).select(
+        id_col, F.coalesce("qe4", F.lit(-1)).alias("qe4")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("qe4"), F.asc(id_col)
+    )
+    return (
+        labels.join(q, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            "qe4",
+            (F.col("__rn") == 1).alias("keep"),
+        )
+    )

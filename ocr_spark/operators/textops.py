@@ -50,6 +50,44 @@ def token_count(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def quality_e4(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The quality score as an EXACT integer (score × 10^4, BIGINT):
+    0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1 − non_text_char
+    ratio), rounded half-up at the 4th decimal.  Empty documents yield
+    NULL (the character ratio is undefined).  This is the form every
+    cross-engine comparison should consume — argmax/argsort on the
+    integer can never hit a float tie (see quality_score's ROUND-
+    boundary history)."""
+    t = df.select(
+        id_col,
+        F.length(F.col(col)).cast("long").alias("__nc"),
+        F.size(_tokens(col)).cast("long").alias("__nt"),
+        _n_stop(col).cast("long").alias("__ns"),
+        F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", ""))
+        .cast("long")
+        .alias("__nn"),
+    )
+    t2 = t.select(
+        id_col,
+        "__nc",
+        F.expr(
+            "CAST(least(__nc, 500) AS DECIMAL(38,0)) * __nt * __nc"
+            " + CAST(300 AS DECIMAL(38,0)) * __ns * __nc"
+            " + CAST(200 AS DECIMAL(38,0)) * __nt * (__nc - __nn)"
+        ).alias("__num"),
+        F.expr("CAST(1000 AS DECIMAL(38,0)) * __nt * __nc").alias("__den"),
+    )
+    qe4 = F.expr("CAST((20000 * __num + __den) DIV (2 * __den) AS BIGINT)")
+    return t2.select(
+        id_col,
+        F.when(F.col("__nc") == 0, F.lit(None).cast("bigint"))
+        .otherwise(qe4)
+        .alias("qe4"),
+    )
+
+
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality score in [0,1]:
     0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1 − non_text_char_ratio),
@@ -64,31 +102,9 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     diverged.) The final double is the same bigint/10000.0 on both
     engines. Empty documents (n_chars = 0) yield NULL — the character
     ratio is undefined there, matching the prior NULL behavior."""
-    t = df.select(
+    return quality_e4(df, col).select(
         "doc_id",
-        F.length(F.col(col)).cast("long").alias("__nc"),
-        F.size(_tokens(col)).cast("long").alias("__nt"),
-        _n_stop(col).cast("long").alias("__ns"),
-        F.length(F.regexp_replace(F.col(col), "[a-z0-9 ]", ""))
-        .cast("long")
-        .alias("__nn"),
-    )
-    t2 = t.select(
-        "doc_id",
-        "__nc",
-        F.expr(
-            "CAST(least(__nc, 500) AS DECIMAL(38,0)) * __nt * __nc"
-            " + CAST(300 AS DECIMAL(38,0)) * __ns * __nc"
-            " + CAST(200 AS DECIMAL(38,0)) * __nt * (__nc - __nn)"
-        ).alias("__num"),
-        F.expr("CAST(1000 AS DECIMAL(38,0)) * __nt * __nc").alias("__den"),
-    )
-    qe4 = F.expr("CAST((20000 * __num + __den) DIV (2 * __den) AS BIGINT)")
-    return t2.select(
-        "doc_id",
-        F.when(F.col("__nc") == 0, F.lit(None).cast("double"))
-        .otherwise(qe4.cast("double") / F.lit(10000.0))
-        .alias("quality"),
+        (F.col("qe4").cast("double") / F.lit(10000.0)).alias("quality"),
     )
 
 

@@ -272,3 +272,75 @@ def dedup_conversations(turns: DataFrame) -> DataFrame:
         "canonical_conv_id",
         (F.col("conv_id") != F.col("canonical_conv_id")).alias("is_dup"),
     )
+
+
+def preference_pairs(qa: DataFrame) -> DataFrame:
+    """DPO/RLHF preference-pair mining over mined QA pairs: when the
+    SAME prompt has several candidate responses (re-asked questions,
+    forked sessions, template prompts), emit one (chosen, rejected)
+    pair per prompt — chosen = highest exact integer quality score
+    (textops.quality_e4), rejected = lowest, ties by (conv_id,
+    turn_idx); prompts whose best and worst responses tie on quality
+    yield nothing (no preference signal).
+
+    Input shape = qa_pairs output (conv_id, turn_idx, prompt,
+    response).  Scale shape: responses are scored per-row JVM-side
+    BEFORE the one exchange on the prompt digest, and the output
+    carries only (prompt, winner ids, margin) — response text never
+    rides a group-wide shuffle; callers re-attach the two winning
+    responses by (conv_id, turn_idx) join."""
+    from ocr_spark.operators.textops import quality_e4
+
+    scored = (
+        qa.withColumn("__pd", F.md5(F.col("prompt")))
+        .withColumn("__rid", F.concat_ws("#", "conv_id", "turn_idx"))
+    )
+    q = quality_e4(
+        scored.select("__rid", F.col("response").alias("text")),
+        col="text",
+        id_col="__rid",
+    ).select("__rid", F.coalesce("qe4", F.lit(-1)).alias("qe4"))
+    keyed = scored.select("__pd", "prompt", "conv_id", "turn_idx", "__rid").join(
+        q, "__rid"
+    )
+    w_hi = Window.partitionBy("__pd").orderBy(
+        F.desc("qe4"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    w_lo = Window.partitionBy("__pd").orderBy(
+        F.asc("qe4"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    ranked = keyed.select(
+        "__pd",
+        "prompt",
+        "conv_id",
+        "turn_idx",
+        "qe4",
+        F.row_number().over(w_hi).alias("__rh"),
+        F.row_number().over(w_lo).alias("__rl"),
+        F.max("qe4").over(Window.partitionBy("__pd")).alias("__qmax"),
+        F.min("qe4").over(Window.partitionBy("__pd")).alias("__qmin"),
+    ).filter(F.col("__qmax") > F.col("__qmin"))
+    chosen = ranked.filter(F.col("__rh") == 1).select(
+        "__pd",
+        "prompt",
+        F.col("conv_id").alias("chosen_conv_id"),
+        F.col("turn_idx").alias("chosen_turn_idx"),
+        F.col("qe4").alias("chosen_qe4"),
+    )
+    rejected = ranked.filter(F.col("__rl") == 1).select(
+        "__pd",
+        F.col("conv_id").alias("rejected_conv_id"),
+        F.col("turn_idx").alias("rejected_turn_idx"),
+        F.col("qe4").alias("rejected_qe4"),
+    )
+    return (
+        chosen.join(rejected, "__pd")
+        .select(
+            "prompt",
+            "chosen_conv_id",
+            "chosen_turn_idx",
+            "rejected_conv_id",
+            "rejected_turn_idx",
+            (F.col("chosen_qe4") - F.col("rejected_qe4")).alias("margin_e4"),
+        )
+    )

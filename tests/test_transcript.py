@@ -247,3 +247,60 @@ def test_dedup_conversations_null_text_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_preference_pairs_argmax_argmin_and_tie_drop(spark):
+    qa = spark.createDataFrame(
+        [
+            ("c1", 1, "p1", "the a of and to in is it for on with as at by"),
+            ("c2", 1, "p1", "zzz@@@"),
+            ("c3", 1, "p1", "a mid quality line of text here"),
+            ("c4", 1, "p2", "same response text"),
+            ("c5", 1, "p2", "same response text"),  # tie → no signal
+        ],
+        ["conv_id", "turn_idx", "prompt", "response"],
+    )
+    out = {r.prompt: r for r in transcript.preference_pairs(qa).collect()}
+    assert set(out) == {"p1"}  # the all-tie prompt emits nothing
+    r = out["p1"]
+    qe4 = {
+        x["__rid"]: x["qe4"]
+        for x in textops.quality_e4(
+            qa.select(
+                F.concat_ws("#", "conv_id", "turn_idx").alias("__rid"),
+                F.col("response").alias("text"),
+            ),
+            id_col="__rid",
+        ).collect()
+    }
+    p1 = {k: v for k, v in qe4.items() if k.split("#")[0] in ("c1", "c2", "c3")}
+    # chosen/rejected match the integer-score extremes, margin positive
+    assert qe4[f"{r.chosen_conv_id}#1"] == max(p1.values())
+    assert qe4[f"{r.rejected_conv_id}#1"] == min(p1.values())
+    assert r.margin_e4 == max(p1.values()) - min(p1.values())
+    assert r.margin_e4 > 0
+
+
+def test_dedup_keep_best_one_keeper_per_cluster(spark):
+    from ocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = dedup.dedup_keep_best(docs).collect()
+    assert len(rows) == docs.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # real clusters
+    for members in by_cluster.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        k = keepers[0]
+        # the keeper is the quality argmax, ties by smallest doc_id
+        assert all(
+            (k.qe4, -k.doc_id) >= (m.qe4, -m.doc_id) or k.qe4 > m.qe4
+            for m in members
+        )
+        assert k.qe4 == max(m.qe4 for m in members)
+        assert k.doc_id == min(
+            m.doc_id for m in members if m.qe4 == k.qe4
+        )
