@@ -238,7 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import sources as src
     from ocr_spark.operators import dedup, relational, similarity, textops
     from ocr_spark.operators import extraction_queries as xq
-    from ocr_spark.operators import multimodal, transcript
+    from ocr_spark.operators import agenttrace, multimodal, transcript
 
     def extract_html(spark, sf):
         return xq.extract_html_query(_docs(spark, sf))
@@ -1801,6 +1801,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget (chat training trims history from the front)
         return transcript.trim_context(_turns(spark, sf))
 
+    def _agent_turns(spark, sf):
+        # _turns plus the input-hint's trace columns (tool, ts) —
+        # deterministic functions of (conv, turn) mirrored verbatim by
+        # the _AGENT_SQL oracle CTE.  ts_s is integer epoch SECONDS:
+        # every downstream trace quantity is a difference, exact in
+        # int64 with zero session-timezone parity surface (the
+        # event_funnel lesson).  Every 5th turn boundary adds a 900 s
+        # stall (trips turn_latency's 120 s gate); doc_id%11 wraps the
+        # doc text in a ```lang fence for code_blocks.
+        d = _docs(spark, sf)
+        t = F.expr("doc_id DIV 97")
+        conv = F.col("doc_id") % 97
+        role = (
+            F.when((t % 7).isin(3, 4), F.lit("assistant"))
+            .when(F.col("doc_id") % 13 == 0, F.lit("assistant"))
+            .when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+        )
+        lang = F.element_at(
+            F.array(F.lit("python"), F.lit("sql"), F.lit("bash")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        text = (
+            F.when(F.col("doc_id") % 19 == 0, F.lit(""))
+            .when((t % 7).isin(3, 4), F.lit(_TURNS_RETRY_TEXT))
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit("```"),
+                    lang,
+                    F.lit("\n"),
+                    F.col("text"),
+                    F.lit("\n```"),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        tool = F.when(
+            (role == "assistant") & (t % 5 < 3),
+            F.element_at(
+                F.array(
+                    F.lit("search"), F.lit("exec"), F.lit("browse"), F.lit("calc")
+                ),
+                ((conv + F.expr("(doc_id DIV 97) DIV 3")) % 4 + 1).cast("int"),
+            ),
+        )
+        ts_s = (
+            F.lit(1700000000).cast("long")
+            + conv.cast("long") * 40000
+            + t.cast("long") * 60
+            + (F.col("doc_id") % 23).cast("long")
+            + F.expr("(doc_id DIV 97) DIV 5").cast("long") * 900
+        )
+        return d.select(
+            F.format_string("conv_%04d", conv).alias("conv_id"),
+            t.cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            ts_s.alias("ts_s"),
+        )
+
+    def tool_call_stats(spark, sf):
+        # per-tool call counts + exact integer gap sums (tool latency)
+        return agenttrace.tool_stats(_agent_turns(spark, sf))
+
+    def tool_sequence_mining(spark, sf):
+        # (prev_tool, tool) transition counts over the call sequence
+        return agenttrace.tool_bigrams(_agent_turns(spark, sf))
+
+    def turn_latency_stats(spark, sf):
+        # per-conversation wall profile: duration, max gap, stalls
+        return agenttrace.turn_latency(_agent_turns(spark, sf))
+
+    def agent_loop_detect(spark, sf):
+        # gaps-and-islands runs of the same tool (stuck retry loops)
+        return agenttrace.tool_loops(_agent_turns(spark, sf))
+
+    def code_fence_extract(spark, sf):
+        # fenced ```lang blocks per turn — lang, sizes, content md5
+        return agenttrace.code_blocks(_agent_turns(spark, sf))
+
     def conversation_dedup(spark, sf):
         # conversation-level exact dedup; convs in the %10==7 family
         # share a constant (role, text) sequence per turn-count class →
@@ -2618,6 +2700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
         "temperature_mix": temperature_mix,
+        # agent-trace batch: the input-hint's tool/ts trace columns
+        "tool_call_stats": tool_call_stats,
+        "tool_sequence_mining": tool_sequence_mining,
+        "turn_latency_stats": turn_latency_stats,
+        "agent_loop_detect": agent_loop_detect,
+        "code_fence_extract": code_fence_extract,
         # ---- rotated out end-of-round-5 with prior driver greens ----
         "multimodal_jpeg_meta": multimodal_jpeg_meta,
         "chunk_overlap": chunk_overlap,
@@ -2869,6 +2957,36 @@ _TURNS_SQL = (
     f"  WHEN (doc_id // 97) % 7 IN (3, 4) THEN '{_TURNS_RETRY_TEXT}'"
     "  ELSE text END AS text"
     " FROM documents)"
+)
+
+
+#: agent-trace synthesis CTE shared verbatim by the agent-trace oracles
+#: (tool_call_stats, tool_sequence_mining, turn_latency_stats,
+#: agent_loop_detect) — must mirror queries()._agent_turns exactly:
+#: _TURNS_SQL's role/text plus deterministic tool + integer-epoch ts_s
+#: trace columns (code_fence_extract replays its fence arithmetically
+#: from the raw doc text instead and doesn't use this CTE).
+_AGENT_SQL = (
+    "agent_turns AS (SELECT conv_id, turn_idx, role, text,"
+    " CASE WHEN role = 'assistant' AND turn_idx % 5 < 3 THEN"
+    "  ['search','exec','browse','calc'][(cnum + turn_idx // 3) % 4 + 1]"
+    " END AS tool,"
+    " CAST(1700000000 AS BIGINT) + cnum * 40000 + turn_idx * 60"
+    "  + doc_id % 23 + (turn_idx // 5) * 900 AS ts_s"
+    " FROM (SELECT doc_id, CAST(doc_id % 97 AS INTEGER) AS cnum,"
+    "  printf('conv_%04d', doc_id % 97) AS conv_id,"
+    "  CAST(doc_id // 97 AS INTEGER) AS turn_idx,"
+    "  CASE WHEN (doc_id // 97) % 7 IN (3, 4) THEN 'assistant'"
+    "   WHEN doc_id % 13 = 0 THEN 'assistant'"
+    "   WHEN (doc_id // 97) % 2 = 0 THEN 'user'"
+    "   ELSE 'assistant' END AS role,"
+    "  CASE WHEN doc_id % 19 = 0 THEN ''"
+    f"  WHEN (doc_id // 97) % 7 IN (3, 4) THEN '{_TURNS_RETRY_TEXT}'"
+    "   WHEN doc_id % 11 = 0 THEN '```' ||"
+    "    ['python','sql','bash'][doc_id % 3 + 1] || chr(10) || text"
+    "    || chr(10) || '```'"
+    "   ELSE text END AS text"
+    "  FROM documents))"
 )
 
 
@@ -5677,6 +5795,73 @@ def oracle_sql() -> dict[str, str]:
             " SELECT r.domain, r.doc_id, CAST(r.rank AS BIGINT) AS rank,"
             "  tg.target FROM r JOIN tg ON r.domain = tg.domain"
             " WHERE r.rank <= tg.target"
+        ),
+        # per-tool call stats: exact int64 gap sums (avg left to the
+        # consumer — float means would not be hash-stable)
+        "tool_call_stats": (
+            "WITH " + _AGENT_SQL + ","
+            " g AS (SELECT conv_id, tool,"
+            "  LEAD(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+            "   - ts_s AS gap FROM agent_turns)"
+            " SELECT tool, COUNT(*) AS n_calls,"
+            "  COUNT(DISTINCT conv_id) AS n_convs,"
+            "  CAST(SUM(gap) AS BIGINT) AS sum_gap_s,"
+            "  COUNT(gap) AS n_gaps"
+            " FROM g WHERE tool IS NOT NULL GROUP BY tool"
+        ),
+        # tool-transition counts; WHERE runs before the window in both
+        # engines, so lag() sees only tool-bearing turns
+        "tool_sequence_mining": (
+            "WITH " + _AGENT_SQL + ","
+            " t AS (SELECT conv_id, turn_idx, tool,"
+            "  LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+            "   AS prev_tool FROM agent_turns WHERE tool IS NOT NULL)"
+            " SELECT prev_tool, tool, COUNT(*) AS n_transitions"
+            " FROM t WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool"
+        ),
+        # per-conversation wall profile — integer seconds end to end
+        "turn_latency_stats": (
+            "WITH " + _AGENT_SQL + ","
+            " g AS (SELECT conv_id, ts_s, ts_s - LAG(ts_s) OVER ("
+            "  PARTITION BY conv_id ORDER BY turn_idx) AS gap"
+            "  FROM agent_turns)"
+            " SELECT conv_id, COUNT(*) AS n_turns,"
+            "  CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS duration_s,"
+            "  CAST(MAX(gap) AS BIGINT) AS max_gap_s,"
+            "  COUNT(CASE WHEN gap > 120 THEN 1 END) AS n_stalled"
+            " FROM g GROUP BY conv_id"
+        ),
+        # gaps-and-islands same-tool runs: rn_overall - rn_per_tool is
+        # constant exactly along a run
+        "agent_loop_detect": (
+            "WITH " + _AGENT_SQL + ","
+            " tb AS (SELECT conv_id, turn_idx, tool,"
+            "  ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+            "  - ROW_NUMBER() OVER (PARTITION BY conv_id, tool"
+            "     ORDER BY turn_idx) AS isl"
+            "  FROM agent_turns WHERE tool IS NOT NULL)"
+            " SELECT conv_id, tool,"
+            "  CAST(MIN(turn_idx) AS INTEGER) AS start_turn,"
+            "  CAST(MAX(turn_idx) AS INTEGER) AS end_turn,"
+            "  COUNT(*) AS run_len"
+            " FROM tb GROUP BY conv_id, tool, isl HAVING COUNT(*) >= 2"
+        ),
+        # fence replay from the RAW doc text (pure function of doc_id):
+        # the synthesis wraps exactly doc_id%11 non-blank non-retry
+        # rows, so lang/sizes/md5 are arithmetic — the Spark side must
+        # recover them through the real regexp parse to match
+        "code_fence_extract": (
+            "WITH f AS (SELECT printf('conv_%04d', doc_id % 97) AS conv_id,"
+            "  CAST(doc_id // 97 AS INTEGER) AS turn_idx,"
+            "  ['python','sql','bash'][doc_id % 3 + 1] AS lang, text"
+            "  FROM documents"
+            "  WHERE doc_id % 11 = 0 AND doc_id % 19 != 0"
+            "   AND (doc_id // 97) % 7 NOT IN (3, 4)"
+            "   AND text IS NOT NULL)"
+            " SELECT conv_id, turn_idx, CAST(0 AS INTEGER) AS block_idx,"
+            "  lang, CAST(length(text) AS INTEGER) AS n_chars,"
+            "  CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,"
+            "  md5(text) AS code_md5 FROM f"
         ),
         # hard negatives: band-mates minus exact dups, top-2 per anchor
         # by the deterministic md5 pair hash (cand id as tiebreak)
