@@ -1863,6 +1863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_s.alias("ts_s"),
         )
 
+    def cms_heavy_hitters(spark, sf):
+        # mergeable count-min sketch: 4x64 counter grid, heavy hitter
+        # = estimate >= total DIV 100; exact count rides along as the
+        # small-scale calibration column (est >= exact by construction)
+        return textops.cms_heavy_hitters(_docs(spark, sf))
+
     def tool_call_stats(spark, sf):
         # per-tool call counts + exact integer gap sums (tool latency)
         return agenttrace.tool_stats(_agent_turns(spark, sf))
@@ -2700,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
         "temperature_mix": temperature_mix,
+        "cms_heavy_hitters": cms_heavy_hitters,
         # agent-trace batch: the input-hint's tool/ts trace columns
         "tool_call_stats": tool_call_stats,
         "tool_sequence_mining": tool_sequence_mining,
@@ -5795,6 +5802,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT r.domain, r.doc_id, CAST(r.rank AS BIGINT) AS rank,"
             "  tg.target FROM r JOIN tg ON r.domain = tg.domain"
             " WHERE r.rank <= tg.target"
+        ),
+        # count-min sketch replayed counter-for-counter: bucket j of a
+        # token = md5('cms<j>:'||tok) little-endian u32 mod 64; integer
+        # sums end to end, so estimates are hash-exact across engines
+        "cms_heavy_hitters": (
+            "WITH tok AS (SELECT u.t AS tok FROM documents,"
+            "  LATERAL unnest(string_split(text, ' ')) u(t)"
+            "  WHERE u.t <> ''),"
+            " tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt"
+            "  FROM tok GROUP BY tok),"
+            " h AS (SELECT tok, cnt, r.j AS j, "
+            + _sql_md5_u32("md5('cms' || CAST(r.j AS VARCHAR) || ':' || tok)")
+            + " % 64 AS bucket FROM tc, range(0, 4) r(j)),"
+            " counters AS (SELECT j, bucket,"
+            "  CAST(SUM(cnt) AS BIGINT) AS bucket_cnt"
+            "  FROM h GROUP BY j, bucket),"
+            " est AS (SELECT h.tok, MIN(bucket_cnt) AS est_count,"
+            "  MAX(h.cnt) AS exact_count"
+            "  FROM h JOIN counters USING (j, bucket) GROUP BY h.tok),"
+            " t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tc)"
+            " SELECT est.tok AS token,"
+            "  CAST(est_count AS BIGINT) AS est_count,"
+            "  CAST(exact_count AS BIGINT) AS exact_count,"
+            "  CAST(total // 100 AS BIGINT) AS threshold"
+            " FROM est, t WHERE est_count >= total // 100"
         ),
         # per-tool call stats: exact int64 gap sums (avg left to the
         # consumer — float means would not be hash-stable)

@@ -3678,3 +3678,85 @@ def temperature_mix(
             "target",
         )
     )
+
+
+#: count-min sketch contract: depth x width counter grid and the
+#: heavy-hitter gate (est >= total_tokens DIV CMS_HH_DIV)
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_HH_DIV = 100
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    hh_div: int = CMS_HH_DIV,
+) -> DataFrame:
+    """Token heavy hitters via a count-min sketch — the mergeable-sketch
+    sibling of kmv_distinct for COUNTS: ``depth`` md5 hash rows map every
+    token into ``width`` buckets, bucket counters sum occurrences, and a
+    token's estimate is the MINIMUM of its ``depth`` counters (an
+    overestimate by construction, tight for heavy keys).  Reported heavy
+    hitters are tokens whose estimate reaches ``total_tokens DIV
+    hh_div``.
+
+    The exact per-token count rides along as small-scale calibration
+    (``est_count >= exact_count`` must hold row-for-row); at 100 TB the
+    exact column drops and the counter grid is built straight from raw
+    occurrences map-side — a (depth x width)-cell partial aggregate per
+    partition, the canonical mergeable sketch — with only the grid and
+    the candidate vocabulary crossing exchanges.
+
+    Scale shape: one exchange on the token (shared by the count and the
+    candidate probe), a ``depth * width``-row counter table that
+    BROADCASTS into the estimate join, and a 1-row broadcast total for
+    the threshold.  All counters are exact int64 sums — hash-stable
+    across engines."""
+    toks = df.select(
+        F.explode(F.split(F.col(col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    def _bucket(j: int) -> Column:
+        return F.pmod(
+            _md5_u32(F.md5(F.concat(F.lit(f"cms{j}:"), F.col("tok")))),
+            F.lit(width),
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                _bucket(j).cast("int").alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    hashed = tc.select("tok", "cnt", F.inline(pairs))
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.sum("cnt").alias("bucket_cnt")
+    )
+    est = (
+        hashed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("bucket_cnt").alias("est_count"),
+            F.max("cnt").alias("exact_count"),
+        )
+    )
+    total = tc.agg(F.sum("cnt").alias("__total"))
+    thresh = F.expr(f"__total DIV {hh_div}")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= thresh)
+        .select(
+            F.col("tok").alias("token"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            thresh.cast("long").alias("threshold"),
+        )
+    )

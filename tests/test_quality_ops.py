@@ -1708,3 +1708,27 @@ def test_quality_score_halfup_tie_and_nulls(spark):
     assert out[0] == exact(tie)
     assert out[1] is None  # empty text: ratio undefined -> NULL
     assert out[2] == exact("zz!! ??")
+
+
+def test_cms_heavy_hitters_overestimates_and_gates(spark):
+    from ocr_spark.operators import textops
+
+    # 60 'hot' tokens, 30 'warm', 10 singletons -> total 100 tokens;
+    # threshold at hh_div=10 is 10, so only hot/warm can pass the gate
+    rows = (
+        [("hot " * 30).strip()] * 2
+        + [("warm " * 30).strip()]
+        + ["u%d" % i for i in range(10)]
+    )
+    df = spark.createDataFrame([(t,) for t in rows], ["text"])
+    out = {
+        r.token: r
+        for r in textops.cms_heavy_hitters(df, hh_div=10).collect()
+    }
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"].exact_count == 60
+    assert out["warm"].exact_count == 30
+    for r in out.values():
+        # CMS never underestimates, and the gate is total DIV hh_div
+        assert r.est_count >= r.exact_count
+        assert r.threshold == 10
