@@ -2240,6 +2240,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST, then the reference's own §2 extraction slugs; the generic
     # relational-breadth queries (all driver-verified green in round 2,
     # CORRECTNESS_r02.json) take the tail.
+    def multimodal_gif_meta(spark, sf):
+        # REAL GIF bytes (LZW + interlace + multi-frame, kernels/gif.py)
+        # through the full decode scan: dims/frames are pure functions
+        # of vec_id, pixels are (vec_id + 7f + 3y + x) % 8, so the
+        # oracle replays the decoded checksums arithmetically. Even
+        # vec_ids store frame 0 interlaced — rw_sum (position-weighted)
+        # catches a broken de-interlace that plain px_sum cannot.
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.gif import encode_gif
+
+            pal = np.array(
+                [[i * 32, 255 - i * 32, i * 16] for i in range(8)],
+                dtype=np.uint8,
+            )
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    w, h, nf = v % 21 + 6, v % 13 + 5, v % 3 + 1
+                    grid = np.add.outer(3 * np.arange(h), np.arange(w))
+                    frames = [
+                        ((v + 7 * f + grid) % 8).astype(np.uint8)
+                        for f in range(nf)
+                    ]
+                    payloads.append(
+                        encode_gif(frames, pal, interlace_first=(v % 2 == 0))
+                    )
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "payload": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.gif_meta_scan(emb.mapInPandas(enc, schema))
+
     def multimodal_audio_meta(spark, sf):
         # REAL PCM WAV containers through the header-only metadata scan:
         # every field is a pure function of vec_id, so the oracle checks
@@ -2707,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": kmv_distinct,
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
+        "multimodal_gif_meta": multimodal_gif_meta,
         # agent-trace batch: the input-hint's tool/ts trace columns
         "tool_call_stats": tool_call_stats,
         "tool_sequence_mining": tool_sequence_mining,
@@ -5827,6 +5877,28 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(exact_count AS BIGINT) AS exact_count,"
             "  CAST(total // 100 AS BIGINT) AS threshold"
             " FROM est, t WHERE est_count >= total // 100"
+        ),
+        # GIF decode replayed arithmetically: fixture pixels are
+        # (vec_id + 7f + 3y + x) % 8, so both checksums are lateral
+        # range sums; rw_sum weights (y+1)(x+2) to pin row order
+        "multimodal_gif_meta": (
+            "WITH m AS (SELECT vec_id, vec_id % 21 + 6 AS w,"
+            "  vec_id % 13 + 5 AS h, vec_id % 3 + 1 AS nf"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " px AS (SELECT vec_id,"
+            "  SUM((vec_id + 7*f.f + 3*y.y + x.x) % 8) AS ps,"
+            "  SUM((y.y + 1) * (x.x + 2)"
+            "   * ((vec_id + 7*f.f + 3*y.y + x.x) % 8)) AS rs"
+            "  FROM m, LATERAL unnest(range(0, nf)) f(f),"
+            "  LATERAL unnest(range(0, h)) y(y),"
+            "  LATERAL unnest(range(0, w)) x(x)"
+            "  GROUP BY vec_id)"
+            " SELECT m.vec_id, 'GIF' AS fmt, CAST(w AS INTEGER) AS width,"
+            "  CAST(h AS INTEGER) AS height, CAST(nf AS INTEGER) AS n_frames,"
+            "  CAST(8 AS INTEGER) AS palette_size,"
+            "  CAST(ps AS BIGINT) AS px_sum, CAST(rs AS BIGINT) AS rw_sum,"
+            "  TRUE AS valid"
+            " FROM m JOIN px USING (vec_id)"
         ),
         # per-tool call stats: exact int64 gap sums (avg left to the
         # consumer — float means would not be hash-stable)

@@ -676,3 +676,81 @@ def video_scene_cuts(
             )
 
     return df.select("vec_id", "payload").mapInPandas(fn, VIDEO_CUT_SCHEMA)
+
+
+def gif_meta_scan(df: DataFrame) -> DataFrame:
+    """(vec_id, payload binary) → GIF metadata + two exact pixel
+    checksums via one Arrow-batched mapInPandas pass over the REAL
+    decoder (kernels/gif.py — LZW, interlace, multi-frame).
+
+    ``px_sum`` is the plain sum of palette indices across frames;
+    ``rw_sum`` weights each pixel by (row+1)*(col+2), so a decoder that
+    scrambles row order (a broken de-interlace) changes it even when
+    the multiset of pixel values survives.  Both are int64-exact and
+    replayable arithmetically when the fixture pixels are a pure
+    function of (vec_id, frame, y, x).  Undecodable payloads degrade
+    to valid=false rows — the skip-on-error policy every multimodal
+    scan here shares."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("palette_size", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("rw_sum", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.gif import GifError, decode_gif
+
+        for pdf in it:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    img = decode_gif(bytes(payload))
+                    px = 0
+                    rw = 0
+                    for fr in img.frames:
+                        f64 = fr.astype(np.int64)
+                        px += int(f64.sum())
+                        wts = np.outer(
+                            np.arange(1, fr.shape[0] + 1),
+                            np.arange(2, fr.shape[1] + 2),
+                        )
+                        rw += int((f64 * wts).sum())
+                    rows.append(
+                        (
+                            int(vid),
+                            "GIF",
+                            img.width,
+                            img.height,
+                            img.n_frames,
+                            len(img.palette),
+                            px,
+                            rw,
+                            True,
+                        )
+                    )
+                except (GifError, ValueError, IndexError, struct.error):
+                    rows.append((int(vid), "GIF", 0, 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "palette_size",
+                    "px_sum",
+                    "rw_sum",
+                    "valid",
+                ],
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, schema)
