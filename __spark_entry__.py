@@ -2289,6 +2289,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.gif_meta_scan(emb.mapInPandas(enc, schema))
 
+    def multimodal_tiff_meta(spark, sf):
+        # REAL TIFF bytes (kernels/tiff.py) through the full strip-walk
+        # scan: vec_id%3 walks uncompressed-gray / PackBits-gray /
+        # CCITT-G4-bilevel, vec_id%2 walks II/MM byte order, vec_id%5==0
+        # splits into 4-row strips. Pixels are pure functions of
+        # (vec_id, y, x) so both checksums replay arithmetically.
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.tiff import write_tiff
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    w, h, md = v % 19 + 7, v % 11 + 6, v % 3
+                    grid = v + np.add.outer(3 * np.arange(h), np.arange(w))
+                    if md == 2:
+                        px = (grid % 5 == 0).astype(np.uint8)
+                        comp = 4
+                    else:
+                        px = (grid % 251).astype(np.uint8)
+                        comp = 1 if md == 0 else 32773
+                    payloads.append(
+                        write_tiff(
+                            px,
+                            compression=comp,
+                            rows_per_strip=4 if v % 5 == 0 else None,
+                            big_endian=(v % 2 == 0),
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "payload": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.tiff_meta_scan(emb.mapInPandas(enc, schema))
+
     def multimodal_audio_meta(spark, sf):
         # REAL PCM WAV containers through the header-only metadata scan:
         # every field is a pure function of vec_id, so the oracle checks
@@ -2757,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
         "multimodal_gif_meta": multimodal_gif_meta,
+        "multimodal_tiff_meta": multimodal_tiff_meta,
         # agent-trace batch: the input-hint's tool/ts trace columns
         "tool_call_stats": tool_call_stats,
         "tool_sequence_mining": tool_sequence_mining,
@@ -5896,6 +5948,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT m.vec_id, 'GIF' AS fmt, CAST(w AS INTEGER) AS width,"
             "  CAST(h AS INTEGER) AS height, CAST(nf AS INTEGER) AS n_frames,"
             "  CAST(8 AS INTEGER) AS palette_size,"
+            "  CAST(ps AS BIGINT) AS px_sum, CAST(rs AS BIGINT) AS rw_sum,"
+            "  TRUE AS valid"
+            " FROM m JOIN px USING (vec_id)"
+        ),
+        # TIFF strip walk replayed arithmetically: gray pixels are
+        # (vec_id + 3y + x) % 251, bilevel (mode 2) ink where % 5 == 0
+        "multimodal_tiff_meta": (
+            "WITH m AS (SELECT vec_id, vec_id % 19 + 7 AS w,"
+            "  vec_id % 11 + 6 AS h, vec_id % 3 AS md"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " px AS (SELECT vec_id,"
+            "  SUM(CASE WHEN md = 2 THEN"
+            "   CASE WHEN (vec_id + 3*y.y + x.x) % 5 = 0 THEN 1 ELSE 0 END"
+            "   ELSE (vec_id + 3*y.y + x.x) % 251 END) AS ps,"
+            "  SUM((y.y + 1) * (x.x + 2) * CASE WHEN md = 2 THEN"
+            "   CASE WHEN (vec_id + 3*y.y + x.x) % 5 = 0 THEN 1 ELSE 0 END"
+            "   ELSE (vec_id + 3*y.y + x.x) % 251 END) AS rs"
+            "  FROM m, LATERAL unnest(range(0, h)) y(y),"
+            "  LATERAL unnest(range(0, w)) x(x)"
+            "  GROUP BY vec_id)"
+            " SELECT m.vec_id, 'TIFF' AS fmt, CAST(w AS INTEGER) AS width,"
+            "  CAST(h AS INTEGER) AS height,"
+            "  CAST(CASE WHEN md = 2 THEN 1 ELSE 8 END AS INTEGER) AS bits,"
+            "  CAST(CASE md WHEN 0 THEN 1 WHEN 1 THEN 32773 ELSE 4 END"
+            "   AS INTEGER) AS compression,"
             "  CAST(ps AS BIGINT) AS px_sum, CAST(rs AS BIGINT) AS rw_sum,"
             "  TRUE AS valid"
             " FROM m JOIN px USING (vec_id)"

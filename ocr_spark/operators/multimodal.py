@@ -754,3 +754,72 @@ def gif_meta_scan(df: DataFrame) -> DataFrame:
             )
 
     return df.select("vec_id", "payload").mapInPandas(fn, schema)
+
+
+def tiff_meta_scan(df: DataFrame) -> DataFrame:
+    """(vec_id, payload binary) → TIFF metadata + exact pixel checksums
+    via one Arrow-batched mapInPandas pass over the REAL reader
+    (kernels/tiff.py — II/MM byte order, strip walk, none/PackBits/
+    CCITT-G4 compressions).  Checksum semantics match gif_meta_scan:
+    ``px_sum`` plain, ``rw_sum`` weighted by (row+1)*(col+2) so strip
+    reassembly in the wrong order cannot cancel out."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("rw_sum", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.tiff import TiffError, read_tiff
+
+        for pdf in it:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    img = read_tiff(bytes(payload))
+                    p64 = img.pixels.astype(np.int64)
+                    wts = np.outer(
+                        np.arange(1, img.height + 1),
+                        np.arange(2, img.width + 2),
+                    )
+                    rows.append(
+                        (
+                            int(vid),
+                            "TIFF",
+                            img.width,
+                            img.height,
+                            img.bits_per_sample,
+                            img.compression,
+                            int(p64.sum()),
+                            int((p64 * wts).sum()),
+                            True,
+                        )
+                    )
+                except (TiffError, ValueError, IndexError, struct.error):
+                    rows.append(
+                        (int(vid), "TIFF", 0, 0, 0, 0, 0, 0, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "bits",
+                    "compression",
+                    "px_sum",
+                    "rw_sum",
+                    "valid",
+                ],
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, schema)
