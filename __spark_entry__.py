@@ -2340,6 +2340,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.tiff_meta_scan(emb.mapInPandas(enc, schema))
 
+    def multimodal_g711_meta(spark, sf):
+        # REAL G.711 WAV containers (kernels/wav.py fmt 7/6) through
+        # the full expansion decode: coded byte i is md5-derived
+        # ('g711:' scheme), vec_id%2 walks mu-law / A-law, so the
+        # oracle replays the CCITT expansion formulas arithmetically.
+        # IMA ADPCM (fmt 0x11) is sequential-state and therefore
+        # pytest-pinned instead (tests/test_audio_video.py).
+        from collections.abc import Iterator
+
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.wav import encode_g711_wav
+
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    n = v % 40 + 8
+                    blocks = b"".join(
+                        hashlib.md5(f"g711:{v}:{blk}".encode()).digest()
+                        for blk in range((n + 15) // 16)
+                    )
+                    payloads.append(
+                        encode_g711_wav(
+                            blocks[:n],
+                            law="mu" if v % 2 == 0 else "a",
+                            rate=8000,
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "payload": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.audio_codec_scan(emb.mapInPandas(enc, schema))
+
     def multimodal_audio_meta(spark, sf):
         # REAL PCM WAV containers through the header-only metadata scan:
         # every field is a pure function of vec_id, so the oracle checks
@@ -2809,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": cms_heavy_hitters,
         "multimodal_gif_meta": multimodal_gif_meta,
         "multimodal_tiff_meta": multimodal_tiff_meta,
+        "multimodal_g711_meta": multimodal_g711_meta,
         # agent-trace batch: the input-hint's tool/ts trace columns
         "tool_call_stats": tool_call_stats,
         "tool_sequence_mining": tool_sequence_mining,
@@ -5976,6 +6026,43 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(ps AS BIGINT) AS px_sum, CAST(rs AS BIGINT) AS rw_sum,"
             "  TRUE AS valid"
             " FROM m JOIN px USING (vec_id)"
+        ),
+        # G.711 expansion replayed formula-for-formula (verified
+        # byte-exact against the CCITT tables): mu-law on even ids,
+        # A-law on odd; coded byte i = md5 'g711:' digest byte
+        "multimodal_g711_meta": (
+            "WITH m AS (SELECT vec_id, vec_id % 40 + 8 AS n"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " s AS (SELECT m.vec_id, m.n, u.i AS i"
+            "  FROM m, LATERAL unnest(range(0, m.n)) u(i)),"
+            " b AS (SELECT vec_id, n, i, "
+            + _MD5_BYTE.format(key="'g711:'", b="(i)")
+            + " AS byte FROM s),"
+            " d AS (SELECT vec_id, n, i,"
+            "  CASE WHEN vec_id % 2 = 0 THEN"
+            "   CASE WHEN (255 - byte) >= 128"
+            "    THEN 132 - ((((255 - byte) % 16) * 8 + 132)"
+            "     << (((255 - byte) // 16) % 8))"
+            "    ELSE ((((255 - byte) % 16) * 8 + 132)"
+            "     << (((255 - byte) // 16) % 8)) - 132 END"
+            "  ELSE"
+            "   CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END *"
+            "   CASE WHEN (xor(byte, 85) // 16) % 8 = 0"
+            "    THEN (xor(byte, 85) % 16) * 16 + 8"
+            "    WHEN (xor(byte, 85) // 16) % 8 = 1"
+            "    THEN (xor(byte, 85) % 16) * 16 + 264"
+            "    ELSE ((xor(byte, 85) % 16) * 16 + 264)"
+            "     << ((xor(byte, 85) // 16) % 8 - 1) END"
+            "  END AS smp FROM b)"
+            " SELECT vec_id,"
+            "  CAST(CASE WHEN vec_id % 2 = 0 THEN 7 ELSE 6 END"
+            "   AS INTEGER) AS fmt_code,"
+            "  CAST(8000 AS INTEGER) AS sample_rate,"
+            "  CAST(MAX(n) AS BIGINT) AS n_frames,"
+            "  CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,"
+            "  CAST(SUM((i + 1) * smp) AS BIGINT) AS ws,"
+            "  TRUE AS valid"
+            " FROM d GROUP BY vec_id"
         ),
         # per-tool call stats: exact int64 gap sums (avg left to the
         # consumer — float means would not be hash-stable)

@@ -823,3 +823,62 @@ def tiff_meta_scan(df: DataFrame) -> DataFrame:
             )
 
     return df.select("vec_id", "payload").mapInPandas(fn, schema)
+
+
+def audio_codec_scan(df: DataFrame) -> DataFrame:
+    """(vec_id, payload binary) → per-clip codec id + exact decoded
+    sample checksums via one mapInPandas pass over the full WAV decode
+    (kernels/wav.py — PCM, G.711 µ-law/A-law, IMA ADPCM).  ``sum_abs``
+    is Σ|sample|, ``ws`` the order-weighted Σ(i+1)·sample — the audio
+    analogue of the image scans' px_sum/rw_sum pair (a decoder that
+    permutes or sign-flips samples cannot keep both)."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("fmt_code", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("ws", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.wav import _walk_wav, decode_wav
+
+        for pdf in it:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    fmt_code = _walk_wav(raw)[0]
+                    samples, rate = decode_wav(raw)
+                    s64 = samples.ravel().astype(np.int64)
+                    rows.append(
+                        (
+                            int(vid),
+                            int(fmt_code),
+                            int(rate),
+                            len(s64),
+                            int(np.abs(s64).sum()),
+                            int((s64 * np.arange(1, len(s64) + 1)).sum()),
+                            True,
+                        )
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append((int(vid), 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id",
+                    "fmt_code",
+                    "sample_rate",
+                    "n_frames",
+                    "sum_abs",
+                    "ws",
+                    "valid",
+                ],
+            )
+
+    return df.select("vec_id", "payload").mapInPandas(fn, schema)

@@ -4,6 +4,8 @@ and the frame-sampling Spark operator with real per-frame JPEG decode."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -211,3 +213,88 @@ def test_video_scene_cuts_detects_level_jumps(spark):
         for r in multimodal.video_scene_cuts(df).collect()
     ]
     assert out == [(0, 2, 190, 4)]
+
+
+# ---------------------------------------------------- G.711 / ADPCM
+
+
+def test_g711_tables_match_cpython_reference():
+    # audioop is CPython's C implementation of the same CCITT
+    # reference code — a fully independent oracle for all 256 codes
+    audioop = pytest.importorskip("audioop")
+    from ocr_spark.kernels.wav import alaw_decode, mulaw_decode
+
+    all_bytes = bytes(range(256))
+    mu_ref = np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2")
+    a_ref = np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype="<i2")
+    assert (mulaw_decode(all_bytes) == mu_ref).all()
+    assert (alaw_decode(all_bytes) == a_ref).all()
+
+
+def test_g711_container_roundtrip():
+    from ocr_spark.kernels.wav import (
+        alaw_decode,
+        decode_wav,
+        encode_g711_wav,
+        mulaw_decode,
+        parse_wav_header,
+    )
+
+    coded = bytes((np.arange(37) * 7 % 256).astype(np.uint8))
+    for law, dec_fn in (("mu", mulaw_decode), ("a", alaw_decode)):
+        data = encode_g711_wav(coded, law=law, rate=8000)
+        assert parse_wav_header(data) == (8000, 1, 8, 37)
+        got, rate = decode_wav(data)
+        assert rate == 8000
+        assert (got.ravel() == dec_fn(coded)).all()
+
+
+def test_ima_adpcm_roundtrip_tracks_signal():
+    from ocr_spark.kernels.wav import decode_wav, encode_ima_wav, parse_wav_header
+
+    t = np.arange(0, 2000)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int16)
+    data = encode_ima_wav(sig, rate=8000, frames_per_block=505)
+    assert parse_wav_header(data) == (8000, 1, 4, 2000)
+    dec, _ = decode_wav(data)
+    err = np.abs(dec.ravel().astype(np.int32) - sig.astype(np.int32))
+    # ADPCM is lossy; the state machine must track within ~1 step
+    assert len(dec) == len(sig)
+    assert err.max() < 2000 and err.mean() < 200
+
+
+def test_ima_adpcm_block_state_machine_pinned():
+    # hand-stepped spec vector: header predictor 100 index 0 (step 7),
+    # nibbles 0x1 (delta +1: 7>>3 + 7>>2 = 0+1... diff=7>>3=0, +7>>2=1)
+    # low nibble first within each byte
+    from ocr_spark.kernels.wav import ima_adpcm_decode_block
+
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x81, 0x13])
+    out = ima_adpcm_decode_block(block, 5)
+    # step stays 7 throughout (nibs 1/8/3 all map to index delta -1,
+    # clamped at 0):
+    # nib 0x1: diff = step>>3 + step>>2 = 0 + 1 -> pred 101
+    # nib 0x8: sign-only, diff = step>>3 = 0    -> pred 101
+    # nib 0x3: diff = 0 + 1 + 3 (bits 0,1)      -> pred 105
+    # nib 0x1: diff = 1                          -> pred 106
+    assert out.tolist() == [100, 101, 101, 105, 106]
+
+
+def test_ima_adpcm_rejects_bad_blocks():
+    from ocr_spark.kernels.wav import ima_adpcm_decode_block
+
+    with pytest.raises(ValueError):
+        ima_adpcm_decode_block(b"\x00\x00", 4)  # short header
+    with pytest.raises(ValueError):
+        ima_adpcm_decode_block(struct.pack("<hBB", 0, 99, 0), 1)  # index
+
+
+def test_unknown_wav_codec_still_rejected():
+    from ocr_spark.kernels.wav import parse_wav_header
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # MS ADPCM
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + (4).to_bytes(4, "little") + b"\x00" * 4
+    data = b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    with pytest.raises(NotImplementedError):
+        parse_wav_header(data)
