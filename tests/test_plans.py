@@ -1306,3 +1306,57 @@ def test_conversation_dedup_text_never_shuffles(spark):
     for b in blocks:
         assert "text#" not in b
     assert plan.count("HashAggregate") >= 2  # partial + final collect
+
+
+def _agent_turns_frame(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        F.format_string("conv_%04d", F.col("doc_id") % 97).alias("conv_id"),
+        F.expr("doc_id DIV 97").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("search")).alias("tool"),
+        (F.col("doc_id") % 100000).cast("long").alias("ts_s"),
+    )
+
+
+def test_agent_trace_ops_one_conv_exchange(spark):
+    from ocr_spark.operators import agenttrace
+
+    turns = _agent_turns_frame(spark)
+    # the window partitioning IS the only full-width exchange; the
+    # trailing aggregates key on tool names / conv_id (tiny or already
+    # co-partitioned) and must partial-aggregate map-side
+    for op, max_ex in (
+        (agenttrace.tool_stats, 2),  # conv window + 4-key tool agg
+        (agenttrace.tool_bigrams, 2),  # conv window + 16-key pair agg
+        (agenttrace.turn_latency, 1),  # agg rides the window partition
+        (agenttrace.tool_loops, 1),  # islands ride the window partition
+    ):
+        plan = _plan(op(turns))
+        blocks = _exchange_blocks(plan)
+        assert len(blocks) <= max_ex, (op.__name__, len(blocks))
+        assert "hashpartitioning(conv_id" in plan, op.__name__
+        assert "partial" in plan.lower(), op.__name__  # map-side combine
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_code_blocks_zero_exchanges(spark):
+    from ocr_spark.operators import agenttrace
+
+    plan = _plan(agenttrace.code_blocks(_agent_turns_frame(spark)))
+    assert not _exchange_blocks(plan)  # per-row JVM regexp + explode
+
+
+def test_cms_counter_grid_broadcasts(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.cms_heavy_hitters(docs))
+    # the 4x64 counter grid and the 1-row total broadcast; the only
+    # hash exchanges carry (token, count) pairs — never document text
+    assert "BroadcastExchange" in plan
+    for b in _exchange_blocks(plan):
+        if "Broadcast" in b:
+            continue
+        assert "text" not in b, b
