@@ -126,10 +126,48 @@ _BM25_QTERMS = sorted(
 _BM25_VALUES = ", ".join(f"({qi}, '{t}')" for qi, t in _BM25_QTERMS)
 _BM25_TERMS_IN = ", ".join(f"'{t}'" for t in sorted({t for _, t in _BM25_QTERMS}))
 
+#: BM25 oracle CTE chain ending in lex(query_id, doc_id, rank,
+#: score_micro) — top-10 per query under (score desc, doc_id asc);
+#: shared by the bm25_topk oracle and the hybrid_rrf lexical leg.
+_BM25_LEX_CTE = (
+    "toks AS MATERIALIZED (SELECT doc_id,"
+    "  string_split(text, ' ') AS ts FROM documents),"
+    " st AS MATERIALIZED (SELECT COUNT(*) AS n,"
+    "  CAST(SUM(len(ts)) AS BIGINT) AS s FROM toks),"
+    f" qt AS (SELECT * FROM (VALUES {_BM25_VALUES})"
+    "  v(query_id, term)),"
+    " tfb AS MATERIALIZED (SELECT t.doc_id, len(t.ts) AS dl,"
+    "  u.term, COUNT(*) AS tf"
+    "  FROM toks t, LATERAL unnest(ts) u(term)"
+    f"  WHERE u.term IN ({_BM25_TERMS_IN})"
+    "  GROUP BY t.doc_id, len(t.ts), u.term),"
+    " idf AS (SELECT term, CAST(floor(1000000.0 *"
+    "  ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0))"
+    "  AS BIGINT) AS idf_u FROM (SELECT term, COUNT(*) AS df"
+    "  FROM tfb GROUP BY term), st),"
+    " sc AS (SELECT q.query_id, f.doc_id,"
+    "  (CAST(idf_u AS HUGEINT) * f.tf * 22 * s) //"
+    "  (CAST(10 AS HUGEINT) * s * f.tf + 3 * s + 9 * f.dl * n)"
+    "   AS term_score"
+    "  FROM tfb f JOIN qt q USING (term) JOIN idf USING (term)"
+    "  CROSS JOIN st),"
+    " tot AS (SELECT query_id, doc_id,"
+    "  CAST(SUM(term_score) AS BIGINT) AS score_micro"
+    "  FROM sc GROUP BY query_id, doc_id),"
+    " lex AS (SELECT CAST(query_id AS INT) AS query_id, doc_id,"
+    "  CAST(rank AS INT) AS rank, score_micro"
+    "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+    "   ORDER BY score_micro DESC, doc_id) AS rank FROM tot)"
+    "  WHERE rank <= 10)"
+)
+
 #: classifier_score literal weight table, shared verbatim with the
 #: oracle (see ocr_spark/operators/textops.py CLF_WEIGHTS_MICRO).
 from ocr_spark.operators.textops import CLF_BIAS_MICRO as _CLF_BIAS  # noqa: E402
 from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E402
+from ocr_spark.operators.textops import HLL_ALPHA_NUM as _HLL_ALPHA  # noqa: E402
+from ocr_spark.operators.textops import _hll_rank_sql  # noqa: E402
+from ocr_spark.operators.transcript import _trunc_flag_sql  # noqa: E402
 
 _CLF_W_LIST = "[" + ", ".join(str(int(x)) for x in _CLF_W) + "]"
 
@@ -1940,6 +1978,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable K-minimum-values distinct-token sketch per source
         return textops.kmv_distinct(_docs(spark, sf))
 
+    def hll_distinct(spark, sf):
+        # HyperLogLog registers (m=64) per source: max-mergeable
+        # sketch, register-exact across engines, integer-division
+        # estimate (decimal(38,0) DIV ≡ HUGEINT //)
+        return textops.hll_distinct(_docs(spark, sf))
+
+    def hybrid_rrf(spark, sf):
+        # hybrid retrieval: BM25 lexical top-10 + exact-cosine dense
+        # top-10 (probe vectors = embeddings of the query ids), fused
+        # by reciprocal-rank fusion in exact nano-units
+        lex = textops.bm25_topk(_docs(spark, sf), _BM25_QUERIES, k=10)
+        emb = _tbl(spark, sf, "embeddings")
+        dense = similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < len(_BM25_QUERIES)), k=10
+        ).select(
+            F.col("q_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        return similarity.rrf_fuse(
+            [("lex", lex.select("query_id", "doc_id", "rank")), ("dense", dense)]
+        )
+
+    def truncation_detect(spark, sf):
+        # max-token / stop-sequence truncation audit over the shared
+        # synthetic transcript frame; the injector (clean '.' endings
+        # on turn%3=0, an unbalanced fence on assistant turn%4=1) is
+        # shared verbatim with the oracle
+        return transcript.audit_truncation(
+            _turns(spark, sf).withColumn("text", F.expr(_TRUNC_INJ_SQL))
+        )
+
     def temperature_mix(spark, sf):
         # alpha=0.5 temperature resampling over a deliberately skewed
         # synthetic domain split (50/25/12/7/6%) — uniform sources
@@ -2854,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
+        "hll_distinct": hll_distinct,
+        "hybrid_rrf": hybrid_rrf,
+        "truncation_detect": truncation_detect,
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
         "multimodal_gif_meta": multimodal_gif_meta,
@@ -3116,6 +3189,20 @@ _TURNS_SQL = (
     f"  WHEN (doc_id // 97) % 7 IN (3, 4) THEN '{_TURNS_RETRY_TEXT}'"
     "  ELSE text END AS text"
     " FROM documents)"
+)
+
+
+#: truncation_detect injector, shared verbatim between the Spark query
+#: and the oracle (the synthetic corpus has no sentence punctuation, so
+#: the injector plants clean endings on turn%3=0 and an unbalanced
+#: ``` fence on assistant turn%4=1; empty turns stay empty).  Pure
+#: turn_idx/role arithmetic — the same text runs on both engines.
+_TRUNC_INJ_SQL = (
+    "CASE WHEN text = '' THEN text"
+    " WHEN turn_idx % 3 = 0 THEN text || '.'"
+    " WHEN turn_idx % 4 = 1 AND role = 'assistant'"
+    "  THEN text || ' ```code'"
+    " ELSE text END"
 )
 
 
@@ -4310,35 +4397,40 @@ def oracle_sql() -> dict[str, str]:
         # (HUGEINT // ≡ Spark decimal DIV), Lucene +1 idf with one ln()
         # per distinct query term, final rank (score desc, doc_id asc)
         "bm25_topk": (
-            "WITH toks AS MATERIALIZED (SELECT doc_id,"
-            "  string_split(text, ' ') AS ts FROM documents),"
-            " st AS MATERIALIZED (SELECT COUNT(*) AS n,"
-            "  CAST(SUM(len(ts)) AS BIGINT) AS s FROM toks),"
-            f" qt AS (SELECT * FROM (VALUES {_BM25_VALUES})"
-            "  v(query_id, term)),"
-            " tfb AS MATERIALIZED (SELECT t.doc_id, len(t.ts) AS dl,"
-            "  u.term, COUNT(*) AS tf"
-            "  FROM toks t, LATERAL unnest(ts) u(term)"
-            f"  WHERE u.term IN ({_BM25_TERMS_IN})"
-            "  GROUP BY t.doc_id, len(t.ts), u.term),"
-            " idf AS (SELECT term, CAST(floor(1000000.0 *"
-            "  ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0))"
-            "  AS BIGINT) AS idf_u FROM (SELECT term, COUNT(*) AS df"
-            "  FROM tfb GROUP BY term), st),"
-            " sc AS (SELECT q.query_id, f.doc_id,"
-            "  (CAST(idf_u AS HUGEINT) * f.tf * 22 * s) //"
-            "  (CAST(10 AS HUGEINT) * s * f.tf + 3 * s + 9 * f.dl * n)"
-            "   AS term_score"
-            "  FROM tfb f JOIN qt q USING (term) JOIN idf USING (term)"
-            "  CROSS JOIN st),"
-            " tot AS (SELECT query_id, doc_id,"
-            "  CAST(SUM(term_score) AS BIGINT) AS score_micro"
-            "  FROM sc GROUP BY query_id, doc_id)"
-            " SELECT CAST(query_id AS INT) AS query_id, doc_id,"
-            " CAST(rank AS INT) AS rank, score_micro"
+            "WITH " + _BM25_LEX_CTE
+            + " SELECT query_id, doc_id, rank, score_micro FROM lex"
+        ),
+        # hybrid retrieval: the BM25 lex CTE + an exact-cosine dense
+        # leg (probes = embeddings of the query ids) fused by RRF in
+        # exact nano-units (1e9 // (60 + rank), integer both engines)
+        "hybrid_rrf": (
+            "WITH " + _BM25_LEX_CTE + ","
+            " q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+            f"  FROM embeddings WHERE vec_id < {len(_BM25_QUERIES)}),"
+            " c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv"
+            "  FROM embeddings),"
+            " ds AS (SELECT query_id, neighbor_id,"
+            "  ROUND(list_dot_product(qv, cv) /"
+            "   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+            "   AS cosine_r"
+            "  FROM q, c WHERE neighbor_id <> query_id),"
+            " dense AS (SELECT CAST(query_id AS INT) AS query_id,"
+            "  neighbor_id AS doc_id, CAST(rank AS INT) AS rank"
+            "  FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER"
+            "   (PARTITION BY query_id ORDER BY cosine_r DESC, neighbor_id)"
+            "   AS rank FROM ds) WHERE rank <= 10),"
+            " legs AS (SELECT query_id, doc_id, rank, 0 AS leg FROM lex"
+            "  UNION ALL SELECT query_id, doc_id, rank, 1 AS leg FROM dense),"
+            " fz AS (SELECT query_id, doc_id,"
+            "  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano,"
+            "  CAST(MAX(CASE WHEN leg = 0 THEN rank END) AS INT) AS lex_rank,"
+            "  CAST(MAX(CASE WHEN leg = 1 THEN rank END) AS INT) AS dense_rank"
+            "  FROM legs GROUP BY query_id, doc_id)"
+            " SELECT query_id, doc_id, rrf_nano, lex_rank, dense_rank,"
+            " CAST(fused_rank AS INT) AS fused_rank"
             " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
-            "  ORDER BY score_micro DESC, doc_id) AS rank FROM tot)"
-            " WHERE rank <= 10"
+            "  ORDER BY rrf_nano DESC, doc_id) AS fused_rank FROM fz)"
+            " WHERE fused_rank <= 10"
         ),
         # hashed-bag-of-words linear classifier: literal 64-weight
         # table, md5_number low-byte buckets, exact integer logit
@@ -5816,6 +5908,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT conv_id, turn_idx, role, n_tokens, tokens_to_end"
             " FROM s WHERE tokens_to_end <= 150"
         ),
+        # truncation audit: shared injector CTE, shared per-turn flag
+        # SQL, last-assistant flag via the integer max-encoding
+        # max(turn_idx*2 + flag) so the argmax can't tie across engines
+        "truncation_detect": (
+            "WITH " + _TURNS_SQL + ","
+            " inj AS (SELECT conv_id, turn_idx, role, "
+            + _TRUNC_INJ_SQL
+            + " AS text FROM turns),"
+            " f AS (SELECT conv_id, turn_idx, role, text, "
+            + _trunc_flag_sql()
+            + " AS tr FROM inj)"
+            " SELECT conv_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            " CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_empty,"
+            " CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_assistant,"
+            " CAST(SUM(tr) AS BIGINT) AS n_truncated,"
+            " CASE WHEN MAX(CASE WHEN role = 'assistant' AND text <> ''"
+            "   THEN CAST(turn_idx AS BIGINT) * 2 + tr ELSE -1 END) < 0"
+            "  THEN NULL ELSE MAX(CASE WHEN role = 'assistant'"
+            "   AND text <> '' THEN CAST(turn_idx AS BIGINT) * 2 + tr"
+            "   ELSE -1 END) % 2 = 1 END AS last_assistant_truncated"
+            " FROM f GROUP BY conv_id"
+        ),
         # conversation-level exact dedup: conv digest = md5 over ordered
         # per-turn md5(role, text) digests; canonical = min conv_id
         "conversation_dedup": (
@@ -5929,6 +6046,33 @@ def oracle_sql() -> dict[str, str]:
             "  AS est_distinct, ex.exact_distinct"
             " FROM c LEFT JOIN vkt ON c.grp = vkt.grp"
             " JOIN ex ON c.grp = ex.grp"
+        ),
+        # HyperLogLog: register index = top 6 bits of the kmv u32 hash,
+        # rank = CASE-chain highest-set-bit of the low 26; the harmonic
+        # denominator is exact in 2^-27 units and the estimate is one
+        # HUGEINT // chain ≡ Spark decimal(38,0) DIV
+        "hll_distinct": (
+            "WITH toks AS (SELECT source AS grp,"
+            "  unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " tf AS MATERIALIZED (SELECT grp, tok FROM toks WHERE tok <> ''),"
+            " ex AS (SELECT grp, CAST(COUNT(DISTINCT tok) AS BIGINT)"
+            "  AS exact_distinct FROM tf GROUP BY grp),"
+            " hv AS (SELECT grp, "
+            + _sql_md5_u32be("md5(tok)")
+            + " AS v FROM tf),"
+            " r AS (SELECT grp, v // 67108864 AS reg, "
+            + _hll_rank_sql("(v % 67108864)")
+            + " AS rk FROM hv),"
+            " m AS (SELECT grp, reg, MAX(rk) AS mr FROM r GROUP BY grp, reg),"
+            " g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_regs,"
+            "  CAST(SUM(CAST(1 AS BIGINT) << (27 - mr)) AS BIGINT) AS pd"
+            "  FROM m GROUP BY grp),"
+            " d AS (SELECT grp, n_regs,"
+            "  CAST(pd + (64 - n_regs) * 134217728 AS BIGINT) AS denom FROM g)"
+            " SELECT d.grp AS source, d.n_regs, d.denom,"
+            f" CAST(CAST({_HLL_ALPHA} AS HUGEINT) * 134217728"
+            "  // d.denom // 1000000 AS BIGINT) AS est_distinct,"
+            " ex.exact_distinct FROM d JOIN ex ON d.grp = ex.grp"
         ),
         # alpha=0.5 temperature resample: micro-unit sqrt weights,
         # HUGEINT // ≡ Spark decimal(38,0) DIV, md5 keep order

@@ -700,3 +700,67 @@ def embedding_outliers(
             (F.col("cos_centroid") < 0.0).alias("is_outlier"),
         )
     )
+
+
+#: Reciprocal-rank-fusion contract (Cormack, Clarke & Buettcher,
+#: SIGIR 2009): score = Σ_legs 1/(k0 + rank) with the standard
+#: k0 = 60, carried in exact nano-units so fused scores are integers.
+RRF_K0 = 60
+RRF_NANO = 1_000_000_000
+
+
+def rrf_fuse(
+    legs: "list[tuple[str, DataFrame]]",
+    k: int = 10,
+    k0: int = RRF_K0,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists — the hybrid-
+    retrieval combiner (a BM25 lexical leg + an embedding dense leg is
+    the standard RAG shape).  Each leg holds (query, doc, rank) rows;
+    a doc absent from a leg simply contributes nothing.  Per-leg
+    contribution is ``RRF_NANO DIV (k0 + rank)`` — integer division of
+    integers, bit-exact across engines — and the fused total order is
+    (score desc, doc id asc).  Output keeps each leg's rank as
+    ``<name>_rank`` (NULL where the leg missed the doc).
+
+    Scale shape: every leg is already a per-query top-k, so the union
+    shuffles bounded (query, doc, rank) triples only and the fused
+    window sorts ≤ legs·k rows per query — partition count grows with
+    the query set, never the corpus."""
+    from functools import reduce
+
+    parts = [
+        df.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.lit(i).alias("__leg"),
+        )
+        for i, (_, df) in enumerate(legs)
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    contrib = F.expr(f"CAST({RRF_NANO} DIV ({k0} + rank) AS BIGINT)")
+    aggs = [F.sum(contrib).alias("rrf_nano")]
+    for i, (name, _) in enumerate(legs):
+        aggs.append(
+            F.max(F.when(F.col("__leg") == i, F.col("rank")))
+            .cast("int")
+            .alias(f"{name}_rank")
+        )
+    fused = u.groupBy(query_col, id_col).agg(*aggs)
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_nano"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            query_col,
+            id_col,
+            "rrf_nano",
+            *[f"{name}_rank" for name, _ in legs],
+            "fused_rank",
+        )
+    )

@@ -3576,6 +3576,108 @@ def kmv_distinct(
     )
 
 
+#: HyperLogLog layout — fixed operator contract (Flajolet et al. 2007):
+#: p = 6 index bits → m = 64 registers, q = 26 rank bits, and the
+#: m = 64 bias constant alpha = 0.7213/(1 + 1.079/m) held as the exact
+#: integer numerator floor(1e6·alpha)·m² so the estimate is one
+#: integer-division chain.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_Q = 32 - HLL_P
+HLL_ALPHA_NUM = 709_340 * HLL_M * HLL_M
+
+
+def _hll_rank_sql(rem: str) -> str:
+    """Dialect-neutral CASE chain: the HLL rank (leading zeros + 1) of
+    the ``HLL_Q``-bit remainder expression ``rem``; an all-zero
+    remainder ranks ``HLL_Q + 1``.  Pure integer comparisons — no
+    float log2 whose boundary rounding could diverge — so the SAME
+    text renders on the JVM and in DuckDB."""
+    branches = " ".join(
+        f"WHEN {rem} >= {1 << (HLL_Q - 1 - z)} THEN {z + 1}"
+        for z in range(HLL_Q)
+    )
+    return f"CASE {branches} ELSE {HLL_Q + 1} END"
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group distinct-token cardinality via HyperLogLog registers
+    (m = 64), next to the exact count for calibration — the mergeable
+    sibling of kmv_distinct for UNION-able sketches.
+
+    Tokens hash to the SAME big-endian u32 as kmv_distinct; the top
+    ``HLL_P`` bits pick a register and the rank is the position of the
+    highest set bit of the remaining ``HLL_Q`` bits (a CASE chain of
+    integer comparisons).  The raw estimate alpha·m²/Σ2^(-M_j) is
+    evaluated EXACTLY: with the harmonic denominator carried in units
+    of 2^(-(Q+1)) — Σ 2^(Q+1-M_j) over occupied registers plus
+    2^(Q+1) per empty register — the estimate is
+    ``HLL_ALPHA_NUM · 2^(Q+1) DIV denom DIV 1e6`` in decimal(38,0)
+    (≡ HUGEINT ``//`` in the oracle).  The small-range linear-counting
+    correction is deliberately NOT applied (it needs ln()); ``n_regs``
+    is emitted so a consumer can apply it downstream.
+
+    Scale shape: THE mergeable sketch — max() per (group, register)
+    partial-aggregates map-side, so only ≤ m rows per group cross the
+    exchange and per-partition register vectors merge by elementwise
+    max without re-reading tokens; the per-group fold is a 64-row sum.
+    The exact countDistinct column is the small-scale calibration
+    readout and would be dropped — or kept as approx_count_distinct,
+    which is this very sketch JVM-native — at 100 TB."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    h = toks.select(
+        "grp",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    )
+    regs = (
+        h.select(
+            "grp",
+            F.expr(f"v DIV {1 << HLL_Q}").alias("reg"),
+            F.expr(_hll_rank_sql(f"(v % {1 << HLL_Q})")).alias("rk"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rk").alias("mr"))
+    )
+    g = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_Q + 1} - mr)")
+        ).alias("pd"),
+    )
+    denom = (
+        F.col("pd")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs"))
+        * F.lit(1 << (HLL_Q + 1))
+    )
+    est = F.expr(
+        f"CAST(CAST({HLL_ALPHA_NUM} AS DECIMAL(38,0)) * {1 << (HLL_Q + 1)}"
+        " DIV denom DIV 1000000 AS BIGINT)"
+    )
+    return (
+        g.withColumn("denom", denom.cast("long"))
+        .join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_regs",
+            "denom",
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
+
+
 #: temperature_mix contract: alpha = 1/2 (weights ∝ sqrt(domain size) —
 #: the multilingual-LM temperature-sampling standard), budget = half
 #: the corpus, weights held in exact micro-units.

@@ -344,3 +344,78 @@ def preference_pairs(qa: DataFrame) -> DataFrame:
             (F.col("chosen_qe4") - F.col("rejected_qe4")).alias("margin_e4"),
         )
     )
+
+
+#: Sentence-final characters accepted as a clean response ending —
+#: fixed operator contract, shared verbatim with the oracle.
+TRUNC_PUNCT = (".", "!", "?")
+
+
+def _trunc_flag_sql(text: str = "text", role: str = "role") -> str:
+    """Dialect-neutral per-turn truncation flag (1/0): an assistant
+    turn with text that either lacks sentence-final punctuation or
+    leaves a \\`\\`\\` code fence unbalanced.  Fence parity avoids the
+    ``/`` operator (double on the JVM, integer in DuckDB): with the
+    removed length a multiple of 3, an odd fence count ⟺ length
+    delta % 6 = 3.  The SAME text renders on the JVM and in DuckDB."""
+    punct = ", ".join(f"'{p}'" for p in TRUNC_PUNCT)
+    return (
+        f"CASE WHEN {role} = 'assistant' AND {text} <> '' AND"
+        f" (substr({text}, length({text}), 1) NOT IN ({punct})"
+        f" OR (length({text}) - length(replace({text}, '```', ''))) % 6 = 3)"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+def audit_truncation(turns: DataFrame) -> DataFrame:
+    """Per-conversation truncation audit — the SFT-ingest gate that
+    catches responses cut off by max-token limits or stop-sequence
+    bugs: an assistant turn counts as truncated when it does not end
+    in sentence-final punctuation or leaves a code fence open.  The
+    last assistant turn's flag is surfaced separately (a truncated
+    FINAL response is the common max-token symptom; NULL when the
+    conversation has no non-empty assistant turn) via an integer
+    max-encoding — max(turn_idx·2 + flag) — so the argmax can't
+    tie-break differently across engines.
+
+    Scale shape: per-turn flags are single-row JVM expressions; the
+    audit is ONE hash aggregation on conv_id (the same partitioning
+    every other transcript stage uses) — no window, no second
+    exchange, text never leaves the scan stage."""
+    per = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.expr(_trunc_flag_sql()).alias("__tr"),
+    )
+    last_enc = F.max(
+        F.when(
+            (F.col("role") == "assistant") & (F.col("text") != ""),
+            F.col("turn_idx").cast("long") * 2 + F.col("__tr"),
+        ).otherwise(F.lit(-1).cast("long"))
+    )
+    return (
+        per.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.when(F.col("text") == "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("long")
+            .alias("n_assistant"),
+            F.sum("__tr").cast("long").alias("n_truncated"),
+            last_enc.alias("__mx"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_empty",
+            "n_assistant",
+            "n_truncated",
+            F.when(F.col("__mx") < 0, F.lit(None).cast("boolean"))
+            .otherwise(F.col("__mx") % 2 == 1)
+            .alias("last_assistant_truncated"),
+        )
+    )

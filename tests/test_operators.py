@@ -1303,3 +1303,28 @@ def test_containment_flags_inclusion_jaccard_misses(spark):
     assert out == {(0, 1): 1.0}
     jac = dedup.verified_dup_pairs(docs, threshold=0.0).collect()
     assert all(r["jaccard"] < 0.8 for r in jac)  # Jaccard under-scores it
+
+
+def test_rrf_fuse_hand_values(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    out = {
+        r.doc_id: r
+        for r in similarity.rrf_fuse([("lex", lex), ("dense", dense)], k=10).collect()
+    }
+    # doc 11 appears in both legs: 1e9//62 + 1e9//61
+    assert out[11].rrf_nano == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert (out[11].lex_rank, out[11].dense_rank) == (2, 1)
+    assert out[11].fused_rank == 1
+    # doc 10 only lexical at rank 1
+    assert out[10].rrf_nano == 1_000_000_000 // 61
+    assert out[10].dense_rank is None and out[10].fused_rank == 2
+    # tie between doc 12 (lex rank 3) and doc 13 (dense... ) no tie:
+    # 1e9//63 < 1e9//62, so doc 13 ranks 3rd, doc 12 4th
+    assert out[13].fused_rank == 3 and out[12].fused_rank == 4

@@ -304,3 +304,73 @@ def test_dedup_keep_best_one_keeper_per_cluster(spark):
         assert k.doc_id == min(
             m.doc_id for m in members if m.qe4 == k.qe4
         )
+
+
+def test_hll_registers_match_reference_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("g1", "alpha beta gamma beta"), ("g1", "delta alpha"), ("g2", "x y z")],
+        ["source", "text"],
+    )
+    out = {r.source: r for r in textops.hll_distinct(df).collect()}
+
+    def ref(tokens):
+        regs = {}
+        for t in tokens:
+            v = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+            reg, rem = v >> 26, v & ((1 << 26) - 1)
+            rank = 27 - rem.bit_length() if rem else 27
+            regs[reg] = max(regs.get(reg, 0), rank)
+        pd_ = sum(1 << (27 - m) for m in regs.values())
+        denom = pd_ + (64 - len(regs)) * (1 << 27)
+        est = textops.HLL_ALPHA_NUM * (1 << 27) // denom // 1_000_000
+        return len(regs), denom, est
+
+    n1, d1, e1 = ref(["alpha", "beta", "gamma", "delta"])
+    assert (out["g1"].n_regs, out["g1"].denom, out["g1"].est_distinct) == (n1, d1, e1)
+    assert out["g1"].exact_distinct == 4
+    n2, d2, e2 = ref(["x", "y", "z"])
+    assert (out["g2"].n_regs, out["g2"].denom, out["g2"].est_distinct) == (n2, d2, e2)
+
+
+def test_hll_estimate_tracks_exact_at_corpus_scale(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = textops.hll_distinct(docs).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_regs <= 64
+        if r.exact_distinct >= 160:
+            # above the small-range regime (2.5m): raw estimate, ~13% σ
+            assert r.exact_distinct / 2 <= r.est_distinct <= r.exact_distinct * 2
+        else:
+            # small-range regime: the raw estimate biases high by design;
+            # n_regs is emitted exactly so the consumer-side linear
+            # counting m·ln(m/zeros) recovers the cardinality
+            lc = 64 * math.log(64 / (64 - r.n_regs))
+            assert r.exact_distinct / 1.5 <= lc <= r.exact_distinct * 1.5
+            assert r.est_distinct >= r.exact_distinct / 2
+
+
+def test_audit_truncation_flags(spark):
+    rows = [
+        # c1: assistant ends clean, then assistant leaves a fence open
+        ("c1", 0, "user", "hi there"),
+        ("c1", 1, "assistant", "all done."),
+        ("c1", 2, "assistant", "let me write ```python code"),
+        # c2: empty assistant turn + user turn only -> no flags, last NULL
+        ("c2", 0, "assistant", ""),
+        ("c2", 1, "user", "no punct here"),
+        # c3: balanced fences but no final punctuation -> truncated
+        ("c3", 0, "assistant", "```a``` result"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in transcript.audit_truncation(df).collect()}
+    c1 = out["c1"]
+    assert (c1.n_turns, c1.n_empty, c1.n_assistant, c1.n_truncated) == (3, 0, 2, 1)
+    assert c1.last_assistant_truncated is True
+    c2 = out["c2"]
+    assert (c2.n_empty, c2.n_truncated) == (1, 0)
+    assert c2.last_assistant_truncated is None
+    c3 = out["c3"]
+    assert c3.n_truncated == 1 and c3.last_assistant_truncated is True
