@@ -1360,3 +1360,55 @@ def test_cms_counter_grid_broadcasts(spark):
         if "Broadcast" in b:
             continue
         assert "text" not in b, b
+
+
+def test_hll_distinct_register_rows_only_across_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.hll_distinct(docs))
+    # (group, register) max partial-aggregates map-side — ≤64 rows per
+    # group cross the exchange; whole documents never ride one
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rrf_fuse_no_nested_loop_and_bounded_window(spark):
+    from ocr_spark.operators import similarity, textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lex = textops.bm25_topk(docs, ("fast table scan",), k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 1), k=10
+    ).select(
+        F.col("q_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    plan = _plan(similarity.rrf_fuse([("lex", lex), ("dense", dense)]))
+    # legs union as bounded (query, doc, rank) triples; the dense leg's
+    # probe set broadcasts (tiny queries frame), the fused window
+    # partitions on query_id — never a single global sort
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(query_id" in plan
+    for b in _exchange_blocks(plan):
+        assert "embedding#" not in b and "text#" not in b
+
+
+def test_audit_truncation_one_conv_exchange(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", "done.")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.audit_truncation(turns))
+    # per-turn flags are scan-stage expressions; ONE hash aggregation
+    # on conv_id, no window, no join
+    assert plan.count("Exchange") <= 2  # partial agg + final (AQE may fuse)
+    assert "Window" not in plan and "Join" not in plan
