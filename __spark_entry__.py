@@ -1822,6 +1822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (prompt, response) supervision pairs SFT ingests
         return transcript.qa_pairs(_turns(spark, sf))
 
+    def grounding_score(spark, sf):
+        # RAG-faithfulness gate: share of distinct response bigrams
+        # present in the prompt, exact integer counts + e6 ratio
+        return transcript.grounding_score(
+            transcript.qa_pairs(_turns(spark, sf))
+        )
+
     def transcript_clean(spark, sf):
         # drop blank turns, collapse verbatim retry runs, renumber
         return transcript.clean_turns(_turns(spark, sf))
@@ -2916,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_checksum": release_checksum,
         "dedup_containment": dedup_containment,
         "qa_pair_extract": qa_pair_extract,
+        "grounding_score": grounding_score,
         "transcript_clean": transcript_clean,
         "transcript_validate": transcript_validate,
         "loss_mask_spans": loss_mask_spans,
@@ -5848,6 +5856,35 @@ def oracle_sql() -> dict[str, str]:
             "  FROM turns)"
             " SELECT conv_id, turn_idx, prompt, text AS response FROM p"
             " WHERE role = 'assistant' AND prompt IS NOT NULL"
+        ),
+        # groundedness: distinct response bigrams ∩ prompt bigrams;
+        # DuckDB range() is empty below 2 tokens (Spark guards its
+        # DESCENDING sequence() with a size CASE); e6 ratio via //
+        "grounding_score": (
+            "WITH " + _TURNS_SQL + ","
+            " p AS (SELECT conv_id, turn_idx, role, text,"
+            "  last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)"
+            "  OVER (PARTITION BY conv_id ORDER BY turn_idx"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt"
+            "  FROM turns),"
+            " qa AS (SELECT conv_id, turn_idx, prompt, text AS response"
+            "  FROM p WHERE role = 'assistant' AND prompt IS NOT NULL),"
+            " tk AS (SELECT conv_id, turn_idx,"
+            "  string_split(prompt, ' ') AS pt,"
+            "  string_split(response, ' ') AS rt FROM qa),"
+            " bg AS (SELECT conv_id, turn_idx,"
+            "  list_distinct(list_transform(range(1, len(pt)),"
+            "   i -> pt[i] || ' ' || pt[i+1])) AS pb,"
+            "  list_distinct(list_transform(range(1, len(rt)),"
+            "   i -> rt[i] || ' ' || rt[i+1])) AS rb FROM tk),"
+            " ct AS (SELECT conv_id, turn_idx,"
+            "  CAST(len(rb) AS BIGINT) AS n_bigrams,"
+            "  CAST(len(list_intersect(rb, pb)) AS BIGINT) AS n_grounded"
+            "  FROM bg)"
+            " SELECT conv_id, turn_idx, n_bigrams, n_grounded,"
+            " CASE WHEN n_bigrams = 0 THEN NULL"
+            "  ELSE CAST(1000000 * n_grounded // n_bigrams AS BIGINT) END"
+            "  AS grounded_e6 FROM ct"
         ),
         # blank turns drop; verbatim (role, text) repeats of the
         # previous turn collapse keep-first; survivors renumber densely

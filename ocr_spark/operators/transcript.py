@@ -419,3 +419,58 @@ def audit_truncation(turns: DataFrame) -> DataFrame:
             .alias("last_assistant_truncated"),
         )
     )
+
+
+def grounding_score(qa: DataFrame) -> DataFrame:
+    """Context-groundedness over (prompt, response) pairs — the RAG
+    faithfulness heuristic: the share of DISTINCT response bigrams
+    that also occur in the prompt (a response inventing n-grams its
+    context never contained scores low).  Counts are exact integers
+    and the ratio is ``1e6·n_grounded DIV n_bigrams``; responses under
+    two tokens emit NULL (no bigrams to ground).
+
+    The Spark side guards ``sequence(1, n-1)`` behind a size check —
+    Spark's sequence() DESCENDS when the bound is below the start,
+    whereas the oracle's range() is simply empty — and set sizes come
+    from array_distinct/array_intersect (≡ DuckDB list_distinct/
+    list_intersect).
+
+    Scale shape: adds ZERO exchanges on top of qa_pairs — bigram sets
+    and intersection sizes are per-row JVM expressions inside the same
+    stage; no token ever leaves the scan."""
+    bg = (
+        "CASE WHEN size({t}) >= 2 THEN array_distinct("
+        "transform(sequence(1, size({t}) - 1),"
+        " i -> concat_ws(' ', element_at({t}, i), element_at({t}, i + 1))))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    base = qa.select(
+        "conv_id",
+        "turn_idx",
+        F.split("prompt", " ").alias("__p"),
+        F.split("response", " ").alias("__r"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.expr(bg.format(t="__p")).alias("__pb"),
+        F.expr(bg.format(t="__r")).alias("__rb"),
+    )
+    counted = base.select(
+        "conv_id",
+        "turn_idx",
+        F.size("__rb").cast("long").alias("n_bigrams"),
+        F.size(F.array_intersect("__rb", "__pb"))
+        .cast("long")
+        .alias("n_grounded"),
+    )
+    return counted.select(
+        "conv_id",
+        "turn_idx",
+        "n_bigrams",
+        "n_grounded",
+        F.when(F.col("n_bigrams") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("CAST(1000000 * n_grounded DIV n_bigrams AS BIGINT)")
+        )
+        .alias("grounded_e6"),
+    )

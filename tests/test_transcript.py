@@ -374,3 +374,28 @@ def test_audit_truncation_flags(spark):
     assert c2.last_assistant_truncated is None
     c3 = out["c3"]
     assert c3.n_truncated == 1 and c3.last_assistant_truncated is True
+
+
+def test_grounding_score_hand_values(spark):
+    qa = spark.createDataFrame(
+        [
+            # response bigrams: {a b, b c, c d}; prompt has {a b, b c}
+            ("c1", 1, "x a b c y", "a b c d"),
+            # single-token response: no bigrams -> NULL ratio
+            ("c1", 3, "a b", "solo"),
+            # fully grounded
+            ("c2", 1, "p q r", "p q"),
+        ],
+        ["conv_id", "turn_idx", "prompt", "response"],
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in transcript.grounding_score(qa).collect()
+    }
+    r1 = out[("c1", 1)]
+    assert (r1.n_bigrams, r1.n_grounded) == (3, 2)
+    assert r1.grounded_e6 == 1_000_000 * 2 // 3
+    r2 = out[("c1", 3)]
+    assert r2.n_bigrams == 0 and r2.grounded_e6 is None
+    r3 = out[("c2", 1)]
+    assert (r3.n_grounded, r3.grounded_e6) == (1, 1_000_000)
