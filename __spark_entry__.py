@@ -161,6 +161,107 @@ _BM25_LEX_CTE = (
     "  WHERE rank <= 10)"
 )
 
+#: Hybrid-retrieval oracle CTE chain ending in fused(query_id, doc_id,
+#: rrf_nano, lex_rank, dense_rank, fused_rank) — the BM25 lex CTE + an
+#: exact-cosine dense leg fused by RRF at 1e9 // (60 + rank); shared by
+#: the hybrid_rrf oracle and the mmr_rerank candidate stage.
+_HYBRID_FUSED_CTE = (
+    _BM25_LEX_CTE + ","
+    " q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+    f"  FROM embeddings WHERE vec_id < {len(_BM25_QUERIES)}),"
+    " c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv"
+    "  FROM embeddings),"
+    " ds AS (SELECT query_id, neighbor_id,"
+    "  ROUND(list_dot_product(qv, cv) /"
+    "   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+    "   AS cosine_r"
+    "  FROM q, c WHERE neighbor_id <> query_id),"
+    " dense AS (SELECT CAST(query_id AS INT) AS query_id,"
+    "  neighbor_id AS doc_id, CAST(rank AS INT) AS rank"
+    "  FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER"
+    "   (PARTITION BY query_id ORDER BY cosine_r DESC, neighbor_id)"
+    "   AS rank FROM ds) WHERE rank <= 10),"
+    " legs AS (SELECT query_id, doc_id, rank, 0 AS leg FROM lex"
+    "  UNION ALL SELECT query_id, doc_id, rank, 1 AS leg FROM dense),"
+    " fz AS (SELECT query_id, doc_id,"
+    "  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano,"
+    "  CAST(MAX(CASE WHEN leg = 0 THEN rank END) AS INT) AS lex_rank,"
+    "  CAST(MAX(CASE WHEN leg = 1 THEN rank END) AS INT) AS dense_rank"
+    "  FROM legs GROUP BY query_id, doc_id),"
+    " fused AS MATERIALIZED (SELECT query_id, doc_id, rrf_nano,"
+    "  lex_rank, dense_rank, CAST(fused_rank AS INT) AS fused_rank"
+    "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+    "   ORDER BY rrf_nano DESC, doc_id) AS fused_rank FROM fz)"
+    "  WHERE fused_rank <= 10)"
+)
+
+
+def _mmr_oracle_sql(k: int = 5, k_in: int = 10) -> str:
+    """Unrolled-greedy MMR oracle over the hybrid fused candidates:
+    iteration 1 is the pure-relevance argmax; each later iteration
+    anti-joins the selected set (LEFT JOIN + IS NULL — correlated NOT
+    EXISTS over a CTE chain gets inlined exponentially in DuckDB),
+    takes max Jaccard similarity against it, and argmaxes
+    rel − max_sim with doc-id tie-breaks.  Mirrors
+    similarity.mmr_rerank exactly."""
+    parts = [
+        "WITH " + _HYBRID_FUSED_CTE + ",",
+        " cd AS MATERIALIZED (SELECT f.query_id AS q, f.doc_id AS d,"
+        f"  CAST(CAST(1000000000 AS BIGINT) * ({k_in} + 1 - f.fused_rank)"
+        f"   // {k_in} AS BIGINT) AS rel,"
+        "  list_distinct(string_split(dt.text, ' ')) AS t"
+        "  FROM fused f JOIN documents dt ON f.doc_id = dt.doc_id),",
+        " sm AS MATERIALIZED (SELECT x.q, x.d AS a_id, y.d AS b_id,"
+        "  CASE WHEN (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) = 0"
+        "   THEN CAST(0 AS BIGINT)"
+        "   ELSE CAST(CAST(1000000000 AS BIGINT) * len(list_intersect(x.t, y.t)) //"
+        "    (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))) AS BIGINT)"
+        "  END AS s"
+        "  FROM cd x JOIN cd y ON x.q = y.q AND x.d <> y.d),",
+        " p1 AS MATERIALIZED (SELECT q, d, rel, CAST(0 AS BIGINT) AS ms,"
+        "  rel AS sc, 1 AS mmr_rank"
+        "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q"
+        "   ORDER BY rel DESC, d) AS rn FROM cd) WHERE rn = 1),",
+        " sel1 AS (SELECT q, d FROM p1),",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f" m{i} AS (SELECT s.q, s.a_id AS d, MAX(s.s) AS ms"
+            f"  FROM sm s JOIN sel{i - 1} e ON s.q = e.q AND s.b_id = e.d"
+            "  GROUP BY s.q, s.a_id),"
+        )
+        parts.append(
+            f" sc{i} AS (SELECT c.q, c.d, c.rel,"
+            f"  CAST(COALESCE(m.ms, 0) AS BIGINT) AS ms,"
+            f"  c.rel - CAST(COALESCE(m.ms, 0) AS BIGINT) AS sc"
+            f"  FROM cd c LEFT JOIN m{i} m ON c.q = m.q AND c.d = m.d"
+            f"  LEFT JOIN sel{i - 1} e ON c.q = e.q AND c.d = e.d"
+            "  WHERE e.d IS NULL),"
+        )
+        parts.append(
+            f" p{i} AS MATERIALIZED (SELECT q, d, rel, ms, sc,"
+            f" {i} AS mmr_rank"
+            "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q"
+            f"   ORDER BY sc DESC, d) AS rn FROM sc{i}) WHERE rn = 1),"
+        )
+        parts.append(
+            f" sel{i} AS (SELECT q, d FROM sel{i - 1}"
+            f"  UNION ALL SELECT q, d FROM p{i}),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        " allp AS (" + union + ")"
+        " SELECT CAST(q AS INT) AS query_id, d AS doc_id,"
+        " CAST(mmr_rank AS INT) AS mmr_rank, rel AS rel_nano,"
+        " ms AS max_sim_nano, sc AS mmr_score_nano FROM allp"
+    )
+    return "".join(parts)
+
+
+_MMR_ORACLE_SQL = _mmr_oracle_sql()
+
 #: classifier_score literal weight table, shared verbatim with the
 #: oracle (see ocr_spark/operators/textops.py CLF_WEIGHTS_MICRO).
 from ocr_spark.operators.textops import CLF_BIAS_MICRO as _CLF_BIAS  # noqa: E402
@@ -2008,6 +2109,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("lex", lex.select("query_id", "doc_id", "rank")), ("dense", dense)]
         )
 
+    def mmr_rerank(spark, sf):
+        # MMR diversification of the hybrid fused top-10: rank-based
+        # relevance nano-units vs token-set-Jaccard redundancy, 5
+        # unrolled greedy argmax iterations with persisted shared
+        # frames — the post-retrieval de-dup a RAG stack runs
+        fused = hybrid_rrf(spark, sf)
+        toks = _docs(spark, sf).select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+        cand = fused.select(
+            "query_id", "doc_id", F.col("fused_rank").alias("rank")
+        ).join(toks, "doc_id")
+        return similarity.mmr_rerank(cand)
+
     def truncation_detect(spark, sf):
         # max-token / stop-sequence truncation audit over the shared
         # synthetic transcript frame; the injector (clean '.' endings
@@ -2934,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": kmv_distinct,
         "hll_distinct": hll_distinct,
         "hybrid_rrf": hybrid_rrf,
+        "mmr_rerank": mmr_rerank,
         "truncation_detect": truncation_detect,
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
@@ -4412,34 +4528,15 @@ def oracle_sql() -> dict[str, str]:
         # leg (probes = embeddings of the query ids) fused by RRF in
         # exact nano-units (1e9 // (60 + rank), integer both engines)
         "hybrid_rrf": (
-            "WITH " + _BM25_LEX_CTE + ","
-            " q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
-            f"  FROM embeddings WHERE vec_id < {len(_BM25_QUERIES)}),"
-            " c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv"
-            "  FROM embeddings),"
-            " ds AS (SELECT query_id, neighbor_id,"
-            "  ROUND(list_dot_product(qv, cv) /"
-            "   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
-            "   AS cosine_r"
-            "  FROM q, c WHERE neighbor_id <> query_id),"
-            " dense AS (SELECT CAST(query_id AS INT) AS query_id,"
-            "  neighbor_id AS doc_id, CAST(rank AS INT) AS rank"
-            "  FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER"
-            "   (PARTITION BY query_id ORDER BY cosine_r DESC, neighbor_id)"
-            "   AS rank FROM ds) WHERE rank <= 10),"
-            " legs AS (SELECT query_id, doc_id, rank, 0 AS leg FROM lex"
-            "  UNION ALL SELECT query_id, doc_id, rank, 1 AS leg FROM dense),"
-            " fz AS (SELECT query_id, doc_id,"
-            "  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano,"
-            "  CAST(MAX(CASE WHEN leg = 0 THEN rank END) AS INT) AS lex_rank,"
-            "  CAST(MAX(CASE WHEN leg = 1 THEN rank END) AS INT) AS dense_rank"
-            "  FROM legs GROUP BY query_id, doc_id)"
-            " SELECT query_id, doc_id, rrf_nano, lex_rank, dense_rank,"
-            " CAST(fused_rank AS INT) AS fused_rank"
-            " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
-            "  ORDER BY rrf_nano DESC, doc_id) AS fused_rank FROM fz)"
-            " WHERE fused_rank <= 10"
+            "WITH " + _HYBRID_FUSED_CTE
+            + " SELECT query_id, doc_id, rrf_nano, lex_rank, dense_rank,"
+            " fused_rank FROM fused"
         ),
+        # MMR diversification of the fused top-10: rank-based relevance
+        # nano-units, token-set Jaccard redundancy, 5 UNROLLED greedy
+        # argmax iterations (bpe_train precedent); LEFT JOIN + IS NULL
+        # instead of correlated NOT EXISTS (DuckDB inlines those)
+        "mmr_rerank": _MMR_ORACLE_SQL,
         # hashed-bag-of-words linear classifier: literal 64-weight
         # table, md5_number low-byte buckets, exact integer logit
         "classifier_score": (

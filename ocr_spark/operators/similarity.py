@@ -764,3 +764,119 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int = 5,
+    k_in: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    tok_col: str = "toks",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) of a per-query top-``k_in`` candidate list:
+    greedily select ``k`` documents maximizing relevance minus
+    redundancy against what's already selected — the de-duplicating
+    re-rank a RAG stack runs after retrieval so the context window
+    isn't spent on near-identical passages.
+
+    Exact integer contract: relevance is rank-based,
+    ``rel = 1e9·(k_in+1−rank) DIV k_in``; redundancy is token-set
+    Jaccard in nano-units (``1e9·inter DIV union``); the λ=1/2
+    selection score is kept doubled (``rel − max_sim``) so it stays an
+    integer, and every argmax tie breaks on doc id.  The first pick is
+    pure relevance (empty selected set).
+
+    Scale shape: candidate sets are ``k_in``-bounded per query, so the
+    pairwise-similarity join is ≤ k_in² rows per query and every
+    iteration's window sorts ≤ k_in rows — all partitioned by query,
+    growing with the query set, never the corpus.  The ``k`` greedy
+    iterations are UNROLLED into the plan (k is a small constant;
+    the bpe_train precedent), with the shared candidate/similarity
+    frames persisted so no branch recomputes retrieval."""
+    from ocr_spark.operators.dedup import _own_caches
+
+    base = cand.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.expr(
+            f"CAST(CAST(1000000000 AS BIGINT) * ({k_in} + 1 - rank)"
+            f" DIV {k_in} AS BIGINT)"
+        ).alias("rel"),
+        F.array_distinct(F.col(tok_col)).alias("t"),
+    ).persist()
+    a = base.select("q", F.col("d").alias("a_id"), F.col("t").alias("a_t"))
+    b = base.select("q", F.col("d").alias("b_id"), F.col("t").alias("b_t"))
+    inter = F.size(F.array_intersect("a_t", "b_t")).cast("long")
+    union = (F.size("a_t") + F.size("b_t")).cast("long") - inter
+    sims = (
+        a.join(b, "q")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        .select(
+            "q",
+            "a_id",
+            "b_id",
+            F.when(F.col("__u") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("CAST(1000000000 * __i DIV __u AS BIGINT)"))
+            .alias("s"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("__sc"), F.asc("d"))
+
+    def pick(scored: DataFrame, rank_i: int) -> DataFrame:
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "q",
+                "d",
+                "rel",
+                "__ms",
+                "__sc",
+                F.lit(rank_i).cast("int").alias("mmr_rank"),
+            )
+            .persist()
+        )
+
+    picks = [
+        pick(
+            base.withColumn("__ms", F.lit(0).cast("long")).withColumn(
+                "__sc", F.col("rel")
+            ),
+            1,
+        )
+    ]
+    from functools import reduce
+
+    for i in range(2, k + 1):
+        selected = reduce(
+            DataFrame.unionByName, [p.select("q", "d") for p in picks]
+        )
+        ms = (
+            sims.join(
+                selected.withColumnRenamed("d", "b_id"), ["q", "b_id"]
+            )
+            .groupBy("q", F.col("a_id").alias("d"))
+            .agg(F.max("s").alias("__ms0"))
+        )
+        scored = (
+            base.join(selected, ["q", "d"], "left_anti")
+            .join(ms, ["q", "d"], "left")
+            .withColumn("__ms", F.coalesce(F.col("__ms0"), F.lit(0).cast("long")))
+            .withColumn("__sc", F.col("rel") - F.col("__ms"))
+            .drop("__ms0")
+        )
+        picks.append(pick(scored, i))
+    out = reduce(DataFrame.unionByName, picks).select(
+        F.col("q").alias(query_col),
+        F.col("d").alias(id_col),
+        "mmr_rank",
+        F.col("rel").alias("rel_nano"),
+        F.col("__ms").alias("max_sim_nano"),
+        F.col("__sc").alias("mmr_score_nano"),
+    )
+    return _own_caches(out, [base, sims, *picks])

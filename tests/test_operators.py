@@ -1328,3 +1328,27 @@ def test_rrf_fuse_hand_values(spark):
     # tie between doc 12 (lex rank 3) and doc 13 (dense... ) no tie:
     # 1e9//63 < 1e9//62, so doc 13 ranks 3rd, doc 12 4th
     assert out[13].fused_rank == 3 and out[12].fused_rank == 4
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    cand = spark.createDataFrame(
+        [
+            (0, 1, 1, ["a", "b", "c"]),
+            (0, 2, 2, ["a", "b", "c"]),  # exact dup of doc 1's tokens
+            (0, 3, 3, ["x", "y", "z"]),  # disjoint
+        ],
+        ["query_id", "doc_id", "rank", "toks"],
+    )
+    out = {
+        r.mmr_rank: r
+        for r in similarity.mmr_rerank(cand, k=2, k_in=3).collect()
+    }
+    # first pick is pure relevance
+    assert out[1].doc_id == 1 and out[1].rel_nano == 1_000_000_000
+    assert out[1].max_sim_nano == 0
+    # second pick: doc 2 is redundant (sim 1e9 -> score negative);
+    # the disjoint doc 3 wins despite lower relevance
+    assert out[2].doc_id == 3
+    assert out[2].rel_nano == 1_000_000_000 * 1 // 3
+    assert out[2].max_sim_nano == 0
+    assert out[2].mmr_score_nano == out[2].rel_nano
