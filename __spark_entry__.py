@@ -2092,6 +2092,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimate (decimal(38,0) DIV ≡ HUGEINT //)
         return textops.hll_distinct(_docs(spark, sf))
 
+    def span_corruption(spark, sf):
+        # T5 denoising pairs: md5-deterministic masked spans →
+        # <extra_id_k> sentinel inputs + span targets, one doc_id
+        # exchange shared by the lag chain, prefix sum and re-assembly
+        return textops.span_corruption(_docs(spark, sf))
+
     def hybrid_rrf(spark, sf):
         # hybrid retrieval: BM25 lexical top-10 + exact-cosine dense
         # top-10 (probe vectors = embeddings of the query ids), fused
@@ -3048,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
         "hll_distinct": hll_distinct,
+        "span_corruption": span_corruption,
         "hybrid_rrf": hybrid_rrf,
         "mmr_rerank": mmr_rerank,
         "truncation_detect": truncation_detect,
@@ -6207,6 +6214,48 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(CAST({_HLL_ALPHA} AS HUGEINT) * 134217728"
             "  // d.denom // 1000000 AS BIGINT) AS est_distinct,"
             " ex.exact_distinct FROM d JOIN ex ON d.grp = ex.grp"
+        ),
+        # T5 span corruption: md5-u32 draws per (doc, pos) start 2-4
+        # token spans (~5% of positions); bounded lag-chain mask,
+        # running-count sentinels, ordered string_agg re-assembly
+        "span_corruption": (
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents),"
+            " tk AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ts[i] AS tok"
+            "  FROM base, LATERAL unnest(range(1, len(ts) + 1)) u(i)),"
+            " s1 AS MATERIALIZED (SELECT doc_id, pos, tok,"
+            "  hv % 20 = 0 AS st,"
+            "  CAST(2 + (hv // 20) % 3 AS INT) AS ln"
+            "  FROM (SELECT *, "
+            + _sql_md5_u32be(
+                "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))"
+            )
+            + " AS hv FROM tk)),"
+            " s2 AS (SELECT *, st"
+            + "".join(
+                f" OR coalesce(lag(st, {o}) OVER w"
+                f" AND lag(ln, {o}) OVER w > {o}, false)"
+                for o in range(1, 4)
+            )
+            + " AS m FROM s1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+            " s3 AS (SELECT *, m AND NOT coalesce(lag(m, 1) OVER w2, false)"
+            "  AS run_start"
+            "  FROM s2 WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),"
+            " s4 AS (SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)"
+            "  OVER (PARTITION BY doc_id ORDER BY pos) AS k FROM s3),"
+            " v AS (SELECT doc_id, pos, m, k,"
+            "  CASE WHEN NOT m THEN tok WHEN run_start THEN"
+            "   '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS ival,"
+            "  CASE WHEN run_start THEN"
+            "   '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok"
+            "   WHEN m THEN tok END AS tval"
+            "  FROM s4)"
+            " SELECT doc_id,"
+            " string_agg(ival, ' ' ORDER BY pos) AS input_text,"
+            " string_agg(tval, ' ' ORDER BY pos) AS target_text,"
+            " CAST(MAX(k) AS BIGINT) AS n_spans,"
+            " CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked"
+            " FROM v GROUP BY doc_id"
         ),
         # alpha=0.5 temperature resample: micro-unit sqrt weights,
         # HUGEINT // ≡ Spark decimal(38,0) DIV, md5 keep order

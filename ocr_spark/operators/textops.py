@@ -3862,3 +3862,112 @@ def cms_heavy_hitters(
             thresh.cast("long").alias("threshold"),
         )
     )
+
+
+#: T5 span-corruption contract (Raffel et al. 2020, §3.1.4 "replace
+#: corrupted spans"): a span STARTS at token position i when the
+#: big-endian md5-u32 draw h(doc_id, pos) % SPAN_START_DEN == 0 (~5%
+#: of positions) and runs 2 + (h DIV SPAN_START_DEN) % 3 tokens (2-4);
+#: overlapping/adjacent spans merge into one sentinel.
+SPAN_START_DEN = 20
+SPAN_LEN_MAX = 4
+
+
+def span_corruption(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic T5/UL2 span corruption: replace masked token
+    spans with numbered ``<extra_id_k>`` sentinels in the input and
+    emit the masked spans (each prefixed by its sentinel) as the
+    target — the denoising-pretraining pair generator.
+
+    The "noise" is an md5 draw per (doc, position), so both engines
+    replay the identical mask.  A position is masked when any of the
+    last ``SPAN_LEN_MAX`` positions started a span long enough to
+    cover it — a bounded lag chain, no self-join; sentinel numbers are
+    the running count of mask-run starts.
+
+    Scale shape: ONE exchange on the doc id; the three window layers
+    and the final ordered re-assembly aggregate all share that
+    partitioning, so AQE plans a single shuffle and tokens cross the
+    wire exactly once (as (doc, pos, tok) triples)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), " ")).alias("pos", "tok"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col), F.col("pos"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s1 = toks.withColumn("__h", h).select(
+        id_col,
+        "pos",
+        "tok",
+        (F.col("__h") % SPAN_START_DEN == 0).alias("st"),
+        (
+            F.lit(2)
+            + F.expr(f"CAST((__h DIV {SPAN_START_DEN}) % 3 AS INT)")
+        ).alias("ln"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    m = F.col("st")
+    for o in range(1, SPAN_LEN_MAX):
+        m = m | F.coalesce(
+            F.lag("st", o).over(w) & (F.lag("ln", o).over(w) > o),
+            F.lit(False),
+        )
+    s2 = s1.withColumn("m", m)
+    s3 = s2.withColumn(
+        "run_start",
+        F.col("m") & ~F.coalesce(F.lag("m", 1).over(w), F.lit(False)),
+    ).withColumn(
+        "k",
+        F.sum(F.col("run_start").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    ival = (
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("run_start"), sentinel)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    tval = (
+        F.when(
+            F.col("run_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        )
+        .when(F.col("m"), F.col("tok"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    def _ordered_join(valcol):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            valcol.isNotNull(),
+                            F.struct(
+                                F.col("pos").alias("p"), valcol.alias("v")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            " ",
+        )
+
+    return s3.groupBy(id_col).agg(
+        _ordered_join(ival).alias("input_text"),
+        F.nullif(_ordered_join(tval), F.lit("")).alias("target_text"),
+        F.max("k").cast("long").alias("n_spans"),
+        F.sum(F.col("m").cast("int")).cast("long").alias("n_masked"),
+    )

@@ -1732,3 +1732,55 @@ def test_cms_heavy_hitters_overestimates_and_gates(spark):
         # CMS never underestimates, and the gate is total DIV hh_div
         assert r.est_count >= r.exact_count
         assert r.threshold == 10
+
+
+def test_span_corruption_matches_python_reference(spark):
+    import hashlib
+
+    texts = [
+        # doc 7 masks one span; doc 13 masks nothing (NULL target path);
+        # doc 0 starts spans at 0, 2 and 12 — 0 and 2 merge if they
+        # overlap, exercising the run-coalescing
+        (7, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (13, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (0, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.span_corruption(df).collect()}
+
+    def ref(doc_id, text):
+        toks = text.split(" ")
+        st, ln = [], []
+        for pos in range(len(toks)):
+            h = int.from_bytes(
+                hashlib.md5(f"{doc_id}:{pos}".encode()).digest()[:4], "big"
+            )
+            st.append(h % 20 == 0)
+            ln.append(2 + (h // 20) % 3)
+        m = [
+            any(i - o >= 0 and st[i - o] and ln[i - o] > o for o in range(4))
+            for i in range(len(toks))
+        ]
+        inp, tgt, k, n_masked = [], [], 0, 0
+        for i, t in enumerate(toks):
+            if not m[i]:
+                inp.append(t)
+                continue
+            n_masked += 1
+            if i == 0 or not m[i - 1]:
+                k += 1
+                inp.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}> {t}")
+            else:
+                tgt.append(t)
+        return " ".join(inp), (" ".join(tgt) or None), k, n_masked
+
+    for doc_id, text in texts:
+        i, t, k, nm = ref(doc_id, text)
+        r = out[doc_id]
+        assert r.input_text == i
+        assert r.target_text == t
+        assert (r.n_spans, r.n_masked) == (k, nm)
+    # both paths exercised: masked docs and a clean doc with NULL target
+    assert out[7].n_masked > 0 and out[0].n_spans >= 2
+    assert out[13].n_masked == 0 and out[13].target_text is None
