@@ -2098,6 +2098,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exchange shared by the lag chain, prefix sum and re-assembly
         return textops.span_corruption(_docs(spark, sf))
 
+    def fim_transform(spark, sf):
+        # fill-in-the-middle (PSM) transform at 50% md5-parity rate:
+        # two md5 cut draws, array slices re-joined — zero exchanges
+        return textops.fim_transform(_docs(spark, sf))
+
     def hybrid_rrf(spark, sf):
         # hybrid retrieval: BM25 lexical top-10 + exact-cosine dense
         # top-10 (probe vectors = embeddings of the query ids), fused
@@ -3055,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": kmv_distinct,
         "hll_distinct": hll_distinct,
         "span_corruption": span_corruption,
+        "fim_transform": fim_transform,
         "hybrid_rrf": hybrid_rrf,
         "mmr_rerank": mmr_rerank,
         "truncation_detect": truncation_detect,
@@ -6214,6 +6220,34 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(CAST({_HLL_ALPHA} AS HUGEINT) * 134217728"
             "  // d.denom // 1000000 AS BIGINT) AS est_distinct,"
             " ex.exact_distinct FROM d JOIN ex ON d.grp = ex.grp"
+        ),
+        # FIM (PSM): md5-parity 50% rate, two md5-u32 cut draws mod
+        # (n_tokens+1), list slices re-joined — per-row both engines
+        "fim_transform": (
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents),"
+            " d AS (SELECT doc_id, ts,"
+            "  ("
+            + _sql_md5_u32be("md5('fim0:' || CAST(doc_id AS VARCHAR))")
+            + " % 2 = 0) AS fim_applied,"
+            "  "
+            + _sql_md5_u32be("md5('fim1:' || CAST(doc_id AS VARCHAR))")
+            + " % (len(ts) + 1) AS c1,"
+            "  "
+            + _sql_md5_u32be("md5('fim2:' || CAST(doc_id AS VARCHAR))")
+            + " % (len(ts) + 1) AS c2"
+            "  FROM base),"
+            " c AS (SELECT doc_id, ts, fim_applied,"
+            "  least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM d)"
+            " SELECT doc_id, fim_applied,"
+            " CASE WHEN fim_applied THEN"
+            "  '<fim_prefix> ' || coalesce(array_to_string(ts[1:lo], ' '), '') ||"
+            "  ' <fim_suffix> ' || coalesce(array_to_string(ts[hi+1:len(ts)], ' '), '') ||"
+            "  ' <fim_middle> ' || coalesce(array_to_string(ts[lo+1:hi], ' '), '')"
+            "  ELSE array_to_string(ts, ' ') END AS text_out,"
+            " CAST(CASE WHEN fim_applied THEN hi - lo ELSE 0 END AS BIGINT)"
+            "  AS n_middle_tokens"
+            " FROM c"
         ),
         # T5 span corruption: md5-u32 draws per (doc, pos) start 2-4
         # token spans (~5% of positions); bounded lag-chain mask,

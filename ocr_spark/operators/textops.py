@@ -3971,3 +3971,85 @@ def span_corruption(
         F.max("k").cast("long").alias("n_spans"),
         F.sum(F.col("m").cast("int")).cast("long").alias("n_masked"),
     )
+
+
+#: Fill-in-the-middle contract (Bavarian et al. 2022, "Efficient
+#: Training of Language Models to Fill in the Middle"): PSM format
+#: with explicit sentinels; the FIM rate is 1/2 (h0 parity) and the
+#: two cut points are independent md5 draws over [0, n_tokens].
+FIM_PRE = "<fim_prefix>"
+FIM_SUF = "<fim_suffix>"
+FIM_MID = "<fim_middle>"
+
+
+def fim_transform(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fill-in-the-middle transform: for half the corpus
+    (md5 parity), split the token stream at two md5-drawn cut points
+    and emit the PSM (prefix-suffix-middle) training string
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M``; the other half
+    passes through verbatim (the AR-mixture the FIM paper trains on).
+
+    Cross-engine determinism: cut points are ``h % (n_tokens + 1)`` of
+    per-(doc, draw) md5-u32s — pure integer arithmetic, and the
+    prefix/middle/suffix are array slices re-joined with single
+    spaces, so both engines rebuild byte-identical strings.
+
+    Scale shape: ZERO exchanges — every column is a per-row JVM
+    expression over the hoisted token array (the shingle-hoist rule:
+    split once, slice thrice); the transform pipelines inside
+    whatever stage feeds it."""
+    ts = F.split(F.col(col), " ")
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        ts.alias("__t"),
+        (h("fim0") % 2 == 0).alias("fim_applied"),
+        h("fim1").alias("__h1"),
+        h("fim2").alias("__h2"),
+    ).select(
+        id_col,
+        "__t",
+        "fim_applied",
+        F.expr("__h1 % (size(__t) + 1)").alias("__c1"),
+        F.expr("__h2 % (size(__t) + 1)").alias("__c2"),
+    )
+    lo = F.least("__c1", "__c2")
+    hi = F.greatest("__c1", "__c2")
+    cut = base.select(
+        id_col,
+        "__t",
+        "fim_applied",
+        lo.cast("int").alias("__lo"),
+        hi.cast("int").alias("__hi"),
+    )
+    join = lambda arr: F.array_join(arr, " ")  # noqa: E731
+    pre = join(F.expr("slice(__t, 1, __lo)"))
+    mid = join(F.expr("slice(__t, __lo + 1, __hi - __lo)"))
+    suf = join(F.expr("slice(__t, __hi + 1, size(__t) - __hi)"))
+    psm = F.concat(
+        F.lit(FIM_PRE + " "),
+        pre,
+        F.lit(" " + FIM_SUF + " "),
+        suf,
+        F.lit(" " + FIM_MID + " "),
+        mid,
+    )
+    return cut.select(
+        id_col,
+        "fim_applied",
+        F.when(F.col("fim_applied"), psm)
+        .otherwise(join(F.col("__t")))
+        .alias("text_out"),
+        F.when(F.col("fim_applied"), F.col("__hi") - F.col("__lo"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_middle_tokens"),
+    )

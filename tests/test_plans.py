@@ -1412,3 +1412,39 @@ def test_audit_truncation_one_conv_exchange(spark):
     # on conv_id, no window, no join
     assert plan.count("Exchange") <= 2  # partial agg + final (AQE may fuse)
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_span_corruption_single_doc_exchange(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.span_corruption(docs))
+    # the lag chain, prefix sum and ordered re-assembly all share one
+    # hashpartitioning(doc_id) — tokens cross the wire exactly once
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(doc_id" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_fim_transform_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.fim_transform(docs))
+    # pure per-row expressions over the hoisted token array
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_grounding_score_no_exchange_beyond_qa_window(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a b c"), ("c1", 1, "assistant", "a b")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.grounding_score(transcript.qa_pairs(turns)))
+    # bigram sets + intersection are scan-stage expressions on top of
+    # the single qa_pairs conv_id window
+    assert len(_exchange_blocks(plan)) == 1
+    assert "Join" not in plan

@@ -1784,3 +1784,37 @@ def test_span_corruption_matches_python_reference(spark):
     # both paths exercised: masked docs and a clean doc with NULL target
     assert out[7].n_masked > 0 and out[0].n_spans >= 2
     assert out[13].n_masked == 0 and out[13].target_text is None
+
+
+def test_fim_transform_matches_python_reference(spark):
+    import hashlib
+
+    texts = [(d, " ".join(f"t{j}" for j in range(12))) for d in range(8)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.fim_transform(df).collect()}
+
+    def u32(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+    applied_any = passthrough_any = False
+    for d, text in texts:
+        toks = text.split(" ")
+        applied = u32(f"fim0:{d}") % 2 == 0
+        r = out[d]
+        assert r.fim_applied == applied
+        if not applied:
+            passthrough_any = True
+            assert r.text_out == text and r.n_middle_tokens == 0
+            continue
+        applied_any = True
+        c1 = u32(f"fim1:{d}") % (len(toks) + 1)
+        c2 = u32(f"fim2:{d}") % (len(toks) + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        want = (
+            "<fim_prefix> " + " ".join(toks[:lo])
+            + " <fim_suffix> " + " ".join(toks[hi:])
+            + " <fim_middle> " + " ".join(toks[lo:hi])
+        )
+        assert r.text_out == want
+        assert r.n_middle_tokens == hi - lo
+    assert applied_any and passthrough_any
