@@ -1262,6 +1262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Content-Length, and body all recovered from the container
         return src.warc_roundtrip(_docs(spark, sf))
 
+    def zip_roundtrip(spark, sf):
+        # ZIP-archive interchange: 32 real central-directory archives
+        # written and re-parsed in one grouped-map stage; ids from
+        # member names, sizes from the central directory (CRC-checked)
+        return src.zip_roundtrip(_docs(spark, sf))
+
     def jsonl_roundtrip(spark, sf):
         # gzip-sharded JSONL interchange: write 32 .jsonl.gz shards and
         # re-parse them in one grouped-map stage — id, shard, line
@@ -3097,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_tiers": quality_tiers,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "zip_roundtrip": zip_roundtrip,
         "line_dedup": line_dedup,
         "dup_span_detect": dup_span_detect,
         "substring_dedup_cut": substring_dedup_cut,
@@ -5891,6 +5898,18 @@ def oracle_sql() -> dict[str, str]:
         # gzip-sharded JSONL interchange: the roundtrip is an identity
         # on (id, lang, source, text); shard layout and line order are
         # doc_id % 32 and doc_id-ascending within shard
+        # ZIP interchange: member order = write order = id-sorted per
+        # shard; n_bytes = utf-8 byte length (DuckDB strlen IS bytes);
+        # NULL-text docs are skipped on both sides
+        "zip_roundtrip": (
+            "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"
+            "  ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,"
+            " CAST(COUNT(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)"
+            "  AS n_in_shard,"
+            " CAST(strlen(text) AS BIGINT) AS n_bytes, text"
+            " FROM documents WHERE text IS NOT NULL"
+        ),
         "jsonl_roundtrip": (
             "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,"
             " CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 32"

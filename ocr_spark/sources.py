@@ -402,3 +402,84 @@ def arrow_ipc_roundtrip(
     return _columnar_roundtrip(
         df, codec, id_col, text_col, lang_col, source_col, shards
     )
+
+
+#: zip_roundtrip shard count — fixed operator contract (the oracle
+#: replays doc_id % 32).
+ZIP_SHARDS = 32
+
+
+def zip_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = ZIP_SHARDS,
+) -> DataFrame:
+    """ZIP-archive interchange round-trip — the bulk-upload/download
+    container (one ``.txt`` member per document, zero-padded doc-id
+    names): shard the corpus by ``doc_id % shards``, write a REAL ZIP
+    (central directory, deflate members, DOS timestamps pinned to
+    1980-01-01 so bytes are deterministic) with the stdlib writer,
+    then reopen it from bytes and emit one row per member recovered
+    FROM THE CONTAINER — id re-parsed from the member name, byte size
+    from the central-directory header (zipfile also CRC-checks every
+    read), text decompressed.  NULL-text documents are skipped on both
+    sides: a ZIP member cannot represent NULL distinctly from empty.
+
+    Scale shape: one exchange on the shard key into an Arrow-batched
+    grouped-map stage that writes AND parses in-stage (the
+    jsonl/WARC/ORC/Arrow-IPC scaffold); the parallel axis is shards.
+    """
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    def write_and_parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for i, tx in zip(pdf[id_col], pdf[text_col]):
+                if pd.isna(tx):
+                    continue
+                info = zipfile.ZipInfo(
+                    f"{int(i):012d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                info.compress_type = zipfile.ZIP_DEFLATED
+                z.writestr(info, str(tx).encode("utf-8"))
+        data = buf.getvalue()
+        rows = []
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            infos = z.infolist()
+            for mi, info in enumerate(infos):
+                text = z.read(info).decode("utf-8")
+                rows.append(
+                    (
+                        int(info.filename[:-4]),
+                        mi,
+                        len(infos),
+                        int(info.file_size),
+                        text,
+                    )
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "member_idx", "n_in_shard", "n_bytes", "text"],
+        )
+        out["shard"] = (out["doc_id"] % shards).astype("int64")
+        return out[
+            ["doc_id", "shard", "member_idx", "n_in_shard", "n_bytes", "text"]
+        ]
+
+    shard = (F.col(id_col) % shards).alias("__zp")
+    return (
+        df.select(F.col(id_col), F.col(text_col), shard)
+        .groupBy("__zp")
+        .applyInPandas(
+            write_and_parse,
+            schema=(
+                "doc_id long, shard long, member_idx long,"
+                " n_in_shard long, n_bytes long, text string"
+            ),
+        )
+    )

@@ -267,3 +267,23 @@ def test_arrow_ipc_roundtrip_is_real_ipc_stream(spark):
     assert raw[:4] == b"\xff\xff\xff\xff"
     with pa.ipc.open_stream(io.BytesIO(raw)) as r:
         assert r.read_all().column("id").to_pylist() == [1, 2]
+
+
+def test_zip_roundtrip_preserves_text_and_sizes(spark):
+    from ocr_spark import sources as src
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "unicodé ← ☃"),          # multibyte: n_bytes > n_chars
+        (32, "same shard as doc 0"),  # member order within shard
+        (3, None),                    # NULL text: skipped by contract
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in src.zip_roundtrip(df).collect()}
+    assert 3 not in out and len(out) == 3
+    assert out[1].text == "unicodé ← ☃"
+    assert out[1].n_bytes == len("unicodé ← ☃".encode("utf-8"))
+    # shard 0 holds docs 0 and 32 in id order
+    assert out[0].shard == out[32].shard == 0
+    assert (out[0].member_idx, out[32].member_idx) == (0, 1)
+    assert out[0].n_in_shard == 2 and out[1].n_in_shard == 1
