@@ -2498,6 +2498,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.gif_meta_scan(emb.mapInPandas(enc, schema))
 
+    def multimodal_bmp_meta(spark, sf):
+        # REAL BMP bytes (8-bit palette / 24-bit BGR, bottom-up AND
+        # top-down rows, kernels/bmp.py) through the decode scan: dims
+        # are pure functions of vec_id, pixel values are modular
+        # expressions, so the oracle replays the decoded checksums
+        # arithmetically; vec_id % 41 == 0 payloads are truncated to
+        # exercise the valid=false degrade path
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        emb = _tbl(spark, sf, "embeddings").select("vec_id").filter(
+            F.col("vec_id") < 200
+        )
+
+        def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ocr_spark.kernels.bmp import encode_bmp
+
+            pal = np.array(
+                [[i * 16, 255 - i * 16, (i * 37) % 256] for i in range(16)],
+                dtype=np.uint8,
+            )
+            for pdf in it:
+                payloads = []
+                for v in pdf["vec_id"]:
+                    v = int(v)
+                    w, h = v % 17 + 5, v % 9 + 4
+                    y = np.arange(h)[:, None]
+                    x = np.arange(w)[None, :]
+                    if v % 2 == 0:
+                        px = ((v + 3 * y + x) % 16).astype(np.uint8)
+                        data = encode_bmp(
+                            px, palette=pal, top_down=(v % 3 == 0)
+                        )
+                    else:
+                        px = np.stack(
+                            [
+                                (v + 3 * y + x) % 251,
+                                (v + 5 * y + 2 * x) % 251,
+                                (v + 7 * y + 3 * x) % 251,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                        data = encode_bmp(px, top_down=(v % 3 == 0))
+                    if v % 41 == 0:
+                        data = data[: len(data) // 2]
+                    payloads.append(data)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "payload": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return multimodal.bmp_meta_scan(emb.mapInPandas(enc, schema))
+
     def multimodal_tiff_meta(spark, sf):
         # REAL TIFF bytes (kernels/tiff.py) through the full strip-walk
         # scan: vec_id%3 walks uncompressed-gray / PackBits-gray /
@@ -3073,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
         "multimodal_gif_meta": multimodal_gif_meta,
+        "multimodal_bmp_meta": multimodal_bmp_meta,
         "multimodal_tiff_meta": multimodal_tiff_meta,
         "multimodal_g711_meta": multimodal_g711_meta,
         # agent-trace batch: the input-hint's tool/ts trace columns
@@ -6363,6 +6425,30 @@ def oracle_sql() -> dict[str, str]:
         # GIF decode replayed arithmetically: fixture pixels are
         # (vec_id + 7f + 3y + x) % 8, so both checksums are lateral
         # range sums; rw_sum weights (y+1)(x+2) to pin row order
+        # BMP decode scan replayed arithmetically: 8-bit indices are
+        # (vec+3y+x)%16, 24-bit r+g+b channel sums of three modular
+        # planes; truncated (vec%41=0) payloads degrade to valid=false
+        "multimodal_bmp_meta": (
+            "WITH m AS (SELECT vec_id, vec_id % 17 + 5 AS w,"
+            "  vec_id % 9 + 4 AS h, vec_id % 2 AS md,"
+            "  vec_id % 41 = 0 AS bad"
+            "  FROM embeddings WHERE vec_id < 200),"
+            " px AS (SELECT vec_id,"
+            "  SUM(CASE WHEN md = 0 THEN (vec_id + 3*y.y + x.x) % 16 ELSE (vec_id + 3*y.y + x.x) % 251 + (vec_id + 5*y.y + 2*x.x) % 251 + (vec_id + 7*y.y + 3*x.x) % 251 END) AS ps,"
+            "  SUM((y.y + 1) * (x.x + 2) * (CASE WHEN md = 0 THEN (vec_id + 3*y.y + x.x) % 16 ELSE (vec_id + 3*y.y + x.x) % 251 + (vec_id + 5*y.y + 2*x.x) % 251 + (vec_id + 7*y.y + 3*x.x) % 251 END)) AS rs"
+            "  FROM m, LATERAL unnest(range(0, h)) y(y),"
+            "  LATERAL unnest(range(0, w)) x(x)"
+            "  GROUP BY vec_id)"
+            " SELECT m.vec_id, 'BMP' AS fmt,"
+            " CAST(CASE WHEN bad THEN 0 ELSE w END AS INTEGER) AS width,"
+            " CAST(CASE WHEN bad THEN 0 ELSE h END AS INTEGER) AS height,"
+            " CAST(CASE WHEN bad THEN 0 WHEN md = 0 THEN 8 ELSE 24 END"
+            "  AS INTEGER) AS bpp,"
+            " CAST(CASE WHEN bad THEN 0 ELSE ps END AS BIGINT) AS px_sum,"
+            " CAST(CASE WHEN bad THEN 0 ELSE rs END AS BIGINT) AS rw_sum,"
+            " NOT bad AS valid"
+            " FROM m JOIN px USING (vec_id)"
+        ),
         "multimodal_gif_meta": (
             "WITH m AS (SELECT vec_id, vec_id % 21 + 6 AS w,"
             "  vec_id % 13 + 5 AS h, vec_id % 3 + 1 AS nf"

@@ -882,3 +882,69 @@ def audio_codec_scan(df: DataFrame) -> DataFrame:
             )
 
     return df.select("vec_id", "payload").mapInPandas(fn, schema)
+
+
+def bmp_meta_scan(df: DataFrame) -> DataFrame:
+    """(vec_id, payload binary) → BMP metadata + two exact pixel
+    checksums via one Arrow-batched mapInPandas pass over the real
+    decoder (kernels/bmp.py — 8-bit palette / 24-bit BGR, bottom-up or
+    top-down rows, 4-byte padding).
+
+    ``px_sum`` sums the per-pixel value (palette index for 8-bit, the
+    r+g+b channel sum for 24-bit); ``rw_sum`` weights each value by
+    (row+1)*(col+2) in LOGICAL orientation, so a decoder that walks
+    bottom-up rows in the wrong direction changes it even when the
+    value multiset survives.  Undecodable payloads degrade to
+    valid=false rows — the shared multimodal skip-on-error policy."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bpp", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("rw_sum", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.bmp import BmpError, decode_bmp
+
+        for pdf in it:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                try:
+                    img = decode_bmp(bytes(payload))
+                    vals = img.pixels.astype(np.int64)
+                    if img.bpp == 24:
+                        vals = vals.sum(axis=2)
+                    wts = np.outer(
+                        np.arange(1, img.height + 1),
+                        np.arange(2, img.width + 2),
+                    )
+                    rows.append(
+                        (
+                            int(vid),
+                            "BMP",
+                            img.width,
+                            img.height,
+                            img.bpp,
+                            int(vals.sum()),
+                            int((vals * wts).sum()),
+                            True,
+                        )
+                    )
+                except (BmpError, NotImplementedError, ValueError,
+                        IndexError, struct.error):
+                    rows.append((int(vid), "BMP", 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "fmt", "width", "height", "bpp",
+                    "px_sum", "rw_sum", "valid",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
