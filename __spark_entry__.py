@@ -2140,6 +2140,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).join(toks, "doc_id")
         return similarity.mmr_rerank(cand)
 
+    def bitext_mine(spark, sf):
+        # LASER/CCMatrix margin-based bitext mining: even vec_ids play
+        # the source language, odd vec_ids the target; probes = even
+        # ids < 32 (bounded, the ANN-query pattern). k=4 neighborhoods,
+        # margin in exact e4 integer units, accept at margin >= 1.0
+        emb = _tbl(spark, sf, "embeddings")
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        return similarity.bitext_mine(
+            even.filter(F.col("vec_id") < 32), even, odd, k=4
+        )
+
     def truncation_detect(spark, sf):
         # max-token / stop-sequence truncation audit over the shared
         # synthetic transcript frame; the injector (clean '.' endings
@@ -3130,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": fim_transform,
         "hybrid_rrf": hybrid_rrf,
         "mmr_rerank": mmr_rerank,
+        "bitext_mine": bitext_mine,
         "truncation_detect": truncation_detect,
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
@@ -4619,6 +4632,49 @@ def oracle_sql() -> dict[str, str]:
         # argmax iterations (bpe_train precedent); LEFT JOIN + IS NULL
         # instead of correlated NOT EXISTS (DuckDB inlines those)
         "mmr_rerank": _MMR_ORACLE_SQL,
+        # LASER/CCMatrix margin mining: each cosine quantized ONCE to
+        # e4 ints, neighborhood sums are integer sums, margin is
+        # cos_e4*2k*1e4 // (sum_fwd+sum_bwd) — BIGINT // ≡ Spark DIV
+        # on the positive operands the filter guarantees
+        "bitext_mine": (
+            "WITH sq AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v"
+            "  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 32),"
+            " sc AS (SELECT vec_id AS src_nb, embedding::DOUBLE[] AS v"
+            "  FROM embeddings WHERE vec_id % 2 = 0),"
+            " tc AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v"
+            "  FROM embeddings WHERE vec_id % 2 = 1),"
+            " f AS (SELECT src_id, tgt_id,"
+            "  CAST(ROUND(list_dot_product(sq.v, tc.v) /"
+            "   (sqrt(list_dot_product(sq.v, sq.v)) *"
+            "    sqrt(list_dot_product(tc.v, tc.v))) * 10000, 0) AS BIGINT)"
+            "   AS cos_e4 FROM sq, tc),"
+            " fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id"
+            "  ORDER BY cos_e4 DESC, tgt_id) AS rn FROM f),"
+            " fa AS (SELECT src_id,"
+            "  MAX(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,"
+            "  MAX(CASE WHEN rn = 1 THEN cos_e4 END) AS cos_e4,"
+            "  CAST(SUM(cos_e4) AS BIGINT) AS sum_fwd"
+            "  FROM fr WHERE rn <= 4 GROUP BY src_id),"
+            " b AS (SELECT tc.tgt_id, sc.src_nb,"
+            "  CAST(ROUND(list_dot_product(tc.v, sc.v) /"
+            "   (sqrt(list_dot_product(tc.v, tc.v)) *"
+            "    sqrt(list_dot_product(sc.v, sc.v))) * 10000, 0) AS BIGINT)"
+            "   AS cos_e4"
+            "  FROM tc JOIN (SELECT DISTINCT tgt_id FROM fa) cand"
+            "   USING (tgt_id), sc),"
+            " br AS (SELECT tgt_id, cos_e4, ROW_NUMBER() OVER"
+            "  (PARTITION BY tgt_id ORDER BY cos_e4 DESC, src_nb) AS rn"
+            "  FROM b),"
+            " ba AS (SELECT tgt_id, CAST(SUM(cos_e4) AS BIGINT) AS sum_bwd"
+            "  FROM br WHERE rn <= 4 GROUP BY tgt_id),"
+            " m AS (SELECT fa.src_id, fa.tgt_id, fa.cos_e4,"
+            "  CAST(fa.cos_e4 * 80000 // (fa.sum_fwd + ba.sum_bwd)"
+            "   AS BIGINT) AS margin_e4"
+            "  FROM fa JOIN ba USING (tgt_id)"
+            "  WHERE fa.cos_e4 > 0 AND fa.sum_fwd + ba.sum_bwd > 0)"
+            " SELECT src_id, tgt_id, cos_e4, margin_e4,"
+            "  margin_e4 >= 10000 AS accepted FROM m"
+        ),
         # hashed-bag-of-words linear classifier: literal 64-weight
         # table, md5_number low-byte buckets, exact integer logit
         "classifier_score": (

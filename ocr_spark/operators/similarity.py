@@ -766,6 +766,116 @@ def rrf_fuse(
     )
 
 
+def bitext_mine(
+    src_queries: DataFrame,
+    src_corpus: DataFrame,
+    tgt_corpus: DataFrame,
+    k: int = 4,
+    margin_e4_min: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+    LASER / CCMatrix criterion): for each source sentence embedding,
+    take its nearest target neighbor and score the pair by the MARGIN —
+    the pair cosine divided by the average of both endpoints' k-NN
+    neighborhoods — so a sentence that is merely "close to everything"
+    (a hub) scores low while a genuinely translated pair, whose cosine
+    stands out from both neighborhoods, scores high.  This is the miner
+    that builds parallel corpora for multilingual training.
+
+        margin(x, y) = cos(x, y) / ( (Σ NN_k(x) + Σ NN_k(y)) / 2k )
+
+    Neighborhoods include the matched pair itself (the paper's "ratio"
+    variant), so margins land near 1.0 and ``margin_e4_min=10_000``
+    keeps exactly the pairs that beat their own neighborhood average.
+
+    Exact integer contract: each cosine is quantized ONCE to e4 units
+    (``round(cos·1e4)`` — one rounding of one double, the only float
+    step), neighborhood sums are integer sums of those e4 values, and
+    the margin is ``cos_e4 · 2k·1e4 DIV (Σfwd_e4 + Σbwd_e4)`` — BIGINT
+    DIV ≡ DuckDB ``//`` on positive operands, so ranks, sums and
+    margins can never float-diverge between engines.  Rows with a
+    non-positive pair cosine or neighborhood sum are dropped (margin
+    is meaningless there and DIV's negative semantics differ).
+
+    Scale shape: the probe set broadcasts against the target corpus
+    (same bounded-probe pattern as cosine_topk); only (id, id, int64)
+    triples cross the two ranking exchanges — vectors never shuffle.
+    The backward leg scores ≤|probes| candidate vectors against the
+    source corpus, again broadcast.  At 100 TB the probe set comes from
+    the IVF/LSH candidate generation already in this module; the margin
+    math is unchanged."""
+    cos_e4 = F.round(with_cosine_expr("q_vec", "t_vec") * 10_000, 0).cast("long")
+    q = src_queries.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("q_vec")
+    )
+    t = tgt_corpus.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("t_vec")
+    )
+    fwd = (
+        t.crossJoin(F.broadcast(q))
+        .withColumn("cos_e4", cos_e4)
+        .select("src_id", "tgt_id", "cos_e4")
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("cos_e4"), F.asc("tgt_id"))
+    fa = (
+        fwd.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.max(
+                F.when(F.col("__rn") == 1, F.struct("tgt_id", "cos_e4"))
+            ).alias("__best"),
+            F.sum("cos_e4").alias("sum_fwd_e4"),
+        )
+        .select(
+            "src_id",
+            F.col("__best.tgt_id").alias("tgt_id"),
+            F.col("__best.cos_e4").alias("cos_e4"),
+            "sum_fwd_e4",
+        )
+    )
+    cand = t.join(F.broadcast(fa.select("tgt_id").distinct()), "tgt_id")
+    s = src_corpus.select(
+        F.col(id_col).alias("src_nb"), F.col(vec_col).alias("q_vec")
+    )
+    bwd_cos = F.round(with_cosine_expr("t_vec", "q_vec") * 10_000, 0).cast("long")
+    bwd = (
+        s.crossJoin(F.broadcast(cand))
+        .withColumn("cos_e4", bwd_cos)
+        .select("tgt_id", "src_nb", "cos_e4")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_e4"), F.asc("src_nb"))
+    ba = (
+        bwd.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_e4").alias("sum_bwd_e4"))
+    )
+    return (
+        fa.join(F.broadcast(ba), "tgt_id")
+        .filter(
+            (F.col("cos_e4") > 0)
+            & (F.col("sum_fwd_e4") + F.col("sum_bwd_e4") > 0)
+        )
+        .withColumn(
+            "margin_e4",
+            F.expr(
+                f"CAST(cos_e4 * {2 * k * 10_000}"
+                " DIV (sum_fwd_e4 + sum_bwd_e4) AS BIGINT)"
+            ),
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_e4",
+            "margin_e4",
+            (F.col("margin_e4") >= F.lit(margin_e4_min)).alias("accepted"),
+        )
+    )
+
+
 def mmr_rerank(
     cand: DataFrame,
     k: int = 5,

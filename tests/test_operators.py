@@ -976,6 +976,71 @@ def test_embedding_outliers_matches_pure_python(spark):
     assert bool(out.loc[2, "is_outlier"])
 
 
+def test_bitext_mine_matches_pure_python(spark):
+    import math
+
+    from ocr_spark.operators import similarity
+
+    src = {0: [1.0, 0.03], 2: [0.88, 0.12], 4: [0.02, 1.0]}
+    tgt = {1: [0.97, 0.06], 3: [0.55, 0.52], 5: [0.04, 0.99]}
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"vec_id": list(d), "embedding": list(d.values())})
+    )
+    k = 2
+    out = (
+        similarity.bitext_mine(mk(src), mk(src), mk(tgt), k=k)
+        .toPandas()
+        .set_index("src_id")
+    )
+
+    def cos_e4(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(
+            dot
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            )
+            * 10_000
+        )
+
+    for sid, sv in src.items():
+        fwd = sorted(
+            ((cos_e4(sv, tv), -tid) for tid, tv in tgt.items()),
+            reverse=True,
+        )[:k]
+        best_cos, best_tid = fwd[0][0], -fwd[0][1]
+        sum_fwd = sum(c for c, _ in fwd)
+        bwd = sorted(
+            ((cos_e4(tgt[best_tid], v), -i) for i, v in src.items()),
+            reverse=True,
+        )[:k]
+        sum_bwd = sum(c for c, _ in bwd)
+        margin = best_cos * 2 * k * 10_000 // (sum_fwd + sum_bwd)
+        row = out.loc[sid]
+        assert row["tgt_id"] == best_tid
+        assert row["cos_e4"] == best_cos
+        assert row["margin_e4"] == margin
+        assert bool(row["accepted"]) == (margin >= 10_000)
+    # the aligned pairs beat their neighborhoods; the hub (3) is nobody's
+    # accepted match
+    assert out.loc[0, "tgt_id"] == 1 and bool(out.loc[0, "accepted"])
+    assert out.loc[4, "tgt_id"] == 5 and bool(out.loc[4, "accepted"])
+
+
+def test_bitext_mine_drops_nonpositive_cosine(spark):
+    from ocr_spark.operators import similarity
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[-1.0, 0.0]]})
+    )
+    out = similarity.bitext_mine(src, src, tgt, k=2).toPandas()
+    assert len(out) == 0
+
+
 def test_embedding_outliers_zero_vector_guard(spark):
     from ocr_spark.operators import similarity
 

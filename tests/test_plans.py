@@ -1400,6 +1400,26 @@ def test_rrf_fuse_no_nested_loop_and_bounded_window(spark):
         assert "embedding#" not in b and "text#" not in b
 
 
+def test_bitext_mine_broadcast_probes_no_vector_shuffle(spark):
+    from ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    plan = _plan(
+        similarity.bitext_mine(even.filter(F.col("vec_id") < 32), even, odd)
+    )
+    # probe and candidate sets broadcast against the corpora (the
+    # cosine_topk pattern); the two ranking windows exchange only
+    # (id, id, cos_e4) triples — vectors never shuffle
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(src_id" in plan
+    assert "hashpartitioning(tgt_id" in plan
+    for b in _exchange_blocks(plan):
+        assert "embedding#" not in b and "q_vec#" not in b
+        assert "t_vec#" not in b
+
+
 def test_audit_truncation_one_conv_exchange(spark):
     from ocr_spark.operators import transcript
 
