@@ -1940,6 +1940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drop blank turns, collapse verbatim retry runs, renumber
         return transcript.clean_turns(_turns(spark, sf))
 
+    def turn_boilerplate(spark, sf):
+        # cross-conversation repeated-turn masking: the synthetic retry
+        # text recurs in every conversation's 7-blocks (n_convs = 97)
+        # and must flag; ordinary per-doc texts stay unique (n_convs=1)
+        return transcript.boilerplate_turns(_turns(spark, sf))
+
     def transcript_validate(spark, sf):
         # per-conversation role-alternation audit (ingestion gate)
         return transcript.validate_roles(_turns(spark, sf))
@@ -3134,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_spans": loss_mask_spans,
         "context_window_trim": context_window_trim,
         "conversation_dedup": conversation_dedup,
+        "turn_boilerplate": turn_boilerplate,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -6235,6 +6242,21 @@ def oracle_sql() -> dict[str, str]:
             "  MIN(conv_id) OVER (PARTITION BY digest) AS canonical_conv_id,"
             "  conv_id <> MIN(conv_id) OVER (PARTITION BY digest) AS is_dup"
             " FROM d"
+        ),
+        # cross-conversation boilerplate: per-turn md5 digests (text
+        # never shuffles), distinct-conv counts, flag at >= 5 convs;
+        # blank turns never count and always read n_convs = 0
+        "turn_boilerplate": (
+            "WITH " + _TURNS_SQL + ","
+            " b AS (SELECT conv_id, turn_idx, role,"
+            "  md5(coalesce(text, '')) AS dig,"
+            "  coalesce(text, '') = '' AS blank FROM turns),"
+            " c AS (SELECT dig, CAST(COUNT(DISTINCT conv_id) AS BIGINT)"
+            "   AS n FROM b WHERE NOT blank GROUP BY dig)"
+            " SELECT b.conv_id, b.turn_idx, b.role,"
+            "  COALESCE(c.n, 0) AS n_convs,"
+            "  COALESCE(c.n, 0) >= 5 AS is_boilerplate"
+            " FROM b LEFT JOIN c USING (dig)"
         ),
         # keep-best dedup: recursive-CTE clusters (same closure as
         # dedup_clusters) + per-cluster argmax of the exact integer

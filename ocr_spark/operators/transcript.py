@@ -19,6 +19,8 @@ structure work that plain document operators don't cover:
   conversation suffix that fits a token budget (reverse running sum).
 - ``dedup_conversations`` — conversation-level exact dedup on the
   ordered (role, text) sequence; only per-turn digests ever shuffle.
+- ``boilerplate_turns``  — cross-conversation repeated-turn masking
+  (canned greetings / retry banners): C4 line-dedup lifted to turns.
 
 Reference parity: the reference pipeline (ExtractX_OCR) emits ordered
 per-turn text spans; these operators consume exactly that shape.  The
@@ -271,6 +273,46 @@ def dedup_conversations(turns: DataFrame) -> DataFrame:
         "digest",
         "canonical_conv_id",
         (F.col("conv_id") != F.col("canonical_conv_id")).alias("is_dup"),
+    )
+
+
+def boilerplate_turns(turns: DataFrame, min_convs: int = 5) -> DataFrame:
+    """Cross-conversation boilerplate masking: a turn whose exact text
+    recurs in ``min_convs`` or more DISTINCT conversations is template
+    noise — canned greetings, agent retry banners, system-injected
+    disclaimers — that an SFT run would otherwise memorize verbatim.
+    Flag it so loss masking / filtering can drop it while keeping the
+    conversation structure intact (the C4 line-dedup idea lifted from
+    lines-within-documents to turns-within-conversations).
+
+    Blank turns are never counted (clean_turns owns those), and NULL
+    text hashes as '' on both engines.
+
+    Scale shape: the per-turn digest is a map-side JVM md5, so only
+    (digest, conv_id) pairs reach the distinct-count exchange and the
+    flag join keys on 32-char digests — text never rides a shuffle.
+    The digest-count side is one row per distinct turn text, joined
+    back by hash join; nothing here is broadcast-sized by assumption."""
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__dig"),
+        (F.coalesce(F.col("text"), F.lit("")) == "").alias("__blank"),
+    )
+    counts = (
+        base.filter(~F.col("__blank"))
+        .groupBy("__dig")
+        .agg(F.countDistinct("conv_id").alias("__n"))
+    )
+    return base.join(counts, "__dig", "left").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_convs"),
+        (F.coalesce(F.col("__n"), F.lit(0)) >= min_convs).alias(
+            "is_boilerplate"
+        ),
     )
 
 

@@ -399,3 +399,40 @@ def test_grounding_score_hand_values(spark):
     assert r2.n_bigrams == 0 and r2.grounded_e6 is None
     r3 = out[("c2", 1)]
     assert (r3.n_grounded, r3.grounded_e6) == (1, 1_000_000)
+
+
+def test_boilerplate_turns_flags_cross_conv_repeats(spark):
+    rows = []
+    for c in range(6):
+        rows.append((f"c{c}", 0, "assistant", "Hello! How can I help?"))
+        rows.append((f"c{c}", 1, "user", f"unique question {c}"))
+    rows.append(("c0", 2, "assistant", ""))       # blank: never counted
+    rows.append(("c1", 2, "assistant", None))     # NULL text == blank
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in transcript.boilerplate_turns(turns, min_convs=5).collect()
+    }
+    assert len(out) == len(rows)
+    greet = out[("c3", 0)]
+    assert greet.n_convs == 6 and greet.is_boilerplate
+    uniq = out[("c3", 1)]
+    assert uniq.n_convs == 1 and not uniq.is_boilerplate
+    blank = out[("c0", 2)]
+    assert blank.n_convs == 0 and not blank.is_boilerplate
+    nulltext = out[("c1", 2)]
+    assert nulltext.n_convs == 0 and not nulltext.is_boilerplate
+
+
+def test_boilerplate_turns_distinct_convs_not_occurrences(spark):
+    # 5 repeats inside ONE conversation must not flag at min_convs=2
+    rows = [("c0", i, "assistant", "same text") for i in range(5)]
+    rows.append(("c1", 0, "assistant", "same text"))
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+    out = transcript.boilerplate_turns(turns, min_convs=3).toPandas()
+    assert (out.n_convs == 2).all()
+    assert not out.is_boilerplate.any()
