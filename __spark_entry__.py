@@ -1946,6 +1946,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and must flag; ordinary per-doc texts stay unique (n_convs=1)
         return transcript.boilerplate_turns(_turns(spark, sf))
 
+    def refusal_detect(spark, sf):
+        # canned-refusal / AI-ism rate: the synthetic corpus contains
+        # no refusal phrasing, so the injector (shared CASE with the
+        # oracle) plants a prefix refusal on assistant turn%6==2 and an
+        # AI-ism marker on assistant turn%9==5; blank turns stay blank
+        t = _turns(spark, sf)
+        assist = (F.col("role") == "assistant") & (F.col("text") != "")
+        inj = (
+            F.when(
+                assist & (F.col("turn_idx") % 6 == 2),
+                F.concat(
+                    F.lit("I'm sorry, I can't help with that. "),
+                    F.col("text"),
+                ),
+            )
+            .when(
+                assist & (F.col("turn_idx") % 9 == 5),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" As an AI language model, I note this."),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        return transcript.flag_refusals(t.withColumn("text", inj))
+
+    def conversation_forks(spark, sf):
+        # shared turn-prefix forks: the doc_id%19 blanking gives the
+        # five user-role blank-turn-0 conversations a depth-1 fork;
+        # everything else diverges immediately (distinct doc texts)
+        return transcript.fork_prefixes(_turns(spark, sf))
+
+    def chat_template_render(spark, sf):
+        # ChatML-style serialization: one training-ready string per
+        # conversation, ordered concat inside the aggregate
+        return transcript.render_chat(_turns(spark, sf))
+
     def transcript_validate(spark, sf):
         # per-conversation role-alternation audit (ingestion gate)
         return transcript.validate_roles(_turns(spark, sf))
@@ -2817,7 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _mjpeg_fixture(spark, sf), every_n=2
         )
 
-    def boilerplate_classify(spark, sf):
+    def _paras(spark, sf):
         # jusText-style layout: paragraphs = 12-token slices of each
         # doc; every (para_idx % 5 == 2) paragraph gains 4 link tokens
         # (4*5 > 16 -> context-free 'bad'); ragged tails go 'short';
@@ -2830,7 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.lit("http://a.example/" + c) for c in ("x", "y", "z", "w")]
         )
         body = F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__s"), 12))
-        para = base.select(
+        return base.select(
             "doc_id",
             "__ts",
             F.posexplode(
@@ -2846,7 +2883,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(body)
             .alias("para_text"),
         )
-        return textops.boilerplate_classify(para)
+
+    def boilerplate_classify(spark, sf):
+        return textops.boilerplate_classify(_paras(spark, sf))
+
+    def main_content_extract(spark, sf):
+        # the classifier composed into the op a crawl pipeline runs:
+        # good paragraphs reassembled in order into per-doc main text
+        return textops.main_content(_paras(spark, sf))
 
     def inverted_index(spark, sf):
         # term -> (df, total tf, ascending posting-list head). The
@@ -3141,6 +3185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window_trim": context_window_trim,
         "conversation_dedup": conversation_dedup,
         "turn_boilerplate": turn_boilerplate,
+        "refusal_detect": refusal_detect,
+        "conversation_forks": conversation_forks,
+        "chat_template_render": chat_template_render,
+        "main_content_extract": main_content_extract,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -3415,6 +3463,48 @@ _TURNS_SQL = (
     f"  WHEN (doc_id // 97) % 7 IN (3, 4) THEN '{_TURNS_RETRY_TEXT}'"
     "  ELSE text END AS text"
     " FROM documents)"
+)
+
+
+#: jusText paragraph-synthesis + classification CTE chain, shared by
+#: the boilerplate_classify and main_content_extract oracles (the
+#: Spark side shares textops.boilerplate_classify the same way).
+#: Carries para_text through so main_content can reassemble it; the
+#: final per-paragraph class lives in g (context-free cf_class + the
+#: neighbour flag nb).
+_JUSTEXT_SQL = (
+    "t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
+    "  len(string_split(text, ' ')) AS n FROM documents),"
+    " p AS MATERIALIZED (SELECT doc_id,"
+    "  CAST(u.j - 1 AS INT) AS para_idx,"
+    "  CASE WHEN (u.j - 1) % 5 = 2 THEN"
+    "   array_to_string(ts[((u.j - 1) * 12 + 1):"
+    "    ((u.j - 1) * 12 + 12)], ' ')"
+    "   || ' http://a.example/x http://a.example/y"
+    " http://a.example/z http://a.example/w'"
+    "  ELSE array_to_string(ts[((u.j - 1) * 12 + 1):"
+    "    ((u.j - 1) * 12 + 12)], ' ') END AS para_text"
+    "  FROM t, LATERAL unnest("
+    "   range(1, (greatest(n, 1) - 1) // 12 + 2)) u(j)),"
+    " f AS MATERIALIZED (SELECT doc_id, para_idx, para_text,"
+    "  CAST(len(string_split(para_text, ' ')) AS BIGINT)"
+    "   AS n_words,"
+    "  CAST(len(list_filter(string_split(para_text, ' '),"
+    "   x -> list_contains(['the','a','of','and','to','in'],"
+    "    lower(x)))) AS BIGINT) AS stop_words,"
+    "  CAST(len(list_filter(string_split(para_text, ' '),"
+    "   x -> lower(x) LIKE 'http%')) AS BIGINT) AS link_words"
+    "  FROM p),"
+    " c AS MATERIALIZED (SELECT *,"
+    "  CASE WHEN link_words * 5 > n_words THEN 'bad'"
+    "   WHEN n_words < 8 THEN 'short'"
+    "   WHEN stop_words * 100 >= n_words * 10 THEN 'good'"
+    "   ELSE 'near' END AS cf_class FROM f),"
+    " g AS (SELECT *,"
+    "  (lag(cf_class) OVER w = 'good'"
+    "   OR lead(cf_class) OVER w = 'good') AS nb"
+    "  FROM c WINDOW w AS"
+    "   (PARTITION BY doc_id ORDER BY para_idx))"
 )
 
 
@@ -5053,38 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         # FALSE on both engines); p/f/c are multi-referenced ->
         # MATERIALIZED per the CTE-inlining trap
         "boilerplate_classify": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,"
-            "  len(string_split(text, ' ')) AS n FROM documents),"
-            " p AS MATERIALIZED (SELECT doc_id,"
-            "  CAST(u.j - 1 AS INT) AS para_idx,"
-            "  CASE WHEN (u.j - 1) % 5 = 2 THEN"
-            "   array_to_string(ts[((u.j - 1) * 12 + 1):"
-            "    ((u.j - 1) * 12 + 12)], ' ')"
-            "   || ' http://a.example/x http://a.example/y"
-            " http://a.example/z http://a.example/w'"
-            "  ELSE array_to_string(ts[((u.j - 1) * 12 + 1):"
-            "    ((u.j - 1) * 12 + 12)], ' ') END AS para_text"
-            "  FROM t, LATERAL unnest("
-            "   range(1, (greatest(n, 1) - 1) // 12 + 2)) u(j)),"
-            " f AS MATERIALIZED (SELECT doc_id, para_idx,"
-            "  CAST(len(string_split(para_text, ' ')) AS BIGINT)"
-            "   AS n_words,"
-            "  CAST(len(list_filter(string_split(para_text, ' '),"
-            "   x -> list_contains(['the','a','of','and','to','in'],"
-            "    lower(x)))) AS BIGINT) AS stop_words,"
-            "  CAST(len(list_filter(string_split(para_text, ' '),"
-            "   x -> lower(x) LIKE 'http%')) AS BIGINT) AS link_words"
-            "  FROM p),"
-            " c AS MATERIALIZED (SELECT *,"
-            "  CASE WHEN link_words * 5 > n_words THEN 'bad'"
-            "   WHEN n_words < 8 THEN 'short'"
-            "   WHEN stop_words * 100 >= n_words * 10 THEN 'good'"
-            "   ELSE 'near' END AS cf_class FROM f),"
-            " g AS (SELECT *,"
-            "  (lag(cf_class) OVER w = 'good'"
-            "   OR lead(cf_class) OVER w = 'good') AS nb"
-            "  FROM c WINDOW w AS"
-            "   (PARTITION BY doc_id ORDER BY para_idx))"
+            "WITH " + _JUSTEXT_SQL +
             " SELECT doc_id, para_idx, n_words, stop_words, link_words,"
             " cf_class,"
             " CASE WHEN cf_class IN ('good', 'bad') THEN cf_class"
@@ -5094,6 +5153,23 @@ def oracle_sql() -> dict[str, str]:
             "  WHEN COALESCE(nb, FALSE) THEN 'good'"
             "  ELSE 'bad' END) = 'good' AS kept"
             " FROM g"
+        ),
+        # main-content extraction: the same jusText chain, kept
+        # paragraphs reassembled in document order; all-boilerplate
+        # docs emit '' (Spark's array_join over an empty array)
+        "main_content_extract": (
+            "WITH " + _JUSTEXT_SQL + ","
+            " k AS (SELECT doc_id, para_idx, para_text,"
+            "  (CASE WHEN cf_class IN ('good', 'bad') THEN cf_class"
+            "   WHEN COALESCE(nb, FALSE) THEN 'good'"
+            "   ELSE 'bad' END) = 'good' AS kept FROM g)"
+            " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,"
+            " CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_kept,"
+            " COALESCE(string_agg(para_text, chr(10) || chr(10)"
+            "   ORDER BY para_idx) FILTER (WHERE kept), '')"
+            "  AS main_text"
+            " FROM k GROUP BY doc_id"
         ),
         # inverted index: identical (token, doc) tf aggregation,
         # hapax + >half-corpus pruning against the 1-row count, and
@@ -6257,6 +6333,85 @@ def oracle_sql() -> dict[str, str]:
             "  COALESCE(c.n, 0) AS n_convs,"
             "  COALESCE(c.n, 0) >= 5 AS is_boilerplate"
             " FROM b LEFT JOIN c USING (dig)"
+        ),
+        # canned-refusal rate: injector CASE shared with the Spark
+        # query (refusal prefix on assistant turn%6==2, AI-ism marker
+        # on turn%9==5), then the literal REFUSAL_PREFIXES/MARKERS
+        # table as anchored / floating LIKE patterns
+        "refusal_detect": (
+            "WITH " + _TURNS_SQL + ","
+            " inj AS (SELECT conv_id, role,"
+            "  CASE WHEN role = 'assistant' AND text <> ''"
+            "    AND turn_idx % 6 = 2"
+            "   THEN 'I''m sorry, I can''t help with that. ' || text"
+            "   WHEN role = 'assistant' AND text <> ''"
+            "    AND turn_idx % 9 = 5"
+            "   THEN text || ' As an AI language model, I note this.'"
+            "   ELSE text END AS text FROM turns),"
+            " f AS (SELECT conv_id,"
+            "  CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,"
+            "  CASE WHEN role = 'assistant' AND ("
+            "   lower(coalesce(text, '')) LIKE 'i''m sorry%' OR"
+            "   lower(coalesce(text, '')) LIKE 'i cannot%' OR"
+            "   lower(coalesce(text, '')) LIKE 'i can''t%' OR"
+            "   lower(coalesce(text, '')) LIKE 'i am unable%' OR"
+            "   lower(coalesce(text, '')) LIKE 'as an ai%' OR"
+            "   lower(coalesce(text, ''))"
+            "    LIKE '%as an ai language model%' OR"
+            "   lower(coalesce(text, ''))"
+            "    LIKE '%i cannot assist with%')"
+            "   THEN 1 ELSE 0 END AS r FROM inj)"
+            " SELECT conv_id, CAST(SUM(a) AS BIGINT) AS n_assistant,"
+            " CAST(SUM(r) AS BIGINT) AS n_refusal,"
+            " CASE WHEN SUM(a) = 0 THEN NULL"
+            "  ELSE CAST(1000000 * SUM(r) // SUM(a) AS BIGINT) END"
+            "  AS refusal_e6"
+            " FROM f GROUP BY conv_id"
+        ),
+        # shared turn-prefix forks: per-turn (role,text) digests in
+        # turn order, prefix digests to depth 8, count sharers per
+        # (plen, pdig), deepest shared prefix per conversation
+        "conversation_forks": (
+            "WITH " + _TURNS_SQL + ","
+            " d AS (SELECT conv_id, turn_idx,"
+            "  md5(coalesce(role, '') || chr(31) ||"
+            "   coalesce(text, '')) AS dig FROM turns),"
+            " a AS MATERIALIZED (SELECT conv_id,"
+            "  list(dig ORDER BY turn_idx) AS digs"
+            "  FROM d GROUP BY conv_id),"
+            " pre AS MATERIALIZED (SELECT conv_id,"
+            "  CAST(u.i AS INT) AS plen,"
+            "  md5(array_to_string(digs[1:CAST(u.i AS INT)], ''))"
+            "   AS pdig"
+            "  FROM a, LATERAL unnest("
+            "   range(1, least(8, len(digs)) + 1)) u(i)),"
+            " c AS (SELECT plen, pdig,"
+            "  CAST(COUNT(*) AS BIGINT) AS n"
+            "  FROM pre GROUP BY plen, pdig),"
+            " s AS (SELECT pre.conv_id, pre.plen, c.n FROM pre"
+            "  JOIN c USING (plen, pdig) WHERE c.n >= 2),"
+            " b AS (SELECT conv_id, MAX(plen) AS fd,"
+            "  max_by(n, plen) AS fc FROM s GROUP BY conv_id)"
+            " SELECT a.conv_id,"
+            " CAST(COALESCE(b.fd, 0) AS INTEGER) AS fork_depth,"
+            " CAST(COALESCE(b.fc, 0) AS BIGINT) AS fork_convs"
+            " FROM a LEFT JOIN b USING (conv_id)"
+        ),
+        # ChatML serialization: ordered string_agg of the per-turn
+        # parts; || would NULL-poison, hence coalesce on both engines
+        "chat_template_render": (
+            "WITH " + _TURNS_SQL + ","
+            " p AS (SELECT conv_id, turn_idx,"
+            "  '<|im_start|>' || coalesce(role, '') || chr(10) ||"
+            "  coalesce(text, '') || '<|im_end|>' || chr(10) AS part"
+            "  FROM turns),"
+            " g AS (SELECT conv_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            "  string_agg(part, '' ORDER BY turn_idx) AS rendered"
+            "  FROM p GROUP BY conv_id)"
+            " SELECT conv_id, n_turns,"
+            " CAST(length(rendered) AS BIGINT) AS n_chars, rendered"
+            " FROM g"
         ),
         # keep-best dedup: recursive-CTE clusters (same closure as
         # dedup_clusters) + per-cluster argmax of the exact integer

@@ -3011,6 +3011,7 @@ def boilerplate_classify(
     para_col: str = "para_text",
     id_col: str = "doc_id",
     idx_col: str = "para_idx",
+    keep_text: bool = False,
 ) -> DataFrame:
     """jusText-style boilerplate classification (Pomikalek 2011,
     simplified to exact integer rules — the reference's vision model
@@ -3033,7 +3034,7 @@ def boilerplate_classify(
 
     toks = F.split(F.col(para_col), " ")
     stop_arr = F.array(*[F.lit(s) for s in JUSTEXT_STOPWORDS])
-    feat = df.select(
+    feat_cols = [
         F.col(id_col),
         F.col(idx_col).cast("int").alias(idx_col),
         F.size(toks).cast("long").alias("n_words"),
@@ -3045,7 +3046,10 @@ def boilerplate_classify(
         F.size(F.filter(toks, lambda t: F.lower(t).startswith("http")))
         .cast("long")
         .alias("link_words"),
-    )
+    ]
+    if keep_text:
+        feat_cols.append(F.col(para_col))
+    feat = df.select(*feat_cols)
     cf = (
         F.when(F.col("link_words") * 5 > F.col("n_words"), F.lit("bad"))
         .when(F.col("n_words") < JUSTEXT_SHORT_WORDS, F.lit("short"))
@@ -3065,7 +3069,7 @@ def boilerplate_classify(
         .when(F.coalesce(neighbour_good, F.lit(False)), F.lit("good"))
         .otherwise(F.lit("bad"))
     )
-    return feat.select(
+    out_cols = [
         id_col,
         idx_col,
         "n_words",
@@ -3074,6 +3078,40 @@ def boilerplate_classify(
         "cf_class",
         final.alias("final_class"),
         (final == "good").alias("kept"),
+    ]
+    if keep_text:
+        out_cols.append(para_col)
+    return feat.select(*out_cols)
+
+
+def main_content(
+    df: DataFrame,
+    para_col: str = "para_text",
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+) -> DataFrame:
+    """Main-content extraction — the jusText classifier composed into
+    the operator a crawl pipeline actually runs: per document, keep the
+    ``good`` paragraphs and reassemble them IN ORDER into the extracted
+    main text (boilerplate stripped), plus kept/total paragraph counts.
+    Documents where nothing survives emit an empty string, not NULL.
+
+    Scale shape: :func:`boilerplate_classify` costs one exchange on the
+    document id (its neighbour window); this aggregation groups on the
+    SAME key, so Catalyst reuses the partitioning — no second exchange.
+    The ordered reassembly happens inside the aggregate (array_sort
+    over (idx, kept, text) structs), never via a global sort."""
+    classed = boilerplate_classify(
+        df, para_col, id_col, idx_col, keep_text=True
+    )
+    return classed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.expr(
+            "array_join(transform(filter(array_sort("
+            f"collect_list(struct({idx_col}, kept, {para_col}))),"
+            f" s -> s.kept), s -> s.{para_col}), '\\n\\n')"
+        ).alias("main_text"),
     )
 
 

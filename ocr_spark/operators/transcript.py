@@ -21,6 +21,13 @@ structure work that plain document operators don't cover:
   ordered (role, text) sequence; only per-turn digests ever shuffle.
 - ``boilerplate_turns``  — cross-conversation repeated-turn masking
   (canned greetings / retry banners): C4 line-dedup lifted to turns.
+- ``flag_refusals``      — canned-refusal / AI-ism hygiene rate per
+  conversation (literal phrase table, map-side flags).
+- ``fork_prefixes``      — shared turn-prefix fork detection: how deep
+  does each conversation share an identical (role, text) prefix with
+  other conversations (regenerate/fork artifacts duplicate context).
+- ``render_chat``        — deterministic ChatML-style serialization of
+  each conversation into one training-ready string.
 
 Reference parity: the reference pipeline (ExtractX_OCR) emits ordered
 per-turn text spans; these operators consume exactly that shape.  The
@@ -313,6 +320,181 @@ def boilerplate_turns(turns: DataFrame, min_convs: int = 5) -> DataFrame:
         (F.coalesce(F.col("__n"), F.lit(0)) >= min_convs).alias(
             "is_boilerplate"
         ),
+    )
+
+
+#: Canned-refusal / AI-ism phrase table (lowercase).  Literal on
+#: purpose: the flag must be replayable as plain SQL LIKE patterns, so
+#: the table is part of the operator contract, not a tunable.  The
+#: prefixes anchor at the start of the turn; the markers match
+#: anywhere.  None contain LIKE metacharacters (%, _).
+REFUSAL_PREFIXES = (
+    "i'm sorry",
+    "i cannot",
+    "i can't",
+    "i am unable",
+    "as an ai",
+)
+REFUSAL_MARKERS = (
+    "as an ai language model",
+    "i cannot assist with",
+)
+
+
+def flag_refusals(turns: DataFrame) -> DataFrame:
+    """SFT hygiene: per-conversation canned-refusal / AI-ism rate.
+    Distilled chat corpora are full of templated assistant refusals
+    ("I'm sorry, I can't ...", "As an AI language model ...") that an
+    SFT run overfits to; the standard prep step counts them so the
+    mixture stage can cap or drop refusal-heavy conversations.
+
+    A turn flags iff it is an assistant turn whose lowercased text
+    starts with a ``REFUSAL_PREFIXES`` entry or contains a
+    ``REFUSAL_MARKERS`` entry.  Output is one row per conversation:
+    assistant-turn count, refusal count, and the exact integer rate
+    ``1e6·n_refusal DIV n_assistant`` (NULL when the conversation has
+    no assistant turns).
+
+    Scale shape: the flag is a map-side JVM expression (lower +
+    startswith/contains chain — no regex, no Python); the only
+    exchange is the conv_id aggregation of three integers, with
+    map-side partial aggregation.  Text never rides a shuffle."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    hit = F.lit(False)
+    for p in REFUSAL_PREFIXES:
+        hit = hit | low.startswith(p)
+    for m in REFUSAL_MARKERS:
+        hit = hit | low.contains(m)
+    is_assist = F.col("role") == "assistant"
+    flagged = turns.select(
+        "conv_id",
+        is_assist.cast("long").alias("__a"),
+        (is_assist & hit).cast("long").alias("__r"),
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.sum("__a").alias("n_assistant"),
+        F.sum("__r").alias("n_refusal"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_assistant",
+        "n_refusal",
+        F.when(F.col("n_assistant") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("CAST(1000000 * n_refusal DIV n_assistant AS BIGINT)")
+        )
+        .alias("refusal_e6"),
+    )
+
+
+def fork_prefixes(
+    turns: DataFrame, max_depth: int = 8, min_convs: int = 2
+) -> DataFrame:
+    """Shared turn-prefix fork detection: when a user regenerates or
+    branches a conversation, the exported corpus holds several
+    conversations that start with an IDENTICAL (role, text) turn
+    prefix and diverge later.  Whole-conversation dedup misses them
+    (the suffixes differ) but the duplicated context still skews
+    training.  For each conversation report the deepest prefix length
+    (capped at ``max_depth`` — forks happen early) that at least
+    ``min_convs`` conversations share, and how many share it.
+
+    Scale shape: per-turn digests are map-side md5, so the conv_id
+    collect carries 32-char digests — text never rides any shuffle.
+    Prefix digests explode to at most ``max_depth`` rows per
+    conversation (bounded, unlike full-prefix explosion), the
+    (plen, prefix_digest) count is a partial-aggregated exchange of
+    integers, and the flag returns by digest hash join."""
+    dig = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("role"), F.lit("")),
+                F.lit("\x1f"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ).alias("__d"),
+    )
+    arr = dig.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
+            "__a"
+        )
+    )
+    pre = arr.select(
+        "conv_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, least({max_depth}, size(__a))),"
+                " i -> md5(concat_ws('',"
+                " transform(slice(__a, 1, i), s -> s.__d))))"
+            )
+        ).alias("__p0", "pdig"),
+    ).select(
+        "conv_id", (F.col("__p0") + 1).cast("int").alias("plen"), "pdig"
+    )
+    counts = pre.groupBy("plen", "pdig").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    shared = pre.join(counts, ["plen", "pdig"]).filter(
+        F.col("__n") >= min_convs
+    )
+    best = shared.groupBy("conv_id").agg(
+        F.max("plen").alias("__depth"),
+        F.expr("max_by(__n, plen)").alias("__share"),
+    )
+    return (
+        arr.select("conv_id")
+        .join(best, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce(F.col("__depth"), F.lit(0))
+            .cast("int")
+            .alias("fork_depth"),
+            F.coalesce(F.col("__share"), F.lit(0))
+            .cast("long")
+            .alias("fork_convs"),
+        )
+    )
+
+
+def render_chat(turns: DataFrame) -> DataFrame:
+    """Deterministic ChatML-style serialization — the last prep step
+    before tokenization: each conversation becomes ONE training-ready
+    string ``<|im_start|>role\\ntext<|im_end|>\\n`` per turn, in turn
+    order.  Emitting the rendered string (not just a digest) is the
+    point: this frame is what the tokenizer shards consume.
+
+    Scale shape: one exchange on conv_id; the per-turn parts are
+    assembled map-side and the ordered concat happens inside the
+    aggregate (array_sort over (turn_idx, part) structs — no window,
+    no second shuffle).  NULL role/text render as empty (|| would
+    null-poison the whole conversation on the SQL side; coalesce keeps
+    both engines identical)."""
+    part = F.concat(
+        F.lit("<|im_start|>"),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("<|im_end|>\n"),
+    )
+    g = (
+        turns.select("conv_id", "turn_idx", part.alias("__part"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.expr(
+                "array_join(transform("
+                " array_sort(collect_list(struct(turn_idx, __part))),"
+                " s -> s.__part), '')"
+            ).alias("rendered"),
+        )
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        F.length("rendered").cast("long").alias("n_chars"),
+        "rendered",
     )
 
 

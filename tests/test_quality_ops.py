@@ -1818,3 +1818,30 @@ def test_fim_transform_matches_python_reference(spark):
         assert r.text_out == want
         assert r.n_middle_tokens == hi - lo
     assert applied_any and passthrough_any
+
+
+def test_main_content_reassembly(spark):
+    paras = [
+        (0, 0, "the cat sat on a mat in the sun by a tree yes"),
+        (0, 1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (0, 2, "click http://x http://y http://z here now"),
+        (0, 3, "tail words only"),
+        # doc 1: everything boilerplate -> empty main text
+        (1, 0, "click http://x http://y http://z here now"),
+        (1, 1, "tiny tail bit"),
+    ]
+    pdf = pd.DataFrame(paras, columns=["doc_id", "para_idx", "para_text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.main_content(spark.createDataFrame(pdf)).collect()
+    }
+    d0 = out[0]
+    # para0 good, para1 promoted-good, para2 bad, para3 demoted-bad
+    assert (d0["n_paras"], d0["n_kept"]) == (4, 2)
+    assert d0["main_text"] == (
+        "the cat sat on a mat in the sun by a tree yes\n\n"
+        "alpha beta gamma delta epsilon zeta eta theta iota"
+    )
+    d1 = out[1]
+    assert (d1["n_paras"], d1["n_kept"]) == (2, 0)
+    assert d1["main_text"] == ""

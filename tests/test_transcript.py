@@ -436,3 +436,90 @@ def test_boilerplate_turns_distinct_convs_not_occurrences(spark):
     out = transcript.boilerplate_turns(turns, min_convs=3).toPandas()
     assert (out.n_convs == 2).all()
     assert not out.is_boilerplate.any()
+
+
+def test_flag_refusals_rate_and_phrases(spark):
+    rows = [
+        ("c1", 0, "user", "I'm sorry I was late"),      # user: never flags
+        ("c1", 1, "assistant", "I'm sorry, I can't help with that."),
+        ("c1", 2, "user", "why not"),
+        ("c1", 3, "assistant", "Sure: as an AI language model here"),
+        ("c1", 4, "assistant", "here is the real answer"),
+        ("c2", 0, "user", "hello"),                     # no assistant turns
+        ("c3", 0, "assistant", "I CANNOT do that"),     # case-insensitive
+    ]
+    out = {
+        r.conv_id: r
+        for r in transcript.flag_refusals(_turns(spark, rows)).collect()
+    }
+    c1 = out["c1"]
+    assert (c1.n_assistant, c1.n_refusal) == (3, 2)
+    assert c1.refusal_e6 == 1_000_000 * 2 // 3
+    c2 = out["c2"]
+    assert (c2.n_assistant, c2.n_refusal) == (0, 0)
+    assert c2.refusal_e6 is None
+    c3 = out["c3"]
+    assert (c3.n_refusal, c3.refusal_e6) == (1, 1_000_000)
+
+
+def test_fork_prefixes_depth_and_share(spark):
+    rows = []
+    # three conversations share a 2-turn prefix, then diverge
+    for c in ("a", "b", "x"):
+        rows.append((c, 0, "user", "shared opener"))
+        rows.append((c, 1, "assistant", "shared reply"))
+        rows.append((c, 2, "user", f"divergent {c}"))
+    # a and b ALSO share turn 2... no: make a/b share depth 3
+    rows = [r for r in rows if not (r[0] in ("a", "b") and r[1] == 2)]
+    rows.append(("a", 2, "user", "same fork"))
+    rows.append(("b", 2, "user", "same fork"))
+    rows.append(("a", 3, "assistant", "only a"))
+    rows.append(("b", 3, "assistant", "only b"))
+    rows.append(("solo", 0, "user", "unique"))
+    out = {
+        r.conv_id: r
+        for r in transcript.fork_prefixes(_turns(spark, rows)).collect()
+    }
+    assert (out["x"].fork_depth, out["x"].fork_convs) == (2, 3)
+    assert (out["a"].fork_depth, out["a"].fork_convs) == (3, 2)
+    assert (out["b"].fork_depth, out["b"].fork_convs) == (3, 2)
+    assert (out["solo"].fork_depth, out["solo"].fork_convs) == (0, 0)
+
+
+def test_fork_prefixes_depth_cap_and_role_sensitivity(spark):
+    # identical text but different role at turn 0 -> no shared prefix
+    rows = [
+        ("r1", 0, "user", "same"),
+        ("r2", 0, "assistant", "same"),
+    ]
+    # two convs identical for 10 turns: depth capped at max_depth
+    for c in ("L1", "L2"):
+        for t in range(10):
+            rows.append((c, t, "user", f"turn {t}"))
+    out = {
+        r.conv_id: r
+        for r in transcript.fork_prefixes(
+            _turns(spark, rows), max_depth=8
+        ).collect()
+    }
+    assert out["r1"].fork_depth == 0 and out["r2"].fork_depth == 0
+    assert out["L1"].fork_depth == 8 and out["L1"].fork_convs == 2
+
+
+def test_render_chat_order_and_nulls(spark):
+    rows = [
+        ("c1", 1, "assistant", "world"),   # out-of-order input
+        ("c1", 0, "user", "hello"),
+        ("c2", 0, "user", None),           # NULL text renders empty
+    ]
+    out = {
+        r.conv_id: r
+        for r in transcript.render_chat(_turns(spark, rows)).collect()
+    }
+    c1 = out["c1"]
+    assert c1.rendered == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nworld<|im_end|>\n"
+    )
+    assert c1.n_turns == 2 and c1.n_chars == len(c1.rendered)
+    assert out["c2"].rendered == "<|im_start|>user\n<|im_end|>\n"
