@@ -1468,3 +1468,65 @@ def test_grounding_score_no_exchange_beyond_qa_window(spark):
     # the single qa_pairs conv_id window
     assert len(_exchange_blocks(plan)) == 1
     assert "Join" not in plan
+
+
+def test_refusal_detect_one_integer_exchange(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "assistant", "i cannot do that")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.flag_refusals(turns))
+    blocks = _exchange_blocks(plan)
+    # one conv_id aggregation of partial-combined integer flags; the
+    # phrase chain is a map-side JVM expression, text never shuffles
+    assert len(blocks) == 1
+    assert "text" not in blocks[0]
+    assert "partial" in plan.lower()
+
+
+def test_fork_prefixes_text_never_shuffles(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c2", 0, "user", "a")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.fork_prefixes(turns))
+    # digests are computed map-side: no Exchange block may carry the
+    # raw text column (digest cols are __d / pdig)
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_render_chat_single_conv_exchange(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.render_chat(turns))
+    # ordered concat happens inside the aggregate: one exchange, no
+    # window, no sort-based second pass
+    assert len(_exchange_blocks(plan)) == 1
+    assert "Window" not in plan
+
+
+def test_main_content_reuses_classifier_partitioning(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import textops
+
+    paras = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 0, "the cat sat on a mat in the sun by a tree")],
+            columns=["doc_id", "para_idx", "para_text"],
+        )
+    )
+    plan = _plan(textops.main_content(paras))
+    # the reassembly groups on the SAME doc_id the classifier window
+    # partitioned by -> Catalyst must not add a second exchange
+    assert len(_exchange_blocks(plan)) == 1
