@@ -360,6 +360,59 @@ def _script_detect_oracle_sql() -> str:
         " FROM w"
     )
 
+def _script_segments_oracle_sql() -> str:
+    """DuckDB replay of the script_segments contract query: the
+    6-lines-per-doc synthesis ((doc_id + i) % 4 routing to Cyrillic /
+    Greek / 8-token Latin slices), the per-line dominant-script argmax
+    (same SCRIPT_RANGES string encoding as script_detect), and the
+    gaps-and-islands merge of consecutive equal labels."""
+    from ocr_spark.operators.textops import SCRIPT_RANGES
+
+    counts = ", ".join(
+        f"CAST(length(regexp_replace(line_text, '[^{rng}]', '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    nscripts = len(SCRIPT_RANGES)
+    keys = ", ".join(
+        f"lpad(CAST(n_{name} AS VARCHAR), 12, '0') ||"
+        f" '{nscripts - i:02d}' || '{name}'"
+        for i, (name, _) in enumerate(SCRIPT_RANGES)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
+        "  FROM documents),"
+        " l AS MATERIALIZED (SELECT doc_id, CAST(u.i AS INT) AS line_idx,"
+        "  CASE WHEN (doc_id + u.i) % 4 = 1"
+        "   THEN repeat('ж ', CAST(doc_id % 3 AS INT) + 1)"
+        "  WHEN (doc_id + u.i) % 4 = 2"
+        "   THEN repeat('π ', CAST((doc_id + u.i) % 2 AS INT) + 1)"
+        # DuckDB list[a:b] with a > len(list) is NULL, not [] — Spark's
+        # slice() gives [] and concat_ws '' there; coalesce for parity
+        "  ELSE COALESCE(array_to_string("
+        "   ts[(u.i * 8 + 1):(u.i * 8 + 8)], ' '), '') END AS line_text"
+        "  FROM t, LATERAL unnest(range(0, 6)) u(i)),"
+        f" c AS (SELECT doc_id, line_idx, {counts} FROM l),"
+        f" s AS (SELECT doc_id, line_idx,"
+        f"  CASE WHEN {total} = 0 THEN 'unknown'"
+        f"   ELSE substr(greatest({keys}), 15) END AS script FROM c),"
+        " r AS (SELECT doc_id, line_idx, script,"
+        "  row_number() OVER (PARTITION BY doc_id ORDER BY line_idx)"
+        "  - row_number() OVER (PARTITION BY doc_id, script"
+        "     ORDER BY line_idx) AS grp FROM s),"
+        " g AS (SELECT doc_id, script, grp,"
+        "  CAST(MIN(line_idx) AS INT) AS start_line,"
+        "  CAST(MAX(line_idx) AS INT) AS end_line,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_lines"
+        "  FROM r GROUP BY doc_id, script, grp)"
+        " SELECT doc_id,"
+        " CAST(row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY start_line) - 1 AS INT) AS seg_idx,"
+        " script, start_line, end_line, n_lines FROM g"
+    )
+
+
 #: quality_tiers duplicate-class text (doc_id%101==5): every such doc
 #: carries it verbatim — an exact-duplicate class for the discard tier.
 _TIER_DUP_BLOCK = (
@@ -1819,6 +1872,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.script_detect(injected)
 
+    def script_segments(spark, sf):
+        # code-switching segmentation: 6 synthetic lines per doc —
+        # (doc_id + i) % 4 == 1 lines are Cyrillic, == 2 Greek, the
+        # rest 8-token Latin slices (empty tails go 'unknown'); the
+        # gaps-and-islands merge runs of equal per-line script labels
+        d = _docs(spark, sf)
+        base = d.select("doc_id", F.split(F.col("text"), " ").alias("__ts"))
+        lines = base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("line_idx"),
+            "__ts",
+        ).select(
+            "doc_id",
+            "line_idx",
+            F.when(
+                (F.col("doc_id") + F.col("line_idx")) % 4 == 1,
+                F.expr("repeat('ж ', CAST(doc_id % 3 AS INT) + 1)"),
+            )
+            .when(
+                (F.col("doc_id") + F.col("line_idx")) % 4 == 2,
+                F.expr(
+                    "repeat('π ', CAST((doc_id + line_idx) % 2 AS INT) + 1)"
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr("slice(__ts, CAST(line_idx * 8 + 1 AS INT), 8)"),
+                )
+            )
+            .alias("line_text"),
+        )
+        return textops.script_segments(lines)
+
+    def hist_quantiles(spark, sf):
+        # mergeable histogram quantile sketch over doc lengths per
+        # lang: 64 x 32-char buckets, p50/p90/p99 as first-bucket
+        # upper edges — fixed-size state, merges by vector addition
+        return textops.hist_quantiles(_docs(spark, sf))
+
     def cross_snapshot_novelty(spark, sf):
         # per-doc fraction of 8-token windows unseen in the prior
         # release (docs with doc_id%3==0): prior docs score 0.0, new
@@ -3244,6 +3337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": domain_cap,
         "winnow_fingerprint": winnow_fingerprint,
         "script_detect": script_detect,
+        "script_segments": script_segments,
+        "hist_quantiles": hist_quantiles,
         "url_canonicalize": url_canonicalize,
         "text_sanitize": text_sanitize,
         # rotated out of the driver window round 4 on multi-round-green
@@ -5623,6 +5718,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Unicode-script counts + argmax label (injection replayed)
         "script_detect": _script_detect_oracle_sql(),
+        "script_segments": _script_segments_oracle_sql(),
+        # mergeable histogram quantile sketch: 64 x 32-char buckets,
+        # quantile = first bucket upper edge where cum*100 >= total*p
+        # (integer ceil test; SUM windows go HUGEINT in DuckDB — cast
+        # the exports back to BIGINT)
+        "hist_quantiles": (
+            "WITH b AS (SELECT lang,"
+            "  least(length(coalesce(text, '')) // 32, 63) AS bucket"
+            "  FROM documents),"
+            " c AS (SELECT lang, bucket,"
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY lang, bucket),"
+            " r AS (SELECT lang, bucket, n,"
+            "  SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,"
+            "  SUM(n) OVER (PARTITION BY lang) AS total FROM c)"
+            " SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,"
+            " CAST(MIN(CASE WHEN cum * 100 >= total * 50"
+            "  THEN (bucket + 1) * 32 END) AS BIGINT) AS p50_chars,"
+            " CAST(MIN(CASE WHEN cum * 100 >= total * 90"
+            "  THEN (bucket + 1) * 32 END) AS BIGINT) AS p90_chars,"
+            " CAST(MIN(CASE WHEN cum * 100 >= total * 99"
+            "  THEN (bucket + 1) * 32 END) AS BIGINT) AS p99_chars"
+            " FROM r GROUP BY lang"
+        ),
         # average-hash signatures over the md5-pixel fixture images
         "image_ahash": (
             _ahash_oracle_cte()

@@ -1704,27 +1704,16 @@ SCRIPT_RANGES = (
 )
 
 
-def script_detect(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Unicode-script detection — the scaffolding under any real
-    language-ID stage (fastText-style lang-id first separates scripts,
-    then disambiguates within one): count characters in seven explicit
-    script ranges and label each document with the dominant script
-    (ties broken by the fixed SCRIPT_RANGES order, ``unknown`` when no
-    script character occurs). ``script_conf`` is the winner's share of
-    all script characters, rounded to 4 decimals.
-
-    The argmax is encoded engine-neutrally as the string maximum of
-    ``lpad(count, 12) || lpad(priority, 2) || name`` — no struct
-    comparison semantics involved (12 digits: lpad TRUNCATES beyond its
-    width in both engines, and Spark's 2 GB string cap bounds counts
-    below 1e10). Entirely JVM regexp counts — zero exchanges, no
-    Python."""
+def _script_winner(col: Column):
+    """Per-script character counts, their total, and the argmax winner
+    key for ``col`` — the string-encoded argmax
+    ``lpad(count, 12) || lpad(priority, 2) || name`` shared by
+    script_detect (documents) and script_segments (lines); no struct
+    comparison semantics involved (12 digits: lpad TRUNCATES beyond
+    its width in both engines, and Spark's 2 GB string cap bounds
+    counts below 1e10)."""
     counts = {
-        name: F.length(F.regexp_replace(F.col(col), f"[^{rng}]", "")).cast(
-            "long"
-        )
+        name: F.length(F.regexp_replace(col, f"[^{rng}]", "")).cast("long")
         for name, rng in SCRIPT_RANGES
     }
     total = None
@@ -1739,7 +1728,24 @@ def script_detect(
         )
         for i, (name, c) in enumerate(counts.items())
     ]
-    winner = F.greatest(*keys)
+    return counts, total, F.greatest(*keys)
+
+
+def script_detect(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script detection — the scaffolding under any real
+    language-ID stage (fastText-style lang-id first separates scripts,
+    then disambiguates within one): count characters in seven explicit
+    script ranges and label each document with the dominant script
+    (ties broken by the fixed SCRIPT_RANGES order, ``unknown`` when no
+    script character occurs). ``script_conf`` is the winner's share of
+    all script characters, rounded to 4 decimals.
+
+    The argmax is the engine-neutral string encoding from
+    :func:`_script_winner`. Entirely JVM regexp counts — zero
+    exchanges, no Python."""
+    counts, total, winner = _script_winner(F.col(col))
     label = F.when(total == 0, F.lit("unknown")).otherwise(
         F.substring(winner, 15, 16)
     )
@@ -1753,6 +1759,125 @@ def script_detect(
         *[c.alias(f"n_{name}") for name, c in counts.items()],
         label.alias("script"),
         conf.alias("script_conf"),
+    )
+
+
+def script_segments(
+    df: DataFrame,
+    col: str = "line_text",
+    id_col: str = "doc_id",
+    idx_col: str = "line_idx",
+) -> DataFrame:
+    """Code-switching segmentation — multilingual crawl documents mix
+    scripts line by line (quoted sources, bilingual pages, spam); a
+    tokenizer-budget or lang-routing stage needs the CONTIGUOUS runs,
+    not just the per-doc majority that :func:`script_detect` reports.
+    Each input line gets its dominant script (same explicit codepoint
+    ranges, ``unknown`` when none), then consecutive same-script lines
+    merge into segments via gaps-and-islands (row_number minus
+    per-script row_number), renumbered 0.. by start line.
+
+    Scale shape: the script label is a map-side JVM regexp argmax; the
+    two ranking windows, the island aggregation, and the segment
+    renumber ALL partition on the document id — one exchange total,
+    and only (id, idx, 16-char label) rows cross it."""
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(id_col).orderBy(idx_col)
+    _, total, winner = _script_winner(F.col(col))
+    label = F.when(total == 0, F.lit("unknown")).otherwise(
+        F.substring(winner, 15, 16)
+    )
+    lab = df.select(
+        id_col,
+        F.col(idx_col).cast("int").alias(idx_col),
+        label.alias("script"),
+    )
+    w_scr = Window.partitionBy(id_col, "script").orderBy(idx_col)
+    isl = lab.withColumn(
+        "__grp", F.row_number().over(w_all) - F.row_number().over(w_scr)
+    )
+    seg = isl.groupBy(id_col, "script", "__grp").agg(
+        F.min(idx_col).cast("int").alias("start_line"),
+        F.max(idx_col).cast("int").alias("end_line"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    w_seg = Window.partitionBy(id_col).orderBy("start_line")
+    return seg.select(
+        id_col,
+        (F.row_number().over(w_seg) - 1).cast("int").alias("seg_idx"),
+        "script",
+        "start_line",
+        "end_line",
+        "n_lines",
+    )
+
+
+#: Histogram quantile sketch geometry: 64 buckets of 32 characters.
+#: The bucket-count vector IS the sketch — mergeable by plain vector
+#: addition, so partial aggregation combines map-side and shards /
+#: releases merge by summing counts; estimates are bucket UPPER edges
+#: (exact integers — no interpolation float to diverge).
+HIST_BUCKET_W = 32
+HIST_BUCKETS = 64
+
+
+def hist_quantiles(
+    df: DataFrame, col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Mergeable histogram quantile sketch — the distributed-quantile
+    sibling of kmv/hll/cms (exact quantiles need a global sort; a 100
+    TB profile job wants a fixed-size mergeable state instead): bucket
+    every document's character length into ``HIST_BUCKETS`` fixed
+    ``HIST_BUCKET_W``-char bins (top bin open-ended), count per
+    (group, bucket), and read p50/p90/p99 as the upper edge of the
+    first bucket whose running count reaches ``ceil(p·total)`` — the
+    integer test ``cum·100 >= total·p``.
+
+    Scale shape: the only data-sized exchange is the partial-combined
+    (group, bucket) count — at most 64 rows per group reach the
+    reducer; the per-group running sum and the final min-edge
+    aggregation both stay on the group key (one more tiny exchange of
+    64-row groups)."""
+    from pyspark.sql.window import Window
+
+    bucket = F.least(
+        F.expr(f"length(coalesce({col}, '')) DIV {HIST_BUCKET_W}"),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    c = (
+        df.select(F.col(group_col), bucket.alias("__b"))
+        .groupBy(group_col, "__b")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = c.select(
+        group_col,
+        "__b",
+        F.sum("__n").over(w_cum).alias("__cum"),
+        F.sum("__n").over(w_tot).alias("__tot"),
+    )
+
+    def est(p: int) -> Column:
+        return F.min(
+            F.when(
+                F.col("__cum") * 100 >= F.col("__tot") * p,
+                (F.col("__b") + 1).cast("long") * HIST_BUCKET_W,
+            )
+        )
+
+    return r.groupBy(group_col).agg(
+        F.max("__tot").cast("long").alias("n_docs"),
+        est(50).alias("p50_chars"),
+        est(90).alias("p90_chars"),
+        est(99).alias("p99_chars"),
     )
 
 

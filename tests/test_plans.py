@@ -1530,3 +1530,31 @@ def test_main_content_reuses_classifier_partitioning(spark):
     # the reassembly groups on the SAME doc_id the classifier window
     # partitioned by -> Catalyst must not add a second exchange
     assert len(_exchange_blocks(plan)) == 1
+
+
+def test_script_segments_one_doc_exchange(spark):
+    from ocr_spark.operators import textops
+
+    lines = spark.createDataFrame(
+        [(0, 0, "hello"), (0, 1, "привет")],
+        ["doc_id", "line_idx", "line_text"],
+    )
+    plan = _plan(textops.script_segments(lines))
+    # label is a map-side regexp argmax; both rank windows, the island
+    # agg, and the renumber all partition on doc_id -> one exchange,
+    # and raw line text never crosses it
+    blocks = _exchange_blocks(plan)
+    assert len(blocks) == 1
+    assert "line_text" not in blocks[0]
+
+
+def test_hist_quantiles_sketch_sized_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.hist_quantiles(docs))
+    # (lang, bucket) counts partial-combine map-side; text never
+    # leaves the scan stage
+    assert "partial" in plan.lower()
+    for b in _exchange_blocks(plan):
+        assert "text" not in b

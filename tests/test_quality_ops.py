@@ -1845,3 +1845,50 @@ def test_main_content_reassembly(spark):
     d1 = out[1]
     assert (d1["n_paras"], d1["n_kept"]) == (2, 0)
     assert d1["main_text"] == ""
+
+
+def test_script_segments_islands_and_renumber(spark):
+    rows = [
+        (0, 0, "hello world"),          # latin
+        (0, 1, "more latin here"),      # latin  -> one segment 0-1
+        (0, 2, "привет мир"),           # cyrillic
+        (0, 3, "και πάλι"),             # greek
+        (0, 4, "back to latin"),        # latin
+        (1, 0, "   "),                  # no script chars -> unknown
+        (1, 1, "..!"),                  # unknown -> merges with above
+    ]
+    out = textops.script_segments(
+        spark.createDataFrame(rows, ["doc_id", "line_idx", "line_text"])
+    )
+    segs = {
+        (r.doc_id, r.seg_idx): r for r in out.collect()
+    }
+    assert len(segs) == 5
+    s0 = segs[(0, 0)]
+    assert (s0.script, s0.start_line, s0.end_line, s0.n_lines) == (
+        "latin", 0, 1, 2
+    )
+    assert segs[(0, 1)].script == "cyrillic"
+    assert segs[(0, 2)].script == "greek"
+    assert (segs[(0, 3)].script, segs[(0, 3)].start_line) == ("latin", 4)
+    u = segs[(1, 0)]
+    assert (u.script, u.n_lines) == ("unknown", 2)
+
+
+def test_hist_quantiles_edges_and_cap(spark):
+    # lang a: 10 docs of 10 chars (bucket 0, edge 32) and 1 of 100
+    # chars (bucket 3, edge 128): p50 -> 32, p99 -> 128
+    rows = [("a", "x" * 10)] * 10 + [("a", "y" * 100)]
+    # lang b: one 10_000-char doc lands in the capped top bucket
+    rows += [("b", "z" * 10_000)]
+    out = {
+        r.lang: r
+        for r in textops.hist_quantiles(
+            spark.createDataFrame(rows, ["lang", "text"])
+        ).collect()
+    }
+    a = out["a"]
+    assert a.n_docs == 11
+    assert (a.p50_chars, a.p90_chars, a.p99_chars) == (32, 32, 128)
+    b = out["b"]
+    assert b.n_docs == 1 and b.p50_chars == 64 * 32
