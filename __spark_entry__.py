@@ -269,11 +269,32 @@ from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E40
 from ocr_spark.operators.textops import HLL_ALPHA_NUM as _HLL_ALPHA  # noqa: E402
 from ocr_spark.operators.textops import _hll_rank_sql  # noqa: E402
 from ocr_spark.operators.transcript import _trunc_flag_sql  # noqa: E402
+from ocr_spark.operators.textops import (  # noqa: E402
+    DOM_ANCHOR_RE as _DOM_ANCHOR_RE,
+    DOM_BLOCK_RE as _DOM_BLOCK_RE,
+    DOM_MAX_LINK_E6 as _DOM_MAX_LINK_E6,
+    DOM_MIN_TEXT as _DOM_MIN_TEXT,
+)
 
 _CLF_W_LIST = "[" + ", ".join(str(int(x)) for x in _CLF_W) + "]"
 
 #: script_detect injection phrases — quote/backslash-free so they embed
 #: verbatim in single-quoted SQL literals for BOTH engines.
+#: dom_density HTML synthesis fragments, shared verbatim between the
+#: Spark query and the oracle: a link-only nav div, two <p> content
+#: blocks (the second with one inline anchor), a link-dense footer.
+_DOM_PRE = (
+    '<html><body><div class="nav"><a href="/">home</a>'
+    '<a href="/a">about</a><a href="/c">contact</a></div><p>'
+)
+_DOM_MID1 = "</p><p>"
+_DOM_MID2 = ' <a href="#">ref</a> '
+_DOM_POST = (
+    '</p><div class="footer"><a href="/t">terms</a> (c) corp'
+    "</div></body></html>"
+)
+
+
 _SCRIPT_PHRASES = {
     "cyrillic": "привет мир данные",
     "cjk": "数据清洗流水线",
@@ -1912,6 +1933,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upper edges — fixed-size state, merges by vector addition
         return textops.hist_quantiles(_docs(spark, sf))
 
+    def dom_density(spark, sf):
+        # raw-HTML synthesis: nav div (anchor-only), a 12-token <p>,
+        # a 10+8-token <p> with one inline anchor, a link-dense
+        # footer; the block classifier must keep the content <p>s and
+        # drop nav/footer (short docs degrade to all-dropped)
+        d = _docs(spark, sf)
+        ts = F.split(F.col("text"), " ")
+        html = F.concat(
+            F.lit(_DOM_PRE),
+            F.concat_ws(" ", F.slice(ts, 1, 12)),
+            F.lit(_DOM_MID1),
+            F.concat_ws(" ", F.slice(ts, 13, 10)),
+            F.lit(_DOM_MID2),
+            F.concat_ws(" ", F.slice(ts, 23, 8)),
+            F.lit(_DOM_POST),
+        )
+        return textops.dom_density_blocks(
+            d.select("doc_id", html.alias("html"))
+        )
+
     def cross_snapshot_novelty(spark, sf):
         # per-doc fraction of 8-token windows unseen in the prior
         # release (docs with doc_id%3==0): prior docs score 0.0, new
@@ -3339,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": script_detect,
         "script_segments": script_segments,
         "hist_quantiles": hist_quantiles,
+        "dom_density": dom_density,
         "url_canonicalize": url_canonicalize,
         "text_sanitize": text_sanitize,
         # rotated out of the driver window round 4 on multi-round-green
@@ -5740,6 +5782,42 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MIN(CASE WHEN cum * 100 >= total * 99"
             "  THEN (bucket + 1) * 32 END) AS BIGINT) AS p99_chars"
             " FROM r GROUP BY lang"
+        ),
+        # DOM-density block classification: same RE2-safe block /
+        # anchor regexes as the operator (textops.DOM_BLOCK_RE); the
+        # HTML synthesis fragments are shared module constants
+        "dom_density": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts"
+            "  FROM documents),"
+            " h AS (SELECT doc_id,"
+            f"  '{_DOM_PRE}' ||"
+            "  COALESCE(array_to_string(ts[1:12], ' '), '') ||"
+            f"  '{_DOM_MID1}' ||"
+            "  COALESCE(array_to_string(ts[13:22], ' '), '') ||"
+            f"  '{_DOM_MID2}' ||"
+            "  COALESCE(array_to_string(ts[23:30], ' '), '') ||"
+            f"  '{_DOM_POST}' AS html FROM t),"
+            " e AS (SELECT doc_id, regexp_extract_all(html,"
+            f"  '{_DOM_BLOCK_RE}', 1) AS blocks FROM h),"
+            " b AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS block_idx,"
+            "  blocks[CAST(u.i AS INT)] AS blk FROM e,"
+            "  LATERAL unnest(range(1, len(blocks) + 1)) u(i)),"
+            " s AS (SELECT doc_id, block_idx,"
+            "  CAST(length(regexp_replace(blk, '<[^>]*>', '', 'g'))"
+            "   AS BIGINT) AS text_len,"
+            f"  CAST(len(regexp_extract_all(blk, '{_DOM_ANCHOR_RE}',"
+            "   1)) AS BIGINT) AS n_anchors,"
+            "  CAST(1000000 * COALESCE(list_sum(list_transform("
+            f"   regexp_extract_all(blk, '{_DOM_ANCHOR_RE}', 1),"
+            "   x -> length(x))), 0)"
+            "   // greatest(length(regexp_replace(blk, '<[^>]*>', '',"
+            "    'g')), 1) AS BIGINT) AS link_e6,"
+            "  regexp_replace(blk, '<[^>]*>', '', 'g') AS block_text"
+            "  FROM b)"
+            " SELECT doc_id, block_idx, text_len, n_anchors, link_e6,"
+            f" (text_len >= {_DOM_MIN_TEXT}"
+            f"  AND link_e6 <= {_DOM_MAX_LINK_E6}) AS kept,"
+            " block_text FROM s"
         ),
         # average-hash signatures over the md5-pixel fixture images
         "image_ahash": (

@@ -1881,6 +1881,83 @@ def hist_quantiles(
     )
 
 
+#: DOM block pattern: a top-level <p>/<div> whose body is text with
+#: optionally interleaved anchors. RE2-safe (no lookaround, no
+#: backreferences) so Spark's Java regex and DuckDB's RE2 extract the
+#: exact same blocks. Capture group 1 = the block body.
+DOM_BLOCK_RE = (
+    "<(?:p|div)[^>]*>([^<]*(?:<a[^>]*>[^<]*</a>[^<]*)*)</(?:p|div)>"
+)
+DOM_ANCHOR_RE = "<a[^>]*>([^<]*)</a>"
+#: Keep thresholds: a content block has at least this many stripped
+#: text characters and at most this much anchor-text share (ppm).
+DOM_MIN_TEXT = 20
+DOM_MAX_LINK_E6 = 300_000
+
+
+def dom_density_blocks(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """DOM-density main-content heuristics over RAW HTML — the Arc90
+    Readability / BTE block classifier: split the payload into its
+    top-level <p>/<div> blocks, strip tags, and keep the blocks whose
+    text-to-tag ratio is high and block-level link density is low
+    (navigation bars and footers are short and anchor-dominated;
+    content paragraphs are long and anchor-sparse).  This is the
+    boilerplate-strip stage that runs BEFORE jusText-style paragraph
+    classification when the input is markup rather than plain text.
+
+    Per block: stripped text length, anchor count, anchor-text share
+    in exact ppm (``1e6·anchor_chars DIV max(text_len, 1)``), and the
+    keep flag ``text_len >= DOM_MIN_TEXT AND link_e6 <=
+    DOM_MAX_LINK_E6``.
+
+    Scale shape: ZERO exchanges — block extraction, tag stripping and
+    the ratio math are per-row JVM regexp expressions; nothing ever
+    shuffles.  Reference parity: the reference feeds page scans to a
+    vision LLM that never sees markup; a crawl corpus needs exactly
+    this stage (north-star 'DOM-density heuristics: text-to-tag
+    ratio, block-level link density')."""
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(DOM_BLOCK_RE), 1)
+    b = df.select(
+        id_col,
+        F.posexplode(blocks).alias("block_idx", "__blk"),
+    ).select(
+        id_col,
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.regexp_replace(F.col("__blk"), "<[^>]*>", "").alias("__txt"),
+        F.regexp_extract_all(
+            F.col("__blk"), F.lit(DOM_ANCHOR_RE), 1
+        ).alias("__anch"),
+    )
+    text_len = F.length("__txt").cast("long")
+    n_anchors = F.size("__anch").cast("long")
+    scored = b.select(
+        id_col,
+        "block_idx",
+        text_len.alias("text_len"),
+        n_anchors.alias("n_anchors"),
+        F.expr(
+            "CAST(1000000 * aggregate(__anch, 0L,"
+            " (acc, x) -> acc + length(x))"
+            " DIV greatest(length(__txt), 1) AS BIGINT)"
+        ).alias("link_e6"),
+        F.col("__txt").alias("block_text"),
+    )
+    kept = (F.col("text_len") >= DOM_MIN_TEXT) & (
+        F.col("link_e6") <= DOM_MAX_LINK_E6
+    )
+    return scored.select(
+        id_col,
+        "block_idx",
+        "text_len",
+        "n_anchors",
+        "link_e6",
+        kept.alias("kept"),
+        "block_text",
+    )
+
+
 #: Fixed literal keyword taxonomy (classifier_score's rule-based
 #: sibling): topic → disjoint keyword tuple, ORDER IS CONTRACT (the
 #: primary-tag tie-break prefers earlier topics).

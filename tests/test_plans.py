@@ -1558,3 +1558,15 @@ def test_hist_quantiles_sketch_sized_exchanges(spark):
     assert "partial" in plan.lower()
     for b in _exchange_blocks(plan):
         assert "text" not in b
+
+
+def test_dom_density_zero_exchanges(spark):
+    from ocr_spark.operators import textops
+
+    rows = spark.createDataFrame(
+        [(0, "<p>some body text</p>")], ["doc_id", "html"]
+    )
+    plan = _plan(textops.dom_density_blocks(rows))
+    # block extraction + ratio math are per-row regexp expressions
+    assert "Exchange" not in plan
+    assert "Join" not in plan

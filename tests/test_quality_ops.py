@@ -1892,3 +1892,33 @@ def test_hist_quantiles_edges_and_cap(spark):
     assert (a.p50_chars, a.p90_chars, a.p99_chars) == (32, 32, 128)
     b = out["b"]
     assert b.n_docs == 1 and b.p50_chars == 64 * 32
+
+
+def test_dom_density_blocks_nav_footer_dropped(spark):
+    html = (
+        '<html><body>'
+        '<div class="nav"><a href="/">home</a><a href="/a">about</a>'
+        '<a href="/c">contact</a></div>'
+        '<p>this paragraph carries the actual long-form article body '
+        'with plenty of prose</p>'
+        '<p>short</p>'
+        '<p>another content block with an inline <a href="#">citation'
+        '</a> reference that stays mostly prose text here</p>'
+        '<div class="footer"><a href="/t">terms</a> (c)</div>'
+        '</body></html>'
+    )
+    rows = spark.createDataFrame([(0, html)], ["doc_id", "html"])
+    out = {
+        r.block_idx: r for r in textops.dom_density_blocks(rows).collect()
+    }
+    assert len(out) == 5
+    nav = out[0]
+    assert nav.n_anchors == 3 and not nav.kept
+    assert nav.block_text == "homeaboutcontact"
+    body = out[1]
+    assert body.kept and body.n_anchors == 0 and body.link_e6 == 0
+    assert not out[2].kept            # under DOM_MIN_TEXT chars
+    cit = out[3]
+    assert cit.kept and cit.n_anchors == 1
+    assert cit.link_e6 == 1_000_000 * len("citation") // cit.text_len
+    assert not out[4].kept            # footer: link-dense
