@@ -2080,12 +2080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and must flag; ordinary per-doc texts stay unique (n_convs=1)
         return transcript.boilerplate_turns(_turns(spark, sf))
 
-    def refusal_detect(spark, sf):
-        # canned-refusal / AI-ism rate: the synthetic corpus contains
-        # no refusal phrasing, so the injector (shared CASE with the
-        # oracle) plants a prefix refusal on assistant turn%6==2 and an
-        # AI-ism marker on assistant turn%9==5; blank turns stay blank
-        t = _turns(spark, sf)
+    def _inject_refusals(t):
+        # canned-refusal / AI-ism injector (the synthetic corpus has no
+        # refusal phrasing): a prefix refusal on assistant turn%6==2,
+        # an AI-ism marker on assistant turn%9==5; blank turns stay
+        # blank — CASE shared with _REFUSAL_INJ_SQL
         assist = (F.col("role") == "assistant") & (F.col("text") != "")
         inj = (
             F.when(
@@ -2104,7 +2103,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .otherwise(F.col("text"))
         )
-        return transcript.flag_refusals(t.withColumn("text", inj))
+        return t.withColumn("text", inj)
+
+    def refusal_detect(spark, sf):
+        return transcript.flag_refusals(_inject_refusals(_turns(spark, sf)))
+
+    def conversation_tiers(spark, sf):
+        # transcript-axis quality funnel over the refusal-injected
+        # corpus: retry blocks collapse, blank turns count raw-side,
+        # role flips / blanked-turn removals create violations, the
+        # retry text is 97-conv boilerplate
+        return transcript.conversation_tiers(
+            _inject_refusals(_turns(spark, sf))
+        )
 
     def conversation_forks(spark, sf):
         # shared turn-prefix forks: the doc_id%19 blanking gives the
@@ -3320,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dedup": conversation_dedup,
         "turn_boilerplate": turn_boilerplate,
         "refusal_detect": refusal_detect,
+        "conversation_tiers": conversation_tiers,
         "conversation_forks": conversation_forks,
         "chat_template_render": chat_template_render,
         "main_content_extract": main_content_extract,
@@ -3643,6 +3655,34 @@ _JUSTEXT_SQL = (
     "  FROM c WINDOW w AS"
     "   (PARTITION BY doc_id ORDER BY para_idx))"
 )
+
+
+#: refusal injector, shared verbatim between the refusal_detect /
+#: conversation_tiers Spark queries (queries()._inject_refusals) and
+#: their oracles: prefix refusal on assistant turn%6==2, AI-ism marker
+#: on assistant turn%9==5, blank turns untouched.
+_REFUSAL_INJ_SQL = (
+    "CASE WHEN role = 'assistant' AND text <> '' AND turn_idx % 6 = 2"
+    " THEN 'I''m sorry, I can''t help with that. ' || text"
+    " WHEN role = 'assistant' AND text <> '' AND turn_idx % 9 = 5"
+    " THEN text || ' As an AI language model, I note this.'"
+    " ELSE text END"
+)
+
+
+def _refusal_like_sql(col: str) -> str:
+    """The REFUSAL_PREFIXES/MARKERS table as a LIKE chain over ``col``
+    (already-escaped SQL expression) — the SQL twin of
+    transcript._refusal_hit."""
+    return (
+        f"(lower(coalesce({col}, '')) LIKE 'i''m sorry%' OR"
+        f" lower(coalesce({col}, '')) LIKE 'i cannot%' OR"
+        f" lower(coalesce({col}, '')) LIKE 'i can''t%' OR"
+        f" lower(coalesce({col}, '')) LIKE 'i am unable%' OR"
+        f" lower(coalesce({col}, '')) LIKE 'as an ai%' OR"
+        f" lower(coalesce({col}, '')) LIKE '%as an ai language model%' OR"
+        f" lower(coalesce({col}, '')) LIKE '%i cannot assist with%')"
+    )
 
 
 #: truncation_detect injector, shared verbatim between the Spark query
@@ -6537,25 +6577,11 @@ def oracle_sql() -> dict[str, str]:
         "refusal_detect": (
             "WITH " + _TURNS_SQL + ","
             " inj AS (SELECT conv_id, role,"
-            "  CASE WHEN role = 'assistant' AND text <> ''"
-            "    AND turn_idx % 6 = 2"
-            "   THEN 'I''m sorry, I can''t help with that. ' || text"
-            "   WHEN role = 'assistant' AND text <> ''"
-            "    AND turn_idx % 9 = 5"
-            "   THEN text || ' As an AI language model, I note this.'"
-            "   ELSE text END AS text FROM turns),"
+            f"  {_REFUSAL_INJ_SQL} AS text FROM turns),"
             " f AS (SELECT conv_id,"
             "  CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,"
-            "  CASE WHEN role = 'assistant' AND ("
-            "   lower(coalesce(text, '')) LIKE 'i''m sorry%' OR"
-            "   lower(coalesce(text, '')) LIKE 'i cannot%' OR"
-            "   lower(coalesce(text, '')) LIKE 'i can''t%' OR"
-            "   lower(coalesce(text, '')) LIKE 'i am unable%' OR"
-            "   lower(coalesce(text, '')) LIKE 'as an ai%' OR"
-            "   lower(coalesce(text, ''))"
-            "    LIKE '%as an ai language model%' OR"
-            "   lower(coalesce(text, ''))"
-            "    LIKE '%i cannot assist with%')"
+            "  CASE WHEN role = 'assistant' AND"
+            f"   {_refusal_like_sql('text')}"
             "   THEN 1 ELSE 0 END AS r FROM inj)"
             " SELECT conv_id, CAST(SUM(a) AS BIGINT) AS n_assistant,"
             " CAST(SUM(r) AS BIGINT) AS n_refusal,"
@@ -6563,6 +6589,71 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE CAST(1000000 * SUM(r) // SUM(a) AS BIGINT) END"
             "  AS refusal_e6"
             " FROM f GROUP BY conv_id"
+        ),
+        # conversation quality-tier funnel: clean (transcript_clean's
+        # nb/fl/kp chain), adjacency violations, refusal + boilerplate
+        # flags, exact ppm signals, fixed tier CASE — all over the
+        # refusal-injected corpus
+        "conversation_tiers": (
+            "WITH " + _TURNS_SQL + ","
+            " inj AS (SELECT conv_id, turn_idx, role,"
+            f"  {_REFUSAL_INJ_SQL} AS text FROM turns),"
+            " raw AS (SELECT conv_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            "  CAST(SUM(CASE WHEN trim(coalesce(text, '')) = ''"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_blank"
+            "  FROM inj GROUP BY conv_id),"
+            " nb AS (SELECT * FROM inj WHERE trim(text) <> ''),"
+            " fl AS (SELECT conv_id, turn_idx, role, text,"
+            "  lag(role) OVER w AS pr, lag(text) OVER w AS pt FROM nb"
+            "  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),"
+            " kp AS (SELECT conv_id, turn_idx, role, text FROM fl"
+            "  WHERE NOT (role IS NOT DISTINCT FROM pr"
+            "   AND text IS NOT DISTINCT FROM pt)),"
+            " cl AS (SELECT conv_id, role, text,"
+            "  CASE WHEN lag(role) OVER (PARTITION BY conv_id"
+            "    ORDER BY turn_idx) = role THEN 1 ELSE 0 END AS viol,"
+            "  md5(coalesce(text, '')) AS dig FROM kp),"
+            " dc AS (SELECT dig,"
+            "  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS nc"
+            "  FROM cl GROUP BY dig),"
+            " fb AS (SELECT cl.conv_id, cl.viol,"
+            "  CASE WHEN cl.role = 'assistant' THEN 1 ELSE 0 END AS a,"
+            "  CASE WHEN cl.role = 'assistant' AND"
+            f"   {_refusal_like_sql('cl.text')} THEN 1 ELSE 0 END AS r,"
+            "  CASE WHEN dc.nc >= 5 THEN 1 ELSE 0 END AS b"
+            "  FROM cl JOIN dc USING (dig)),"
+            " ca AS (SELECT conv_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS ncl,"
+            "  CAST(SUM(viol) AS BIGINT) AS nv,"
+            "  CAST(SUM(a) AS BIGINT) AS na,"
+            "  CAST(SUM(r) AS BIGINT) AS nr,"
+            "  CAST(SUM(b) AS BIGINT) AS nbl"
+            "  FROM fb GROUP BY conv_id),"
+            " j AS (SELECT raw.conv_id, n_turns, n_blank,"
+            "  COALESCE(ncl, 0) AS n_clean, COALESCE(nv, 0) AS nv,"
+            "  COALESCE(na, 0) AS na, COALESCE(nr, 0) AS nr,"
+            "  COALESCE(nbl, 0) AS nbl"
+            "  FROM raw LEFT JOIN ca USING (conv_id)),"
+            " sg AS (SELECT conv_id, n_turns, n_clean,"
+            "  CAST(1000000 * n_blank // n_turns AS BIGINT) AS blank_e6,"
+            "  CASE WHEN n_clean < 2 THEN NULL ELSE"
+            "   CAST(1000000 * nv // (n_clean - 1) AS BIGINT) END"
+            "   AS viol_e6,"
+            "  CASE WHEN na = 0 THEN NULL ELSE"
+            "   CAST(1000000 * nr // na AS BIGINT) END AS refusal_e6,"
+            "  CASE WHEN n_clean = 0 THEN NULL ELSE"
+            "   CAST(1000000 * nbl // n_clean AS BIGINT) END AS boiler_e6"
+            "  FROM j)"
+            " SELECT conv_id, n_turns, n_clean, blank_e6, viol_e6,"
+            " refusal_e6, boiler_e6,"
+            " CASE WHEN COALESCE(viol_e6, 0) > 400000"
+            "   OR blank_e6 > 500000 THEN 'discard'"
+            "  WHEN COALESCE(refusal_e6, 0) > 300000"
+            "   OR COALESCE(boiler_e6, 0) > 300000 THEN 'low'"
+            "  WHEN n_clean < 4 THEN 'mid'"
+            "  ELSE 'high' END AS tier"
+            " FROM sg"
         ),
         # shared turn-prefix forks: per-turn (role,text) digests in
         # turn order, prefix digests to depth 8, count sharers per

@@ -341,6 +341,18 @@ REFUSAL_MARKERS = (
 )
 
 
+def _refusal_hit(low: Column) -> Column:
+    """True when a lowercased text column matches the literal refusal
+    table — prefix-anchored REFUSAL_PREFIXES plus floating
+    REFUSAL_MARKERS; shared by flag_refusals and conversation_tiers."""
+    hit = F.lit(False)
+    for p in REFUSAL_PREFIXES:
+        hit = hit | low.startswith(p)
+    for m in REFUSAL_MARKERS:
+        hit = hit | low.contains(m)
+    return hit
+
+
 def flag_refusals(turns: DataFrame) -> DataFrame:
     """SFT hygiene: per-conversation canned-refusal / AI-ism rate.
     Distilled chat corpora are full of templated assistant refusals
@@ -359,12 +371,7 @@ def flag_refusals(turns: DataFrame) -> DataFrame:
     startswith/contains chain — no regex, no Python); the only
     exchange is the conv_id aggregation of three integers, with
     map-side partial aggregation.  Text never rides a shuffle."""
-    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
-    hit = F.lit(False)
-    for p in REFUSAL_PREFIXES:
-        hit = hit | low.startswith(p)
-    for m in REFUSAL_MARKERS:
-        hit = hit | low.contains(m)
+    hit = _refusal_hit(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     is_assist = F.col("role") == "assistant"
     flagged = turns.select(
         "conv_id",
@@ -496,6 +503,139 @@ def render_chat(turns: DataFrame) -> DataFrame:
         F.length("rendered").cast("long").alias("n_chars"),
         "rendered",
     )
+
+
+#: conversation_tiers thresholds (ppm). Literal on purpose: the tier
+#: CASE is part of the operator contract and replays as plain SQL.
+TIER_VIOL_E6 = 400_000
+TIER_BLANK_E6 = 500_000
+TIER_REFUSAL_E6 = 300_000
+TIER_BOILER_E6 = 300_000
+TIER_MIN_TURNS = 4
+
+
+def conversation_tiers(turns: DataFrame) -> DataFrame:
+    """Conversation quality-tier funnel — the transcript-axis sibling
+    of the document quality_tiers funnel: clean the turns
+    (:func:`clean_turns` semantics), then score each conversation on
+    exact integer signals and bucket it with a fixed CASE.
+
+    Signals (ppm, integer DIV — no float can tie-break):
+
+    - ``blank_e6``   — blank/NULL turns over RAW turn count.
+    - ``viol_e6``    — same-role adjacent pairs over cleaned pairs
+      (NULL under 2 cleaned turns).
+    - ``refusal_e6`` — canned-refusal assistant turns over assistant
+      turns (NULL when no assistant turns survive cleaning).
+    - ``boiler_e6``  — cleaned turns whose exact text recurs in >= 5
+      distinct conversations (:func:`boilerplate_turns` rule).
+
+    Tier (first match): ``discard`` on viol_e6 > 400k or blank_e6 >
+    500k; ``low`` on refusal_e6 > 300k or boiler_e6 > 300k; ``mid``
+    under 4 cleaned turns; else ``high``.
+
+    Scale shape: cleaning + the adjacency lag share ONE conv_id
+    exchange (text rides it once, as in clean_turns itself); the
+    boilerplate count exchanges only (digest, conv_id) pairs; the two
+    per-conversation aggregates and the final join are rows of
+    integers keyed by conv_id."""
+    raw = turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(
+            (F.trim(F.coalesce(F.col("text"), F.lit(""))) == "").cast(
+                "long"
+            )
+        ).alias("n_blank"),
+    )
+    from ocr_spark.operators.dedup import _own_caches
+
+    cleaned = clean_turns(turns)
+    w = Window.partitionBy("conv_id").orderBy("new_turn_idx")
+    # flagged feeds BOTH the digest count and the flag join-back:
+    # persist so the clean_turns window (the one exchange text rides)
+    # runs once, not once per branch (GC-tied release, the dedup.py
+    # cache-ownership pattern)
+    flagged = cleaned.select(
+        "conv_id",
+        F.coalesce(
+            (F.lag("role").over(w) == F.col("role")).cast("long"),
+            F.lit(0),
+        ).alias("__viol"),
+        (F.col("role") == "assistant").cast("long").alias("__a"),
+        (
+            (F.col("role") == "assistant")
+            & _refusal_hit(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        )
+        .cast("long")
+        .alias("__r"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__dig"),
+    ).persist()
+    counts = flagged.groupBy("__dig").agg(
+        F.countDistinct("conv_id").alias("__nc")
+    )
+    fb = flagged.join(counts, "__dig").select(
+        "conv_id",
+        "__viol",
+        "__a",
+        "__r",
+        (F.col("__nc") >= 5).cast("long").alias("__b"),
+    )
+    cagg = fb.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("__ncl"),
+        F.sum("__viol").alias("__nv"),
+        F.sum("__a").alias("__na"),
+        F.sum("__r").alias("__nr"),
+        F.sum("__b").alias("__nb"),
+    )
+    j = raw.join(cagg, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        "n_blank",
+        F.coalesce(F.col("__ncl"), F.lit(0)).cast("long").alias("n_clean"),
+        F.coalesce(F.col("__nv"), F.lit(0)).alias("__nv"),
+        F.coalesce(F.col("__na"), F.lit(0)).alias("__na"),
+        F.coalesce(F.col("__nr"), F.lit(0)).alias("__nr"),
+        F.coalesce(F.col("__nb"), F.lit(0)).alias("__nb"),
+    )
+    sg = j.select(
+        "conv_id",
+        "n_turns",
+        "n_clean",
+        F.expr("CAST(1000000 * n_blank DIV n_turns AS BIGINT)").alias(
+            "blank_e6"
+        ),
+        F.expr(
+            "CASE WHEN n_clean < 2 THEN NULL"
+            " ELSE CAST(1000000 * __nv DIV (n_clean - 1) AS BIGINT) END"
+        ).alias("viol_e6"),
+        F.expr(
+            "CASE WHEN __na = 0 THEN NULL"
+            " ELSE CAST(1000000 * __nr DIV __na AS BIGINT) END"
+        ).alias("refusal_e6"),
+        F.expr(
+            "CASE WHEN n_clean = 0 THEN NULL"
+            " ELSE CAST(1000000 * __nb DIV n_clean AS BIGINT) END"
+        ).alias("boiler_e6"),
+    )
+    tier = F.expr(
+        f"CASE WHEN COALESCE(viol_e6, 0) > {TIER_VIOL_E6}"
+        f"  OR blank_e6 > {TIER_BLANK_E6} THEN 'discard'"
+        f" WHEN COALESCE(refusal_e6, 0) > {TIER_REFUSAL_E6}"
+        f"  OR COALESCE(boiler_e6, 0) > {TIER_BOILER_E6} THEN 'low'"
+        f" WHEN n_clean < {TIER_MIN_TURNS} THEN 'mid'"
+        " ELSE 'high' END"
+    )
+    out = sg.select(
+        "conv_id",
+        "n_turns",
+        "n_clean",
+        "blank_e6",
+        "viol_e6",
+        "refusal_e6",
+        "boiler_e6",
+        tier.alias("tier"),
+    )
+    return _own_caches(out, [flagged])
 
 
 def preference_pairs(qa: DataFrame) -> DataFrame:

@@ -1570,3 +1570,18 @@ def test_dom_density_zero_exchanges(spark):
     # block extraction + ratio math are per-row regexp expressions
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_conversation_tiers_text_shuffles_once(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.conversation_tiers(turns))
+    # text rides ONLY the clean_turns conv_id window exchange; the
+    # boilerplate count and both per-conversation aggregates exchange
+    # digests and integers
+    with_text = [b for b in _exchange_blocks(plan) if "text" in b]
+    assert len(with_text) == 1

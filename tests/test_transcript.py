@@ -523,3 +523,76 @@ def test_render_chat_order_and_nulls(spark):
     )
     assert c1.n_turns == 2 and c1.n_chars == len(c1.rendered)
     assert out["c2"].rendered == "<|im_start|>user\n<|im_end|>\n"
+
+
+def test_conversation_tiers_all_four_tiers(spark):
+    rows = []
+    # high: 4+ clean alternating turns, no signals
+    for t in range(4):
+        rows.append(("hi", t, "user" if t % 2 == 0 else "assistant",
+                     f"hi text {t}"))
+    # mid: only 2 clean turns
+    rows += [("mid", 0, "user", "q"), ("mid", 1, "assistant", "a mid")]
+    # discard via role violations: 3 of 3 adjacent pairs same-role
+    for t in range(4):
+        rows.append(("disc", t, "assistant", f"run {t}"))
+    # discard via blanks: 2 blank of 3 raw
+    rows += [("blnk", 0, "user", ""), ("blnk", 1, "assistant", "  "),
+             ("blnk", 2, "user", "only real turn")]
+    # low via refusals: 4 alternating turns, both assistant = refusal
+    rows += [
+        ("ref", 0, "user", "q1"),
+        ("ref", 1, "assistant", "I cannot help with this"),
+        ("ref", 2, "user", "q2"),
+        ("ref", 3, "assistant", "I'm sorry, no."),
+    ]
+    # retry collapse: identical (role, text) pair collapses -> no viol
+    rows += [
+        ("rt", 0, "user", "ask"),
+        ("rt", 1, "assistant", "same retry"),
+        ("rt", 2, "assistant", "same retry"),
+        ("rt", 3, "user", "thanks"),
+        ("rt", 4, "assistant", "done"),
+    ]
+    out = {
+        r.conv_id: r
+        for r in transcript.conversation_tiers(
+            _turns(spark, rows)
+        ).collect()
+    }
+    assert out["hi"].tier == "high" and out["hi"].viol_e6 == 0
+    assert out["mid"].tier == "mid" and out["mid"].n_clean == 2
+    d = out["disc"]
+    assert d.tier == "discard" and d.viol_e6 == 1_000_000
+    b = out["blnk"]
+    assert b.tier == "discard" and b.blank_e6 == 1_000_000 * 2 // 3
+    assert b.n_clean == 1 and b.viol_e6 is None
+    r = out["ref"]
+    assert r.tier == "low" and r.refusal_e6 == 1_000_000
+    rt = out["rt"]
+    assert rt.tier == "high" and rt.n_clean == 4 and rt.viol_e6 == 0
+
+
+def test_conversation_tiers_boilerplate_low(spark):
+    rows = []
+    # the same canned text in 5 conversations -> every turn boiler,
+    # boiler_e6 = 500000 > 300000 -> low (no violations: alternating)
+    for c in range(5):
+        rows.append((f"b{c}", 0, "user", "welcome to support"))
+        rows.append((f"b{c}", 1, "assistant", f"case answer {c}"))
+        rows.append((f"b{c}", 2, "user", f"followup {c}"))
+        rows.append((f"b{c}", 3, "assistant", f"closing {c}"))
+    out = transcript.conversation_tiers(_turns(spark, rows)).collect()
+    for r in out:
+        assert r.boiler_e6 == 250_000      # 1 of 4 -> under threshold
+        assert r.tier == "high"
+    # now 2 shared turns of 4 -> 500000 -> low
+    rows2 = []
+    for c in range(5):
+        rows2.append((f"c{c}", 0, "user", "welcome to support"))
+        rows2.append((f"c{c}", 1, "assistant", "how can i help"))
+        rows2.append((f"c{c}", 2, "user", f"followup {c}"))
+        rows2.append((f"c{c}", 3, "assistant", f"closing {c}"))
+    out2 = transcript.conversation_tiers(_turns(spark, rows2)).collect()
+    for r in out2:
+        assert r.boiler_e6 == 500_000 and r.tier == "low"
