@@ -3176,6 +3176,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture_sample,
         "vocab_oov": vocab_oov,
         "split_assign": split_assign,
+        # ---- transcript-axis flagship batch (the graft's payload is
+        # multi-turn transcripts and the north star names DOM-density
+        # boilerplate stripping verbatim — these multi-stage dataflows
+        # take window slots over the simple per-row ops demoted below
+        # the boundary) ----
+        "qa_pair_extract": qa_pair_extract,
+        "transcript_clean": transcript_clean,
+        "transcript_validate": transcript_validate,
+        "loss_mask_spans": loss_mask_spans,
+        "context_window_trim": context_window_trim,
+        "conversation_dedup": conversation_dedup,
+        "turn_boilerplate": turn_boilerplate,
+        "refusal_detect": refusal_detect,
+        "conversation_tiers": conversation_tiers,
+        "conversation_forks": conversation_forks,
+        "chat_template_render": chat_template_render,
+        "main_content_extract": main_content_extract,
+        "truncation_detect": truncation_detect,
+        "dom_density": dom_density,
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         # (bloom_dedup rotated out mid-round-5: r4 driver green —
         # making room for event_retention; cumulative window coverage
@@ -3215,12 +3234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_fingerprint rotated out late-round-5 — all r4 driver
         # green and untouched since — making room for dehyphenate /
         # readability_score / strip_page_furniture / table_to_markdown)
-        "dehyphenate": dehyphenate,
-        "strip_page_furniture": strip_page_furniture,
-        "table_to_markdown": table_to_markdown,
-        "special_token_scrub": special_token_scrub,
-        "fuzzy_title_pairs": fuzzy_title_pairs,
-        "sentence_chunk": sentence_chunk,
+        # (dehyphenate / strip_page_furniture / table_to_markdown /
+        # special_token_scrub / fuzzy_title_pairs / sentence_chunk /
+        # taxonomy_tag / robots_filter / mojibake_detect / anchor_text /
+        # homoglyph_detect / vocab_drift / link_hits / vocab_coverage
+        # demoted below the boundary end-of-round-5: single-stage
+        # per-row JVM expressions or simple broadcast lookups, yielding
+        # their slots to the transcript-axis multi-stage dataflows
+        # above; each stays proven by pytest value tests, the in-gate
+        # sf0.001 replay, and check_contract at sf0.01 + sf0.1)
         # (chunk_overlap + decontaminate rotated out end-of-round-5:
         # both r4 driver green; the r5 NULL-text fix to chunk_overlap is
         # pinned by pytest + the replay gate. readability_score /
@@ -3246,7 +3268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_merged_cells": extract_merged_cells,
         "bpe_encode": bpe_encode,
         "bpe_pack_sequences": bpe_pack_sequences,
-        "taxonomy_tag": taxonomy_tag,
         "token_compression": token_compression,
         "reshard_by_bytes": reshard_by_bytes,
         "lm_perplexity_buckets": lm_perplexity_buckets,
@@ -3261,17 +3282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": event_retention,
         "multimodal_audio_segments": multimodal_audio_segments,
         "multimodal_video_cuts": multimodal_video_cuts,
-        "robots_filter": robots_filter,
         "sessionize": sessionize,
         "template_detect": template_detect,
-        "mojibake_detect": mojibake_detect,
-        "anchor_text": anchor_text,
         "pmi_collocations": pmi_collocations,
         "extract_autorotate": extract_autorotate,
         # (jsonl_roundtrip rotated out late-round-5 — r4 driver green —
         # making room for extract_autorotate)
-        "homoglyph_detect": homoglyph_detect,
-        "vocab_drift": vocab_drift,
         # (line_dedup + dup_span_detect + substring_dedup_cut rotated
         # out late-round-5 — all r4 driver green — making room for
         # ohlc_bars / html_meta / char_diversity; bm25_topk +
@@ -3292,20 +3308,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ablation": filter_ablation,
         "forget_delete": forget_delete,
         "cluster_safe_split": cluster_safe_split,
-        "link_hits": link_hits,
-        "vocab_coverage": vocab_coverage,
         "heavy_keys": heavy_keys,
         "extract_reading_order": extract_reading_order,
         "negative_sample": negative_sample,
         # ==== 50-entry driver-window boundary ====
-        # Round 5 added 57 never-driver-checked queries against 50
-        # window slots, so 7 cannot receive driver evidence this (final)
-        # round. The 7 below were chosen as the simplest surfaces —
-        # single-stage per-row JVM expressions (or, for kwic, hoisted
-        # array slices) whose operator and oracle are near-literal
-        # transliterations; each is proven by pytest value tests, the
-        # in-gate sf0.001 replay (tests/test_contract_gate.py), and
-        # scripts/check_contract.py at sf0.01 + SWEEP.md at sf0.1.
+        # Round 5 added ~102 never-driver-checked queries against 50
+        # window slots, so the majority cannot receive driver evidence
+        # this (final) round. The window holds the transcript-axis
+        # flagship batch (the graft payload) plus the most complex
+        # multi-stage dataflows; everything below the boundary is the
+        # simpler surface — per-row JVM expressions, broadcast lookups,
+        # near-literal operator/oracle transliterations — each proven
+        # by pytest value tests, the in-gate sf0.001 replay
+        # (tests/test_contract_gate.py), and scripts/check_contract.py
+        # at sf0.01 + SWEEP.md at sf0.1.
         "kwic_concordance": kwic_concordance,
         "readability_score": readability_score,
         "markdown_strip": markdown_strip,
@@ -3313,6 +3329,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": ohlc_bars,
         "html_meta": html_meta,
         "char_diversity": char_diversity,
+        "dehyphenate": dehyphenate,
+        "strip_page_furniture": strip_page_furniture,
+        "table_to_markdown": table_to_markdown,
+        "special_token_scrub": special_token_scrub,
+        "fuzzy_title_pairs": fuzzy_title_pairs,
+        "sentence_chunk": sentence_chunk,
+        "taxonomy_tag": taxonomy_tag,
+        "robots_filter": robots_filter,
+        "mojibake_detect": mojibake_detect,
+        "anchor_text": anchor_text,
+        "homoglyph_detect": homoglyph_detect,
+        "vocab_drift": vocab_drift,
+        "link_hits": link_hits,
+        "vocab_coverage": vocab_coverage,
         # ---- post-window end-of-round-5 additions (window already
         # full of never-checked queries; proven by pytest + replay) ----
         "snapshot_upsert": snapshot_upsert,
@@ -3322,19 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ict_pairs": ict_pairs,
         "release_checksum": release_checksum,
         "dedup_containment": dedup_containment,
-        "qa_pair_extract": qa_pair_extract,
         "grounding_score": grounding_score,
-        "transcript_clean": transcript_clean,
-        "transcript_validate": transcript_validate,
-        "loss_mask_spans": loss_mask_spans,
-        "context_window_trim": context_window_trim,
-        "conversation_dedup": conversation_dedup,
-        "turn_boilerplate": turn_boilerplate,
-        "refusal_detect": refusal_detect,
-        "conversation_tiers": conversation_tiers,
-        "conversation_forks": conversation_forks,
-        "chat_template_render": chat_template_render,
-        "main_content_extract": main_content_extract,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -3344,7 +3362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": hybrid_rrf,
         "mmr_rerank": mmr_rerank,
         "bitext_mine": bitext_mine,
-        "truncation_detect": truncation_detect,
         "temperature_mix": temperature_mix,
         "cms_heavy_hitters": cms_heavy_hitters,
         "multimodal_gif_meta": multimodal_gif_meta,
@@ -3392,7 +3409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": script_detect,
         "script_segments": script_segments,
         "hist_quantiles": hist_quantiles,
-        "dom_density": dom_density,
         "url_canonicalize": url_canonicalize,
         "text_sanitize": text_sanitize,
         # rotated out of the driver window round 4 on multi-round-green
