@@ -434,6 +434,46 @@ def _script_segments_oracle_sql() -> str:
     )
 
 
+def _script_drift_oracle_sql() -> str:
+    """DuckDB replay of the script_drift contract query: the turn%5
+    Cyrillic injector, the per-turn dominant-script argmax (same
+    SCRIPT_RANGES string encoding as script_detect), the per-
+    conversation majority by turn count (ties to the lexicographically
+    larger label), and the exact integer drift share."""
+    from ocr_spark.operators.textops import SCRIPT_RANGES
+
+    counts = ", ".join(
+        f"CAST(length(regexp_replace(text, '[^{rng}]', '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    nscripts = len(SCRIPT_RANGES)
+    keys = ", ".join(
+        f"lpad(CAST(n_{name} AS VARCHAR), 12, '0') ||"
+        f" '{nscripts - i:02d}' || '{name}'"
+        for i, (name, _) in enumerate(SCRIPT_RANGES)
+    )
+    return (
+        "WITH " + _TURNS_SQL + ","
+        f" inj AS (SELECT conv_id, {_DRIFT_INJ_SQL} AS text FROM turns),"
+        f" c AS (SELECT conv_id, {counts} FROM inj),"
+        f" s AS (SELECT conv_id, CASE WHEN {total} = 0 THEN 'unknown'"
+        f"  ELSE substr(greatest({keys}), 15) END AS script FROM c),"
+        " cl AS (SELECT conv_id, script,"
+        "  CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY conv_id, script),"
+        " m AS (SELECT conv_id,"
+        "  MAX(lpad(CAST(n AS VARCHAR), 12, '0') || script) AS k,"
+        "  CAST(SUM(n) AS BIGINT) AS n_turns FROM cl GROUP BY conv_id)"
+        " SELECT conv_id, n_turns, substr(k, 13) AS majority_script,"
+        " CAST(n_turns - CAST(substr(k, 1, 12) AS BIGINT) AS BIGINT)"
+        "  AS n_off_script,"
+        " CAST(1000000 * (n_turns - CAST(substr(k, 1, 12) AS BIGINT))"
+        "  // n_turns AS BIGINT) AS drift_e6"
+        " FROM m"
+    )
+
+
 #: quality_tiers duplicate-class text (doc_id%101==5): every such doc
 #: carries it verbatim — an exact-duplicate class for the discard tier.
 _TIER_DUP_BLOCK = (
@@ -2141,6 +2181,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget (chat training trims history from the front)
         return transcript.trim_context(_turns(spark, sf))
 
+    def turn_novelty(spark, sf):
+        # per-turn share of 8-token windows first seen in that turn —
+        # the retry runs (turn 4 replays turn 3 verbatim) and any
+        # repeated context score zero novelty on the replaying turn
+        return transcript.turn_novelty(_turns(spark, sf))
+
+    def conversation_containment(spark, sf):
+        # "continue"-artifact injector: every 10th conversation's first
+        # five turns are cloned as a new cut_%04d conversation — the
+        # clones must flag as contained in their originals
+        t = _turns(spark, sf)
+        cnum = F.substring("conv_id", 6, 4).cast("int")
+        cut = t.filter((cnum % 10 == 0) & (F.col("turn_idx") < 5)).select(
+            F.concat(F.lit("cut_"), F.substring("conv_id", 6, 4)).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "role",
+            "text",
+        )
+        return transcript.contained_conversations(t.unionByName(cut))
+
+    def script_drift(spark, sf):
+        # script-switch injector (the synthetic corpus is Latin-only):
+        # every 5th non-blank turn swaps to the fixed Cyrillic phrase —
+        # CASE shared with _DRIFT_INJ_SQL
+        t = _turns(spark, sf)
+        inj = t.withColumn(
+            "text",
+            F.when(
+                (F.col("turn_idx") % 5 == 1) & (F.col("text") != ""),
+                F.lit(_SCRIPT_PHRASES["cyrillic"]),
+            ).otherwise(F.col("text")),
+        )
+        return transcript.script_drift(inj)
+
+    def conversation_role_stats(spark, sf):
+        # per-conversation role balance + assistant-verbosity ratio
+        return transcript.role_stats(_turns(spark, sf))
+
     def _agent_turns(spark, sf):
         # _turns plus the input-hint's trace columns (tool, ts) —
         # deterministic functions of (conv, turn) mirrored verbatim by
@@ -3353,6 +3433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_checksum": release_checksum,
         "dedup_containment": dedup_containment,
         "grounding_score": grounding_score,
+        "turn_novelty": turn_novelty,
+        "conversation_containment": conversation_containment,
+        "script_drift": script_drift,
+        "conversation_role_stats": conversation_role_stats,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -3682,6 +3766,16 @@ _REFUSAL_INJ_SQL = (
     " THEN 'I''m sorry, I can''t help with that. ' || text"
     " WHEN role = 'assistant' AND text <> '' AND turn_idx % 9 = 5"
     " THEN text || ' As an AI language model, I note this.'"
+    " ELSE text END"
+)
+
+
+#: script_drift injector, shared verbatim between the Spark query and
+#: the oracle: every 5th non-blank turn swaps to the fixed Cyrillic
+#: phrase (the synthetic corpus is Latin-only, so drift needs planting).
+_DRIFT_INJ_SQL = (
+    "CASE WHEN turn_idx % 5 = 1 AND text <> ''"
+    f" THEN '{_SCRIPT_PHRASES['cyrillic']}'"
     " ELSE text END"
 )
 
@@ -6699,6 +6793,97 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(b.fd, 0) AS INTEGER) AS fork_depth,"
             " CAST(COALESCE(b.fc, 0) AS BIGINT) AS fork_convs"
             " FROM a LEFT JOIN b USING (conv_id)"
+        ),
+        # per-turn novelty: distinct 8-token window hashes, first
+        # conversation occurrence per hash, share first seen this turn
+        "turn_novelty": (
+            "WITH " + _TURNS_SQL + ","
+            " b AS (SELECT conv_id, turn_idx,"
+            "  CASE WHEN trim(text) = '' THEN []::VARCHAR[]"
+            "   ELSE string_split(text, ' ') END AS ts FROM turns),"
+            " w AS (SELECT conv_id, turn_idx,"
+            "  md5(array_to_string(ts[CAST(u.i AS INT):"
+            "   CAST(u.i + 7 AS INT)], ' ')) AS wh"
+            "  FROM b, LATERAL unnest(range(1, len(ts) - 8 + 2)) u(i)"
+            "  WHERE len(ts) >= 8),"
+            " d AS MATERIALIZED (SELECT DISTINCT conv_id, turn_idx, wh"
+            "  FROM w),"
+            " m AS (SELECT conv_id, wh, MIN(turn_idx) AS ft FROM d"
+            "  GROUP BY conv_id, wh),"
+            " pt AS (SELECT d.conv_id, d.turn_idx,"
+            "  CAST(COUNT(*) AS BIGINT) AS nw,"
+            "  CAST(SUM(CASE WHEN m.ft = d.turn_idx THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS nn"
+            "  FROM d JOIN m USING (conv_id, wh)"
+            "  GROUP BY d.conv_id, d.turn_idx)"
+            " SELECT t.conv_id, t.turn_idx,"
+            " COALESCE(pt.nw, 0) AS n_windows,"
+            " COALESCE(pt.nn, 0) AS n_novel,"
+            " CASE WHEN pt.nw IS NULL THEN NULL"
+            "  ELSE CAST(1000000 * pt.nn // pt.nw AS BIGINT)"
+            "  END AS novelty_e6"
+            " FROM turns t LEFT JOIN pt USING (conv_id, turn_idx)"
+        ),
+        # containment: cut_%04d clones of every 10th conversation's
+        # first five turns must resolve to their originals via the
+        # (prefix digest, prefix length) equi-join
+        "conversation_containment": (
+            "WITH " + _TURNS_SQL + ","
+            " cut AS (SELECT 'cut_' || substr(conv_id, 6, 4) AS conv_id,"
+            "  turn_idx, role, text FROM turns"
+            "  WHERE CAST(substr(conv_id, 6, 4) AS INT) % 10 = 0"
+            "   AND turn_idx < 5),"
+            " allt AS (SELECT * FROM turns UNION ALL SELECT * FROM cut),"
+            " dg AS (SELECT conv_id, turn_idx,"
+            "  md5(coalesce(role, '') || chr(31) ||"
+            "   coalesce(text, '')) AS dig FROM allt),"
+            " a AS MATERIALIZED (SELECT conv_id,"
+            "  list(dig ORDER BY turn_idx) AS digs FROM dg"
+            "  GROUP BY conv_id),"
+            " fulls AS (SELECT conv_id, CAST(len(digs) AS INT) AS n_turns,"
+            "  md5(array_to_string(digs, '')) AS fd FROM a"
+            "  WHERE len(digs) <= 64),"
+            " pres AS MATERIALIZED (SELECT conv_id AS container_conv_id,"
+            "  CAST(len(digs) AS INT) AS cn, CAST(u.k AS INT) AS k,"
+            "  md5(array_to_string(digs[1:CAST(u.k AS INT)], '')) AS pd"
+            "  FROM a, LATERAL unnest("
+            "   range(1, least(64, len(digs)) + 1)) u(k)),"
+            " hits AS (SELECT f.conv_id, p.container_conv_id FROM fulls f"
+            "  JOIN pres p ON f.fd = p.pd AND f.n_turns = p.k"
+            "   AND p.cn > f.n_turns),"
+            " bs AS (SELECT conv_id, MIN(container_conv_id)"
+            "   AS container_conv_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_containers FROM hits"
+            "  GROUP BY conv_id)"
+            " SELECT a.conv_id, CAST(len(a.digs) AS INT) AS n_turns,"
+            " bs.container_conv_id IS NOT NULL AS contained,"
+            " bs.container_conv_id,"
+            " COALESCE(bs.n_containers, 0) AS n_containers"
+            " FROM a LEFT JOIN bs USING (conv_id)"
+        ),
+        # per-conversation majority-script drift over the Cyrillic-
+        # injected turns (SCRIPT_RANGES argmax shared with script_detect)
+        "script_drift": _script_drift_oracle_sql(),
+        # per-conversation role balance + exact verbosity ratio
+        "conversation_role_stats": (
+            "WITH " + _TURNS_SQL + ","
+            " g AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            "  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_user,"
+            "  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_assistant,"
+            "  CAST(SUM(CASE WHEN role = 'user' AND trim(text) <> ''"
+            "   THEN len(string_split(text, ' ')) ELSE 0 END)"
+            "   AS BIGINT) AS user_tokens,"
+            "  CAST(SUM(CASE WHEN role = 'assistant' AND trim(text) <> ''"
+            "   THEN len(string_split(text, ' ')) ELSE 0 END)"
+            "   AS BIGINT) AS assistant_tokens"
+            "  FROM turns GROUP BY conv_id)"
+            " SELECT conv_id, n_turns, n_user, n_assistant,"
+            " user_tokens, assistant_tokens,"
+            " CAST(1000000 * assistant_tokens"
+            "  // greatest(user_tokens, 1) AS BIGINT) AS verbosity_e6"
+            " FROM g"
         ),
         # ChatML serialization: ordered string_agg of the per-turn
         # parts; || would NULL-poison, hence coalesce on both engines

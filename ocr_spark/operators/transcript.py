@@ -838,3 +838,261 @@ def grounding_score(qa: DataFrame) -> DataFrame:
         )
         .alias("grounded_e6"),
     )
+
+
+#: turn_novelty window width — 8 tokens, the same stride-1 geometry as
+#: dedup.cross_snapshot_novelty (novelty across releases); here the
+#: scope is WITHIN one conversation, across its turns.
+NOVELTY_WINDOW = 8
+
+
+def turn_novelty(
+    turns: DataFrame, window: int = NOVELTY_WINDOW
+) -> DataFrame:
+    """Per-turn novelty: the share of a turn's DISTINCT ``window``-token
+    windows whose first occurrence in the conversation is this turn.
+    Agent transcripts replay context heavily — tool output echoed back,
+    instructions repeated verbatim, retry banners — and an SFT token
+    budget wants the turns that ADD content, not the ones that quote
+    it.  Turns with fewer than ``window`` tokens carry no windows
+    (``n_windows = 0``, share NULL); blank turns likewise.
+
+    Scale shape: window hashes come from
+    :func:`ocr_spark.operators.textops._window_hash_col` over the
+    HOISTED token array (split runs once per turn, never inside the
+    window lambda), so only (conv_id, turn_idx, 32-char hash) rows
+    cross the three hash-keyed exchanges (per-turn distinct, first-turn
+    window, per-turn count) — turn text never rides a shuffle, and the
+    final id join reads a column-pruned source scan."""
+    from ocr_spark.operators.textops import _window_hash_col
+
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))) == "",
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+        )
+        .otherwise(F.split(F.col("text"), " "))
+        .alias("__ts"),
+    )
+    wins = (
+        base.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(_window_hash_col("__ts", window)).alias("__w"),
+        )
+        .groupBy("conv_id", "turn_idx", "__w")
+        .agg(F.lit(1).alias("__one"))
+    )
+    first = Window.partitionBy("conv_id", "__w")
+    flagged = wins.select(
+        "conv_id",
+        "turn_idx",
+        (F.min("turn_idx").over(first) == F.col("turn_idx")).alias(
+            "__novel"
+        ),
+    )
+    per_turn = flagged.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("__nw"),
+        F.sum(F.col("__novel").cast("long")).cast("long").alias("__nn"),
+    )
+    return (
+        turns.select("conv_id", "turn_idx")
+        .join(per_turn, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("__nw", F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce("__nn", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(F.col("__nw").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.expr("CAST(1000000 * __nn DIV __nw AS BIGINT)"))
+            .alias("novelty_e6"),
+        )
+    )
+
+
+#: containment probe depth: only conversations of at most this many
+#: turns can be flagged as contained, and container prefix chains stop
+#: here — bounds the per-conversation prefix work to O(max_len²) digest
+#: bytes regardless of conversation length (a 2000-turn conversation
+#: still only materializes 64 prefix digests).
+CONTAIN_MAX_LEN = 64
+
+
+def contained_conversations(
+    turns: DataFrame, max_len: int = CONTAIN_MAX_LEN
+) -> DataFrame:
+    """"Continue"-artifact detection: a conversation whose ENTIRE
+    ordered (role, text) turn sequence equals a strict prefix of a
+    longer conversation is an export artifact (the user hit continue /
+    the session was re-exported after more turns) — whole-conversation
+    dedup misses it (digests differ) and fork detection only reports
+    shared depth, not full containment.  Flags every contained
+    conversation with its smallest container conv_id; equal-length
+    exact duplicates are :func:`dedup_conversations`'s job and are NOT
+    flagged here (containment requires container_n_turns strictly
+    greater).
+
+    Scale shape: per-turn digests are map-side md5 (text never
+    shuffles); prefix digests explode to at most ``max_len`` rows per
+    conversation; the probe is an EQUI-join on (prefix digest, prefix
+    length) with the strict-length predicate as a post-filter — never
+    a nested loop."""
+    sep = "\x1f"
+    td = F.md5(
+        F.concat_ws(
+            sep,
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    arr = (
+        turns.select("conv_id", "turn_idx", td.alias("__d"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
+                "__a"
+            )
+        )
+        .select(
+            "conv_id",
+            F.expr("transform(__a, s -> s.__d)").alias("__d"),
+            F.size("__a").cast("int").alias("n_turns"),
+        )
+    )
+    fulls = arr.filter(F.col("n_turns") <= max_len).select(
+        "conv_id",
+        "n_turns",
+        F.md5(F.array_join("__d", "")).alias("__full"),
+    )
+    pres = arr.select(
+        F.col("conv_id").alias("container_conv_id"),
+        F.col("n_turns").alias("__cn"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, least({max_len}, size(__d))),"
+                " k -> md5(concat_ws('', slice(__d, 1, k))))"
+            )
+        ).alias("__k0", "__p"),
+    ).select(
+        "container_conv_id",
+        "__cn",
+        (F.col("__k0") + 1).cast("int").alias("__k"),
+        "__p",
+    )
+    hits = fulls.join(
+        pres,
+        (F.col("__full") == F.col("__p"))
+        & (F.col("n_turns") == F.col("__k"))
+        & (F.col("__cn") > F.col("n_turns")),
+    )
+    best = hits.groupBy("conv_id").agg(
+        F.min("container_conv_id").alias("container_conv_id"),
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+    )
+    return (
+        arr.select("conv_id", "n_turns")
+        .join(best, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.col("container_conv_id").isNotNull().alias("contained"),
+            "container_conv_id",
+            F.coalesce("n_containers", F.lit(0).cast("long")).alias(
+                "n_containers"
+            ),
+        )
+    )
+
+
+def script_drift(turns: DataFrame) -> DataFrame:
+    """Per-conversation script-consistency: label every turn with its
+    dominant Unicode script (the shared explicit-codepoint argmax from
+    :func:`ocr_spark.operators.textops._script_winner`; ``unknown``
+    for turns with no script character), take the conversation
+    majority label by TURN COUNT, and report the share of turns that
+    disagree — a conversation drifting between scripts mid-dialogue is
+    a language-routing / corpus-contamination signal the per-document
+    script_detect cannot see.  Majority ties break to the
+    lexicographically LARGER label (string-encoded argmax, identical
+    in both engines).
+
+    Scale shape: the per-turn label is a map-side JVM regexp argmax;
+    the only exchanges are the partial-aggregated (conv_id, 16-char
+    label) count and the per-conversation argmax — text never
+    shuffles."""
+    from ocr_spark.operators.textops import _script_winner
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    _, total, winner = _script_winner(txt)
+    label = F.when(total == 0, F.lit("unknown")).otherwise(
+        F.substring(winner, 15, 16)
+    )
+    lab = turns.select("conv_id", label.alias("script"))
+    cl = lab.groupBy("conv_id", "script").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    maj = cl.groupBy("conv_id").agg(
+        F.max(
+            F.concat(F.lpad(F.col("__n").cast("string"), 12, "0"), "script")
+        ).alias("__k"),
+        F.sum("__n").cast("long").alias("n_turns"),
+    )
+    return maj.select(
+        "conv_id",
+        "n_turns",
+        F.substring("__k", 13, 16).alias("majority_script"),
+        (
+            F.col("n_turns") - F.substring("__k", 1, 12).cast("long")
+        ).alias("n_off_script"),
+    ).select(
+        "conv_id",
+        "n_turns",
+        "majority_script",
+        "n_off_script",
+        F.expr("CAST(1000000 * n_off_script DIV n_turns AS BIGINT)").alias(
+            "drift_e6"
+        ),
+    )
+
+
+def role_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation role balance: turn and whitespace-token counts
+    split by role, plus the assistant-verbosity ratio (assistant
+    tokens per user token, exact ``1e6·a DIV greatest(u, 1)``) — the
+    first-order SFT mixture signal (answer-heavy vs question-heavy
+    sources pack very differently).
+
+    Scale shape: one partial-aggregated exchange on conv_id carrying
+    six integers per conversation; token counts are map-side."""
+    tok = _tok_count(F.col("text"))
+    g = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "user", tok).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("user_tokens"),
+        F.sum(
+            F.when(F.col("role") == "assistant", tok).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("assistant_tokens"),
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "user_tokens",
+        "assistant_tokens",
+        F.expr(
+            "CAST(1000000 * assistant_tokens"
+            " DIV greatest(user_tokens, 1) AS BIGINT)"
+        ).alias("verbosity_e6"),
+    )

@@ -596,3 +596,105 @@ def test_conversation_tiers_boilerplate_low(spark):
     out2 = transcript.conversation_tiers(_turns(spark, rows2)).collect()
     for r in out2:
         assert r.boiler_e6 == 500_000 and r.tier == "low"
+
+
+def test_turn_novelty_first_occurrence_scope(spark):
+    ten = "a b c d e f g h i j"
+    rows = [
+        ("c1", 0, "user", ten),  # 3 windows, all first here
+        ("c1", 1, "assistant", ten),  # verbatim replay: 0 novel
+        ("c1", 2, "user", "x y"),  # too short: no windows
+        ("c1", 3, "assistant", ""),  # blank: no windows
+        # reuses t0's first 8-token window, adds two shifted new ones
+        ("c1", 4, "assistant", "a b c d e f g h z1 z2"),
+        ("c2", 0, "user", ten),  # other conversation: own scope
+    ]
+    out = {
+        (r.conv_id, r.turn_idx): (r.n_windows, r.n_novel, r.novelty_e6)
+        for r in transcript.turn_novelty(_turns(spark, rows)).collect()
+    }
+    assert out == {
+        ("c1", 0): (3, 3, 1000000),
+        ("c1", 1): (3, 0, 0),
+        ("c1", 2): (0, 0, None),
+        ("c1", 3): (0, 0, None),
+        ("c1", 4): (3, 2, 666666),
+        ("c2", 0): (3, 3, 1000000),
+    }
+
+
+def test_contained_conversations_strict_prefix_only(spark):
+    pre = [("user", "q1"), ("assistant", "a1"), ("user", "q2")]
+    rows = []
+    rows += [("c_short", i, r, t) for i, (r, t) in enumerate(pre)]
+    # same 3 turns, same length: exact duplicate, NOT containment
+    rows += [("c_eq", i, r, t) for i, (r, t) in enumerate(pre)]
+    # two strictly longer containers sharing the prefix
+    rows += [("c_long", i, r, t) for i, (r, t) in enumerate(pre)]
+    rows += [("c_long", 3, "assistant", "a2")]
+    rows += [("c_long2", i, r, t) for i, (r, t) in enumerate(pre)]
+    rows += [("c_long2", 3, "assistant", "other"), ("c_long2", 4, "user", "q3")]
+    rows += [("c_other", 0, "user", "unrelated")]
+    out = {
+        r.conv_id: (r.contained, r.container_conv_id, r.n_containers)
+        for r in transcript.contained_conversations(
+            _turns(spark, rows)
+        ).collect()
+    }
+    # c_short and its equal-length twin are both prefixes of the two
+    # longer conversations; neither flags the other (strict length)
+    assert out["c_short"] == (True, "c_long", 2)
+    assert out["c_eq"] == (True, "c_long", 2)
+    assert out["c_long"] == (False, None, 0)
+    assert out["c_long2"] == (False, None, 0)
+    assert out["c_other"] == (False, None, 0)
+
+
+def test_script_drift_majority_and_ties(spark):
+    rows = [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "привет мир"),
+        ("c1", 2, "user", "more latin text"),
+        ("c1", 3, "assistant", "latin again"),
+        ("c1", 4, "user", ""),  # unknown
+        # 2 latin vs 2 cyrillic: tie breaks to the LARGER label
+        ("c2", 0, "user", "one"),
+        ("c2", 1, "assistant", "два слова здесь"),
+        ("c2", 2, "user", "two"),
+        ("c2", 3, "assistant", "ещё кириллица"),
+    ]
+    out = {
+        r.conv_id: (
+            r.n_turns,
+            r.majority_script,
+            r.n_off_script,
+            r.drift_e6,
+        )
+        for r in transcript.script_drift(_turns(spark, rows)).collect()
+    }
+    assert out["c1"] == (5, "latin", 2, 400000)
+    assert out["c2"] == (4, "latin", 2, 500000)
+
+
+def test_role_stats_token_split_and_verbosity(spark):
+    rows = [
+        ("c1", 0, "user", "a b"),
+        ("c1", 1, "assistant", "x y z w"),
+        ("c1", 2, "system", "ignored role"),
+        ("c1", 3, "assistant", ""),  # blank: zero tokens, counted turn
+        # no user tokens at all: verbosity divides by greatest(0, 1)
+        ("c2", 0, "assistant", "only answers here"),
+    ]
+    out = {
+        r.conv_id: (
+            r.n_turns,
+            r.n_user,
+            r.n_assistant,
+            r.user_tokens,
+            r.assistant_tokens,
+            r.verbosity_e6,
+        )
+        for r in transcript.role_stats(_turns(spark, rows)).collect()
+    }
+    assert out["c1"] == (4, 1, 2, 2, 4, 2000000)
+    assert out["c2"] == (1, 0, 1, 0, 3, 3000000)
