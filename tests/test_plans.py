@@ -1585,3 +1585,67 @@ def test_conversation_tiers_text_shuffles_once(spark):
     # digests and integers
     with_text = [b for b in _exchange_blocks(plan) if "text" in b]
     assert len(with_text) == 1
+
+
+def test_turn_novelty_hash_only_exchanges(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a b c d e f g h i"), ("c1", 1, "user", "x")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.turn_novelty(turns))
+    # window hashes are map-side md5 over the hoisted token array: no
+    # Exchange block may carry the raw text or the token array
+    for b in _exchange_blocks(plan):
+        assert "text" not in b and "__ts" not in b
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contained_conversations_equi_join_digests_only(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c2", 0, "user", "a"), ("c2", 1, "user", "b")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.contained_conversations(turns))
+    # the containment probe is an equi-join on (prefix digest, length)
+    # with the strict-length predicate as a post-filter — never a
+    # nested loop — and text never rides an exchange
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+
+
+def test_script_drift_label_sized_exchanges(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hello"), ("c1", 1, "user", "мир")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.script_drift(turns))
+    # the per-turn script label is a map-side regexp argmax: only
+    # (conv_id, 16-char label, count) rows cross the two exchanges
+    blocks = _exchange_blocks(plan)
+    assert len(blocks) == 2
+    for b in blocks:
+        assert "text" not in b
+
+
+def test_role_stats_single_partial_agg_exchange(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "a b"), ("c1", 1, "assistant", "x")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.role_stats(turns))
+    # one conv_id exchange carrying six integers per conversation,
+    # partial-combined map-side
+    blocks = _exchange_blocks(plan)
+    assert len(blocks) == 1
+    assert "text" not in blocks[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final
