@@ -33,6 +33,10 @@ _BLOOM_DUP_TEXT = "mirrored boilerplate passage served on every host"
 #: itself; quote-free so it embeds in the oracle literal verbatim).
 _FURNITURE_HEADER = "ACME QUARTERLY REVIEW"
 
+#: perturbed-tail text for the conversation_near_dup injector — the one
+#: edited turn that breaks exact dedup but keeps the shingle overlap.
+_NEAR_DUP_TAIL_TEXT = "perturbed tail turn"
+
 #: verbatim agent-retry turn injected into the transcript synthesis —
 #: shared with the oracles (quote-free so it embeds in SQL literals).
 _TURNS_RETRY_TEXT = "tool timeout retrying identical call"
@@ -471,6 +475,74 @@ def _script_drift_oracle_sql() -> str:
         " CAST(1000000 * (n_turns - CAST(substr(k, 1, 12) AS BIGINT))"
         "  // n_turns AS BIGINT) AS drift_e6"
         " FROM m"
+    )
+
+
+def _near_dup_oracle_sql() -> str:
+    """DuckDB replay of the conversation_near_dup contract query: the
+    %13 perturbed-tail clone injector, 3-turn digest shingles, 16
+    big-endian-u32 minhashes (digests hashed once per seed in a CTE,
+    then byte-assembled via _sql_md5_u32be), 4 bands of 4, and the
+    exact integer shingle Jaccard on band-mates."""
+    from ocr_spark.operators.transcript import (
+        NEAR_DUP_BAND_SIZE as BS,
+        NEAR_DUP_MIN_JACCARD_E6 as MINJ,
+        NEAR_DUP_NUM_HASHES as NH,
+    )
+
+    hexes = ", ".join(
+        f"md5('{k}:' || sg) AS x{k}" for k in range(NH)
+    )
+    mins = ", ".join(
+        f"MIN({_sql_md5_u32be(f'x{k}')}) AS h{k}" for k in range(NH)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT conv_id, {b} AS band_idx, md5("
+        + " || '_' || ".join(
+            f"CAST(h{b * BS + j} AS VARCHAR)" for j in range(BS)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(NH // BS)
+    )
+    return (
+        "WITH " + _TURNS_SQL + ","
+        " mx AS (SELECT conv_id, turn_idx, role, text,"
+        "  MAX(turn_idx) OVER (PARTITION BY conv_id) AS m FROM turns),"
+        " nr AS (SELECT 'near_' || substr(conv_id, 6, 4) AS conv_id,"
+        "  turn_idx, role,"
+        f"  CASE WHEN turn_idx = m THEN '{_NEAR_DUP_TAIL_TEXT}'"
+        "   ELSE text END AS text FROM mx"
+        "  WHERE CAST(substr(conv_id, 6, 4) AS INT) % 13 = 0),"
+        " allt AS (SELECT conv_id, turn_idx, role, text FROM turns"
+        "  UNION ALL SELECT * FROM nr),"
+        " dg AS (SELECT conv_id, turn_idx,"
+        "  md5(coalesce(role, '') || chr(31) ||"
+        "   coalesce(text, '')) AS dig FROM allt),"
+        " a AS MATERIALIZED (SELECT conv_id,"
+        "  list(dig ORDER BY turn_idx) AS digs FROM dg GROUP BY conv_id),"
+        " sh AS MATERIALIZED (SELECT conv_id,"
+        "  CASE WHEN len(digs) >= 3 THEN"
+        "   list_distinct(list_transform(range(1, len(digs) - 1),"
+        "    i -> md5(array_to_string(digs[CAST(i AS INT):"
+        "     CAST(i + 2 AS INT)], ''))))"
+        "   ELSE [md5(array_to_string(digs, ''))] END AS s FROM a),"
+        " u AS (SELECT conv_id, unnest(s) AS sg FROM sh),"
+        f" ux AS (SELECT conv_id, {hexes} FROM u),"
+        f" sig AS (SELECT conv_id, {mins} FROM ux GROUP BY conv_id),"
+        f" bd AS MATERIALIZED ({band_sel}),"
+        " cand AS (SELECT x.conv_id AS conv_a, y.conv_id AS conv_b,"
+        "  CAST(COUNT(*) AS INT) AS n_bands FROM bd x JOIN bd y"
+        "  ON x.band_idx = y.band_idx AND x.band_key = y.band_key"
+        "   AND x.conv_id < y.conv_id GROUP BY 1, 2),"
+        " v AS (SELECT c.conv_a, c.conv_b, c.n_bands,"
+        "  CAST(len(list_intersect(p.s, q.s)) AS BIGINT) AS i,"
+        "  CAST(len(p.s) + len(q.s) AS BIGINT)"
+        "   - CAST(len(list_intersect(p.s, q.s)) AS BIGINT) AS un"
+        "  FROM cand c JOIN sh p ON p.conv_id = c.conv_a"
+        "  JOIN sh q ON q.conv_id = c.conv_b)"
+        " SELECT conv_a, conv_b, n_bands,"
+        " CAST(1000000 * i // un AS BIGINT) AS jaccard_e6 FROM v"
+        f" WHERE 1000000 * i // un >= {MINJ}"
     )
 
 
@@ -2221,6 +2293,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def conversation_near_dup(spark, sf):
+        # fuzzy-dup injector: every 13th conversation is cloned as
+        # near_%04d with its LAST turn's text perturbed — one edited
+        # turn escapes exact dedup but shares 10/12 turn shingles, so
+        # the minhash bands must surface the pair and the exact
+        # integer Jaccard must score it
+        from pyspark.sql.window import Window
+
+        t = _turns(spark, sf)
+        mx = t.withColumn(
+            "__m", F.max("turn_idx").over(Window.partitionBy("conv_id"))
+        )
+        cnum = F.substring("conv_id", 6, 4).cast("int")
+        nr = mx.filter(cnum % 13 == 0).select(
+            F.concat(F.lit("near_"), F.substring("conv_id", 6, 4)).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "role",
+            F.when(
+                F.col("turn_idx") == F.col("__m"),
+                F.lit(_NEAR_DUP_TAIL_TEXT),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return transcript.near_dup_conversations(t.unionByName(nr))
+
     def _agent_turns(spark, sf):
         # _turns plus the input-hint's trace columns (tool, ts) —
         # deterministic functions of (conv, turn) mirrored verbatim by
@@ -3437,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_containment": conversation_containment,
         "script_drift": script_drift,
         "conversation_role_stats": conversation_role_stats,
+        "conversation_near_dup": conversation_near_dup,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -6864,6 +6965,9 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # fuzzy conversation dedup: 3-turn digest shingles, 16 u32be
+        # minhashes, 4x4 bands, exact integer Jaccard on band-mates
+        "conversation_near_dup": _near_dup_oracle_sql(),
         # per-conversation role balance + exact verbosity ratio
         "conversation_role_stats": (
             "WITH " + _TURNS_SQL + ","

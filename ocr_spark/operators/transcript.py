@@ -1096,3 +1096,154 @@ def role_stats(turns: DataFrame) -> DataFrame:
             " DIV greatest(user_tokens, 1) AS BIGINT)"
         ).alias("verbosity_e6"),
     )
+
+
+#: conversation near-dup geometry: 16 minhashes over 3-consecutive-turn
+#: digest shingles, 4 bands of 4 (the repo-standard S-curve, midpoint
+#: ~0.7 sequence Jaccard); verified pairs keep >= this exact integer
+#: Jaccard.
+NEAR_DUP_NUM_HASHES = 16
+NEAR_DUP_BAND_SIZE = 4
+NEAR_DUP_MIN_JACCARD_E6 = 500000
+
+
+def near_dup_conversations(
+    turns: DataFrame,
+    num_hashes: int = NEAR_DUP_NUM_HASHES,
+    band_size: int = NEAR_DUP_BAND_SIZE,
+    min_jaccard_e6: int = NEAR_DUP_MIN_JACCARD_E6,
+) -> DataFrame:
+    """Fuzzy conversation dedup: exact dedup
+    (:func:`dedup_conversations`) only catches IDENTICAL turn
+    sequences — a re-export with one edited, truncated, or regenerated
+    turn escapes it.  Shingle each conversation into
+    3-consecutive-turn digest windows, MinHash-LSH band the shingle
+    sets (u32 big-endian md5 minima — all JVM built-ins, no pandas
+    UDF), and verify band-mates with the EXACT shingle Jaccard
+    (integer e6).  Band recall below ~0.7 sequence similarity is
+    partial by design (the S-curve); every emitted pair is exactly
+    scored.  Conversations shorter than 3 turns sign their full digest
+    sequence (unique per distinct short conversation — a constant
+    sentinel would bucket every 1-turn conversation with every other).
+
+    Scale shape: per-turn digests are map-side md5 (text never
+    shuffles); one conv_id exchange builds the digest sequence; the
+    signature is a per-row array_min over the HOISTED shingle array
+    and all bands leave in ONE posexplode (a per-band union would
+    re-run the aggregation per band); the band join carries
+    (band_idx, 32-char key, conv_id); the verify join moves
+    digest-shingle arrays (32 B per turn) only for candidate pairs.
+    The shingle frame is persisted (signature and verify both read
+    it), as is the small band frame (the self-join would otherwise
+    re-run the signature projection per side); both are released with
+    the result handle."""
+    from ocr_spark.operators.dedup import _own_caches
+
+    sep = "\x1f"
+    td = F.md5(
+        F.concat_ws(
+            sep,
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    arr = (
+        turns.select("conv_id", "turn_idx", td.alias("__d"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
+                "__a"
+            )
+        )
+        .select(
+            "conv_id", F.expr("transform(__a, s -> s.__d)").alias("__digs")
+        )
+    )
+    sh = arr.select(
+        "conv_id",
+        F.when(
+            F.size("__digs") >= 3,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(__digs) - 2),"
+                    " i -> md5(concat_ws('', slice(__digs, i, 3))))"
+                )
+            ),
+        )
+        .otherwise(F.array(F.md5(F.array_join("__digs", ""))))
+        .alias("__sh"),
+    ).persist()
+    def _seed_hash(k):
+        # closure factory, NOT `lambda s, k=k`: a two-parameter lambda
+        # (even with a default) is treated by F.transform as
+        # (element, index) and k silently rebinds to the index Column
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 8), 16, 10
+        ).cast("bigint")
+
+    sig = sh.select(
+        "conv_id",
+        *[
+            F.array_min(F.transform(F.col("__sh"), _seed_hash(k))).alias(
+                f"__h{k}"
+            )
+            for k in range(num_hashes)
+        ],
+    )
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"__h{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                )
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    # persisted: the band self-join reads this frame on BOTH sides —
+    # without the cache each side re-runs the 16-hash signature
+    # projection (4 rows × (conv_id, band_idx, 32-char key) per
+    # conversation, far smaller than recomputing 16·|shingles| md5s)
+    bands = sig.select(
+        "conv_id", F.posexplode(keys).alias("band_idx", "band_key")
+    ).persist()
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_key"])
+        .filter(F.col("x.conv_id") < F.col("y.conv_id"))
+        .groupBy(
+            F.col("x.conv_id").alias("conv_a"),
+            F.col("y.conv_id").alias("conv_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+    )
+    va = sh.select(
+        F.col("conv_id").alias("conv_a"), F.col("__sh").alias("__sa")
+    )
+    vb = sh.select(
+        F.col("conv_id").alias("conv_b"), F.col("__sh").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    out = (
+        cand.join(va, "conv_a")
+        .join(vb, "conv_b")
+        .withColumn("__i", inter)
+        .withColumn(
+            "__u",
+            (F.size("__sa") + F.size("__sb")).cast("bigint") - F.col("__i"),
+        )
+        .select(
+            "conv_a",
+            "conv_b",
+            "n_bands",
+            F.expr("CAST(1000000 * __i DIV __u AS BIGINT)").alias(
+                "jaccard_e6"
+            ),
+        )
+        .filter(F.col("jaccard_e6") >= min_jaccard_e6)
+    )
+    return _own_caches(out, [sh, bands])

@@ -1649,3 +1649,28 @@ def test_role_stats_single_partial_agg_exchange(spark):
     assert len(blocks) == 1
     assert "text" not in blocks[0]
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_near_dup_text_never_rides_an_exchange(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", i, "user", f"t{i}") for i in range(4)]
+        + [("c2", i, "user", f"t{i}") for i in range(4)],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    df = transcript.near_dup_conversations(turns)
+    plan = _plan(df)
+    # per-turn digests are map-side md5 — raw text never shuffles; the
+    # band join is an equi-join on (band_idx, band_key), never a
+    # nested loop; all 4 bands leave in ONE posexplode (no per-band
+    # union re-running the signature aggregation)
+    for b in _exchange_blocks(plan):
+        assert "text" not in b
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("posexplode(") >= 1
+    assert "Union" not in plan  # one posexplode, not a per-band union
+    # the band frame is cached, so the self-join's two sides scan the
+    # 16-hash signature once instead of recomputing it per side
+    assert "InMemoryTableScan" in plan

@@ -698,3 +698,38 @@ def test_role_stats_token_split_and_verbosity(spark):
     }
     assert out["c1"] == (4, 1, 2, 2, 4, 2000000)
     assert out["c2"] == (1, 0, 1, 0, 3, 3000000)
+
+
+def test_near_dup_bands_surface_one_edit_clone(spark):
+    # base: 8 turns -> 6 shingle windows; the clone edits ONLY the
+    # last turn, so exactly one window (turns 5-7) differs per side ->
+    # intersection 5, union 7, exact Jaccard 5/7 = 714285 e6 (pinned
+    # deterministic fixture: this text collides in >= 1 of 4 bands)
+    base = [("cA", i, "user" if i % 2 == 0 else "assistant", f"turn {i}")
+            for i in range(8)]
+    clone = [("cB", i, r, t if i < 7 else "edited tail")
+             for (_, i, r, t) in base]
+    other = [("cC", i, "user", f"unrelated {i}") for i in range(8)]
+    out = transcript.near_dup_conversations(
+        _turns(spark, base + clone + other)
+    ).collect()
+    pairs = {(r.conv_a, r.conv_b): r.jaccard_e6 for r in out}
+    assert ("cA", "cB") in pairs
+    # exact integer Jaccard: |A ∩ B| = 5, |A ∪ B| = 7
+    assert pairs[("cA", "cB")] == 714285
+    # the unrelated conversation never pairs
+    assert not any("cC" in p for p in pairs)
+
+
+def test_near_dup_short_conversations_use_full_digest(spark):
+    # < 3 turns: the shingle set is the single full-sequence digest —
+    # identical 2-turn conversations pair at jaccard 1.0; a 1-turn
+    # conversation with different text shares no band key
+    rows = [
+        ("s1", 0, "user", "hi"), ("s1", 1, "assistant", "yo"),
+        ("s2", 0, "user", "hi"), ("s2", 1, "assistant", "yo"),
+        ("s3", 0, "user", "different"),
+    ]
+    out = transcript.near_dup_conversations(_turns(spark, rows)).collect()
+    pairs = {(r.conv_a, r.conv_b): (r.n_bands, r.jaccard_e6) for r in out}
+    assert pairs == {("s1", "s2"): (4, 1000000)}
