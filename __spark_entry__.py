@@ -1969,6 +1969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cap binds even at sf0.01's 25-docs-per-source layout)
         return textops.domain_cap(_docs(spark, sf), k=10)
 
+    def stratified_split(spark, sf):
+        # exact-count stratified eval split: Hamilton apportionment of
+        # a 37-doc budget across (lang, source) strata — all-integer
+        # quotas, remainder seats by (rem desc, strata asc) — then the
+        # two-phase md5(strat0:id)-ordered selection per stratum
+        return textops.stratified_split(_docs(spark, sf))
+
     def winnow_fingerprint(spark, sf):
         # MOSS winnowing: min 4-gram hash per 4-gram window, positional
         # fingerprints; per-doc lambdas only, zero exchanges
@@ -3590,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_snapshot_dedup": cross_snapshot_dedup,
         "cross_snapshot_novelty": cross_snapshot_novelty,
         "domain_cap": domain_cap,
+        "stratified_split": stratified_split,
         "winnow_fingerprint": winnow_fingerprint,
         "script_detect": script_detect,
         "script_segments": script_segments,
@@ -5954,6 +5962,37 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY source ORDER BY"
             "  md5('cap0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn"
             "  FROM documents) WHERE rn <= 10"
+        ),
+        # Hamilton-apportioned stratified eval split: HUGEINT quota
+        # math ≡ Spark decimal(38,0) DIV; md5(strat0:id) selection order
+        "stratified_split": (
+            "WITH c AS (SELECT lang, source,"
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM documents"
+            "  GROUP BY 1, 2),"
+            " q0 AS (SELECT lang, source, n,"
+            "  CAST(37 AS HUGEINT) * n AS big,"
+            "  CAST(SUM(n) OVER () AS HUGEINT) AS tot FROM c),"
+            " q1 AS (SELECT lang, source,"
+            "  CAST(big // tot AS BIGINT) AS base,"
+            "  big - (big // tot) * tot AS rem FROM q0),"
+            " q2 AS (SELECT lang, source, base, rem,"
+            "  37 - SUM(base) OVER () AS extra,"
+            "  ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source)"
+            "   AS rn FROM q1),"
+            " a AS (SELECT lang, source, CAST(base + CASE WHEN"
+            "   rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota"
+            "  FROM q2),"
+            " d AS (SELECT doc_id, lang, source,"
+            "  md5('strat0:' || CAST(doc_id AS VARCHAR)) AS h"
+            "  FROM documents),"
+            " r AS (SELECT d.lang, d.source, d.doc_id, a.quota,"
+            "  ROW_NUMBER() OVER (PARTITION BY d.lang, d.source"
+            "   ORDER BY h, doc_id) AS eval_rank"
+            "  FROM d JOIN a ON a.lang = d.lang AND a.source = d.source"
+            "  WHERE a.quota > 0)"
+            " SELECT lang, source, doc_id,"
+            "  CAST(eval_rank AS INT) AS eval_rank, quota"
+            " FROM r WHERE eval_rank <= quota"
         ),
         # release novelty: fraction of 8-token windows unseen in vN-1
         "cross_snapshot_novelty": (

@@ -4293,3 +4293,105 @@ def fim_transform(
         .cast("long")
         .alias("n_middle_tokens"),
     )
+
+
+#: stratified eval-split contract parameters: global eval budget and
+#: the deterministic selection salt (reference prices its eval split
+#: from a config knob the same way — SURVEY.md §2.5).
+STRAT_SPLIT_BUDGET = 37
+STRAT_SPLIT_SALT = "strat0"
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: "tuple[str, ...]" = ("lang", "source"),
+    id_col: str = "doc_id",
+    budget: int = STRAT_SPLIT_BUDGET,
+    salt: str = STRAT_SPLIT_SALT,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """Exact-count stratified eval-set construction: apportion a global
+    eval budget across strata by the largest-remainder (Hamilton)
+    method — quota_s = floor(B·n_s/N) plus one extra seat for the
+    strata with the largest remainders until exactly B seats are
+    placed — then select each stratum's quota under the deterministic
+    (md5(salt:id), id) order.  Unlike the per-row Bernoulli of
+    :func:`split_assign`, the output size is EXACTLY ``budget`` and
+    every stratum is represented proportionally — the eval-set recipe
+    for heterogeneous corpora where a random split under- or
+    over-samples small languages.
+
+    All apportionment arithmetic is integer (B·n_s in decimal(38,0) ≡
+    DuckDB HUGEINT, DIV/remainder — no float shares), so quotas are
+    engine-exact; remainder ties break on the stratum key.
+
+    Scale shape: the counts frame is one row per STRATUM (metadata
+    scale — the apportionment window runs over #strata rows, not
+    documents), the quota table broadcasts back, and the per-stratum
+    selection is the domain_cap TWO-phase rank — a per-(stratum,
+    shard) row_number prune to the stratum quota, then the final rank
+    over ≤ shards·quota survivors — so a billion-document stratum
+    never funnels into one partition.  Only (strata, id, 32-char key)
+    ever shuffles."""
+    from pyspark.sql import Window
+
+    sc = [F.col(c) for c in strata_cols]
+    counts = df.groupBy(*sc).agg(F.count(F.lit(1)).alias("__n"))
+    # metadata-scale frame: windows over #strata rows, not documents
+    w_all = Window.partitionBy()
+    big = F.expr(f"CAST({budget} AS decimal(38,0)) * __n")
+    tot = F.sum("__n").over(w_all).cast("decimal(38,0)")
+    q = (
+        counts.withColumn("__tot", tot)
+        .withColumn("__big", big)
+        .withColumn(
+            "__base",
+            F.expr("CAST(__big DIV __tot AS BIGINT)"),
+        )
+        .withColumn(
+            "__rem",
+            (F.col("__big") - F.col("__base") * F.col("__tot")).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn(
+            "__extra", F.lit(budget) - F.sum("__base").over(w_all)
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                w_all.orderBy(
+                    F.desc("__rem"), *[F.asc(c) for c in strata_cols]
+                )
+            ),
+        )
+        .select(
+            *strata_cols,
+            (
+                F.col("__base")
+                + F.when(F.col("__rn") <= F.col("__extra"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .filter(F.col("quota") > 0)
+    )
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    base = df.select(*sc, F.col(id_col)).withColumn("__key", key)
+    picked = base.join(F.broadcast(q), list(strata_cols))
+    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
+    w1 = Window.partitionBy(*strata_cols, "__shard").orderBy(
+        F.asc("__key"), F.asc(id_col)
+    )
+    pruned = (
+        picked.withColumn("__shard", shard)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= F.col("quota"))
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy(*strata_cols).orderBy(
+        F.asc("__key"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("eval_rank", F.row_number().over(w2))
+        .filter(F.col("eval_rank") <= F.col("quota"))
+        .select(*strata_cols, id_col, "eval_rank", "quota")
+    )

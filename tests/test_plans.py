@@ -1674,3 +1674,20 @@ def test_near_dup_text_never_rides_an_exchange(spark):
     # the band frame is cached, so the self-join's two sides scan the
     # 16-hash signature once instead of recomputing it per side
     assert "InMemoryTableScan" in plan
+
+
+def test_stratified_split_two_phase_metadata_only_single_partition(spark):
+    from ocr_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.stratified_split(docs))
+    # the quota table broadcasts back to the corpus side
+    assert "BroadcastExchange" in plan
+    # the per-stratum selection is the domain_cap two-phase rank
+    assert "__shard" in plan
+    # text never rides an exchange (only strata, id, 32-char key move)
+    for b in _exchange_blocks(plan):
+        assert "text#" not in b
+    # SinglePartition exchanges are allowed ONLY for the apportionment
+    # windows over the metadata-scale counts frame (one row per
+    # stratum); the corpus side is covered by the text# check above

@@ -1922,3 +1922,55 @@ def test_dom_density_blocks_nav_footer_dropped(spark):
     assert cit.kept and cit.n_anchors == 1
     assert cit.link_e6 == 1_000_000 * len("citation") // cit.text_len
     assert not out[4].kept            # footer: link-dense
+
+
+def test_stratified_split_hamilton_exact_budget(spark):
+    import hashlib
+
+    # 3 strata of sizes 5/3/2 (N=10), budget 4: exact shares are
+    # 2.0 / 1.2 / 0.8 -> bases 2/1/0, one leftover seat goes to the
+    # largest remainder (0.8 beats 0.2 and 0.0) -> quotas 2/1/1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["t"] * 10,
+            "lang": ["en"] * 5 + ["de"] * 3 + ["zh"] * 2,
+            "source": ["s"] * 10,
+        }
+    )
+    out = textops.stratified_split(
+        spark.createDataFrame(pdf), budget=4
+    ).toPandas()
+    assert len(out) == 4  # output size is EXACTLY the budget
+    quotas = out.groupby("lang")["quota"].first().to_dict()
+    assert quotas == {"en": 2, "de": 1, "zh": 1}
+    # selection replays the deterministic (md5(strat0:id), id) order
+    for lang, grp in out.groupby("lang"):
+        pool = pdf[pdf.lang == lang].doc_id.tolist()
+        want = sorted(
+            pool,
+            key=lambda i: (
+                hashlib.md5(f"strat0:{i}".encode()).hexdigest(),
+                i,
+            ),
+        )[: quotas[lang]]
+        assert sorted(grp["doc_id"]) == sorted(want)
+
+
+def test_stratified_split_zero_quota_strata_emit_nothing(spark):
+    # budget 1 over a dominant stratum (9 of 10 docs) and a tiny one:
+    # base 0/0, remainders 0.9/0.1 -> the single seat goes to the big
+    # stratum; the small stratum must not appear at all
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["t"] * 10,
+            "lang": ["en"] * 9 + ["zh"],
+            "source": ["s"] * 10,
+        }
+    )
+    out = textops.stratified_split(
+        spark.createDataFrame(pdf), budget=1
+    ).toPandas()
+    assert len(out) == 1
+    assert out.lang.tolist() == ["en"]
