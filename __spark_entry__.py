@@ -37,6 +37,10 @@ _FURNITURE_HEADER = "ACME QUARTERLY REVIEW"
 #: edited turn that breaks exact dedup but keeps the shingle overlap.
 _NEAR_DUP_TAIL_TEXT = "perturbed tail turn"
 
+#: perturbed-head text for the conversation_clusters second clone
+#: family — a head-edited sibling so components have triangles.
+_NEAR_DUP_HEAD_TEXT = "perturbed head turn"
+
 #: verbatim agent-retry turn injected into the transcript synthesis —
 #: shared with the oracles (quote-free so it embeds in SQL literals).
 _TURNS_RETRY_TEXT = "tool timeout retrying identical call"
@@ -478,15 +482,17 @@ def _script_drift_oracle_sql() -> str:
     )
 
 
-def _near_dup_oracle_sql() -> str:
-    """DuckDB replay of the conversation_near_dup contract query: the
-    %13 perturbed-tail clone injector, 3-turn digest shingles, 16
-    big-endian-u32 minhashes (digests hashed once per seed in a CTE,
-    then byte-assembled via _sql_md5_u32be), 4 bands of 4, and the
-    exact integer shingle Jaccard on band-mates."""
+def _near_dup_chain(extra_arm: str = "", recursive: bool = False) -> str:
+    """The shared CTE chain of the conversation near-dup oracles: the
+    %13 perturbed-tail clone injector (plus any ``extra_arm`` UNION
+    branches into ``allt``), 3-turn digest shingles, 16 big-endian-u32
+    minhashes (digests hashed once per seed in a CTE, then
+    byte-assembled via _sql_md5_u32be), 4 bands of 4, ending at CTE
+    ``v`` (candidate pairs with exact intersection/union counts).
+    ``recursive`` switches the WITH keyword for consumers that append
+    a recursive walk CTE."""
     from ocr_spark.operators.transcript import (
         NEAR_DUP_BAND_SIZE as BS,
-        NEAR_DUP_MIN_JACCARD_E6 as MINJ,
         NEAR_DUP_NUM_HASHES as NH,
     )
 
@@ -505,7 +511,7 @@ def _near_dup_oracle_sql() -> str:
         for b in range(NH // BS)
     )
     return (
-        "WITH " + _TURNS_SQL + ","
+        ("WITH RECURSIVE " if recursive else "WITH ") + _TURNS_SQL + ","
         " mx AS (SELECT conv_id, turn_idx, role, text,"
         "  MAX(turn_idx) OVER (PARTITION BY conv_id) AS m FROM turns),"
         " nr AS (SELECT 'near_' || substr(conv_id, 6, 4) AS conv_id,"
@@ -514,7 +520,7 @@ def _near_dup_oracle_sql() -> str:
         "   ELSE text END AS text FROM mx"
         "  WHERE CAST(substr(conv_id, 6, 4) AS INT) % 13 = 0),"
         " allt AS (SELECT conv_id, turn_idx, role, text FROM turns"
-        "  UNION ALL SELECT * FROM nr),"
+        "  UNION ALL SELECT * FROM nr" + extra_arm + "),"
         " dg AS (SELECT conv_id, turn_idx,"
         "  md5(coalesce(role, '') || chr(31) ||"
         "   coalesce(text, '')) AS dig FROM allt),"
@@ -540,9 +546,62 @@ def _near_dup_oracle_sql() -> str:
         "   - CAST(len(list_intersect(p.s, q.s)) AS BIGINT) AS un"
         "  FROM cand c JOIN sh p ON p.conv_id = c.conv_a"
         "  JOIN sh q ON q.conv_id = c.conv_b)"
-        " SELECT conv_a, conv_b, n_bands,"
+    )
+
+
+def _near_dup_oracle_sql() -> str:
+    """DuckDB replay of conversation_near_dup: the shared chain plus
+    the exact integer-Jaccard threshold select."""
+    from ocr_spark.operators.transcript import (
+        NEAR_DUP_MIN_JACCARD_E6 as MINJ,
+    )
+
+    return (
+        _near_dup_chain()
+        + " SELECT conv_a, conv_b, n_bands,"
         " CAST(1000000 * i // un AS BIGINT) AS jaccard_e6 FROM v"
         f" WHERE 1000000 * i // un >= {MINJ}"
+    )
+
+
+def _conversation_clusters_oracle_sql() -> str:
+    """DuckDB replay of conversation_clusters: the near-dup chain with
+    a SECOND clone family (head-perturbed 'nr2_' clones of the %13
+    conversations) so transitive closure has triangles to close, a
+    recursive min-label walk over the thresholded pairs, and the
+    longest-transcript keeper election per component."""
+    from ocr_spark.operators.transcript import (
+        NEAR_DUP_MIN_JACCARD_E6 as MINJ,
+    )
+
+    arm = (
+        " UNION ALL SELECT 'nr2_' || substr(conv_id, 6, 4), turn_idx,"
+        f" role, CASE WHEN turn_idx = 0 THEN '{_NEAR_DUP_HEAD_TEXT}'"
+        " ELSE text END FROM mx"
+        " WHERE CAST(substr(conv_id, 6, 4) AS INT) % 13 = 0"
+        " UNION ALL SELECT 'dup_' || substr(conv_id, 6, 4), turn_idx,"
+        " role, text FROM mx"
+        " WHERE CAST(substr(conv_id, 6, 4) AS INT) % 13 = 0"
+    )
+    return (
+        _near_dup_chain(extra_arm=arm, recursive=True)
+        + ", pr AS (SELECT conv_a, conv_b FROM v"
+        f"  WHERE 1000000 * i // un >= {MINJ}),"
+        " edges AS (SELECT conv_a AS src, conv_b AS dst FROM pr"
+        "  UNION ALL SELECT conv_b, conv_a FROM pr),"
+        " walk(conv_id, label) AS ("
+        "  SELECT conv_id, conv_id FROM a"
+        "  UNION"
+        "  SELECT e.dst, w.label FROM walk w"
+        "   JOIN edges e ON e.src = w.conv_id),"
+        " lab AS (SELECT conv_id, MIN(label) AS cluster_id"
+        "  FROM walk GROUP BY conv_id),"
+        " nt AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns"
+        "  FROM allt GROUP BY conv_id)"
+        " SELECT conv_id, cluster_id, n_turns,"
+        "  ROW_NUMBER() OVER (PARTITION BY cluster_id"
+        "   ORDER BY n_turns DESC, conv_id) = 1 AS is_keeper"
+        " FROM lab JOIN nt USING (conv_id)"
     )
 
 
@@ -2328,6 +2387,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return transcript.near_dup_conversations(t.unionByName(nr))
 
+    def conversation_dedup_clusters(spark, sf):
+        # the fuzzy-dedup funnel end: TWO clone families per %13 conv
+        # (tail-perturbed near_, head-perturbed nr2_) so the recursive
+        # closure has triangles to close; min-label components over the
+        # thresholded near-dup pairs, longest-transcript keeper per
+        # component (ties -> conv_id asc, so the base conv wins)
+        from pyspark.sql.window import Window
+
+        t = _turns(spark, sf)
+        mx = t.withColumn(
+            "__m", F.max("turn_idx").over(Window.partitionBy("conv_id"))
+        )
+        cnum = F.substring("conv_id", 6, 4).cast("int")
+        fam = mx.filter(cnum % 13 == 0)
+
+        def clone(prefix, where, repl):
+            return fam.select(
+                F.concat(
+                    F.lit(prefix), F.substring("conv_id", 6, 4)
+                ).alias("conv_id"),
+                "turn_idx",
+                "role",
+                F.when(where, F.lit(repl))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+
+        nr = clone(
+            "near_",
+            F.col("turn_idx") == F.col("__m"),
+            _NEAR_DUP_TAIL_TEXT,
+        )
+        nr2 = clone(
+            "nr2_", F.col("turn_idx") == 0, _NEAR_DUP_HEAD_TEXT
+        )
+        # exact clone: identical signature -> ALL bands collide, so
+        # every %13 family is guaranteed a component; where a perturbed
+        # clone also pairs, the component closes transitively (3 nodes)
+        dup = clone("dup_", F.lit(False), "")
+        return transcript.conversation_clusters(
+            t.unionByName(nr).unionByName(nr2).unionByName(dup)
+        )
+
     def _agent_turns(spark, sf):
         # _turns plus the input-hint's trace columns (tool, ts) —
         # deterministic functions of (conv, turn) mirrored verbatim by
@@ -2415,6 +2517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def code_fence_extract(spark, sf):
         # fenced ```lang blocks per turn — lang, sizes, content md5
         return agenttrace.code_blocks(_agent_turns(spark, sf))
+
+    def agent_episodes(spark, sf):
+        # >600 s silences split conversations into training episodes
+        # (the synthesis plants a 900 s stall at every 5-turn boundary)
+        return agenttrace.episodes(_agent_turns(spark, sf))
 
     def conversation_dedup(spark, sf):
         # conversation-level exact dedup; convs in the %10==7 family
@@ -3374,6 +3481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_spans": loss_mask_spans,
         "context_window_trim": context_window_trim,
         "conversation_dedup": conversation_dedup,
+        # fuzzy conversation dedup (banded minhash pairs + transitive
+        # clusters): new this session, never driver-checked — takes
+        # window slots over the simple ops demoted below the boundary
+        "conversation_near_dup": conversation_near_dup,
+        "conversation_dedup_clusters": conversation_dedup_clusters,
         "turn_boilerplate": turn_boilerplate,
         "refusal_detect": refusal_detect,
         "conversation_tiers": conversation_tiers,
@@ -3382,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": main_content_extract,
         "truncation_detect": truncation_detect,
         "dom_density": dom_density,
+        # exact Hamilton-apportioned eval split: new this session
+        "stratified_split": stratified_split,
         # ---- training-data operators (dedup / ANN / multimodal / text) ----
         # (bloom_dedup rotated out mid-round-5: r4 driver green —
         # making room for event_retention; cumulative window coverage
@@ -3469,7 +3583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": event_retention,
         "multimodal_audio_segments": multimodal_audio_segments,
         "multimodal_video_cuts": multimodal_video_cuts,
-        "sessionize": sessionize,
         "template_detect": template_detect,
         "pmi_collocations": pmi_collocations,
         "extract_autorotate": extract_autorotate,
@@ -3494,10 +3607,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "filter_ablation": filter_ablation,
         "forget_delete": forget_delete,
-        "cluster_safe_split": cluster_safe_split,
-        "heavy_keys": heavy_keys,
         "extract_reading_order": extract_reading_order,
         "negative_sample": negative_sample,
+        # ---- 50-entry window boundary (driver checks the first 50
+        # keys above). sessionize / heavy_keys / cluster_safe_split
+        # were demoted here end-of-round-5 to admit the three new
+        # complex queries; the in-gate replay still proves them ----
+        "sessionize": sessionize,
+        "heavy_keys": heavy_keys,
+        "cluster_safe_split": cluster_safe_split,
+        "agent_episodes": agent_episodes,
         # ==== 50-entry driver-window boundary ====
         # Round 5 added ~102 never-driver-checked queries against 50
         # window slots, so the majority cannot receive driver evidence
@@ -3544,7 +3663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_containment": conversation_containment,
         "script_drift": script_drift,
         "conversation_role_stats": conversation_role_stats,
-        "conversation_near_dup": conversation_near_dup,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
         "kmv_distinct": kmv_distinct,
@@ -3597,7 +3715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_snapshot_dedup": cross_snapshot_dedup,
         "cross_snapshot_novelty": cross_snapshot_novelty,
         "domain_cap": domain_cap,
-        "stratified_split": stratified_split,
         "winnow_fingerprint": winnow_fingerprint,
         "script_detect": script_detect,
         "script_segments": script_segments,
@@ -7007,6 +7124,8 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy conversation dedup: 3-turn digest shingles, 16 u32be
         # minhashes, 4x4 bands, exact integer Jaccard on band-mates
         "conversation_near_dup": _near_dup_oracle_sql(),
+        # fuzzy-dedup funnel end: recursive min-label walk + keeper
+        "conversation_dedup_clusters": _conversation_clusters_oracle_sql(),
         # per-conversation role balance + exact verbosity ratio
         "conversation_role_stats": (
             "WITH " + _TURNS_SQL + ","
@@ -7443,6 +7562,23 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(MAX(turn_idx) AS INTEGER) AS end_turn,"
             "  COUNT(*) AS run_len"
             " FROM tb GROUP BY conv_id, tool, isl HAVING COUNT(*) >= 2"
+        ),
+        # silence-gap episode split: all-integer epoch-second windows
+        "agent_episodes": (
+            "WITH " + _AGENT_SQL + ","
+            " g AS (SELECT conv_id, turn_idx, ts_s,"
+            "  ts_s - lag(ts_s) OVER (PARTITION BY conv_id"
+            "   ORDER BY turn_idx) AS gap FROM agent_turns),"
+            " m AS (SELECT conv_id, turn_idx, ts_s,"
+            "  CAST(SUM(CASE WHEN gap > 600 THEN 1 ELSE 0 END)"
+            "   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)"
+            "   AS episode_idx FROM g)"
+            " SELECT conv_id, episode_idx,"
+            "  CAST(MIN(turn_idx) AS INTEGER) AS start_turn,"
+            "  CAST(MAX(turn_idx) AS INTEGER) AS end_turn,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            "  MAX(ts_s) - MIN(ts_s) AS duration_s"
+            " FROM m GROUP BY 1, 2"
         ),
         # fence replay from the RAW doc text (pure function of doc_id):
         # the synthesis wraps exactly doc_id%11 non-blank non-retry

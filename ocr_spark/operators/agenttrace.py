@@ -192,3 +192,50 @@ def code_blocks(turns: DataFrame) -> DataFrame:
         (F.size(F.split(code, "\n", -1))).alias("n_lines"),
         F.md5(code).alias("code_md5"),
     )
+
+
+#: episode gap threshold: a >10-minute silence starts a new episode —
+#: agent sessions span days, and training on one giant concatenated
+#: trace leaks stale context across genuinely separate work sessions.
+EPISODE_GAP_S = 600
+
+
+def episodes(turns: DataFrame, gap_s: int = EPISODE_GAP_S) -> DataFrame:
+    """Split each conversation into EPISODES on inter-turn silence: a
+    gap > ``gap_s`` seconds starts a new episode (0-indexed per
+    conversation).  Emits one row per episode with its turn range,
+    size, and wall duration — the unit a trainer actually packs, and
+    the unit retention/quality filters should score (a 3-day trace is
+    not one sample).
+
+    All-integer arithmetic on epoch-second ``ts_s`` (no timestamp
+    casts — the event_funnel tz lesson).  The lag, the running episode
+    counter, and the per-episode groupBy all ride ONE conv_id
+    exchange."""
+    w = _conv_window()
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    brk = F.when(gap > gap_s, 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = turns.select(
+        "conv_id",
+        "turn_idx",
+        "ts_s",
+        F.sum(brk).over(run).cast("int").alias("episode_idx"),
+    )
+    return (
+        marked.groupBy("conv_id", "episode_idx")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        )
+        .select(
+            "conv_id",
+            "episode_idx",
+            "start_turn",
+            "end_turn",
+            "n_turns",
+            "duration_s",
+        )
+    )

@@ -126,3 +126,28 @@ def test_code_blocks_multi_fence_order_and_hash(spark):
     ]
     assert out[0].code_md5 == hashlib.md5(b"x = 1\ny = 2").hexdigest()
     assert out[1].code_md5 == hashlib.md5(b"select 1").hexdigest()
+
+
+def test_episodes_split_on_silence(spark):
+    rows = [
+        # conv c1: turns at t=0,60,120 then a 2h jump, then 2 more
+        ("c1", 0, 1000), ("c1", 1, 1060), ("c1", 2, 1120),
+        ("c1", 3, 8320), ("c1", 4, 8380),
+        # boundary case: gap EXACTLY the threshold does NOT split
+        ("c2", 0, 5000), ("c2", 1, 5600),
+        # single-turn conversation: one episode, zero duration
+        ("c3", 0, 42),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_s"])
+    out = {
+        (r.conv_id, r.episode_idx): (
+            r.start_turn, r.end_turn, r.n_turns, r.duration_s
+        )
+        for r in agenttrace.episodes(turns, gap_s=600).collect()
+    }
+    assert out == {
+        ("c1", 0): (0, 2, 3, 120),
+        ("c1", 1): (3, 4, 2, 60),
+        ("c2", 0): (0, 1, 2, 600),  # 600 s gap = threshold: same episode
+        ("c3", 0): (0, 0, 1, 0),
+    }

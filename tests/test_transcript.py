@@ -733,3 +733,44 @@ def test_near_dup_short_conversations_use_full_digest(spark):
     out = transcript.near_dup_conversations(_turns(spark, rows)).collect()
     pairs = {(r.conv_a, r.conv_b): (r.n_bands, r.jaccard_e6) for r in out}
     assert pairs == {("s1", "s2"): (4, 1000000)}
+
+
+def test_conversation_clusters_transitive_chain(spark):
+    # pinned deterministic fixture (salt "qq"): band collisions give
+    # pairs (cA,cB) and (cB,cC) but NOT (cA,cC) — the component must
+    # close transitively through cB; all three share 12 turns so the
+    # keeper tie-break falls to conv_id asc (cA)
+    A = [("cA", i, "user" if i % 2 == 0 else "assistant", f"qq turn {i}")
+         for i in range(12)]
+    B = [("cB", i, r, t if i < 10 else f"qq edited tail {i}")
+         for (_, i, r, t) in A]
+    C = [("cC", i, r, (f"qq edited head {i}" if i < 2 else t))
+         for (_, i, r, t) in B]
+    D = [("cD", i, "user", f"unrelated {i}") for i in range(6)]
+    turns = _turns(spark, A + B + C + D)
+    pairs = {(r.conv_a, r.conv_b)
+             for r in transcript.near_dup_conversations(turns).collect()}
+    assert pairs == {("cA", "cB"), ("cB", "cC")}  # the chain, no shortcut
+    out = {r.conv_id: (r.cluster_id, r.is_keeper)
+           for r in transcript.conversation_clusters(turns).collect()}
+    assert out == {
+        "cA": ("cA", True),
+        "cB": ("cA", False),
+        "cC": ("cA", False),  # united through cB despite no (cA,cC) pair
+        "cD": ("cD", True),   # singleton keeps itself and is its keeper
+    }
+
+
+def test_conversation_clusters_keeper_is_longest(spark):
+    # pinned fixture (salt "k2"): cE is cA plus one extra turn — the
+    # near-dup pair surfaces and the LONGER transcript wins keeper even
+    # though cA sorts first
+    A = [("cA", i, "user" if i % 2 == 0 else "assistant", f"k2 turn {i}")
+         for i in range(12)]
+    E = [("cE", i, r, t) for (_, i, r, t) in A] + [
+        ("cE", 12, "user", "k2 extra turn")
+    ]
+    out = {r.conv_id: (r.cluster_id, r.n_turns, r.is_keeper)
+           for r in transcript.conversation_clusters(
+               _turns(spark, A + E)).collect()}
+    assert out == {"cA": ("cA", 12, False), "cE": ("cA", 13, True)}
