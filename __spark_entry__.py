@@ -2359,6 +2359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def merge_role_runs(spark, sf):
+        # ChatML normalization: maximal same-role runs merged into one
+        # turn, texts newline-joined in order, densely renumbered (the
+        # synthesis's %7 retry block yields real multi-turn runs)
+        return transcript.merge_role_runs(_turns(spark, sf))
+
     def conversation_near_dup(spark, sf):
         # fuzzy-dup injector: every 13th conversation is cloned as
         # near_%04d with its LAST turn's text perturbed — one edited
@@ -3617,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_keys": heavy_keys,
         "cluster_safe_split": cluster_safe_split,
         "agent_episodes": agent_episodes,
+        "merge_role_runs": merge_role_runs,
         # ==== 50-entry driver-window boundary ====
         # Round 5 added ~102 never-driver-checked queries against 50
         # window slots, so the majority cannot receive driver evidence
@@ -7121,6 +7128,28 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # ChatML same-role run merge: change-counter islands, ordered
+        # string_agg inside the aggregate
+        "merge_role_runs": (
+            "WITH " + _TURNS_SQL + ","
+            " l AS (SELECT conv_id, turn_idx, role, text,"
+            "  CASE WHEN turn_idx = MIN(turn_idx) OVER"
+            "    (PARTITION BY conv_id) THEN 1"
+            "   WHEN lag(role) OVER (PARTITION BY conv_id"
+            "    ORDER BY turn_idx) IS DISTINCT FROM role THEN 1"
+            "   ELSE 0 END AS chg FROM turns),"
+            " r AS (SELECT conv_id, turn_idx, role, text,"
+            "  SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+            "   AS run FROM l)"
+            " SELECT conv_id, CAST(run - 1 AS INT) AS new_turn_idx,"
+            "  MIN(role) AS role,"
+            "  string_agg(coalesce(text, ''), chr(10)"
+            "   ORDER BY turn_idx) AS text,"
+            "  CAST(MIN(turn_idx) AS INTEGER) AS start_turn,"
+            "  CAST(MAX(turn_idx) AS INTEGER) AS end_turn,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_merged"
+            " FROM r GROUP BY conv_id, run"
+        ),
         # fuzzy conversation dedup: 3-turn digest shingles, 16 u32be
         # minhashes, 4x4 bands, exact integer Jaccard on band-mates
         "conversation_near_dup": _near_dup_oracle_sql(),

@@ -1345,3 +1345,60 @@ def conversation_clusters(
         )
     )
     return _own_caches(out, [labels, stats])
+
+
+def merge_role_runs(turns: DataFrame) -> DataFrame:
+    """ChatML normalization: merge every maximal run of consecutive
+    SAME-role turns into one turn (text joined with newlines in turn
+    order) and renumber densely.  Chat templates require strict role
+    alternation; agent traces routinely emit several assistant turns
+    in a row (tool call, tool result commentary, final answer), and
+    rendering them as separate messages breaks the template.  Distinct
+    from :func:`clean_turns`, which collapses only VERBATIM retry
+    repeats — this merges any same-role run regardless of content.
+
+    Run detection is gaps-and-islands via a running change counter
+    (first turn of a conversation always starts a run, so a NULL role
+    in row one doesn't alias with a NULL lag); the lag, the running
+    sum, and the per-run groupBy all ride ONE conv_id exchange, and
+    the ordered concat happens inside the aggregate (no second
+    window)."""
+    w = _conv_window()
+    first = F.row_number().over(w) == 1
+    chg = F.when(
+        first | ~F.lag("role").over(w).eqNullSafe(F.col("role")), 1
+    ).otherwise(0)
+    run = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    r = turns.select(
+        "conv_id", "turn_idx", "role", "text", run.alias("__run")
+    )
+    merged_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("turn_idx", F.coalesce("text", F.lit("")).alias("t"))
+                )
+            ),
+            lambda s: s.t,
+        ),
+        "\n",
+    )
+    return (
+        r.groupBy("conv_id", "__run")
+        .agg(
+            F.min("role").alias("role"),
+            merged_text.alias("text"),
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .select(
+            "conv_id",
+            (F.col("__run") - 1).cast("int").alias("new_turn_idx"),
+            "role",
+            "text",
+            "start_turn",
+            "end_turn",
+            "n_merged",
+        )
+    )

@@ -774,3 +774,35 @@ def test_conversation_clusters_keeper_is_longest(spark):
            for r in transcript.conversation_clusters(
                _turns(spark, A + E)).collect()}
     assert out == {"cA": ("cA", 12, False), "cE": ("cA", 13, True)}
+
+
+def test_merge_role_runs_joins_in_order_and_renumbers(spark):
+    rows = [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "calling tool"),
+        ("c1", 2, "assistant", "tool output says 42"),
+        ("c1", 3, "assistant", "final answer"),
+        ("c1", 4, "user", "thanks"),
+        ("c1", 5, "user", None),  # NULL text joins as ''
+        # c2 opens with a NULL role — must still start run 0
+        ("c2", 0, None, "sys-ish"),
+        ("c2", 1, None, "more"),
+        ("c2", 2, "user", "q"),
+    ]
+    out = {
+        (r.conv_id, r.new_turn_idx): (
+            r.role, r.text, r.start_turn, r.end_turn, r.n_merged
+        )
+        for r in transcript.merge_role_runs(_turns(spark, rows)).collect()
+    }
+    assert out == {
+        ("c1", 0): ("user", "q1", 0, 0, 1),
+        ("c1", 1): (
+            "assistant",
+            "calling tool\ntool output says 42\nfinal answer",
+            1, 3, 3,
+        ),
+        ("c1", 2): ("user", "thanks\n", 4, 5, 2),
+        ("c2", 0): (None, "sys-ish\nmore", 0, 1, 2),
+        ("c2", 1): ("user", "q", 2, 2, 1),
+    }
