@@ -493,6 +493,7 @@ def _near_dup_chain(extra_arm: str = "", recursive: bool = False) -> str:
     a recursive walk CTE."""
     from ocr_spark.operators.transcript import (
         NEAR_DUP_BAND_SIZE as BS,
+        NEAR_DUP_MAX_BUCKET as MAXB,
         NEAR_DUP_NUM_HASHES as NH,
     )
 
@@ -535,7 +536,12 @@ def _near_dup_chain(extra_arm: str = "", recursive: bool = False) -> str:
         " u AS (SELECT conv_id, unnest(s) AS sg FROM sh),"
         f" ux AS (SELECT conv_id, {hexes} FROM u),"
         f" sig AS (SELECT conv_id, {mins} FROM ux GROUP BY conv_id),"
-        f" bd AS MATERIALIZED ({band_sel}),"
+        f" bd0 AS ({band_sel}),"
+        # hot-bucket guard mirrored from NEAR_DUP_MAX_BUCKET: oversized
+        # band buckets (exact-dup families) never enter the self-join
+        " bd AS MATERIALIZED (SELECT conv_id, band_idx, band_key FROM"
+        "  (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key)"
+        f"   AS bn FROM bd0) WHERE bn <= {MAXB}),"
         " cand AS (SELECT x.conv_id AS conv_a, y.conv_id AS conv_b,"
         "  CAST(COUNT(*) AS INT) AS n_bands FROM bd x JOIN bd y"
         "  ON x.band_idx = y.band_idx AND x.band_key = y.band_key"

@@ -1106,12 +1106,22 @@ NEAR_DUP_NUM_HASHES = 16
 NEAR_DUP_BAND_SIZE = 4
 NEAR_DUP_MIN_JACCARD_E6 = 500000
 
+#: hot-bucket guard: a band bucket with more members than this is
+#: dropped from the candidate self-join.  Buckets that large are
+#: overwhelmingly EXACT-duplicate families (identical signatures land
+#: every copy in every band), which conversation-level exact dedup
+#: already catches at linear cost — while the self-join on an uncapped
+#: bucket is quadratic (a 1M-copy boilerplate conversation would emit
+#: 5·10^11 candidate pairs from one bucket).
+NEAR_DUP_MAX_BUCKET = 64
+
 
 def near_dup_conversations(
     turns: DataFrame,
     num_hashes: int = NEAR_DUP_NUM_HASHES,
     band_size: int = NEAR_DUP_BAND_SIZE,
     min_jaccard_e6: int = NEAR_DUP_MIN_JACCARD_E6,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
 ) -> DataFrame:
     """Fuzzy conversation dedup: exact dedup
     (:func:`dedup_conversations`) only catches IDENTICAL turn
@@ -1207,10 +1217,20 @@ def near_dup_conversations(
     # persisted: the band self-join reads this frame on BOTH sides —
     # without the cache each side re-runs the 16-hash signature
     # projection (4 rows × (conv_id, band_idx, 32-char key) per
-    # conversation, far smaller than recomputing 16·|shingles| md5s)
-    bands = sig.select(
-        "conv_id", F.posexplode(keys).alias("band_idx", "band_key")
-    ).persist()
+    # conversation, far smaller than recomputing 16·|shingles| md5s).
+    # The hot-bucket count window shares the self-join's partitioning
+    # (same keys), so the guard costs no extra exchange; see
+    # NEAR_DUP_MAX_BUCKET for why oversized buckets are dropped.
+    wb = Window.partitionBy("band_idx", "band_key")
+    bands = (
+        sig.select(
+            "conv_id", F.posexplode(keys).alias("band_idx", "band_key")
+        )
+        .withColumn("__bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+        .persist()
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_key"])
@@ -1254,6 +1274,7 @@ def conversation_clusters(
     num_hashes: int = NEAR_DUP_NUM_HASHES,
     band_size: int = NEAR_DUP_BAND_SIZE,
     min_jaccard_e6: int = NEAR_DUP_MIN_JACCARD_E6,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
     max_iters: int = 8,
 ) -> DataFrame:
     """The fuzzy-dedup funnel end: connect the verified near-dup pairs
@@ -1276,7 +1297,7 @@ def conversation_clusters(
     from ocr_spark.operators.dedup import _own_caches
 
     pairs = near_dup_conversations(
-        turns, num_hashes, band_size, min_jaccard_e6
+        turns, num_hashes, band_size, min_jaccard_e6, max_bucket
     )
     edges = (
         pairs.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))

@@ -806,3 +806,25 @@ def test_merge_role_runs_joins_in_order_and_renumbers(spark):
         ("c2", 0): (None, "sys-ish\nmore", 0, 1, 2),
         ("c2", 1): ("user", "q", 2, 2, 1),
     }
+
+
+def test_near_dup_hot_bucket_guard_drops_exact_dup_family(spark):
+    # 70 byte-identical 1-turn conversations share one signature, so
+    # every band bucket holds all 70 (> max_bucket=64): the quadratic
+    # 2415-pair family is dropped entirely — exact dedup's job — while
+    # the small near-dup pair in the same corpus still surfaces
+    fam = [(f"f{i:03d}", 0, "user", "identical boilerplate") for i in range(70)]
+    A = [("cA", i, "user" if i % 2 == 0 else "assistant", "qq turn %d" % i)
+         for i in range(12)]
+    B = [("cB", i, r, t if i < 10 else f"qq edited tail {i}")
+         for (_, i, r, t) in A]
+    out = transcript.near_dup_conversations(
+        _turns(spark, fam + A + B)
+    ).collect()
+    pairs = {(r.conv_a, r.conv_b) for r in out}
+    assert pairs == {("cA", "cB")}
+    # with the guard lifted the family floods back (sanity of fixture)
+    flood = transcript.near_dup_conversations(
+        _turns(spark, fam), max_bucket=1000
+    ).count()
+    assert flood == 70 * 69 // 2
