@@ -2582,6 +2582,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return transcript.preference_pairs(qa)
 
+    def preference_length_bias(spark, sf):
+        # reward-hacking audit over the same DPO pair mining: one row
+        # of exact-integer length-preference counts, no division
+        d = _docs(spark, sf)
+        qa = d.select(
+            F.format_string("conv_%06d", F.col("doc_id")).alias("conv_id"),
+            F.lit(1).cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit("summarize record "),
+                (F.col("doc_id") % 50).cast("string"),
+            ).alias("prompt"),
+            F.col("text").alias("response"),
+        )
+        return transcript.preference_length_bias(qa)
+
     def kmv_distinct(spark, sf):
         # mergeable K-minimum-values distinct-token sketch per source
         return textops.kmv_distinct(_docs(spark, sf))
@@ -3678,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_role_stats": conversation_role_stats,
         "dedup_keep_best": dedup_keep_best,
         "preference_pairs": preference_pairs,
+        "preference_length_bias": preference_length_bias,
         "kmv_distinct": kmv_distinct,
         "hll_distinct": hll_distinct,
         "span_corruption": span_corruption,
@@ -4399,6 +4415,42 @@ def _scrub_oracle() -> str:
         f" regexp_replace(trim({chain}), ' +', ' ', 'g') AS clean_text"
         " FROM t"
     )
+
+
+#: DPO pair-mining CTE chain shared by the preference_pairs and
+#: preference_length_bias oracles — qa synthesis (50 shared prompts),
+#: integer quality scores, per-prompt argmax (c) / argmin (j).
+_PREF_CHAIN = (
+    "WITH qa AS (SELECT printf('conv_%06d', doc_id) AS conv_id,"
+    " 1 AS turn_idx,"
+    " 'summarize record ' || CAST(doc_id % 50 AS VARCHAR) AS prompt,"
+    " text AS response FROM documents),"
+    " b AS (SELECT conv_id, turn_idx, prompt,"
+    "  length(response)::HUGEINT AS nc,"
+    "  len(string_split(response,' '))::HUGEINT AS nt,"
+    f"  len(list_filter(string_split(response,' '), t -> t IN ({_STOPLIST})))::HUGEINT AS ns,"
+    "  length(regexp_replace(response, '[a-z0-9 ]', '', 'g'))::HUGEINT AS nn"
+    "  FROM qa),"
+    " s AS (SELECT conv_id, turn_idx, prompt, nc,"
+    "  least(nc, 500)*nt*nc + 300*ns*nc + 200*nt*(nc - nn) AS num,"
+    "  1000*nt*nc AS den FROM b),"
+    " q AS (SELECT conv_id, turn_idx, prompt, CASE WHEN nc = 0 THEN -1"
+    "  ELSE CAST((20000*num + den) // (2*den) AS BIGINT) END AS qe4"
+    "  FROM s),"
+    " r AS (SELECT conv_id, turn_idx, prompt, qe4,"
+    "  ROW_NUMBER() OVER (PARTITION BY prompt"
+    "   ORDER BY qe4 DESC, conv_id, turn_idx) AS rh,"
+    "  ROW_NUMBER() OVER (PARTITION BY prompt"
+    "   ORDER BY qe4 ASC, conv_id, turn_idx) AS rl,"
+    "  MAX(qe4) OVER (PARTITION BY prompt) AS qmax,"
+    "  MIN(qe4) OVER (PARTITION BY prompt) AS qmin FROM q),"
+    " c AS (SELECT prompt, conv_id AS chosen_conv_id,"
+    "  turn_idx AS chosen_turn_idx, qe4 AS cq FROM r"
+    "  WHERE rh = 1 AND qmax > qmin),"
+    " j AS (SELECT prompt, conv_id AS rejected_conv_id,"
+    "  turn_idx AS rejected_turn_idx, qe4 AS rq FROM r"
+    "  WHERE rl = 1 AND qmax > qmin)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7234,41 +7286,36 @@ def oracle_sql() -> dict[str, str]:
         # argmax, rejected = argmin (ties by conv, turn); zero-margin
         # prompts emit nothing
         "preference_pairs": (
-            "WITH qa AS (SELECT printf('conv_%06d', doc_id) AS conv_id,"
-            " 1 AS turn_idx,"
-            " 'summarize record ' || CAST(doc_id % 50 AS VARCHAR) AS prompt,"
-            " text AS response FROM documents),"
-            " b AS (SELECT conv_id, turn_idx, prompt,"
-            "  length(response)::HUGEINT AS nc,"
-            "  len(string_split(response,' '))::HUGEINT AS nt,"
-            f"  len(list_filter(string_split(response,' '), t -> t IN ({_STOPLIST})))::HUGEINT AS ns,"
-            "  length(regexp_replace(response, '[a-z0-9 ]', '', 'g'))::HUGEINT AS nn"
-            "  FROM qa),"
-            " s AS (SELECT conv_id, turn_idx, prompt, nc,"
-            "  least(nc, 500)*nt*nc + 300*ns*nc + 200*nt*(nc - nn) AS num,"
-            "  1000*nt*nc AS den FROM b),"
-            " q AS (SELECT conv_id, turn_idx, prompt, CASE WHEN nc = 0 THEN -1"
-            "  ELSE CAST((20000*num + den) // (2*den) AS BIGINT) END AS qe4"
-            "  FROM s),"
-            " r AS (SELECT conv_id, turn_idx, prompt, qe4,"
-            "  ROW_NUMBER() OVER (PARTITION BY prompt"
-            "   ORDER BY qe4 DESC, conv_id, turn_idx) AS rh,"
-            "  ROW_NUMBER() OVER (PARTITION BY prompt"
-            "   ORDER BY qe4 ASC, conv_id, turn_idx) AS rl,"
-            "  MAX(qe4) OVER (PARTITION BY prompt) AS qmax,"
-            "  MIN(qe4) OVER (PARTITION BY prompt) AS qmin FROM q),"
-            " c AS (SELECT prompt, conv_id AS chosen_conv_id,"
-            "  turn_idx AS chosen_turn_idx, qe4 AS cq FROM r"
-            "  WHERE rh = 1 AND qmax > qmin),"
-            " j AS (SELECT prompt, conv_id AS rejected_conv_id,"
-            "  turn_idx AS rejected_turn_idx, qe4 AS rq FROM r"
-            "  WHERE rl = 1 AND qmax > qmin)"
-            " SELECT c.prompt, chosen_conv_id,"
+            _PREF_CHAIN
+            + " SELECT c.prompt, chosen_conv_id,"
             "  CAST(chosen_turn_idx AS INTEGER) AS chosen_turn_idx,"
             "  rejected_conv_id,"
             "  CAST(rejected_turn_idx AS INTEGER) AS rejected_turn_idx,"
             "  CAST(cq - rq AS BIGINT) AS margin_e4"
             " FROM c JOIN j ON c.prompt = j.prompt"
+        ),
+        # reward-hacking audit: exact-integer length-preference counts
+        # over the same pair mining; tk mirrors _tok_count's blank=0
+        "preference_length_bias": (
+            _PREF_CHAIN
+            + ", tk AS (SELECT conv_id, turn_idx,"
+            "  CAST(CASE WHEN trim(response) = '' THEN 0"
+            "   ELSE len(string_split(response, ' ')) END AS BIGINT)"
+            "   AS nt FROM qa),"
+            " pb AS (SELECT tc.nt - tr.nt AS delta"
+            "  FROM c JOIN j ON c.prompt = j.prompt"
+            "  JOIN tk tc ON tc.conv_id = c.chosen_conv_id"
+            "   AND tc.turn_idx = c.chosen_turn_idx"
+            "  JOIN tk tr ON tr.conv_id = j.rejected_conv_id"
+            "   AND tr.turn_idx = j.rejected_turn_idx)"
+            " SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+            "  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS chosen_longer,"
+            "  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS rejected_longer,"
+            "  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS equal_len,"
+            "  CAST(SUM(delta) AS BIGINT) AS sum_delta_tokens FROM pb"
         ),
         # KMV distinct sketch: k-th smallest distinct u32 token hash;
         # +1 denominator guards v=0; sketch-exact below k

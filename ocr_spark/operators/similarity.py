@@ -893,19 +893,22 @@ def mmr_rerank(
 
     Exact integer contract: relevance is rank-based,
     ``rel = 1e9·(k_in+1−rank) DIV k_in``; redundancy is token-set
-    Jaccard in nano-units (``1e9·inter DIV union``); the λ=1/2
-    selection score is kept doubled (``rel − max_sim``) so it stays an
-    integer, and every argmax tie breaks on doc id.  The first pick is
-    pure relevance (empty selected set).
+    Jaccard in nano-units (``1e9·inter // union`` in unbounded Python
+    ints); the λ=1/2 selection score is kept doubled (``rel −
+    max_sim``) so it stays an integer, and every argmax tie breaks on
+    doc id.  The first pick is pure relevance (empty selected set).
 
-    Scale shape: candidate sets are ``k_in``-bounded per query, so the
-    pairwise-similarity join is ≤ k_in² rows per query and every
-    iteration's window sorts ≤ k_in rows — all partitioned by query,
-    growing with the query set, never the corpus.  The ``k`` greedy
-    iterations are UNROLLED into the plan (k is a small constant;
-    the bpe_train precedent), with the shared candidate/similarity
-    frames persisted so no branch recomputes retrieval."""
-    from ocr_spark.operators.dedup import _own_caches
+    Scale shape: ONE exchange — the groupBy on the query id — then the
+    whole greedy loop runs inside a single Arrow-batched grouped map.
+    Candidate sets are ``k_in``-bounded per query, so each group is at
+    most k_in rows and the in-batch pairwise Jaccard is ≤ k_in² set
+    intersections; work grows with the query set, never the corpus.
+    (An earlier version UNROLLED the k iterations into the plan — 4
+    extra join+window shuffle rounds whose fixed stage overhead
+    dominated at any scale; the grouped map replaces them with zero
+    additional exchanges and identical integer semantics, pinned by
+    the same contract value-hash.)"""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     base = cand.select(
         F.col(query_col).alias("q"),
@@ -915,78 +918,55 @@ def mmr_rerank(
             f" DIV {k_in} AS BIGINT)"
         ).alias("rel"),
         F.array_distinct(F.col(tok_col)).alias("t"),
-    ).persist()
-    a = base.select("q", F.col("d").alias("a_id"), F.col("t").alias("a_t"))
-    b = base.select("q", F.col("d").alias("b_id"), F.col("t").alias("b_t"))
-    inter = F.size(F.array_intersect("a_t", "b_t")).cast("long")
-    union = (F.size("a_t") + F.size("b_t")).cast("long") - inter
-    sims = (
-        a.join(b, "q")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("__i", inter)
-        .withColumn("__u", union)
-        .select(
-            "q",
-            "a_id",
-            "b_id",
-            F.when(F.col("__u") == 0, F.lit(0).cast("long"))
-            .otherwise(F.expr("CAST(1000000000 * __i DIV __u AS BIGINT)"))
-            .alias("s"),
-        )
-        .persist()
     )
-    w = Window.partitionBy("q").orderBy(F.desc("__sc"), F.asc("d"))
-
-    def pick(scored: DataFrame, rank_i: int) -> DataFrame:
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "q",
-                "d",
-                "rel",
-                "__ms",
-                "__sc",
-                F.lit(rank_i).cast("int").alias("mmr_rank"),
-            )
-            .persist()
-        )
-
-    picks = [
-        pick(
-            base.withColumn("__ms", F.lit(0).cast("long")).withColumn(
-                "__sc", F.col("rel")
-            ),
-            1,
-        )
-    ]
-    from functools import reduce
-
-    for i in range(2, k + 1):
-        selected = reduce(
-            DataFrame.unionByName, [p.select("q", "d") for p in picks]
-        )
-        ms = (
-            sims.join(
-                selected.withColumnRenamed("d", "b_id"), ["q", "b_id"]
-            )
-            .groupBy("q", F.col("a_id").alias("d"))
-            .agg(F.max("s").alias("__ms0"))
-        )
-        scored = (
-            base.join(selected, ["q", "d"], "left_anti")
-            .join(ms, ["q", "d"], "left")
-            .withColumn("__ms", F.coalesce(F.col("__ms0"), F.lit(0).cast("long")))
-            .withColumn("__sc", F.col("rel") - F.col("__ms"))
-            .drop("__ms0")
-        )
-        picks.append(pick(scored, i))
-    out = reduce(DataFrame.unionByName, picks).select(
-        F.col("q").alias(query_col),
-        F.col("d").alias(id_col),
-        "mmr_rank",
-        F.col("rel").alias("rel_nano"),
-        F.col("__ms").alias("max_sim_nano"),
-        F.col("__sc").alias("mmr_score_nano"),
+    out_schema = StructType(
+        [
+            StructField(query_col, base.schema["q"].dataType),
+            StructField(id_col, base.schema["d"].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("rel_nano", LongType()),
+            StructField("max_sim_nano", LongType()),
+            StructField("mmr_score_nano", LongType()),
+        ]
     )
-    return _own_caches(out, [base, sims, *picks])
+
+    def greedy(pdf):
+        import pandas as pd
+
+        cands = [
+            (row.d, int(row.rel), frozenset(row.t))
+            for row in pdf.itertuples()
+        ]
+        ms = {d: 0 for d, _, _ in cands}
+        remaining = {d: (rel, t) for d, rel, t in cands}
+        rows = []
+        q = pdf["q"].iloc[0]
+        for rank_i in range(1, k + 1):
+            if not remaining:
+                break
+            best_d = min(
+                remaining, key=lambda d: (-(remaining[d][0] - ms[d]), d)
+            )
+            rel, bt = remaining.pop(best_d)
+            rows.append(
+                (q, best_d, rank_i, rel, ms[best_d], rel - ms[best_d])
+            )
+            for d2, (_, t2) in remaining.items():
+                inter = len(bt & t2)
+                union = len(bt) + len(t2) - inter
+                s = 0 if union == 0 else 10**9 * inter // union
+                if s > ms[d2]:
+                    ms[d2] = s
+        return pd.DataFrame(
+            rows,
+            columns=[
+                query_col,
+                id_col,
+                "mmr_rank",
+                "rel_nano",
+                "max_sim_nano",
+                "mmr_score_nano",
+            ],
+        )
+
+    return base.groupBy("q").applyInPandas(greedy, out_schema)

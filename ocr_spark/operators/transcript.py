@@ -1423,3 +1423,60 @@ def merge_role_runs(turns: DataFrame) -> DataFrame:
             "n_merged",
         )
     )
+
+
+def preference_length_bias(qa: DataFrame) -> DataFrame:
+    """DPO hygiene audit over :func:`preference_pairs`: does the
+    mined preference signal just encode "longer is better"?  A reward
+    proxy correlated with response length teaches the tuned model to
+    pad — the classic reward-hacking failure — so pipelines gate on
+    this before training.  Emits ONE row: pair count, how many pairs
+    prefer the longer / shorter / equal-length response, and the
+    signed token-length delta sum (chosen − rejected).  All exact
+    integers, NO division (signed integer division rounds differently
+    across engines — truncation vs floor — so the mean is left to the
+    consumer).
+
+    Scale shape: the pair table is one row per repeated prompt
+    (broadcast); both sides melt into (pair, ±1) rows so the
+    corpus-sized token-count frame is scanned ONCE through a single
+    broadcast hash join, then a per-pair delta aggregate and a global
+    one-row fold."""
+    pairs = preference_pairs(qa)
+    toks = qa.select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("__rid"),
+        _tok_count(F.col("response")).alias("__nt"),
+    )
+    melted = pairs.select(
+        F.md5("prompt").alias("__pd"),
+        F.concat_ws(
+            "#", "chosen_conv_id", "chosen_turn_idx"
+        ).alias("__rid"),
+        F.lit(1).cast("bigint").alias("__sign"),
+    ).unionByName(
+        pairs.select(
+            F.md5("prompt").alias("__pd"),
+            F.concat_ws(
+                "#", "rejected_conv_id", "rejected_turn_idx"
+            ).alias("__rid"),
+            F.lit(-1).cast("bigint").alias("__sign"),
+        )
+    )
+    deltas = (
+        toks.join(F.broadcast(melted), "__rid")
+        .groupBy("__pd")
+        .agg(F.sum(F.col("__sign") * F.col("__nt")).alias("__delta"))
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("__delta") > 0, 1))
+        .cast("bigint")
+        .alias("chosen_longer"),
+        F.count(F.when(F.col("__delta") < 0, 1))
+        .cast("bigint")
+        .alias("rejected_longer"),
+        F.count(F.when(F.col("__delta") == 0, 1))
+        .cast("bigint")
+        .alias("equal_len"),
+        F.sum("__delta").alias("sum_delta_tokens"),
+    )

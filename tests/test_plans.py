@@ -1691,3 +1691,18 @@ def test_stratified_split_two_phase_metadata_only_single_partition(spark):
     # SinglePartition exchanges are allowed ONLY for the apportionment
     # windows over the metadata-scale counts frame (one row per
     # stratum); the corpus side is covered by the text# check above
+
+
+def test_mmr_rerank_single_exchange_grouped_map(spark):
+    from ocr_spark.operators import similarity
+
+    cand = spark.createDataFrame(
+        [("q1", i, i + 1, ["a", "b", f"t{i}"]) for i in range(10)],
+        ["query_id", "doc_id", "rank", "toks"],
+    )
+    plan = _plan(similarity.mmr_rerank(cand))
+    # the whole greedy loop is one Arrow grouped map after ONE exchange
+    # on the query id — no unrolled per-iteration join/window rounds
+    assert "FlatMapGroupsInPandas" in plan
+    assert len(_exchange_blocks(plan)) == 1
+    assert "Window" not in plan

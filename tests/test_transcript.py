@@ -828,3 +828,33 @@ def test_near_dup_hot_bucket_guard_drops_exact_dup_family(spark):
         _turns(spark, fam), max_bucket=1000
     ).count()
     assert flood == 70 * 69 // 2
+
+
+def test_preference_length_bias_counts_and_signed_sum(spark):
+    # prompt p1: chosen (quality argmax) is the LONGER response;
+    # prompt p2: chosen is the SHORTER one; p3 ties on quality -> no
+    # pair. quality_e4 rises with length here (clean prose), so p1/p2
+    # winners are known by construction
+    qa = spark.createDataFrame(
+        [
+            ("c1", 1, "p1", "the quick brown fox jumps over the lazy dog"),
+            ("c2", 1, "p1", "short reply"),
+            ("c3", 1, "p2", "@@ ## $$ %% ^^ && ** (( )) !! ~~ ``"),  # junk, long
+            ("c4", 1, "p2", "a clean concise answer"),
+            ("c5", 1, "p3", "same text here"),
+            ("c6", 1, "p3", "same text here"),
+        ],
+        ["conv_id", "turn_idx", "prompt", "response"],
+    )
+    row = transcript.preference_length_bias(qa).collect()[0]
+    assert row.n_pairs == 2
+    assert row.chosen_longer + row.rejected_longer + row.equal_len == 2
+    # cross-check the signed sum against the mined pairs themselves
+    pairs = {p.prompt: p for p in transcript.preference_pairs(qa).collect()}
+    toks = {r.conv_id: len(r.response.split(" "))
+            for r in qa.collect()}
+    want = sum(
+        toks[p.chosen_conv_id] - toks[p.rejected_conv_id]
+        for p in pairs.values()
+    )
+    assert row.sum_delta_tokens == want
