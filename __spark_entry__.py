@@ -276,6 +276,8 @@ from ocr_spark.operators.textops import CLF_BIAS_MICRO as _CLF_BIAS  # noqa: E40
 from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E402
 from ocr_spark.operators.textops import HLL_ALPHA_NUM as _HLL_ALPHA  # noqa: E402
 from ocr_spark.operators.textops import _hll_rank_sql  # noqa: E402
+from ocr_spark.operators.agenttrace import EPISODE_GAP_S as _EPISODE_GAP_S  # noqa: E402
+from ocr_spark.operators.transcript import CONTAIN_MAX_LEN as _CONTAIN_MAX_LEN  # noqa: E402
 from ocr_spark.operators.transcript import _trunc_flag_sql  # noqa: E402
 from ocr_spark.operators.textops import (  # noqa: E402
     DOM_ANCHOR_RE as _DOM_ANCHOR_RE,
@@ -2637,9 +2639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def mmr_rerank(spark, sf):
         # MMR diversification of the hybrid fused top-10: rank-based
-        # relevance nano-units vs token-set-Jaccard redundancy, 5
-        # unrolled greedy argmax iterations with persisted shared
-        # frames — the post-retrieval de-dup a RAG stack runs
+        # relevance nano-units vs token-set-Jaccard redundancy, the
+        # whole greedy loop in ONE Arrow grouped map after a single
+        # query-id exchange — the post-retrieval de-dup a RAG stack runs
         fused = hybrid_rrf(spark, sf)
         toks = _docs(spark, sf).select(
             "doc_id", F.split("text", " ").alias("toks")
@@ -3645,7 +3647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": cluster_safe_split,
         "agent_episodes": agent_episodes,
         "merge_role_runs": merge_role_runs,
-        # ==== 50-entry driver-window boundary ====
+        # (the five keys above are BELOW the boundary marked earlier —
+        # the driver checks only the first 50 dict keys)
         # Round 5 added ~102 never-driver-checked queries against 50
         # window slots, so the majority cannot receive driver evidence
         # this (final) round. The window holds the transcript-axis
@@ -7164,12 +7167,12 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY conv_id),"
             " fulls AS (SELECT conv_id, CAST(len(digs) AS INT) AS n_turns,"
             "  md5(array_to_string(digs, '')) AS fd FROM a"
-            "  WHERE len(digs) <= 64),"
+            f"  WHERE len(digs) <= {_CONTAIN_MAX_LEN}),"
             " pres AS MATERIALIZED (SELECT conv_id AS container_conv_id,"
             "  CAST(len(digs) AS INT) AS cn, CAST(u.k AS INT) AS k,"
             "  md5(array_to_string(digs[1:CAST(u.k AS INT)], '')) AS pd"
             "  FROM a, LATERAL unnest("
-            "   range(1, least(64, len(digs)) + 1)) u(k)),"
+            f"   range(1, least({_CONTAIN_MAX_LEN}, len(digs)) + 1)) u(k)),"
             " hits AS (SELECT f.conv_id, p.container_conv_id FROM fulls f"
             "  JOIN pres p ON f.fd = p.pd AND f.n_turns = p.k"
             "   AND p.cn > f.n_turns),"
@@ -7652,7 +7655,7 @@ def oracle_sql() -> dict[str, str]:
             "  ts_s - lag(ts_s) OVER (PARTITION BY conv_id"
             "   ORDER BY turn_idx) AS gap FROM agent_turns),"
             " m AS (SELECT conv_id, turn_idx, ts_s,"
-            "  CAST(SUM(CASE WHEN gap > 600 THEN 1 ELSE 0 END)"
+            f"  CAST(SUM(CASE WHEN gap > {_EPISODE_GAP_S} THEN 1 ELSE 0 END)"
             "   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)"
             "   AS episode_idx FROM g)"
             " SELECT conv_id, episode_idx,"

@@ -933,12 +933,25 @@ def mmr_rerank(
     def greedy(pdf):
         import pandas as pd
 
+        # NULL token arrays degrade to empty sets (the plan-based
+        # predecessor tolerated them via array_intersect-on-NULL);
+        # duplicate (q, d) rows collapse DETERMINISTICALLY to the
+        # highest-relevance copy, ties by sorted token tuple — never
+        # by Arrow batch row order
         cands = [
-            (row.d, int(row.rel), frozenset(row.t))
+            (
+                row.d,
+                int(row.rel),
+                frozenset(row.t if row.t is not None else ()),
+            )
             for row in pdf.itertuples()
         ]
         ms = {d: 0 for d, _, _ in cands}
-        remaining = {d: (rel, t) for d, rel, t in cands}
+        remaining = {}
+        for d, rel, t in cands:
+            prev = remaining.get(d)
+            if prev is None or (rel, sorted(t)) > (prev[0], sorted(prev[1])):
+                remaining[d] = (rel, t)
         rows = []
         q = pdf["q"].iloc[0]
         for rank_i in range(1, k + 1):

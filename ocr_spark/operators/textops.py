@@ -1361,6 +1361,40 @@ BM25_B_X100 = 75
 BM25_MICRO = 1_000_000
 
 
+def _two_phase_rank(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_cols: "list[Column]",
+    id_col: str,
+    limit,
+    prune_shards: int = 64,
+) -> DataFrame:
+    """The shared two-phase per-group top-k shape (bm25_topk /
+    domain_cap / stratified_split): a per-(group, shard) row_number
+    prune to the limit, then the final rank over ≤ shards·limit
+    survivors — so a head group with billions of rows never funnels
+    into one partition.  ``limit`` is an int or a per-row Column (a
+    broadcast-joined per-group quota).  Emits ``__rank`` (int) with
+    rows already filtered to __rank <= limit.  Requires a NUMERIC
+    ``id_col`` (pmod on a non-numeric id yields NULL shards and the
+    prune would silently pass everything through)."""
+    from pyspark.sql import Window
+
+    lim = F.lit(limit) if isinstance(limit, int) else limit
+    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
+    w1 = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__shard", shard)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= lim)
+        .drop("__shard", "__r")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return pruned.withColumn("__rank", F.row_number().over(w2)).filter(
+        F.col("__rank") <= lim
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: "tuple[str, ...]",
@@ -1440,23 +1474,18 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(term_score).alias("score_micro"))
     )
-    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
-    w1 = Window.partitionBy("query_id", "__shard").orderBy(
-        F.desc("score_micro"), F.asc(id_col)
-    )
-    pruned = (
-        scored.withColumn("__shard", shard)
-        .withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= k)
-        .drop("__shard", "__r")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score_micro"), F.asc(id_col)
-    )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", "score_micro")
+    return _two_phase_rank(
+        scored,
+        ["query_id"],
+        [F.desc("score_micro"), F.asc(id_col)],
+        id_col,
+        k,
+        prune_shards,
+    ).select(
+        "query_id",
+        id_col,
+        F.col("__rank").alias("rank"),
+        "score_micro",
     )
 
 
@@ -1538,22 +1567,14 @@ def domain_cap(
     base = df.select(F.col(domain_col).alias("domain"), F.col(id_col)).withColumn(
         "__key", key
     )
-    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
-    w1 = Window.partitionBy("domain", "__shard").orderBy(
-        F.asc("__key"), F.asc(id_col)
-    )
-    pruned = (
-        base.withColumn("__shard", shard)
-        .withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= k)
-        .drop("__shard", "__r")
-    )
-    w2 = Window.partitionBy("domain").orderBy(F.asc("__key"), F.asc(id_col))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("domain", id_col, "rank")
-    )
+    return _two_phase_rank(
+        base,
+        ["domain"],
+        [F.asc("__key"), F.asc(id_col)],
+        id_col,
+        k,
+        prune_shards,
+    ).select("domain", id_col, F.col("__rank").alias("rank"))
 
 
 #: winnowing parameters — fixed operator contract (Schleimer et al.,
@@ -4377,21 +4398,16 @@ def stratified_split(
     key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     base = df.select(*sc, F.col(id_col)).withColumn("__key", key)
     picked = base.join(F.broadcast(q), list(strata_cols))
-    shard = F.pmod(F.col(id_col), F.lit(prune_shards))
-    w1 = Window.partitionBy(*strata_cols, "__shard").orderBy(
-        F.asc("__key"), F.asc(id_col)
-    )
-    pruned = (
-        picked.withColumn("__shard", shard)
-        .withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= F.col("quota"))
-        .drop("__shard", "__r")
-    )
-    w2 = Window.partitionBy(*strata_cols).orderBy(
-        F.asc("__key"), F.asc(id_col)
-    )
-    return (
-        pruned.withColumn("eval_rank", F.row_number().over(w2))
-        .filter(F.col("eval_rank") <= F.col("quota"))
-        .select(*strata_cols, id_col, "eval_rank", "quota")
+    return _two_phase_rank(
+        picked,
+        list(strata_cols),
+        [F.asc("__key"), F.asc(id_col)],
+        id_col,
+        F.col("quota"),
+        prune_shards,
+    ).select(
+        *strata_cols,
+        id_col,
+        F.col("__rank").alias("eval_rank"),
+        "quota",
     )

@@ -227,46 +227,66 @@ def trim_context(
     )
 
 
+#: per-turn (role, text) digest separator — parity-critical, shared by
+#: every conversation-level dedup / containment / near-dup operator.
+_TURN_SEP = "\x1f"
+
+
+def _turn_digest() -> Column:
+    """md5 of the NULL-coalesced (role, text) pair — THE per-turn
+    content digest.  NULL role/text coalesce to '' before hashing:
+    concat_ws would silently SKIP a NULL (digesting only the role)
+    while SQL's ``||`` nulls the whole per-turn digest and string_agg
+    then drops the turn — the engines would disagree on any
+    NULL-bearing conversation.  ONE definition on purpose: forking it
+    silently desyncs dedup_conversations, contained_conversations,
+    near_dup_conversations, and fork_prefixes from each other and
+    from their DuckDB oracles."""
+    return F.md5(
+        F.concat_ws(
+            _TURN_SEP,
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+
+
+def _digest_array(turns: DataFrame) -> DataFrame:
+    """(conv_id, __digs, n_turns): each conversation's turn-ordered
+    per-turn digest sequence.  The digest is map-side JVM md5, so only
+    (conv_id, turn_idx, 32-char digest) crosses the one conv_id
+    exchange — turn text NEVER rides a shuffle no matter how long the
+    conversations are."""
+    return (
+        turns.select("conv_id", "turn_idx", _turn_digest().alias("__d"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
+                "__a"
+            )
+        )
+        .select(
+            "conv_id",
+            F.expr("transform(__a, s -> s.__d)").alias("__digs"),
+            F.size("__a").cast("int").alias("n_turns"),
+        )
+    )
+
+
 def dedup_conversations(turns: DataFrame) -> DataFrame:
     """Conversation-level exact dedup: two conversations are duplicates
     when their ordered (role, text) turn sequences are identical —
     re-crawled chat logs and forked agent sessions produce these.  Each
     conversation's content digest is md5 over its turns' md5(role, text)
-    digests in turn order; the canonical copy is the smallest conv_id
-    sharing the digest.
+    digests in turn order (:func:`_turn_digest`); the canonical copy is
+    the smallest conv_id sharing the digest.
 
-    Scale shape: the per-turn digest is computed BEFORE any shuffle
-    (per-row JVM md5), so only (conv_id, turn_idx, 32-char digest)
-    crosses the conv_id exchange — turn text NEVER rides a shuffle no
-    matter how long the conversations are; the digest-keyed winner pass
-    moves one 32-byte key per conversation.
-
-    NULL role/text coalesce to '' before hashing: concat_ws would
-    silently SKIP a NULL (digesting only the role) while SQL's ||
-    nulls the whole per-turn digest and string_agg then drops the turn
-    — the engines would disagree on any NULL-bearing conversation."""
-    sep = "\x1f"
-    td = F.md5(
-        F.concat_ws(
-            sep,
-            F.coalesce(F.col("role"), F.lit("")),
-            F.coalesce(F.col("text"), F.lit("")),
-        )
-    )
-    per_turn = turns.select("conv_id", "turn_idx", td.alias("__td"))
-    digests = per_turn.groupBy("conv_id").agg(
-        F.count("*").alias("n_turns"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "__td"))
-                    ),
-                    lambda s: s["__td"],
-                ),
-                "",
-            )
-        ).alias("digest"),
+    Scale shape: :func:`_digest_array`'s single conv_id exchange plus a
+    digest-keyed winner pass moving one 32-byte key per conversation."""
+    digests = _digest_array(turns).select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.md5(F.array_join("__digs", "")).alias("digest"),
     )
     w = Window.partitionBy("digest")
     return digests.select(
@@ -413,15 +433,7 @@ def fork_prefixes(
     (plen, prefix_digest) count is a partial-aggregated exchange of
     integers, and the flag returns by digest hash join."""
     dig = turns.select(
-        "conv_id",
-        "turn_idx",
-        F.md5(
-            F.concat(
-                F.coalesce(F.col("role"), F.lit("")),
-                F.lit("\x1f"),
-                F.coalesce(F.col("text"), F.lit("")),
-            )
-        ).alias("__d"),
+        "conv_id", "turn_idx", _turn_digest().alias("__d")
     )
     arr = dig.groupBy("conv_id").agg(
         F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
@@ -939,40 +951,19 @@ def contained_conversations(
     conversation; the probe is an EQUI-join on (prefix digest, prefix
     length) with the strict-length predicate as a post-filter — never
     a nested loop."""
-    sep = "\x1f"
-    td = F.md5(
-        F.concat_ws(
-            sep,
-            F.coalesce(F.col("role"), F.lit("")),
-            F.coalesce(F.col("text"), F.lit("")),
-        )
-    )
-    arr = (
-        turns.select("conv_id", "turn_idx", td.alias("__d"))
-        .groupBy("conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
-                "__a"
-            )
-        )
-        .select(
-            "conv_id",
-            F.expr("transform(__a, s -> s.__d)").alias("__d"),
-            F.size("__a").cast("int").alias("n_turns"),
-        )
-    )
+    arr = _digest_array(turns)
     fulls = arr.filter(F.col("n_turns") <= max_len).select(
         "conv_id",
         "n_turns",
-        F.md5(F.array_join("__d", "")).alias("__full"),
+        F.md5(F.array_join("__digs", "")).alias("__full"),
     )
     pres = arr.select(
         F.col("conv_id").alias("container_conv_id"),
         F.col("n_turns").alias("__cn"),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, least({max_len}, size(__d))),"
-                " k -> md5(concat_ws('', slice(__d, 1, k))))"
+                f"transform(sequence(1, least({max_len}, size(__digs))),"
+                " k -> md5(concat_ws('', slice(__digs, 1, k))))"
             )
         ).alias("__k0", "__p"),
     ).select(
@@ -1149,26 +1140,7 @@ def near_dup_conversations(
     the result handle."""
     from ocr_spark.operators.dedup import _own_caches
 
-    sep = "\x1f"
-    td = F.md5(
-        F.concat_ws(
-            sep,
-            F.coalesce(F.col("role"), F.lit("")),
-            F.coalesce(F.col("text"), F.lit("")),
-        )
-    )
-    arr = (
-        turns.select("conv_id", "turn_idx", td.alias("__d"))
-        .groupBy("conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "__d"))).alias(
-                "__a"
-            )
-        )
-        .select(
-            "conv_id", F.expr("transform(__a, s -> s.__d)").alias("__digs")
-        )
-    )
+    arr = _digest_array(turns)
     sh = arr.select(
         "conv_id",
         F.when(
@@ -1350,8 +1322,6 @@ def conversation_clusters(
             "conversation_clusters: min-label propagation did not "
             f"converge within max_iters={max_iters} rounds"
         )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_turns"), F.asc("conv_id")
     )
