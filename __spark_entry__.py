@@ -2367,6 +2367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def sft_manifest(spark, sf):
+        # transcript-axis training_manifest: clean -> role-merge ->
+        # user-first+has-assistant gate -> ChatML render -> md5 train
+        # split -> md5-low-byte-sharded packed-sequence layout
+        return transcript.sft_manifest(_turns(spark, sf))
+
     def merge_role_runs(spark, sf):
         # ChatML normalization: maximal same-role runs merged into one
         # turn, texts newline-joined in order, densely renumbered (the
@@ -3647,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": cluster_safe_split,
         "agent_episodes": agent_episodes,
         "merge_role_runs": merge_role_runs,
+        "sft_manifest": sft_manifest,
         # (the five keys above are BELOW the boundary marked earlier —
         # the driver checks only the first 50 dict keys)
         # Round 5 added ~102 never-driver-checked queries against 50
@@ -7189,6 +7196,59 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # transcript SFT funnel composed end-to-end: clean (lag window)
+        # -> role-run merge (change counter) -> arg_min/bool_or gate ->
+        # ordered ChatML string_agg -> md5_number train split ->
+        # md5-low-byte shard + running-sum packing
+        "sft_manifest": (
+            "WITH " + _TURNS_SQL + ","
+            " nb AS (SELECT conv_id, turn_idx, role, text FROM turns"
+            "  WHERE trim(text) <> ''),"
+            " lg AS (SELECT conv_id, turn_idx, role, text,"
+            "  lag(role) OVER w AS pr, lag(text) OVER w AS pt FROM nb"
+            "  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),"
+            " kp AS (SELECT conv_id, turn_idx, role, text FROM lg"
+            "  WHERE NOT (role IS NOT DISTINCT FROM pr"
+            "   AND text IS NOT DISTINCT FROM pt)),"
+            " l2 AS (SELECT conv_id, turn_idx, role, text,"
+            "  CASE WHEN turn_idx = MIN(turn_idx) OVER"
+            "    (PARTITION BY conv_id) THEN 1"
+            "   WHEN lag(role) OVER (PARTITION BY conv_id"
+            "    ORDER BY turn_idx) IS DISTINCT FROM role THEN 1"
+            "   ELSE 0 END AS chg FROM kp),"
+            " r2 AS (SELECT conv_id, turn_idx, role, text,"
+            "  SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+            "   AS run FROM l2),"
+            " mg AS (SELECT conv_id, run, MIN(role) AS role,"
+            "  string_agg(coalesce(text, ''), chr(10)"
+            "   ORDER BY turn_idx) AS text FROM r2"
+            "  GROUP BY conv_id, run),"
+            " gt AS (SELECT conv_id FROM mg GROUP BY conv_id"
+            "  HAVING arg_min(role, run) = 'user'"
+            "   AND bool_or(role = 'assistant')),"
+            " rd AS (SELECT conv_id,"
+            "  string_agg('<|im_start|>' || coalesce(role, '') || chr(10)"
+            "   || coalesce(text, '') || '<|im_end|>' || chr(10), ''"
+            "   ORDER BY run) AS rendered"
+            "  FROM mg JOIN gt USING (conv_id) GROUP BY conv_id),"
+            " tr AS (SELECT conv_id, rendered FROM rd WHERE"
+            "  (((md5_number('split0:' || conv_id) % 4294967296)"
+            "    + 4294967296) % 4294967296)::DOUBLE"
+            "   / 4294967296.0 < 0.98),"
+            " k AS (SELECT conv_id,"
+            "  CAST(((md5_number(conv_id) % 64) + 64) % 64 AS INT)"
+            "   AS shard,"
+            "  CAST(CASE WHEN trim(rendered) = '' THEN 0"
+            "   ELSE len(string_split(rendered, ' ')) END AS BIGINT)"
+            "   AS n_tokens FROM tr),"
+            " o AS (SELECT conv_id, shard, n_tokens,"
+            "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard"
+            "   ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   1 PRECEDING), 0) AS BIGINT) AS start_off FROM k)"
+            " SELECT conv_id, shard, n_tokens, start_off,"
+            " CAST(floor(start_off / 512) AS BIGINT) AS seq_idx,"
+            " CAST(start_off % 512 AS BIGINT) AS pos_in_seq FROM o"
+        ),
         # ChatML same-role run merge: change-counter islands, ordered
         # string_agg inside the aggregate
         "merge_role_runs": (

@@ -1450,3 +1450,88 @@ def preference_length_bias(qa: DataFrame) -> DataFrame:
         .alias("equal_len"),
         F.sum("__delta").alias("sum_delta_tokens"),
     )
+
+
+#: sft_manifest packing contract: sequence budget and shard count.
+SFT_PACK_BUDGET = 512
+SFT_PACK_SHARDS = 64
+
+
+def sft_manifest(
+    turns: DataFrame,
+    budget: int = SFT_PACK_BUDGET,
+    shards: int = SFT_PACK_SHARDS,
+) -> DataFrame:
+    """End-to-end SFT data-prep manifest — the transcript-axis
+    counterpart of textops.training_manifest, composing the funnel a
+    real fine-tune run executes as ONE declarative plan: retry/blank
+    cleanup (:func:`clean_turns`) → same-role run merge
+    (:func:`merge_role_runs`) → structural gate (opens with a user
+    turn AND contains an assistant turn) → ChatML render
+    (:func:`render_chat`) → deterministic md5 train-split membership →
+    packed-sequence layout.  One row per surviving train conversation
+    with its shard, rendered token count (whitespace axis — swap in
+    bpe_token_count_expr for subword budgets), and packed position.
+
+    Scale shape: every stage is a one-exchange conv_id dataflow and
+    Catalyst chains them on the same partitioning; the split draw is a
+    per-row md5; packing shards on the conv_id md5 low byte (string
+    ids — the numeric-pmod shape of pack_sequences doesn't apply) with
+    a per-shard running-sum window, so no global serialization."""
+    from ocr_spark.operators.textops import split_assign
+
+    cleaned = clean_turns(turns).select(
+        "conv_id",
+        F.col("new_turn_idx").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    merged = merge_role_runs(cleaned).select(
+        "conv_id",
+        F.col("new_turn_idx").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    gate = (
+        merged.groupBy("conv_id")
+        .agg(
+            F.min_by("role", "turn_idx").alias("__first"),
+            F.max((F.col("role") == "assistant").cast("int")).alias(
+                "__has_a"
+            ),
+        )
+        .filter((F.col("__first") == "user") & (F.col("__has_a") == 1))
+        .select("conv_id")
+    )
+    rendered = render_chat(merged.join(gate, "conv_id"))
+    train = (
+        rendered.join(
+            split_assign(rendered, id_col="conv_id").filter(
+                F.col("split") == "train"
+            ).select("conv_id"),
+            "conv_id",
+        )
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int"),
+        F.lit(shards),
+    )
+    base = train.select(
+        "conv_id",
+        shard.alias("shard"),
+        _tok_count(F.col("rendered")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        "conv_id",
+        "shard",
+        "n_tokens",
+        off.alias("start_off"),
+        F.floor(off / F.lit(budget)).cast("long").alias("seq_idx"),
+        (off % budget).cast("long").alias("pos_in_seq"),
+    )

@@ -858,3 +858,32 @@ def test_preference_length_bias_counts_and_signed_sum(spark):
         for p in pairs.values()
     )
     assert row.sum_delta_tokens == want
+
+
+def test_sft_manifest_funnel_gate_and_packing(spark):
+    rows = [
+        # cGood: user opener, assistant runs merge, blank dropped
+        ("cGood", 0, "user", "hello there"),
+        ("cGood", 1, "assistant", "step one"),
+        ("cGood", 2, "assistant", "step one"),  # verbatim retry: cleaned
+        ("cGood", 3, "assistant", "step two"),  # same-role run: merged
+        ("cGood", 4, "user", "   "),            # blank: dropped
+        # cNoUser: opens with assistant -> gated out
+        ("cNoUser", 0, "assistant", "unprompted"),
+        ("cNoUser", 1, "user", "late question"),
+        ("cNoUser", 2, "assistant", "late answer"),
+        # cNoAssist: user monologue -> gated out
+        ("cNoAssist", 0, "user", "just thinking aloud"),
+    ]
+    out = {r.conv_id: r for r in transcript.sft_manifest(
+        _turns(spark, rows)).collect()}
+    assert set(out) == {"cGood"}
+    r = out["cGood"]
+    # rendered = '<|im_start|>user\nhello there<|im_end|>\n' +
+    #   '<|im_start|>assistant\nstep one\nstep two<|im_end|>\n'
+    # whitespace tokens (split on ' ' only): counts spaces+1
+    rendered = ("<|im_start|>user\nhello there<|im_end|>\n"
+                "<|im_start|>assistant\nstep one\nstep two<|im_end|>\n")
+    assert r.n_tokens == len(rendered.split(" "))
+    assert r.start_off == 0 and r.seq_idx == 0 and r.pos_in_seq == 0
+    assert 0 <= r.shard < 64
