@@ -2367,6 +2367,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def transcript_decontaminate(spark, sf):
+        # eval-leak audit: ev_ clones of the %13 conversations play the
+        # eval set (texts unchanged); boilerplate masking FIRST (retry
+        # banners recur corpus-wide and would flag everything), then
+        # rendered 5-gram overlap — the %13 originals must flag, the
+        # rest must not
+        t = _turns(spark, sf)
+        cnum = F.substring("conv_id", 6, 4).cast("int")
+        ev = t.filter(cnum % 13 == 0).select(
+            F.concat(F.lit("ev_"), F.substring("conv_id", 6, 4)).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "role",
+            "text",
+        )
+        return transcript.decontaminate_conversations(t, ev)
+
     def sft_manifest(spark, sf):
         # transcript-axis training_manifest: clean -> role-merge ->
         # user-first+has-assistant gate -> ChatML render -> md5 train
@@ -3654,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_episodes": agent_episodes,
         "merge_role_runs": merge_role_runs,
         "sft_manifest": sft_manifest,
+        "transcript_decontaminate": transcript_decontaminate,
         # (the five keys above are BELOW the boundary marked earlier —
         # the driver checks only the first 50 dict keys)
         # Round 5 added ~102 never-driver-checked queries against 50
@@ -7196,6 +7215,43 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # transcript eval-leak audit: per-side boilerplate mask (digest
+        # counts over >= 5 distinct convs), ChatML render, rendered
+        # 5-gram overlap vs the ev_ clone set
+        "transcript_decontaminate": (
+            "WITH " + _TURNS_SQL + ","
+            " ev AS (SELECT 'ev_' || substr(conv_id, 6, 4) AS conv_id,"
+            "  turn_idx, role, text FROM turns"
+            "  WHERE CAST(substr(conv_id, 6, 4) AS INT) % 13 = 0),"
+            " cmask AS (SELECT md5(coalesce(text, '')) AS dig,"
+            "  COUNT(DISTINCT conv_id) AS nc FROM turns"
+            "  WHERE coalesce(text, '') <> '' GROUP BY 1),"
+            " ckept AS (SELECT t.conv_id, t.turn_idx, t.role, t.text"
+            "  FROM turns t LEFT JOIN cmask m"
+            "   ON m.dig = md5(coalesce(t.text, ''))"
+            "  WHERE COALESCE(m.nc, 0) < 5),"
+            " crend AS (SELECT conv_id, string_agg('<|im_start|>' || coalesce(role, '') || chr(10) || coalesce(text, '') || '<|im_end|>' || chr(10), '' ORDER BY turn_idx) AS text"
+            "  FROM ckept GROUP BY conv_id),"
+            " emask AS (SELECT md5(coalesce(text, '')) AS dig,"
+            "  COUNT(DISTINCT conv_id) AS nc FROM ev"
+            "  WHERE coalesce(text, '') <> '' GROUP BY 1),"
+            " ekept AS (SELECT t.conv_id, t.turn_idx, t.role, t.text"
+            "  FROM ev t LEFT JOIN emask m"
+            "   ON m.dig = md5(coalesce(t.text, ''))"
+            "  WHERE COALESCE(m.nc, 0) < 5),"
+            " erend AS (SELECT conv_id, string_agg('<|im_start|>' || coalesce(role, '') || chr(10) || coalesce(text, '') || '<|im_end|>' || chr(10), '' ORDER BY turn_idx) AS text"
+            "  FROM ekept GROUP BY conv_id),"
+            " g AS (SELECT conv_id, CASE WHEN len(string_split(text, ' ')) < 5 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(  range(1, len(string_split(text, ' ')) - 3),  i -> array_to_string(list_slice(string_split(text, ' '),   i, i + 4), ' '))) END AS grams FROM crend),"
+            " bench AS (SELECT DISTINCT unnest(CASE WHEN len(string_split(text, ' ')) < 5 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(  range(1, len(string_split(text, ' ')) - 3),  i -> array_to_string(list_slice(string_split(text, ' '),   i, i + 4), ' '))) END) AS gram"
+            "  FROM erend),"
+            " dg AS (SELECT conv_id, unnest(grams) AS gram FROM g),"
+            " hits AS (SELECT conv_id, COUNT(*) AS n_hit FROM dg"
+            "  JOIN bench USING (gram) GROUP BY conv_id)"
+            " SELECT g.conv_id, CAST(len(grams) AS BIGINT) AS n_grams,"
+            " CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_contaminated,"
+            " COALESCE(n_hit, 0) > 0 AS contaminated"
+            " FROM g LEFT JOIN hits USING (conv_id)"
+        ),
         # transcript SFT funnel composed end-to-end: clean (lag window)
         # -> role-run merge (change counter) -> arg_min/bool_or gate ->
         # ordered ChatML string_agg -> md5_number train split ->

@@ -1535,3 +1535,48 @@ def sft_manifest(
         F.floor(off / F.lit(budget)).cast("long").alias("seq_idx"),
         (off % budget).cast("long").alias("pos_in_seq"),
     )
+
+
+def decontaminate_conversations(
+    turns: DataFrame,
+    bench_turns: DataFrame,
+    n: int = 5,
+    min_convs: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination for TRANSCRIPTS: flag conversations
+    sharing any word ``n``-gram of rendered text with an evaluation
+    set of conversations.  Run naively, chat corpora self-contaminate
+    through canned boilerplate (retry banners, greetings) that appears
+    in thousands of conversations on BOTH sides — so both sides are
+    first masked with :func:`boilerplate_turns` (text recurring in
+    ``min_convs``+ distinct conversations is dropped), then ChatML-
+    rendered, then probed with textops.decontaminate's broadcast
+    n-gram overlap.  The order matters and is the point: mask, THEN
+    overlap — the pipeline a real eval-leak audit runs.
+
+    Scale shape: both mask passes are digest-keyed (text never rides
+    the count exchange), the renders are one conv_id exchange each,
+    and the overlap probe broadcasts the eval grams — the corpus never
+    shuffles its text."""
+    from ocr_spark.operators.textops import decontaminate
+
+    def clean_render(t: DataFrame) -> DataFrame:
+        mask = boilerplate_turns(t, min_convs)
+        kept = t.join(
+            mask.filter(~F.col("is_boilerplate")).select(
+                "conv_id", "turn_idx"
+            ),
+            ["conv_id", "turn_idx"],
+        )
+        return render_chat(kept).select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("rendered").alias("text"),
+        )
+
+    out = decontaminate(clean_render(turns), clean_render(bench_turns), n=n)
+    return out.select(
+        F.col("doc_id").alias("conv_id"),
+        "n_grams",
+        "n_contaminated",
+        "contaminated",
+    )

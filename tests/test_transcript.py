@@ -887,3 +887,28 @@ def test_sft_manifest_funnel_gate_and_packing(spark):
     assert r.n_tokens == len(rendered.split(" "))
     assert r.start_off == 0 and r.seq_idx == 0 and r.pos_in_seq == 0
     assert 0 <= r.shard < 64
+
+
+def test_decontaminate_conversations_masks_boilerplate_first(spark):
+    banner = "connection reset please retry your request now"
+    # 6 corpus convs all carry the banner (boilerplate, >= 5 convs);
+    # only c0 shares REAL content with the eval conv
+    corpus = []
+    for i in range(6):
+        corpus += [
+            (f"c{i}", 0, "user", f"unique question number {i} about topic {i}"),
+            (f"c{i}", 1, "assistant", banner),
+        ]
+    corpus[0] = ("c0", 0, "user", "what is the capital city of france exactly")
+    bench = [
+        ("e0", 0, "user", "what is the capital city of france exactly"),
+        ("e0", 1, "assistant", banner),  # bench has the banner too
+    ]
+    out = {r.conv_id: r.contaminated for r in
+           transcript.decontaminate_conversations(
+               _turns(spark, corpus), _turns(spark, bench), min_convs=5
+           ).collect()}
+    # without the mask the banner 5-grams would flag ALL six convs;
+    # with it only the genuine content overlap flags
+    assert out == {"c0": True, "c1": False, "c2": False,
+                   "c3": False, "c4": False, "c5": False}
