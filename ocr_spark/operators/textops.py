@@ -643,6 +643,16 @@ SPLIT_FRACS = (0.98, 0.01, 0.01)
 SPLIT_SALT = "split0"
 
 
+def split_u(id_col: str, salt: str = SPLIT_SALT) -> Column:
+    """The split draw as a per-row Column — the exact dyadic uniform
+    md5_u32(salt:id) / 2^32 (little-endian low 4 digest bytes, equal
+    to DuckDB's md5_number mod 2^32).  Shared by :func:`split_assign`
+    and inline train-membership filters (transcript.sft_manifest), so
+    the draw cannot fork."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return _md5_u32(h).cast("double") / F.lit(4294967296.0)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -659,13 +669,8 @@ def split_assign(
     an exact dyadic rational, equal to DuckDB's md5_number mod 2^32, so
     the oracle replays every assignment bit-for-bit (the
     mixture_sample pattern). Per-row JVM arithmetic, zero exchanges."""
-    keyed = df.select(
-        F.col(id_col),
-        F.md5(
-            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-        ).alias("__h"),
-    )
-    u = _md5_u32(F.col("__h")).cast("double") / F.lit(4294967296.0)
+    keyed = df.select(F.col(id_col), split_u(id_col, salt).alias("u"))
+    u = F.col("u")
     t_train, t_val = fracs[0], fracs[0] + fracs[1]
     split = (
         F.when(u < t_train, F.lit("train"))

@@ -1474,11 +1474,18 @@ def sft_manifest(
     bpe_token_count_expr for subword budgets), and packed position.
 
     Scale shape: every stage is a one-exchange conv_id dataflow and
-    Catalyst chains them on the same partitioning; the split draw is a
-    per-row md5; packing shards on the conv_id md5 low byte (string
-    ids — the numeric-pmod shape of pack_sequences doesn't apply) with
-    a per-shard running-sum window, so no global serialization."""
-    from ocr_spark.operators.textops import split_assign
+    Catalyst chains them on the same partitioning; the merged and
+    frame is PERSISTED (it feeds both the gate aggregate and the
+    render — a self-derived join that would otherwise duplicate the
+    whole text-shuffling subtree; the conversation_tiers pattern), and
+    split membership is an INLINE per-row md5 filter (split_u), so
+    turn text rides exactly ONE exchange end-to-end (plan-tested); the
+    split draw is a per-row md5; packing shards on the conv_id md5 low
+    byte (string ids — the numeric-pmod shape of pack_sequences
+    doesn't apply) with a per-shard running-sum window, so no global
+    serialization."""
+    from ocr_spark.operators.dedup import _own_caches
+    from ocr_spark.operators.textops import SPLIT_FRACS, split_u
 
     cleaned = clean_turns(turns).select(
         "conv_id",
@@ -1491,7 +1498,7 @@ def sft_manifest(
         F.col("new_turn_idx").alias("turn_idx"),
         "role",
         "text",
-    )
+    ).persist()
     gate = (
         merged.groupBy("conv_id")
         .agg(
@@ -1504,14 +1511,10 @@ def sft_manifest(
         .select("conv_id")
     )
     rendered = render_chat(merged.join(gate, "conv_id"))
-    train = (
-        rendered.join(
-            split_assign(rendered, id_col="conv_id").filter(
-                F.col("split") == "train"
-            ).select("conv_id"),
-            "conv_id",
-        )
-    )
+    # split membership is a PER-ROW md5 draw (textops.split_u) — an
+    # inline filter, never a self-join, so the rendered frame is
+    # consumed exactly once and text rides no extra exchange
+    train = rendered.filter(split_u("conv_id") < SPLIT_FRACS[0])
     shard = F.pmod(
         F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int"),
         F.lit(shards),
@@ -1527,7 +1530,7 @@ def sft_manifest(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    return base.select(
+    out = base.select(
         "conv_id",
         "shard",
         "n_tokens",
@@ -1535,6 +1538,7 @@ def sft_manifest(
         F.floor(off / F.lit(budget)).cast("long").alias("seq_idx"),
         (off % budget).cast("long").alias("pos_in_seq"),
     )
+    return _own_caches(out, [merged])
 
 
 def decontaminate_conversations(

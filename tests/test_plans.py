@@ -1706,3 +1706,29 @@ def test_mmr_rerank_single_exchange_grouped_map(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert len(_exchange_blocks(plan)) == 1
     assert "Window" not in plan
+
+
+def test_sft_manifest_text_shuffles_once(spark):
+    from ocr_spark.operators import transcript
+
+    turns = spark.createDataFrame(
+        [("c1", i, "user" if i % 2 == 0 else "assistant", f"w{i} x y")
+         for i in range(6)],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    plan = _plan(transcript.sft_manifest(turns))
+    # text crosses exactly TWO exchanges: the raw-turns conv_id window
+    # (clean/merge) and the merged-runs re-cluster for render (merge's
+    # groupBy leaves data clustered on (conv_id, run), not conv_id).
+    # The merged frame is persisted so its subtree isn't duplicated by
+    # the gate self-join; split membership is an inline per-row md5
+    # filter (split_u), never a self-join; and the final packing
+    # exchange on the digest shard carries only (conv_id, shard,
+    # n_tokens) — the rendered string never rides a shuffle
+    with_text = [
+        b for b in _exchange_blocks(plan)
+        if "text#" in b or "rendered#" in b
+    ]
+    assert len(with_text) == 2
+    assert not any("rendered#" in b for b in with_text)
+    assert "BroadcastNestedLoopJoin" not in plan
