@@ -277,7 +277,10 @@ from ocr_spark.operators.textops import CLF_WEIGHTS_MICRO as _CLF_W  # noqa: E40
 from ocr_spark.operators.textops import HLL_ALPHA_NUM as _HLL_ALPHA  # noqa: E402
 from ocr_spark.operators.textops import _hll_rank_sql  # noqa: E402
 from ocr_spark.operators.agenttrace import EPISODE_GAP_S as _EPISODE_GAP_S  # noqa: E402
+from ocr_spark.operators.textops import SPLIT_FRACS as _SPLIT_FRACS  # noqa: E402
 from ocr_spark.operators.transcript import CONTAIN_MAX_LEN as _CONTAIN_MAX_LEN  # noqa: E402
+from ocr_spark.operators.transcript import SFT_PACK_BUDGET as _SFT_BUDGET  # noqa: E402
+from ocr_spark.operators.transcript import SFT_PACK_SHARDS as _SFT_SHARDS  # noqa: E402
 from ocr_spark.operators.transcript import _trunc_flag_sql  # noqa: E402
 from ocr_spark.operators.textops import (  # noqa: E402
     DOM_ANCHOR_RE as _DOM_ANCHOR_RE,
@@ -7283,7 +7286,7 @@ def oracle_sql() -> dict[str, str]:
             "   ORDER BY turn_idx) AS text FROM r2"
             "  GROUP BY conv_id, run),"
             " gt AS (SELECT conv_id FROM mg GROUP BY conv_id"
-            "  HAVING arg_min(role, run) = 'user'"
+            "  HAVING arg_min(coalesce(role, ''), run) = 'user'"
             "   AND bool_or(role = 'assistant')),"
             " rd AS (SELECT conv_id,"
             "  string_agg('<|im_start|>' || coalesce(role, '') || chr(10)"
@@ -7293,9 +7296,10 @@ def oracle_sql() -> dict[str, str]:
             " tr AS (SELECT conv_id, rendered FROM rd WHERE"
             "  (((md5_number('split0:' || conv_id) % 4294967296)"
             "    + 4294967296) % 4294967296)::DOUBLE"
-            "   / 4294967296.0 < 0.98),"
+            f"   / 4294967296.0 < {_SPLIT_FRACS[0]}),"
             " k AS (SELECT conv_id,"
-            "  CAST(((md5_number(conv_id) % 64) + 64) % 64 AS INT)"
+            f"  CAST(((md5_number(conv_id) % {_SFT_SHARDS})"
+            f"    + {_SFT_SHARDS}) % {_SFT_SHARDS} AS INT)"
             "   AS shard,"
             "  CAST(CASE WHEN trim(rendered) = '' THEN 0"
             "   ELSE len(string_split(rendered, ' ')) END AS BIGINT)"
@@ -7305,8 +7309,10 @@ def oracle_sql() -> dict[str, str]:
             "   ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
             "   1 PRECEDING), 0) AS BIGINT) AS start_off FROM k)"
             " SELECT conv_id, shard, n_tokens, start_off,"
-            " CAST(floor(start_off / 512) AS BIGINT) AS seq_idx,"
-            " CAST(start_off % 512 AS BIGINT) AS pos_in_seq FROM o"
+            f" CAST(floor(start_off / {_SFT_BUDGET}) AS BIGINT)"
+            "  AS seq_idx,"
+            f" CAST(start_off % {_SFT_BUDGET} AS BIGINT)"
+            "  AS pos_in_seq FROM o"
         ),
         # ChatML same-role run merge: change-counter islands, ordered
         # string_agg inside the aggregate

@@ -1502,7 +1502,9 @@ def sft_manifest(
     gate = (
         merged.groupBy("conv_id")
         .agg(
-            F.min_by("role", "turn_idx").alias("__first"),
+            F.min_by(
+                F.coalesce("role", F.lit("")), "turn_idx"
+            ).alias("__first"),
             F.max((F.col("role") == "assistant").cast("int")).alias(
                 "__has_a"
             ),
@@ -1515,10 +1517,9 @@ def sft_manifest(
     # inline filter, never a self-join, so the rendered frame is
     # consumed exactly once and text rides no extra exchange
     train = rendered.filter(split_u("conv_id") < SPLIT_FRACS[0])
-    shard = F.pmod(
-        F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int"),
-        F.lit(shards),
-    )
+    from ocr_spark.operators.textops import _md5_bucket
+
+    shard = F.expr(_md5_bucket("conv_id", shards))
     base = train.select(
         "conv_id",
         shard.alias("shard"),
@@ -1558,10 +1559,12 @@ def decontaminate_conversations(
     n-gram overlap.  The order matters and is the point: mask, THEN
     overlap — the pipeline a real eval-leak audit runs.
 
-    Scale shape: both mask passes are digest-keyed (text never rides
-    the count exchange), the renders are one conv_id exchange each,
-    and the overlap probe broadcasts the eval grams — the corpus never
-    shuffles its text."""
+    Scale shape: the boilerplate COUNT exchanges carry digests only,
+    but applying the mask is a (conv_id, turn_idx) join whose probe
+    side carries the turn text — corpus text rides that exchange plus
+    the render's conv_id exchange (two text shuffles per side); the
+    overlap probe then broadcasts the eval grams, so the rendered
+    corpus never shuffles again."""
     from ocr_spark.operators.textops import decontaminate
 
     def clean_render(t: DataFrame) -> DataFrame:
