@@ -2370,6 +2370,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def dynamic_batching(spark, sf):
+        # padding-minimizing batch assembly over the rendered convs:
+        # 64-token length buckets, md5-ordered batches of 8, exact
+        # integer per-batch padding waste
+        return transcript.dynamic_batching(
+            transcript.render_chat(_turns(spark, sf)).select(
+                "conv_id", "rendered"
+            )
+        )
+
     def transcript_decontaminate(spark, sf):
         # eval-leak audit: ev_ clones of the %13 conversations play the
         # eval set (texts unchanged); boilerplate masking FIRST (retry
@@ -3677,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": cluster_safe_split,
         "agent_episodes": agent_episodes,
         "merge_role_runs": merge_role_runs,
+        "dynamic_batching": dynamic_batching,
         "template_detect": template_detect,
         "pmi_collocations": pmi_collocations,
         # (the five keys above are BELOW the boundary marked earlier —
@@ -7221,6 +7232,28 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # dynamic batching: 64-token length buckets, md5-ordered
+        # batches of 8, exact integer padding waste per batch
+        "dynamic_batching": (
+            "WITH " + _TURNS_SQL + ","
+            " rd AS (SELECT conv_id, string_agg('<|im_start|>' || coalesce(role, '') || chr(10) || coalesce(text, '') || '<|im_end|>' || chr(10), '' ORDER BY turn_idx) AS rendered"
+            "  FROM turns GROUP BY conv_id),"
+            " b AS (SELECT conv_id,"
+            "  CAST(CASE WHEN trim(rendered) = '' THEN 0"
+            "   ELSE len(string_split(rendered, ' ')) END AS BIGINT)"
+            "   AS n_tokens, md5(conv_id) AS k FROM rd),"
+            " p AS (SELECT conv_id, n_tokens,"
+            "  CAST(n_tokens // 64 AS INT) AS len_bucket,"
+            "  CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // 64"
+            "    ORDER BY k, conv_id) - 1) AS BIGINT) AS rn FROM b)"
+            " SELECT conv_id, n_tokens, len_bucket,"
+            "  CAST(rn // 8 AS INT) AS batch_idx,"
+            "  CAST(rn % 8 AS INT) AS pos_in_batch,"
+            "  CAST(COUNT(*) OVER pb * MAX(n_tokens) OVER pb"
+            "   - SUM(n_tokens) OVER pb AS BIGINT) AS batch_pad_tokens"
+            " FROM p WINDOW pb AS"
+            "  (PARTITION BY len_bucket, rn // 8)"
+        ),
         # transcript eval-leak audit: per-side boilerplate mask (digest
         # counts over >= 5 distinct convs), ChatML render, rendered
         # 5-gram overlap vs the ev_ clone set

@@ -912,3 +912,28 @@ def test_decontaminate_conversations_masks_boilerplate_first(spark):
     # with it only the genuine content overlap flags
     assert out == {"c0": True, "c1": False, "c2": False,
                    "c3": False, "c4": False, "c5": False}
+
+
+def test_dynamic_batching_buckets_batches_and_padding(spark):
+    import hashlib
+
+    # 10 convs in bucket 0 (n_tokens < 64), various lengths -> batch 0
+    # holds the md5-order first 8, batch 1 the remaining 2
+    rendered = spark.createDataFrame(
+        [(f"c{i}", "tok " * (i + 2) + "end") for i in range(10)],
+        ["conv_id", "rendered"],
+    )
+    out = {r.conv_id: r for r in transcript.dynamic_batching(
+        rendered).collect()}
+    assert all(r.len_bucket == 0 for r in out.values())
+    order = sorted(out, key=lambda c: (hashlib.md5(c.encode()).hexdigest(), c))
+    for pos, cid in enumerate(order):
+        assert out[cid].batch_idx == pos // 8
+        assert out[cid].pos_in_batch == pos % 8
+    # exact padding waste: 8*max - sum over batch 0; 2*max - sum over
+    # the partial batch 1 (pads to its OWN max, not the bucket's)
+    for bi, size in ((0, 8), (1, 2)):
+        members = [out[c] for c in order if out[c].batch_idx == bi]
+        toks = [m.n_tokens for m in members]
+        want = size * max(toks) - sum(toks)
+        assert all(m.batch_pad_tokens == want for m in members)
