@@ -2370,6 +2370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-conversation role balance + assistant-verbosity ratio
         return transcript.role_stats(_turns(spark, sf))
 
+    def context_cost(spark, sf):
+        # agent API-cost model: each assistant turn re-sends the whole
+        # prior context; exact integer prefix-sum billing per conv
+        return transcript.context_cost(_turns(spark, sf))
+
     def dynamic_batching(spark, sf):
         # padding-minimizing batch assembly over the rendered convs:
         # 64-token length buckets, md5-ordered batches of 8, exact
@@ -3688,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_episodes": agent_episodes,
         "merge_role_runs": merge_role_runs,
         "dynamic_batching": dynamic_batching,
+        "context_cost": context_cost,
         "template_detect": template_detect,
         "pmi_collocations": pmi_collocations,
         # (the five keys above are BELOW the boundary marked earlier —
@@ -7232,6 +7238,29 @@ def oracle_sql() -> dict[str, str]:
         # per-conversation majority-script drift over the Cyrillic-
         # injected turns (SCRIPT_RANGES argmax shared with script_detect)
         "script_drift": _script_drift_oracle_sql(),
+        # agent context-cost billing: prefix running sums over the conv
+        # window, assistant-only input/output integer totals
+        "context_cost": (
+            "WITH " + _TURNS_SQL + ","
+            " p AS (SELECT conv_id, role,"
+            "  CAST(CASE WHEN trim(text) = '' THEN 0"
+            "   ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok,"
+            "  CAST(COALESCE(SUM(CASE WHEN trim(text) = '' THEN 0"
+            "    ELSE len(string_split(text, ' ')) END)"
+            "   OVER (PARTITION BY conv_id ORDER BY turn_idx"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            "   0) AS BIGINT) AS pre FROM turns)"
+            " SELECT conv_id,"
+            "  CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END)"
+            "   AS BIGINT) AS n_calls,"
+            "  CAST(SUM(CASE WHEN role = 'assistant' THEN pre"
+            "   ELSE 0 END) AS BIGINT) AS input_tokens,"
+            "  CAST(SUM(CASE WHEN role = 'assistant' THEN tok"
+            "   ELSE 0 END) AS BIGINT) AS output_tokens,"
+            "  CAST(SUM(CASE WHEN role = 'assistant' THEN pre + tok"
+            "   ELSE 0 END) AS BIGINT) AS total_tokens"
+            " FROM p GROUP BY conv_id"
+        ),
         # dynamic batching: 64-token length buckets, md5-ordered
         # batches of 8, exact integer padding waste per batch
         "dynamic_batching": (

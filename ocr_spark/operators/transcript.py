@@ -1644,3 +1644,47 @@ def dynamic_batching(
         .cast("long")
         .alias("batch_pad_tokens"),
     )
+
+
+def context_cost(turns: DataFrame) -> DataFrame:
+    """Agent API-cost accounting: every assistant turn is one model
+    call that re-sends the ENTIRE prior conversation as input and
+    emits its own text as output — so a conversation's real token bill
+    is quadratic-ish in its length, and long agent sessions dominate
+    spend.  Per conversation: call count, exact input tokens
+    (Σ over assistant turns of the prefix token sum strictly before
+    each), output tokens (Σ assistant turn tokens), and the total.
+    The numbers a routing/budget layer gates on before replaying a
+    trace for SFT distillation.
+
+    All-integer whitespace tokens (swap in bpe_token_count_expr for
+    subword billing); the prefix running sum and the per-conversation
+    aggregate ride ONE conv_id exchange."""
+    w = _conv_window().rowsBetween(Window.unboundedPreceding, -1)
+    tok = _tok_count(F.col("text"))
+    per = turns.select(
+        "conv_id",
+        "role",
+        tok.alias("__tok"),
+        F.coalesce(F.sum(tok).over(w), F.lit(0).cast("bigint")).alias(
+            "__pre"
+        ),
+    )
+    is_a = F.col("role") == "assistant"
+    return per.groupBy("conv_id").agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_calls"),
+        F.sum(F.when(is_a, F.col("__pre")).otherwise(0))
+        .cast("bigint")
+        .alias("input_tokens"),
+        F.sum(F.when(is_a, F.col("__tok")).otherwise(0))
+        .cast("bigint")
+        .alias("output_tokens"),
+    ).select(
+        "conv_id",
+        "n_calls",
+        "input_tokens",
+        "output_tokens",
+        (F.col("input_tokens") + F.col("output_tokens")).alias(
+            "total_tokens"
+        ),
+    )

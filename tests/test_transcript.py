@@ -937,3 +937,21 @@ def test_dynamic_batching_buckets_batches_and_padding(spark):
         toks = [m.n_tokens for m in members]
         want = size * max(toks) - sum(toks)
         assert all(m.batch_pad_tokens == want for m in members)
+
+
+def test_context_cost_prefix_sum_billing(spark):
+    rows = [
+        ("c1", 0, "user", "a b c"),          # 3 tokens
+        ("c1", 1, "assistant", "d e"),       # call 1: input 3, output 2
+        ("c1", 2, "user", ""),               # blank: 0 tokens
+        ("c1", 3, "assistant", "f g h i"),   # call 2: input 5, output 4
+        ("c2", 0, "user", "never answered"),
+    ]
+    out = {r.conv_id: r for r in transcript.context_cost(
+        _turns(spark, rows)).collect()}
+    c1 = out["c1"]
+    assert (c1.n_calls, c1.input_tokens, c1.output_tokens,
+            c1.total_tokens) == (2, 8, 6, 14)
+    c2 = out["c2"]
+    assert (c2.n_calls, c2.input_tokens, c2.output_tokens,
+            c2.total_tokens) == (0, 0, 0, 0)
